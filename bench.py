@@ -1,0 +1,83 @@
+"""Headline benchmark: POCS iterations/sec per chip at 512×512 slice.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` normalizes against the north-star-derived requirement from
+BASELINE.json: a 512×512×1024-sample cube (1024 frequency slices × 50 FPOCS
+iterations) interpolated in < 60 s on a v5p-8 needs
+1024·50/60/8 ≈ 107 slice-iterations/sec/chip at 512×512. vs_baseline > 1
+means this chip already exceeds the per-chip north-star rate.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+    from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx, from_complex
+
+    H = W = 512
+    B = 8  # slices per dispatch
+    NITER = 50
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    truth = np.zeros((B, H, W), np.complex64)
+    for i in range(B):
+        r = np.random.default_rng(i)
+        for _ in range(6):
+            fy, fx = r.integers(1, 24, size=2)
+            truth[i] += r.uniform(0.5, 2.0) * np.exp(
+                2j * np.pi * (fy * yy / H + fx * xx / W) + 1j * r.uniform(0, 6.28)
+            )
+    mask = (rng.uniform(size=W) < 0.5).astype(np.float32)
+    mask = np.ascontiguousarray(np.broadcast_to(mask[None, :], (H, W)))
+    obs = truth * mask
+
+    cfg = POCSConfig(niter=NITER, thresh_op="hard", thresh_model="exponential",
+                     p_min="adaptive", version="fast", alpha=0.75, eps=0.0)
+    transform = FFTTransform()
+
+    # NOTE: timing fetches an on-device scalar reduction, not the full cube.
+    # On the remote-TPU tunnel ``block_until_ready`` resolves before remote
+    # execution completes, so wall-clocking a scalar round-trip is the only
+    # honest measurement; it also avoids timing host transfer bandwidth.
+    def solve_sum(z, m):
+        r = pocs_interpolate(z, m, transform, cfg)
+        return jnp.sum(r.data.re) + jnp.sum(r.data.im)
+
+    fn = jax.jit(solve_sum)
+    m = jnp.asarray(mask)
+
+    # warmup/compile
+    float(fn(from_complex(obs), m))
+
+    # timed: vary the input each rep to defeat any result caching
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        float(fn(from_complex(obs * (1.0 + 0.001 * i)), m))
+    dt = (time.perf_counter() - t0) / reps
+
+    slice_iters_per_sec = B * NITER / dt
+    northstar_per_chip = 1024 * 50 / 60.0 / 8.0  # ≈ 106.7
+    print(json.dumps({
+        "metric": "pocs_slice_iters_per_sec_per_chip_512x512",
+        "value": round(slice_iters_per_sec, 1),
+        "unit": "slice-iterations/s (512x512 FPOCS, FFT basis, f32-highest)",
+        "vs_baseline": round(slice_iters_per_sec / northstar_per_chip, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,234 @@
+"""POCS sparse-inversion solver family (regular / fast / adaptive), TPU-native.
+
+Re-designs the reference's per-slice Python loop
+(pseudo_3D_interpolation/functions/POCS.py:371-661) as one batched
+``lax.scan`` over iterations:
+
+    forward transform -> threshold(decay_i) -> inverse transform
+    -> masked reinsertion  x = x_rec*(1 - α·mask) + α·x_obs
+
+Key departures from the reference, driven by the hardware:
+
+- **Batched, not per-slice.** The reference solves one 2D slice per dask
+  task; here a whole block of frequency slices ``(B, H, W)`` advances in
+  lock-step through the scan, so the 2D transforms become large MXU matmul
+  batches (see ops/dft.py) and XLA fuses threshold+reinsertion into their
+  epilogues.
+- **Early stopping as lane freezing.** The reference breaks the Python loop
+  at ``cost < eps`` after iteration 3 (POCS.py:631-632). Batched control flow
+  cannot break per-lane, so each slice carries an ``active`` flag; converged
+  slices freeze (their state stops updating) while the scan runs to ``niter``.
+  Effective per-slice iteration counts are reported exactly like the
+  reference's ``niterations``.
+- **Complex as (re, im) pairs** (ops/cplx.py): TPU backends lack complex.
+- **Telemetry as arrays**, not file appends: per-slice iteration counts,
+  final cost, and (optionally) the full cost history are returned to the
+  caller (reference appends CSV lines from inside the solver,
+  POCS.py:644-651).
+
+Zero slices short-circuit exactly like the reference (POCS.py:515-521):
+all-zero inputs report 0 iterations and return zeros.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import Cplx, from_complex, to_complex
+from .transforms import FFTTransform, get_transform
+
+
+@dataclasses.dataclass(frozen=True)
+class POCSConfig:
+    """Solver parameters (defaults match reference functions/POCS.py:379-390
+    and the documented production workflow: FPOCS, hard threshold,
+    exponential decay, adaptive p_min — docs/3D/3D_cube_interpolation.md)."""
+
+    niter: int = 50
+    thresh_op: str = "hard"
+    thresh_model: str = "exponential"
+    eps: float = 1e-9
+    alpha: float = 1.0
+    p_max: float = 0.99
+    p_min: Any = 1e-5
+    sqrt_decay: bool = False
+    decay_kind: str = "values"
+    version: str = "regular"  # regular | fast | adaptive
+    transform_kind: str = "FFT"
+    keep_cost_history: bool = False
+
+
+class POCSResult(NamedTuple):
+    data: Cplx  # reconstructed slices, same shape as input
+    n_iterations: jnp.ndarray  # (*batch,) int32 — effective iterations per slice
+    cost: jnp.ndarray  # (*batch,) f32 — final cost per slice
+    cost_history: jnp.ndarray | None  # (niter, *batch) if requested
+
+
+def _fpocs_fractions(niter: int) -> np.ndarray:
+    """Nesterov-style momentum fractions of FPOCS (Yang 2013 / Gan 2015).
+
+    v_{k+1} = (1 + sqrt(1+4 v_k^2))/2, frac_k = (v_k - 1)/(v_{k+1} + 1);
+    data-independent, so precomputed on host (reference: POCS.py:566-571).
+    """
+    fracs = np.empty((niter,), np.float32)
+    v = 1.0
+    for i in range(niter):
+        v1 = (1.0 + np.sqrt(1.0 + 4.0 * v * v)) / 2.0
+        fracs[i] = (v - 1.0) / (v1 + 1.0)
+        v = v1
+    return fracs
+
+
+def pocs_interpolate(
+    z: Cplx,
+    mask: jnp.ndarray,
+    transform=None,
+    config: POCSConfig = POCSConfig(),
+) -> POCSResult:
+    """Run POCS on a batch of slices.
+
+    Parameters
+    ----------
+    z
+        Sparse observed data as a ``Cplx`` pair, shape ``(..., H, W)``
+        (leading axes batch independent slices; real data uses a zero
+        imaginary part).
+    mask
+        Sampling mask (1 = observed, 0 = missing), shape broadcastable to
+        ``z`` (typically ``(H, W)`` shared or ``(..., H, W)``).
+    transform
+        A transform object (see models/transforms.py); defaults to the
+        config's ``transform_kind``.
+
+    Trace-once: this function is pure and shape-static — wrap in ``jax.jit``
+    (or use the pre-jitted :func:`pocs_interpolate_jit`).
+    """
+    cfg = config
+    if transform is None:
+        transform = get_transform(cfg.transform_kind)
+
+    batch_shape = z.shape[:-2]
+    mask = jnp.broadcast_to(jnp.asarray(mask, z.dtype), z.shape)
+    alpha = jnp.asarray(cfg.alpha, z.dtype)
+
+    # --- one-time decay schedule from the initial forward transform ---
+    coeffs0 = transform.forward(z)
+    decay_tree = transform.decay(
+        coeffs0, cfg.thresh_model, cfg.niter, cfg.p_max, cfg.p_min, cfg.decay_kind
+    )
+    if cfg.sqrt_decay:
+        decay_tree = jax.tree.map(jnp.sqrt, decay_tree)
+
+    fracs = jnp.asarray(_fpocs_fractions(cfg.niter))
+    iters = jnp.arange(cfg.niter, dtype=jnp.int32)
+
+    keep_mask_f = 1.0 - alpha * mask  # reinsertion weights, reused every iter
+    alpha_x = Cplx(alpha * z.re, alpha * z.im)
+
+    def reinsert(x_rec: Cplx) -> Cplx:
+        return Cplx(x_rec.re * keep_mask_f + alpha_x.re, x_rec.im * keep_mask_f + alpha_x.im)
+
+    def one_iter(carry, xs):
+        x_prev, x_curr, active, n_eff, cost_prev = carry
+        i, frac, decay_i = xs
+
+        if cfg.version == "regular":
+            x_input = x_curr
+        elif cfg.version == "fast":
+            # Correct Nesterov/FPOCS extrapolation y_k = x_k + frac·(x_k − x_{k−1}).
+            # NOTE deviation: the reference re-aliases x_old = x_inv at the end
+            # of every iteration (POCS.py:629), which makes its momentum term
+            # identically zero — reference "fast" degenerates to "regular".
+            # We keep the true previous iterate so FPOCS actually accelerates.
+            x_input = Cplx(
+                x_curr.re + frac * (x_curr.re - x_prev.re),
+                x_curr.im + frac * (x_curr.im - x_prev.im),
+            )
+        elif cfg.version == "adaptive":
+            # reference: POCS.py:572-576 (x_old there == current iterate)
+            x_input = Cplx(
+                alpha * z.re + keep_mask_f * x_curr.re + (1 - alpha) * (z.re - mask * x_curr.re),
+                alpha * z.im + keep_mask_f * x_curr.im + (1 - alpha) * (z.im - mask * x_curr.im),
+            )
+        else:
+            raise ValueError(f"unknown POCS version {cfg.version!r}")
+
+        coeffs = transform.forward(x_input)
+        coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)
+        x_rec = reinsert(transform.inverse(coeffs))
+
+        # cost (Gao et al. 2013): (Σ(|x_new| − |x_curr|))² / (Σ|x_new|)²
+        # per-slice reduction over the trailing two axes (reference POCS.py:622)
+        d = jnp.sum(x_rec.abs() - x_curr.abs(), axis=(-2, -1))
+        s = jnp.sum(x_rec.abs(), axis=(-2, -1))
+        cost = (d * d) / jnp.where(s == 0, 1.0, s * s)
+
+        # freeze converged lanes
+        act = active[..., None, None]
+        x_prev_next = Cplx(
+            jnp.where(act, x_curr.re, x_prev.re), jnp.where(act, x_curr.im, x_prev.im)
+        )
+        x_curr_next = Cplx(
+            jnp.where(act, x_rec.re, x_curr.re), jnp.where(act, x_rec.im, x_curr.im)
+        )
+        n_eff = n_eff + active.astype(jnp.int32)
+        cost_out = jnp.where(active, cost, cost_prev)
+        # reference breaks AFTER keeping the converged iteration (POCS.py:631)
+        active_next = active & ~((i > 2) & (cost < cfg.eps))
+
+        new_carry = (x_prev_next, x_curr_next, active_next, n_eff, cost_out)
+        ys = cost_out if cfg.keep_cost_history else None
+        return new_carry, ys
+
+    active0 = jnp.ones(batch_shape, bool)
+    n0 = jnp.zeros(batch_shape, jnp.int32)
+    c0 = jnp.zeros(batch_shape, z.dtype)
+    carry0 = (z, z, active0, n0, c0)
+
+    (x_prev, x_inv, active, n_eff, cost), history = jax.lax.scan(
+        one_iter, carry0, (iters, fracs, decay_tree)
+    )
+
+    # zero-input short-circuit (reference POCS.py:515-521)
+    nonzero = jnp.sum(z.abs2(), axis=(-2, -1)) > 0
+    nz = nonzero[..., None, None]
+    x_out = Cplx(jnp.where(nz, x_inv.re, z.re), jnp.where(nz, x_inv.im, z.im))
+    n_eff = jnp.where(nonzero, n_eff, 0)
+    cost = jnp.where(nonzero, cost, 0.0)
+
+    return POCSResult(x_out, n_eff, cost, history if cfg.keep_cost_history else None)
+
+
+# --- named variants mirroring the reference's partials (POCS.py:659-661) ---
+def pocs(z, mask, transform=None, config=POCSConfig()):
+    return pocs_interpolate(z, mask, transform, dataclasses.replace(config, version="regular"))
+
+
+def fpocs(z, mask, transform=None, config=POCSConfig()):
+    return pocs_interpolate(z, mask, transform, dataclasses.replace(config, version="fast"))
+
+
+def apocs(z, mask, transform=None, config=POCSConfig()):
+    return pocs_interpolate(z, mask, transform, dataclasses.replace(config, version="adaptive"))
+
+
+def pocs_interpolate_numpy(x, mask, config: POCSConfig = POCSConfig(), transform=None):
+    """Host-boundary convenience: numpy (complex or real) in/out, jitted solve.
+
+    Returns ``(x_inv, n_iterations, cost)`` as numpy arrays; preserves real
+    input dtype by dropping the imaginary part, matching the reference's
+    complex-aware return (POCS.py:653-656).
+    """
+    was_complex = np.iscomplexobj(x)
+    z = from_complex(np.asarray(x))
+    tr = transform if transform is not None else get_transform(config.transform_kind)
+    fn = jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, tr, config))
+    res = fn(z, jnp.asarray(np.asarray(mask, np.float32)))
+    out = to_complex(res.data) if was_complex else np.asarray(res.data.re)
+    return out, np.asarray(res.n_iterations), np.asarray(res.cost)

@@ -1,0 +1,12 @@
+"""Device-mesh parallelism for slice-parallel cube interpolation."""
+
+from .mesh import make_mesh, slice_sharding, replicated_sharding
+from .solver import pocs_interpolate_sharded, interpolate_cube
+
+__all__ = [
+    "make_mesh",
+    "slice_sharding",
+    "replicated_sharding",
+    "pocs_interpolate_sharded",
+    "interpolate_cube",
+]

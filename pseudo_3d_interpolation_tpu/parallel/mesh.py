@@ -1,0 +1,43 @@
+"""Mesh construction and sharding specs.
+
+The workload (SURVEY.md §2.4, §5.7): thousands of independent (iline, xline)
+frequency-slice POCS problems. The TPU-native layout shards the *frequency*
+axis across a 1-D device mesh — the analogue of the reference's dask
+slice-parallelism (cube_POCS_interpolation_3D.py:291-340), with ICI
+collectives needed only for mask broadcast (XLA inserts it from the
+replicated spec) and optional stats gathers. The solver itself runs with
+zero inter-chip communication.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SLICE_AXIS = "slices"
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = SLICE_AXIS) -> Mesh:
+    """1-D mesh over available devices (or the first ``n_devices``)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def slice_sharding(mesh: Mesh, ndim: int, axis_name: str = SLICE_AXIS) -> NamedSharding:
+    """Shard the leading (frequency/batch) axis; slice axes stay local."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (e.g. the shared sampling mask)."""
+    return NamedSharding(mesh, P())
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    """Batch size padded so it divides evenly across ``m`` shards."""
+    return -(-n // m) * m

@@ -1,0 +1,76 @@
+"""Array padding / de-padding helpers (jit-compatible).
+
+reference: pseudo_3D_interpolation/functions/utils.py:194-298.
+All functions are shape-static so they can live inside ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pad_mirror_flip(a, n: int, zeros: bool = False):
+    """Pad a 1D array with ``n`` values on each side.
+
+    Default pads with the signal mirrored *and* flipped about the edge value
+    (odd-symmetric extension), matching the reference's ``pad_array``
+    (reference: functions/utils.py:194-222). ``zeros=True`` pads with zeros.
+    """
+    a = jnp.asarray(a)
+    if n <= 0:
+        return a
+    if zeros:
+        z = jnp.zeros((n,), dtype=a.dtype)
+        return jnp.concatenate([z, a, z])
+    start = a[0] - jnp.abs(a[1 : n + 1][::-1] - a[0])
+    end = a[-1] - jnp.abs(a[-n - 1 : -1][::-1] - a[-1])
+    return jnp.concatenate([start, a, end])
+
+
+def pad_along_axis(array, n, mode: str = "constant", axis: int = -1, **kwargs):
+    """Pad an nD array along one axis (reference: functions/utils.py:225-269)."""
+    array = jnp.asarray(array)
+    if isinstance(n, (tuple, list)):
+        n_before, n_after = int(n[0]), int(n[1])
+    else:
+        n_before = n_after = int(n)
+    if n_before <= 0 and n_after <= 0:
+        return array
+    npad = [(0, 0)] * array.ndim
+    npad[axis] = (max(n_before, 0), max(n_after, 0))
+    return jnp.pad(array, npad, mode=mode, **kwargs)
+
+
+def pad_to_shape(array, shape, mode: str = "constant", **kwargs):
+    """Pad an array at the end of each axis up to ``shape``."""
+    array = jnp.asarray(array)
+    npad = [(0, int(t) - int(s)) for s, t in zip(array.shape, shape)]
+    if any(p[1] < 0 for p in npad):
+        raise ValueError(f"target shape {shape} smaller than array shape {array.shape}")
+    if all(p[1] == 0 for p in npad):
+        return array
+    return jnp.pad(array, npad, mode=mode, **kwargs)
+
+
+def slice_valid_data(data, nso: int):
+    """Undo zero-padding: return the ``nso`` valid samples of each trace.
+
+    ``data`` is (samples, traces); each trace was zero-padded top and/or
+    bottom. Returns the de-padded (nso, traces) block plus the per-trace start
+    index (reference: functions/utils.py:272-298).
+    """
+    data = jnp.asarray(data)
+    idx_start = jnp.argmax(data != 0, axis=0)
+    indexer = (jnp.arange(nso)[:, None] + idx_start[None, :]).astype(jnp.int32)
+    return jnp.take_along_axis(data, indexer, axis=0), idx_start
+
+
+def next_multiple(n: int, m: int) -> int:
+    """Smallest multiple of ``m`` that is >= ``n`` (host-side helper for TPU tiling)."""
+    return int(-(-int(n) // int(m)) * int(m))
+
+
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (host-side; FFT-friendly padding)."""
+    return 1 << int(np.ceil(np.log2(max(int(n), 1))))

@@ -1,0 +1,104 @@
+"""Golden tests for threshold decay schedules vs independent numpy formulas.
+
+Each expected value is derived directly from the published model definitions
+(Gao 2010/2013, Yang 2012, Ge 2015, Zhao 2021), as catalogued in SURVEY.md §2
+for reference functions/POCS.py:169-368.
+"""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.ops import decay
+
+
+@pytest.fixture
+def coeffs():
+    rng = np.random.default_rng(0)
+    return np.abs(rng.normal(size=(32, 32))).astype(np.float32)
+
+
+def test_linear(coeffs):
+    niter = 10
+    amax = coeffs.max()
+    tau_max, tau_min = 0.99 * amax, 1e-3 * amax
+    i = np.arange(1, niter + 1)
+    expected = tau_max - (tau_max - tau_min) * (i - 1) / (niter - 1)
+    got = np.asarray(decay.threshold_decay(coeffs, "linear", niter, 0.99, 1e-3))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+@pytest.mark.parametrize("q", [1.0, 2.0, 3.0])
+def test_exponential_q(coeffs, q):
+    niter = 20
+    amax = coeffs.max()
+    tau_max, tau_min = 0.99 * amax, 1e-3 * amax
+    m = (np.arange(1, niter + 1) - 1) / (niter - 1)
+    expected = tau_max * np.exp(np.log(tau_min / tau_max) * m**q)
+    model = "exponential" if q == 1.0 else f"exponential-{q:g}"
+    got = np.asarray(decay.threshold_decay(coeffs, model, niter, 0.99, 1e-3))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_exponential_monotone_decreasing(coeffs):
+    got = np.asarray(decay.threshold_decay(coeffs, "exponential", 50, 0.99, 1e-3))
+    assert np.all(np.diff(got) < 0)
+    np.testing.assert_allclose(got[0], 0.99 * coeffs.max(), rtol=1e-5)
+    np.testing.assert_allclose(got[-1], 1e-3 * coeffs.max(), rtol=1e-4)
+
+
+@pytest.mark.parametrize("q", [1.0, 2.0])
+def test_inverse_proportional(coeffs, q):
+    niter = 15
+    amax, amin = coeffs.max(), coeffs.min()
+    nq = niter**q
+    a = nq * (amax - amin) / (nq - 1)
+    b = (nq * amin - amax) / (nq - 1)
+    i = np.arange(1, niter + 1)
+    expected = a / i**q + b
+    model = "inverse_proportional" if q == 1.0 else f"inverse_proportional-{q:g}"
+    got = np.asarray(decay.threshold_decay(coeffs, model, niter))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_adaptive_p_min(coeffs):
+    niter = 8
+    tau_min = 0.01 * np.sqrt(np.linalg.norm(coeffs) ** 2 / coeffs.size)
+    got = np.asarray(decay.threshold_decay(coeffs, "exponential", niter, 0.99, "adaptive"))
+    np.testing.assert_allclose(got[-1], tau_min, rtol=1e-4)
+
+
+def test_data_driven(coeffs):
+    niter = 12
+    amax = coeffs.max()
+    tau_max, tau_min = 0.99 * amax, 1e-3 * amax
+    # independent numpy formulation (reference semantics)
+    v = np.sort(coeffs[(coeffs > tau_min) & (coeffs < tau_max)])[::-1]
+    nv = v.size
+    i = np.arange(1, niter + 1)
+    expected = np.empty(niter, coeffs.dtype)
+    expected[0] = v[0]
+    expected[1:] = v[np.ceil((i[1:] - 1) * (nv - 1) / (niter - 1)).astype(int)]
+    got = np.asarray(decay.threshold_decay(coeffs, "data-driven", niter, 0.99, 1e-3))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_batched_matches_per_slice(coeffs):
+    rng = np.random.default_rng(1)
+    batch = np.abs(rng.normal(size=(5, 16, 16))).astype(np.float32)
+    got = np.asarray(decay.threshold_decay(batch, "exponential", 10, 0.99, 1e-3))
+    assert got.shape == (10, 5)
+    for b in range(5):
+        single = np.asarray(decay.threshold_decay(batch[b], "exponential", 10, 0.99, 1e-3))
+        np.testing.assert_allclose(got[:, b], single, rtol=1e-5)
+
+
+def test_factors_kind(coeffs):
+    got = np.asarray(decay.threshold_decay(coeffs, "exponential", 5, 99.0, 1.0, kind="factors"))
+    np.testing.assert_allclose(got[0], 99.0, rtol=1e-5)
+    np.testing.assert_allclose(got[-1], 1.0, rtol=1e-5)
+
+
+def test_shearlet_scales():
+    assert decay.n_shearlet_scales((512, 512)) == 4
+    assert decay.n_shearlet_scales((64, 64)) == 3
+    assert decay.n_shearlet_scales((2, 2)) == 1

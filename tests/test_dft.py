@@ -1,0 +1,93 @@
+"""Golden tests: matmul-DFT/DCT vs numpy.fft / scipy dct."""
+
+import numpy as np
+import pytest
+import scipy.fft
+
+from pseudo_3d_interpolation_tpu.ops import cplx, dft
+
+
+@pytest.fixture
+def z64():
+    rng = np.random.default_rng(7)
+    return (rng.normal(size=(64, 48)) + 1j * rng.normal(size=(64, 48))).astype(np.complex64)
+
+
+def test_fft2_matches_numpy(z64):
+    got = cplx.to_complex(dft.fft2(cplx.from_complex(z64)))
+    np.testing.assert_allclose(got, np.fft.fft2(z64), rtol=2e-4, atol=2e-3)
+
+
+def test_ifft2_matches_numpy(z64):
+    got = cplx.to_complex(dft.ifft2(cplx.from_complex(z64)))
+    np.testing.assert_allclose(got, np.fft.ifft2(z64), rtol=2e-4, atol=1e-5)
+
+
+def test_fft2_roundtrip(z64):
+    z = cplx.from_complex(z64)
+    back = cplx.to_complex(dft.ifft2(dft.fft2(z)))
+    np.testing.assert_allclose(back, z64, rtol=1e-4, atol=1e-4)
+
+
+def test_fft2_batched(z64):
+    batch = np.stack([z64, 2 * z64, z64.conj()])
+    got = cplx.to_complex(dft.fft2(cplx.from_complex(batch)))
+    np.testing.assert_allclose(got, np.fft.fft2(batch, axes=(-2, -1)), rtol=2e-4, atol=2e-3)
+
+
+def test_fft1_matches_numpy(z64):
+    got = cplx.to_complex(dft.fft1(cplx.from_complex(z64), axis=0))
+    np.testing.assert_allclose(got, np.fft.fft(z64, axis=0), rtol=2e-4, atol=2e-3)
+    got = cplx.to_complex(dft.ifft1(cplx.from_complex(z64), axis=1))
+    np.testing.assert_allclose(got, np.fft.ifft(z64, axis=1), rtol=2e-4, atol=1e-4)
+
+
+def test_rfft1_matches_numpy():
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(6, 100)).astype(np.float32)
+    got = cplx.to_complex(dft.rfft1(x, axis=-1))
+    np.testing.assert_allclose(got, np.fft.rfft(x, axis=-1), rtol=2e-4, atol=2e-3)
+
+
+def test_rfft1_padded():
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(4, 50)).astype(np.float32)
+    got = cplx.to_complex(dft.rfft1(x, axis=-1, n=64))
+    np.testing.assert_allclose(got, np.fft.rfft(x, n=64, axis=-1), rtol=2e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("n", [100, 101])
+def test_irfft1_roundtrip(n):
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(4, n)).astype(np.float32)
+    back = np.asarray(dft.irfft1(dft.rfft1(x, axis=-1), n=n, axis=-1))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+def test_irfft1_matches_numpy():
+    rng = np.random.default_rng(11)
+    spec = (rng.normal(size=(3, 33)) + 1j * rng.normal(size=(3, 33))).astype(np.complex64)
+    got = np.asarray(dft.irfft1(cplx.from_complex(spec), n=64, axis=-1))
+    np.testing.assert_allclose(got, np.fft.irfft(spec, n=64, axis=-1), rtol=1e-3, atol=1e-4)
+
+
+def test_dct2_matches_scipy():
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=(32, 24)).astype(np.float32)
+    got = np.asarray(dft.dct2_2d(x))
+    expected = scipy.fft.dctn(x, type=2, norm="ortho")
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+    back = np.asarray(dft.idct2_2d(got))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+def test_cplx_arithmetic():
+    rng = np.random.default_rng(13)
+    a = (rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))).astype(np.complex64)
+    b = (rng.normal(size=(8, 8)) + 1j * rng.normal(size=(8, 8))).astype(np.complex64)
+    za, zb = cplx.from_complex(a), cplx.from_complex(b)
+    np.testing.assert_allclose(cplx.to_complex(za * zb), a * b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cplx.to_complex(za + zb), a + b, rtol=1e-6)
+    np.testing.assert_allclose(cplx.to_complex(za.conj()), a.conj(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(za.abs()), np.abs(a), rtol=1e-5)
+    np.testing.assert_allclose(cplx.to_complex(2.0 * za), 2 * a, rtol=1e-6)

@@ -1,0 +1,68 @@
+"""Sharding tests on the 8-device virtual CPU mesh: sharded == single-device."""
+
+import numpy as np
+
+from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate_numpy
+from pseudo_3d_interpolation_tpu.ops import cplx
+from pseudo_3d_interpolation_tpu.parallel import (
+    interpolate_cube,
+    make_mesh,
+    pocs_interpolate_sharded,
+)
+
+from test_pocs import random_mask, synthetic_slice
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_matches_single_device():
+    slices = np.stack([synthetic_slice(seed=s) for s in range(16)])
+    mask = random_mask(frac=0.5, seed=4)
+    cfg = POCSConfig(niter=12, p_min=1e-3, version="fast")
+    mesh = make_mesh()
+    res = pocs_interpolate_sharded(cplx.from_complex(slices * mask), mask, mesh=mesh, config=cfg)
+    rec_sharded = cplx.to_complex(res.data)
+    rec_single, n_single, _ = pocs_interpolate_numpy(slices * mask, mask, cfg)
+    np.testing.assert_allclose(rec_sharded, rec_single, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res.n_iterations), n_single)
+
+
+def test_sharded_rejects_indivisible_batch():
+    import pytest
+
+    slices = np.stack([synthetic_slice(seed=s) for s in range(3)])
+    mask = random_mask()
+    with pytest.raises(ValueError, match="divisible"):
+        pocs_interpolate_sharded(cplx.from_complex(slices), mask, mesh=make_mesh())
+
+
+def test_interpolate_cube_chunks_and_pads():
+    """Cube driver: odd slice count forces padding; zero pad slices are free."""
+    f = 19
+    slices = np.stack([synthetic_slice(seed=s) for s in range(f)])
+    mask = random_mask(frac=0.6, seed=5)
+    cfg = POCSConfig(niter=8, p_min=1e-3)
+    calls = []
+    rec, n_it, cost = interpolate_cube(
+        slices * mask, mask, cfg, mesh=make_mesh(), batch=8,
+        progress=lambda done, total: calls.append((done, total)),
+    )
+    assert rec.shape == slices.shape
+    assert n_it.shape == (f,)
+    assert calls[-1] == (f, f)
+    # chunked result must equal one-shot result
+    rec1, n1, _ = pocs_interpolate_numpy(slices * mask, mask, cfg)
+    np.testing.assert_allclose(rec, rec1, rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(n_it, n1)
+
+
+def test_interpolate_cube_real_input():
+    f = 8
+    slices = np.stack([synthetic_slice(seed=s, complex_=False) for s in range(f)])
+    mask = random_mask(frac=0.6, seed=6)
+    rec, _, _ = interpolate_cube(slices * mask, mask, POCSConfig(niter=8, p_min=1e-3),
+                                 mesh=make_mesh(), batch=8)
+    assert rec.dtype == np.float32

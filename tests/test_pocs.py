@@ -1,0 +1,174 @@
+"""Solver tests: trajectory parity vs an independent numpy POCS, plus
+decimate-then-reconstruct quality (the metric the reference's paper uses).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.models import (
+    DCTTransform,
+    POCSConfig,
+    pocs_interpolate_numpy,
+)
+from pseudo_3d_interpolation_tpu.ops import metrics
+
+
+def synthetic_slice(h=64, w=64, seed=0, complex_=True):
+    """Plane-wave superposition: sparse in the Fourier basis, seismic-like."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    data = np.zeros((h, w), np.complex128)
+    for _ in range(6):
+        fy, fx = rng.integers(1, 8, size=2)
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.5, 2.0)
+        data += amp * np.exp(2j * np.pi * (fy * y / h + fx * x / w) + 1j * phase)
+    if not complex_:
+        return np.ascontiguousarray(data.real.astype(np.float32))
+    return data.astype(np.complex64)
+
+
+def random_mask(h=64, w=64, frac=0.5, seed=1):
+    rng = np.random.default_rng(seed)
+    # decimate whole "traces" (columns), like missing bins in a cube
+    keep = rng.uniform(size=w) < frac
+    return np.broadcast_to(keep[None, :], (h, w)).astype(np.float32)
+
+
+def numpy_pocs_regular(x, mask, niter, p_max, p_min, thresh_op="hard", alpha=1.0, eps=1e-9):
+    """Independent mirror of the reference POCS loop (FFT basis, exponential
+    decay, magnitude thresholds), written directly from the published
+    algorithm for golden comparison."""
+    X0 = np.fft.fft2(x)
+    amax = np.abs(X0).max()
+    tau_max, tau_min = p_max * amax, p_min * amax
+    m = np.arange(niter) / (niter - 1)
+    tau = tau_max * np.exp(np.log(tau_min / tau_max) * m)
+
+    x_old = x.copy()
+    costs = []
+    for i in range(niter):
+        X = np.fft.fft2(x_old)
+        if thresh_op == "hard":
+            X = np.where(np.abs(X) < tau[i], 0, X)
+        else:
+            mag = np.abs(X)
+            X = X * np.clip(1 - tau[i] / np.where(mag == 0, 1, mag), 0, None)
+        x_inv = np.fft.ifft2(X)
+        x_inv = x_inv * (1 - alpha * mask) + alpha * x
+        cost = np.sum(np.abs(x_inv) - np.abs(x_old)) ** 2 / np.sum(np.abs(x_inv)) ** 2
+        costs.append(cost)
+        x_old = x_inv
+        if i > 2 and cost < eps:
+            break
+    return x_inv, i + 1, costs
+
+
+@pytest.mark.parametrize("thresh_op", ["hard", "soft"])
+def test_regular_pocs_matches_numpy_mirror(thresh_op):
+    x = synthetic_slice()
+    mask = random_mask()
+    xs = x * mask
+    niter = 15
+    cfg = POCSConfig(
+        niter=niter, thresh_op=thresh_op, thresh_model="exponential",
+        p_max=0.99, p_min=1e-3, version="regular", eps=0.0,
+    )
+    got, n_it, cost = pocs_interpolate_numpy(xs, mask, cfg)
+    expected, n_ref, costs_ref = numpy_pocs_regular(xs, mask, niter, 0.99, 1e-3, thresh_op, eps=0.0)
+    assert int(n_it) == n_ref == niter
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(got / scale, expected / scale, rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(float(cost), costs_ref[-1], rtol=2e-2, atol=1e-8)
+
+
+def test_early_stop_freezes_lanes():
+    x = synthetic_slice()
+    mask = random_mask()
+    cfg = POCSConfig(niter=30, p_min=1e-3, eps=1e-2, version="regular")
+    _, n_it, _ = pocs_interpolate_numpy(x * mask, mask, cfg)
+    _, n_ref, _ = numpy_pocs_regular(x * mask, mask, 30, 0.99, 1e-3, eps=1e-2)
+    assert int(n_it) == n_ref < 30
+
+
+def test_zero_input_short_circuit():
+    mask = random_mask()
+    z = np.zeros((64, 64), np.complex64)
+    out, n_it, cost = pocs_interpolate_numpy(z, mask, POCSConfig(niter=10))
+    assert int(n_it) == 0
+    assert float(cost) == 0.0
+    np.testing.assert_array_equal(out, z)
+
+
+def test_reconstruction_snr_fft():
+    """Decimate-then-reconstruct: SNR must improve dramatically vs the
+    sparse input (reference quality harness, SURVEY.md §4)."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5)
+    xs = x * mask
+    cfg = POCSConfig(niter=50, thresh_op="hard", thresh_model="exponential",
+                     p_min="adaptive", version="fast", alpha=0.75)
+    rec, n_it, _ = pocs_interpolate_numpy(xs, mask, cfg)
+    snr_in = float(metrics.snr(np.abs(x), np.abs(xs)))
+    snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert snr_out > snr_in + 10, (snr_in, snr_out)
+    assert snr_out > 20
+
+
+def test_fast_accelerates_early_convergence():
+    """True Nesterov FPOCS (unlike the reference's inert momentum — see
+    models/pocs.py) must converge faster than regular POCS at small
+    iteration budgets, and still reach high quality at larger ones."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.4, seed=3)
+    xs = x * mask
+    for niter in (8, 12, 16):
+        base = POCSConfig(niter=niter, p_min=1e-4, version="regular", alpha=1.0)
+        rec_r, _, _ = pocs_interpolate_numpy(xs, mask, base)
+        rec_f, _, _ = pocs_interpolate_numpy(xs, mask, dataclasses.replace(base, version="fast"))
+        snr_r = float(metrics.snr(np.abs(x), np.abs(rec_r)))
+        snr_f = float(metrics.snr(np.abs(x), np.abs(rec_f)))
+        assert snr_f > snr_r, (niter, snr_r, snr_f)
+    rec_f, _, _ = pocs_interpolate_numpy(
+        xs, mask, POCSConfig(niter=25, p_min=1e-4, version="fast", alpha=1.0)
+    )
+    assert float(metrics.snr(np.abs(x), np.abs(rec_f))) > 30
+
+
+def test_adaptive_version_runs():
+    x = synthetic_slice()
+    mask = random_mask()
+    cfg = POCSConfig(niter=20, version="adaptive", alpha=0.75, p_min=1e-3)
+    rec, n_it, cost = pocs_interpolate_numpy(x * mask, mask, cfg)
+    assert np.isfinite(np.abs(rec)).all()
+    assert float(metrics.snr(np.abs(x), np.abs(rec))) > 10
+
+
+def test_batched_matches_single():
+    slices = np.stack([synthetic_slice(seed=s) for s in range(3)])
+    mask = random_mask(frac=0.6, seed=2)
+    cfg = POCSConfig(niter=10, p_min=1e-3)
+    rec_b, n_b, cost_b = pocs_interpolate_numpy(slices * mask, mask, cfg)
+    assert rec_b.shape == slices.shape and n_b.shape == (3,)
+    for b in range(3):
+        rec_s, n_s, _ = pocs_interpolate_numpy(slices[b] * mask, mask, cfg)
+        np.testing.assert_allclose(rec_b[b], rec_s, rtol=1e-3, atol=1e-4)
+        assert n_b[b] == n_s
+
+
+def test_real_input_returns_real():
+    x = synthetic_slice(complex_=False)
+    mask = random_mask()
+    rec, _, _ = pocs_interpolate_numpy(x * mask, mask, POCSConfig(niter=15, p_min=1e-3))
+    assert not np.iscomplexobj(rec)
+    assert float(metrics.snr(x, rec)) > 10
+
+
+def test_dct_transform_runs():
+    x = synthetic_slice(complex_=False)
+    mask = random_mask(frac=0.6)
+    cfg = POCSConfig(niter=40, transform_kind="DCT", p_min=1e-3, version="fast")
+    rec, _, _ = pocs_interpolate_numpy(x * mask, mask, cfg, transform=DCTTransform())
+    assert float(metrics.snr(x, rec)) > float(metrics.snr(x, x * mask))
