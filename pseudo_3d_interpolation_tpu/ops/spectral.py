@@ -1,0 +1,184 @@
+"""Time <-> frequency transform stage with physical (xrft-style) scaling.
+
+replaces: the xrft-fork usage of the reference's cube FFT/IFFT steps
+(cube_apply_FFT.py:240-254, cube_apply_IFFT.py:83-94) with explicit
+true-amplitude / true-phase semantics over the matmul-DFT core:
+
+    X(f) = dt · exp(-2πi f t0) · Σ_t x[t] e^{-2πi f t Δ}      (forward)
+
+so spectra are physically scaled (units · s) and phased relative to the real
+TWT coordinate origin — making outputs interchangeable regardless of the
+trace start time. Inverse exactly undoes the scaling.
+
+Also provides the Hanning-edged frequency window filter and the
+"drop filtered frequencies" bookkeeping (store nfft, keep only the passband
+bins; reference cube_apply_FFT.py:49-143, 281-287).
+
+Layout: frequency/time on the **last** axis, batched leading axes. For the
+cube pipeline the driver transposes (twt, il, xl) blocks accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import dft
+from .cplx import Cplx
+
+
+class Spectrum(NamedTuple):
+    """Frequency-domain data + the metadata needed to invert it."""
+
+    data: Cplx  # (..., nbins)
+    freqs: np.ndarray  # (nbins,) Hz
+    nfft: int  # transform length (after upsampling)
+    n_time: int  # original number of time samples
+    t0: float  # first TWT value (s)
+    dt: float  # sample interval (s)
+    real: bool  # rfft (True) or full fft (False)
+
+
+def forward_fft(
+    x,
+    twt,
+    real: bool = True,
+    upsample: int = 1,
+    precision=dft.Precision.HIGHEST,
+) -> Spectrum:
+    """Forward FFT along the last (time) axis with true amplitude+phase.
+
+    ``upsample`` zero-pads the time axis by an integer factor for a finer
+    frequency sampling (reference ``--upsampling-factor``). Odd-length time
+    axes are truncated by one sample first (reference cube_apply_FFT.py:224-233).
+    """
+    x = jnp.asarray(x)
+    twt = np.asarray(twt, np.float64)
+    n = x.shape[-1]
+    if n % 2 != 0:
+        x = x[..., : n - 1]
+        twt = twt[: n - 1]
+        n -= 1
+    dt = float(np.mean(np.diff(twt)))
+    t0 = float(twt[0])
+    nfft = int(upsample) * n
+
+    if real:
+        spec = dft.rfft1(x, axis=-1, n=nfft, precision=precision)
+        freqs = np.fft.rfftfreq(nfft, dt)
+    else:
+        z = x if isinstance(x, Cplx) else Cplx(x, jnp.zeros_like(x))
+        if nfft != n:
+            pad = [(0, 0)] * (z.re.ndim - 1) + [(0, nfft - n)]
+            z = Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
+        spec = dft.fft1(z, axis=-1, precision=precision)
+        freqs = np.fft.fftfreq(nfft, dt)
+
+    # true amplitude (× dt) and true phase (× e^{-2πi f t0}) in one rotation
+    ang = -2.0 * np.pi * freqs * t0
+    rot = Cplx(jnp.asarray(np.cos(ang) * dt, jnp.float32),
+               jnp.asarray(np.sin(ang) * dt, jnp.float32))
+    spec = spec * rot
+    return Spectrum(spec, freqs, nfft, n, t0, dt, real)
+
+
+def inverse_fft(spec: Spectrum, precision=dft.Precision.HIGHEST):
+    """Invert :func:`forward_fft`; returns (twt, x) for the upsampled grid.
+
+    Handles spectra whose high-frequency bins were dropped
+    (``drop filtered frequencies``): missing bins are zero-padded back to
+    ``nfft`` before inversion.
+    """
+    freqs = spec.freqs
+    ang = 2.0 * np.pi * freqs * spec.t0
+    inv_dt = 1.0 / spec.dt
+    rot = Cplx(jnp.asarray(np.cos(ang) * inv_dt, jnp.float32),
+               jnp.asarray(np.sin(ang) * inv_dt, jnp.float32))
+    z = spec.data * rot
+
+    nfft = spec.nfft
+    if spec.real:
+        nbins_full = nfft // 2 + 1
+        missing = nbins_full - z.shape[-1]
+        if missing > 0:
+            pad = [(0, 0)] * (z.re.ndim - 1) + [(0, missing)]
+            z = Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
+        x = dft.irfft1(z, n=nfft, axis=-1, precision=precision)
+    else:
+        x = dft.ifft1(z, axis=-1, precision=precision).re
+
+    # time-axis zero-padding (spectrum upsampling) leaves dt unchanged: the
+    # inverse returns nfft samples on the original grid, of which the first
+    # n_time are the signal (the rest reconstruct the zero pad)
+    twt = spec.t0 + np.arange(nfft) * spec.dt
+    return twt, x
+
+
+def inverse_fft_original(spec: Spectrum, precision=dft.Precision.HIGHEST):
+    """Like :func:`inverse_fft` but truncated to the original time axis."""
+    twt, x = inverse_fft(spec, precision=precision)
+    return twt[: spec.n_time], x[..., : spec.n_time]
+
+
+# ---------------------------------------------------------------------------
+# frequency-domain window filter (reference: cube_apply_FFT.py:49-143)
+# ---------------------------------------------------------------------------
+def _stopband(n: int, kind: str) -> np.ndarray:
+    size = n * 2
+    size += 1 if size % 2 == 0 else 0
+    h = np.hanning(size)
+    return h[1 : size // 2 + 1] if kind == "highpass" else h[size // 2 : -1]
+
+
+def freq_filter_window(freqs, filter_freqs, filter_type: str = "lowpass") -> np.ndarray:
+    """Hanning-edged low/high/bandpass window over the frequency coordinate.
+
+    ``filter_freqs`` = [fmin, fmax] (taper band) for low/highpass, or
+    [f1, f2, f3, f4] for bandpass. Returns values in [0, 1] to multiply the
+    spectrum with. Matches the reference construction bin-for-bin.
+    """
+    freqs = np.asarray(freqs)
+    if filter_type in ("lowpass", "highpass"):
+        fmin, fmax = min(filter_freqs), max(filter_freqs)
+        n_lower = int(np.count_nonzero(freqs < fmin))
+        n_stop = int(np.count_nonzero((freqs >= fmin) & (freqs <= fmax)))
+        n_higher = int(np.count_nonzero(freqs > fmax))
+        const = (0, 1) if filter_type == "highpass" else (1, 0)
+        stop = _stopband(n_stop, filter_type)
+    elif filter_type == "bandpass":
+        f1, f2, f3, f4 = sorted(filter_freqs)
+        n_lower = int(np.count_nonzero(freqs < f1))
+        n_lo = int(np.count_nonzero((freqs >= f1) & (freqs <= f2)))
+        n_pass = int(np.count_nonzero((freqs > f2) & (freqs < f3)))
+        n_hi = int(np.count_nonzero((freqs >= f3) & (freqs <= f4)))
+        n_higher = int(np.count_nonzero(freqs > f4))
+        const = (0, 0)
+        stop = np.hstack([_stopband(n_lo, "highpass"), np.ones(n_pass), _stopband(n_hi, "lowpass")])
+    else:
+        raise ValueError(f"unknown filter_type {filter_type!r}")
+    win = np.pad(stop, (n_lower, n_higher), mode="constant", constant_values=const)
+    return win.astype(np.float32)
+
+
+def apply_freq_filter(spec: Spectrum, filter_freqs, filter_type: str = "lowpass",
+                      drop_filtered: bool = False) -> Spectrum:
+    """Multiply the spectrum by the window; optionally drop stop-band bins.
+
+    Dropping is only meaningful for lowpass (contiguous passband from DC);
+    the original ``nfft`` stays recorded in the Spectrum so
+    :func:`inverse_fft` can reconstruct (reference cube_apply_FFT.py:281-287).
+    """
+    win = freq_filter_window(spec.freqs, filter_freqs, filter_type)
+    w = jnp.asarray(win)
+    data = Cplx(spec.data.re * w, spec.data.im * w)
+    freqs = spec.freqs
+    if drop_filtered:
+        if filter_type != "lowpass":
+            raise ValueError("drop_filtered only supported for lowpass filters")
+        fmax = max(filter_freqs)
+        keep = int(np.count_nonzero(spec.freqs <= fmax))
+        data = Cplx(data.re[..., :keep], data.im[..., :keep])
+        freqs = spec.freqs[:keep]
+    return Spectrum(data, freqs, spec.nfft, spec.n_time, spec.t0, spec.dt, spec.real)

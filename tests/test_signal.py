@@ -1,0 +1,155 @@
+"""Golden tests for signal conditioning ops vs scipy/numpy formulations."""
+
+import numpy as np
+import pytest
+import scipy.signal
+
+from pseudo_3d_interpolation_tpu.ops import signal as sig
+
+
+@pytest.fixture
+def traces():
+    rng = np.random.default_rng(20)
+    return rng.normal(size=(6, 256)).astype(np.float32)  # (ntraces, nsamples)
+
+
+@pytest.fixture
+def twt():
+    return (np.arange(256) * 0.25e-3).astype(np.float64)  # 0.25 ms sampling
+
+
+def test_rms_matches_formula(traces):
+    expected = np.sqrt(np.sum(traces**2, axis=-1) / traces.shape[-1])
+    np.testing.assert_allclose(np.asarray(sig.rms(traces, axis=-1)), expected, rtol=1e-5)
+
+
+def test_rms_normalization(traces):
+    got = np.asarray(sig.rms_normalization(traces, axis=-1))
+    np.testing.assert_allclose(
+        np.sqrt(np.mean(got**2, axis=-1)), np.ones(traces.shape[0]), rtol=1e-5
+    )
+
+
+def test_agc_rms_matches_sliding_window(traces):
+    win = 21
+    got = np.asarray(sig.agc(traces, win, kind="rms"))
+    npad = win // 2
+    xp = np.pad(traces, [(0, 0), (npad, npad)])
+    w = np.lib.stride_tricks.sliding_window_view(xp, win, axis=-1)
+    g = np.sqrt(np.mean(w**2, axis=-1))
+    g[g == 0] = 1
+    np.testing.assert_allclose(got, traces / g, rtol=1e-4, atol=1e-5)
+
+
+def test_agc_median(traces):
+    win = 11
+    got = np.asarray(sig.agc(traces, win, kind="median"))
+    npad = win // 2
+    xp = np.pad(traces, [(0, 0), (npad, npad)])
+    w = np.lib.stride_tricks.sliding_window_view(xp, win, axis=-1)
+    g = np.median(w, axis=-1)
+    g[g == 0] = 1
+    np.testing.assert_allclose(got, traces / g, rtol=1e-4, atol=1e-4)
+
+
+def test_agc_window_samples():
+    assert sig.agc_window_samples(0.05, 0.25e-3) % 2 == 1
+    assert sig.agc_window_samples(0.05, 0.25e-3) == 201
+
+
+def test_gain_tpow(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, tpow=2.0))
+    tf = twt**2.0
+    tf[twt == 0] = 0
+    np.testing.assert_allclose(got, traces * tf[None, :], rtol=1e-4, atol=1e-6)
+
+
+def test_gain_epow(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, epow=3.0, etpow=1.5))
+    ef = np.exp(3.0 * twt**1.5)
+    np.testing.assert_allclose(got, traces * ef[None, :], rtol=1e-4)
+
+
+def test_gain_gpow_signed(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, gpow=0.5))
+    np.testing.assert_allclose(got, np.sign(traces) * np.abs(traces) ** 0.5, rtol=1e-4, atol=1e-5)
+
+
+def test_gain_clips(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, clip=0.5))
+    assert np.abs(got).max() <= 0.5 + 1e-6
+    got = np.asarray(sig.gain(traces, twt, pclip=0.3))
+    assert got.max() <= 0.3 + 1e-6
+    got = np.asarray(sig.gain(traces, twt, nclip=-0.3))
+    assert got.min() >= -0.3 - 1e-6
+
+
+def test_gain_qclip(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, qclip=0.9))
+    q = np.quantile(np.abs(traces), 0.9, axis=-1, keepdims=True)
+    expected = np.where(np.abs(traces) > q, q * np.sign(traces), traces)
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_gain_linear_and_scale(traces, twt):
+    got = np.asarray(sig.gain(traces, twt, linear=(1.0, 3.0), scale=2.0))
+    g = np.linspace(1.0, 3.0, twt.size)
+    np.testing.assert_allclose(got, traces * g[None, :] * 2.0, rtol=1e-4)
+
+
+def test_gain_pgc(traces, twt):
+    pgc = {0.0: 1.0, 0.03: 2.0, 0.06: 4.0}
+    got = np.asarray(sig.gain(traces, twt, pgc=pgc))
+    assert got.shape == traces.shape
+    # gain at t=0 is 1, increases with time
+    ratio = got / np.where(traces == 0, 1, traces)
+    assert ratio[0, -1] > ratio[0, 0]
+
+
+def test_balance_traces_rms(traces):
+    got = np.asarray(sig.balance_traces(traces, scale="rms"))
+    np.testing.assert_allclose(
+        np.sqrt(np.mean(got**2, axis=-1)), np.ones(traces.shape[0]), rtol=1e-4
+    )
+
+
+def test_balance_traces_windowed(traces):
+    got = np.asarray(sig.balance_traces(traces, scale="rms", n_traces=3))
+    assert got.shape == traces.shape
+    assert np.isfinite(got).all()
+
+
+def test_envelope_matches_scipy(traces):
+    got = np.asarray(sig.envelope(traces))
+    expected = np.abs(scipy.signal.hilbert(traces, axis=-1))
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_envelope_bounds_signal(traces):
+    env = np.asarray(sig.envelope(traces))
+    assert (env >= np.abs(traces) - 1e-3).all()
+
+
+def test_resample_fft_matches_scipy(traces):
+    for n_out in (128, 512):
+        got = np.asarray(sig.resample_fft(traces, n_out))
+        expected = scipy.signal.resample(traces, n_out, axis=-1)
+        np.testing.assert_allclose(got, expected, rtol=1e-3, atol=2e-3)
+
+
+def test_resampled_twt(twt):
+    out = sig.resampled_twt(twt, 512, 256)
+    assert out.size == 512
+    np.testing.assert_allclose(out[0], twt[0])
+    np.testing.assert_allclose(out[1] - out[0], (twt[1] - twt[0]) / 2)
+
+
+def test_freq_spectrum_peak():
+    fs = 1000.0
+    t = np.arange(1024) / fs
+    x = np.sin(2 * np.pi * 100 * t).astype(np.float32)
+    f, a = sig.freq_spectrum(x, fs)
+    f = np.asarray(f)
+    a = np.asarray(a)
+    assert abs(f[np.argmax(a)] - 100.0) < 2.0
+    assert 0.8 < a.max() < 1.2  # window-normalized amplitude of unit sine
