@@ -1,6 +1,12 @@
 """Solver layer: the POCS family over swappable sparse transforms."""
 
-from .transforms import FFTTransform, DCTTransform, get_transform
+from .transforms import (
+    FFTTransform,
+    DCTTransform,
+    WaveletTransform,
+    ShearletTransform,
+    get_transform,
+)
 from .pocs import (
     POCSConfig,
     POCSResult,

@@ -78,6 +78,115 @@ class DCTTransform:
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
 
+@dataclasses.dataclass(frozen=True)
+class WaveletTransform:
+    """Multilevel 2D DWT basis (reference WAVELET kind, pywt wavedec2/waverec2
+    with the coif5 default — here the exactly-generated Daubechies family,
+    see ops/wavelet.py). The approximation (lowpass) band is never
+    thresholded, matching the reference's exclusion of ``coeffs[0]``
+    (functions/POCS.py:524, 585-609)."""
+
+    wavelet: str = "db4"
+    level: int | None = None
+    kind: str = "WAVELET"
+
+    def forward(self, z: Cplx):
+        from ..ops import wavelet as wv
+
+        re = wv.wavedec2(z.re, self.wavelet, self.level)
+        im = wv.wavedec2(z.im, self.wavelet, self.level)
+        out = [Cplx(re[0], im[0])]
+        for (rh, rv, rd), (ih, iv, id_) in zip(re[1:], im[1:]):
+            out.append((Cplx(rh, ih), Cplx(rv, iv), Cplx(rd, id_)))
+        return out
+
+    def inverse(self, coeffs):
+        from ..ops import wavelet as wv
+
+        re = [coeffs[0].re] + [tuple(c.re for c in det) for det in coeffs[1:]]
+        im = [coeffs[0].im] + [tuple(c.im for c in det) for det in coeffs[1:]]
+        return Cplx(wv.waverec2(re, self.wavelet), wv.waverec2(im, self.wavelet))
+
+    def decay(self, coeffs, model, niter, p_max, p_min, decay_kind):
+        if isinstance(p_min, str):
+            raise ValueError(
+                "p_min='adaptive' is not defined for the WAVELET transform "
+                "(reference functions/POCS.py:321-324)"
+            )
+        batch_shape = coeffs[0].shape[:-2]
+        zero = jnp.zeros((niter,) + batch_shape, jnp.float32)
+
+        def leaf_decay(c):
+            return decay_ops.threshold_decay(
+                c.abs(), model, niter, p_max=p_max, p_min=p_min, kind=decay_kind
+            )
+
+        out = [zero]  # approximation band: threshold 0 == keep everything
+        for det in coeffs[1:]:
+            out.append(tuple(leaf_decay(c) for c in det))
+        return out
+
+    def threshold(self, coeffs, t, op: str):
+        out = [coeffs[0]]  # lowpass passes through (t[0] is the zero leaf)
+        for det, t_det in zip(coeffs[1:], t[1:]):
+            out.append(tuple(
+                threshold_ops.threshold_pair(c, tc[..., None, None], kind=op)
+                for c, tc in zip(det, t_det)
+            ))
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ShearletTransform:
+    """Cone-adapted Meyer shearlet basis (reference SHEARLET kind via FFST).
+
+    Psi spectra are precomputed per slice shape (ops/shearlet.py) and enter
+    jitted code as constants; coefficients carry subbands on axis -3:
+    ``(..., L, H, W)``. Thresholds are per-subband (the reference reduces
+    over the spatial axes only, POCS.py:255-259, 284-285, 341)."""
+
+    n_scales: int | None = None
+    kind: str = "SHEARLET"
+
+    def _psi(self, h, w):
+        from ..ops import shearlet as sh
+
+        return sh.shearlet_spectra(h, w, self.n_scales)
+
+    def forward(self, z: Cplx) -> Cplx:
+        from ..ops import shearlet as sh
+
+        return sh.shearlet_transform(z, self._psi(z.shape[-2], z.shape[-1]))
+
+    def inverse(self, coeffs: Cplx) -> Cplx:
+        from ..ops import shearlet as sh
+
+        return sh.inverse_shearlet_transform(
+            coeffs, self._psi(coeffs.shape[-2], coeffs.shape[-1])
+        )
+
+    def decay(self, coeffs: Cplx, model, niter, p_max, p_min, decay_kind):
+        from ..ops import shearlet as sh
+
+        mag = coeffs.abs()  # (..., L, H, W); L acts as a batch axis -> per-subband tau
+        tau_min_override = None
+        if isinstance(p_min, str) and p_min == "adaptive":
+            n_scales = self.n_scales or sh.default_scales(
+                coeffs.shape[-2], coeffs.shape[-1]
+            )
+            # scalar per slice, shared by all subbands (reference POCS.py:302-320)
+            tau_min_override = decay_ops.shearlet_adaptive_tau_min(mag, n_scales)[..., None]
+            p_min = 1e-3  # placeholder; overridden below
+        return decay_ops.threshold_decay(
+            mag, model, niter, p_max=p_max, p_min=p_min, kind=decay_kind,
+            tau_min_override=tau_min_override,
+        )
+
+    def threshold(self, coeffs: Cplx, t, op: str) -> Cplx:
+        # t: (..., L) per-subband thresholds
+        return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
+
+
 _REGISTRY = {}
 
 
@@ -88,6 +197,13 @@ def register_transform(name: str, factory) -> None:
 
 register_transform("FFT", lambda **kw: FFTTransform())
 register_transform("DCT", lambda **kw: DCTTransform())
+register_transform(
+    "WAVELET",
+    lambda wavelet="db4", level=None, **kw: WaveletTransform(wavelet=wavelet, level=level),
+)
+register_transform(
+    "SHEARLET", lambda n_scales=None, **kw: ShearletTransform(n_scales=n_scales)
+)
 
 
 def get_transform(kind: str, **kwargs):

@@ -201,7 +201,7 @@ def threshold_decay(
 def shearlet_adaptive_tau_min(coeff_abs, n_scales: int):
     """Zhao et al. (2021) adaptive minimum for the multi-scale shearlet stack.
 
-    ``coeff_abs`` has shape ``(..., H, W, L)`` with L subbands ordered
+    ``coeff_abs`` has shape ``(..., L, H, W)`` with L subbands ordered
     [lowpass, scale1 x 4, scale2 x 8, ...]; per reference
     (functions/POCS.py:302-320) the per-subband norms are combined through a
     median into one scalar ``tau_min`` per slice.
@@ -211,7 +211,7 @@ def shearlet_adaptive_tau_min(coeff_abs, n_scales: int):
         sum(([float(j)] * c for j, c in enumerate(counts)), []), dtype=jnp.float32
     )
     size = coeff_abs.shape[-3] * coeff_abs.shape[-2] * coeff_abs.shape[-1]
-    norm_per_band = jnp.sqrt(jnp.sum(coeff_abs**2, axis=(-3, -2)) / size)  # (..., L)
+    norm_per_band = jnp.sqrt(jnp.sum(coeff_abs**2, axis=(-2, -1)) / size)  # (..., L)
     return (1.0 / 3.0) * jnp.median(jnp.log10(j_of_band + 1.0) * norm_per_band, axis=-1)
 
 

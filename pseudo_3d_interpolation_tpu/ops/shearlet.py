@@ -1,0 +1,167 @@
+"""Finite discrete shearlet transform (FFST-style) for the SHEARLET basis.
+
+replaces: the PyShearlets (FFST) dependency of the reference
+(cube_POCS_interpolation_3D.py:269-274, functions/POCS.py:526-611): Meyer-
+windowed cone-adapted shearlets with precomputed Fourier spectra ``Psi``.
+The construction follows Häuser & Steidl's FFST scheme (scaling function +
+``ψ1(4^{-j}ω_axis)·ψ2(2^j tan θ + k)`` cone windows with seam subbands
+glued across the cones), then **pointwise-normalizes the subband stack into
+an exactly tight (Parseval) frame**, so
+
+    x == Σ_l ifft2( fft2(x) · Psi_l · Psi_l )
+
+holds to machine precision regardless of grid discretization details.
+
+TPU shape: Psi is a host-precomputed ``(L, H, W)`` f32 constant; forward =
+one fft2 + L spectral multiplies + L ifft2 (all matmul-DFT, batched);
+subbands live on a leading axis so the POCS threshold/decay machinery sees
+``(..., L, H, W)``.
+
+Subband ordering matches FFST: index 0 = lowpass, then per scale j
+(coarse->fine) 2^(j+2) directional subbands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import dft
+from .cplx import Cplx
+
+
+def _meyer_aux(x):
+    """Meyer auxiliary polynomial v(x), v(0)=0, v(1)=1, C^3 smooth."""
+    x = np.clip(x, 0.0, 1.0)
+    return x**4 * (35.0 - 84.0 * x + 70.0 * x**2 - 20.0 * x**3)
+
+
+def _b_window(w):
+    """Meyer bump b(ω): support 1 <= |ω| <= 4."""
+    w = np.abs(w)
+    out = np.zeros_like(w)
+    m1 = (w >= 1) & (w <= 2)
+    out[m1] = np.sin(np.pi / 2.0 * _meyer_aux(w[m1] - 1.0))
+    m2 = (w > 2) & (w <= 4)
+    out[m2] = np.cos(np.pi / 2.0 * _meyer_aux(w[m2] / 2.0 - 1.0))
+    return out
+
+
+def _psi1_hat(w):
+    """Radial window: sqrt(b²(2ω) + b²(ω)), support 1/2 <= |ω| <= 4."""
+    return np.sqrt(_b_window(2.0 * w) ** 2 + _b_window(w) ** 2)
+
+
+def _psi2_hat(w):
+    """Angular window: sqrt(v(1+ω)) for ω<=0, sqrt(v(1−ω)) for ω>0; support |ω|<=1."""
+    out = np.zeros_like(w)
+    neg = w <= 0
+    out[neg] = np.sqrt(_meyer_aux(1.0 + w[neg]))
+    out[~neg] = np.sqrt(_meyer_aux(1.0 - w[~neg]))
+    return out
+
+
+def _phi_hat(w):
+    """Scaling window: 1 for |ω|<=1/2, Meyer rolloff to 0 at |ω|=1."""
+    w = np.abs(w)
+    out = np.zeros_like(w)
+    out[w <= 0.5] = 1.0
+    m = (w > 0.5) & (w <= 1.0)
+    out[m] = np.cos(np.pi / 2.0 * _meyer_aux(2.0 * w[m] - 1.0))
+    return out
+
+
+def n_subbands(n_scales: int) -> int:
+    return 1 + sum(2 ** (j + 2) for j in range(n_scales))
+
+
+def default_scales(h: int, w: int) -> int:
+    """Reference scale count: floor(0.5·log2(max(shape))) (POCS.py:21-31)."""
+    s = int(np.floor(0.5 * np.log2(max(h, w))))
+    return max(s, 1)
+
+
+@functools.lru_cache(maxsize=8)
+def shearlet_spectra(h: int, w: int, n_scales: int | None = None) -> np.ndarray:
+    """Precompute the (L, H, W) shearlet spectra (numpy f32, fft layout).
+
+    The stack is normalized pointwise so Σ_l Psi_l² == 1 exactly (tight
+    frame). Spectra are real and centered on the unshifted numpy fft grid.
+    """
+    if n_scales is None:
+        n_scales = default_scales(h, w)
+    # fftshifted integer frequency grid, then rolled to fft layout at the end
+    w1 = np.fft.ifftshift(np.arange(-(h // 2), (h + 1) // 2))[:, None].astype(np.float64)
+    w2 = np.fft.ifftshift(np.arange(-(w // 2), (w + 1) // 2))[None, :].astype(np.float64)
+    W1 = np.broadcast_to(w1, (h, w))
+    W2 = np.broadcast_to(w2, (h, w))
+
+    psis = [ _phi_hat(np.maximum(np.abs(W1), np.abs(W2)) / 1.0) ]  # lowpass, |ω|<=1
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tan_h = np.where(W1 != 0, W2 / W1, 0.0)  # horizontal cone |ω2|<=|ω1|
+        tan_v = np.where(W2 != 0, W1 / W2, 0.0)  # vertical cone
+
+    cone_h = np.abs(W2) <= np.abs(W1)
+    cone_v = ~cone_h
+
+    for j in range(n_scales):
+        a = 4.0 ** (-j)
+        r_h = _psi1_hat(a * W1)  # radial window on the horizontal cone axis
+        r_v = _psi1_hat(a * W2)
+        shears = range(-(2**j), 2**j + 1)
+        for k in shears:
+            ang_h = _psi2_hat((2.0**j) * tan_h + k)
+            ang_v = _psi2_hat((2.0**j) * tan_v + k)
+            if abs(k) < 2**j:
+                # interior shears: separate horizontal and vertical subbands
+                psis.append(np.where(cone_h, r_h * ang_h, 0.0))
+                psis.append(np.where(cone_v, r_v * ang_v, 0.0))
+            elif k == 2**j:
+                # seam subbands: glued across the cone boundary (one per sign)
+                psis.append(np.where(cone_h, r_h * ang_h, r_v * ang_v))
+                psis.append(
+                    np.where(cone_h, r_h * _psi2_hat((2.0**j) * tan_h - k),
+                             r_v * _psi2_hat((2.0**j) * tan_v - k))
+                )
+
+    psi = np.stack(psis).astype(np.float64)
+    assert psi.shape[0] == n_subbands(n_scales), (psi.shape, n_subbands(n_scales))
+
+    # real-coefficient symmetrization: on even grids the self-mapped Nyquist
+    # row/col (ω = −N/2) flips the shear sign under ω -> −ω, leaving sheared
+    # subbands asymmetric there. Energy-average each band with its reflected
+    # self so Psi(ω) == Psi(−ω) exactly (FFST's realCoefficients behavior);
+    # the subsequent pointwise normalization restores exact tightness.
+    def _reflect(p):
+        return np.roll(np.roll(p[::-1, ::-1], 1, axis=0), 1, axis=1)
+
+    psi = np.sqrt(0.5 * (psi**2 + np.stack([_reflect(p) for p in psi]) ** 2))
+
+    # tighten: pointwise Parseval normalization
+    total = np.sqrt(np.sum(psi**2, axis=0))
+    if total.min() <= 1e-6:
+        raise RuntimeError(
+            f"shearlet system does not cover the frequency plane for shape "
+            f"({h},{w}) with {n_scales} scales (min coverage {total.min():.2e})"
+        )
+    psi = psi / total[None]
+    return psi.astype(np.float32)
+
+
+def shearlet_transform(z: Cplx, psi, precision=dft.Precision.HIGHEST) -> Cplx:
+    """Forward transform: (..., H, W) -> (..., L, H, W) subband coefficients."""
+    zf = dft.fft2(z, precision=precision)
+    p = jnp.asarray(psi)
+    prod = Cplx(zf.re[..., None, :, :] * p, zf.im[..., None, :, :] * p)
+    return dft.ifft2(prod, precision=precision)
+
+
+def inverse_shearlet_transform(coeffs: Cplx, psi, precision=dft.Precision.HIGHEST) -> Cplx:
+    """Adjoint/inverse (tight frame): sum of re-windowed subband spectra."""
+    p = jnp.asarray(psi)
+    cf = dft.fft2(coeffs, precision=precision)
+    acc = Cplx(jnp.sum(cf.re * p, axis=-3), jnp.sum(cf.im * p, axis=-3))
+    return dft.ifft2(acc, precision=precision)

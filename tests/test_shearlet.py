@@ -1,0 +1,92 @@
+"""Shearlet system tests: tight-frame exactness, subband structure,
+shearlet-basis POCS reconstruction."""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.ops import cplx, metrics, shearlet as sh
+from pseudo_3d_interpolation_tpu.models import POCSConfig, ShearletTransform, pocs_interpolate_numpy
+
+from test_pocs import random_mask, synthetic_slice
+
+
+def test_subband_count_and_scales():
+    assert sh.default_scales(64, 64) == 3
+    assert sh.default_scales(512, 512) == 4
+    assert sh.n_subbands(3) == 1 + 4 + 8 + 16
+    psi = sh.shearlet_spectra(64, 64)
+    assert psi.shape == (29, 64, 64)
+
+
+def test_tight_frame_normalization():
+    psi = sh.shearlet_spectra(64, 64)
+    total = np.sum(psi.astype(np.float64) ** 2, axis=0)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+def test_rectangular_shape():
+    psi = sh.shearlet_spectra(64, 32)
+    total = np.sum(psi.astype(np.float64) ** 2, axis=0)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (64, 32)])
+def test_roundtrip_exact(shape):
+    rng = np.random.default_rng(60)
+    x = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+    psi = sh.shearlet_spectra(*shape)
+    z = cplx.from_complex(x)
+    coeffs = sh.shearlet_transform(z, psi)
+    assert coeffs.shape == (psi.shape[0],) + shape
+    back = cplx.to_complex(sh.inverse_shearlet_transform(coeffs, psi))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+def test_real_input_real_coefficients():
+    rng = np.random.default_rng(61)
+    x = rng.normal(size=(64, 64)).astype(np.float32)
+    psi = sh.shearlet_spectra(64, 64)
+    z = cplx.Cplx(x, np.zeros_like(x))
+    coeffs = sh.shearlet_transform(z, psi)
+    # real-symmetric spectra -> (nearly) real coefficients for real input
+    ratio = float(np.abs(np.asarray(coeffs.im)).max() / np.abs(np.asarray(coeffs.re)).max())
+    assert ratio < 1e-2, ratio
+
+
+def test_directional_selectivity():
+    """A horizontal plane wave concentrates in few directional subbands."""
+    h = w = 64
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.cos(2 * np.pi * 12 * y / h).astype(np.float32)  # variation along rows
+    psi = sh.shearlet_spectra(h, w)
+    z = cplx.Cplx(img, np.zeros_like(img))
+    coeffs = sh.shearlet_transform(z, psi)
+    energy = np.asarray(coeffs.abs2()).sum(axis=(-2, -1))
+    frac_top2 = np.sort(energy)[::-1][:2].sum() / energy.sum()
+    assert frac_top2 > 0.8, frac_top2
+
+
+def test_batched_transform():
+    rng = np.random.default_rng(62)
+    x = rng.normal(size=(5, 64, 64)).astype(np.float32)
+    psi = sh.shearlet_spectra(64, 64)
+    z = cplx.Cplx(x, np.zeros_like(x))
+    coeffs = sh.shearlet_transform(z, psi)
+    assert coeffs.shape == (5, 29, 64, 64)
+    back = np.asarray(sh.inverse_shearlet_transform(coeffs, psi).re)
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+def test_shearlet_pocs_reconstruction():
+    """Shearlet-basis POCS on a 50%-decimated complex slice with adaptive
+    p_min (the production basis of BASELINE config 5)."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=8)
+    obs = x * mask
+    cfg = POCSConfig(niter=30, thresh_op="hard", thresh_model="exponential",
+                     p_min="adaptive", version="fast", alpha=0.75,
+                     transform_kind="SHEARLET")
+    rec, n_it, _ = pocs_interpolate_numpy(obs, mask, cfg, transform=ShearletTransform())
+    snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
+    snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert snr_out > snr_in + 6, (snr_in, snr_out)
