@@ -1,0 +1,154 @@
+"""Trace-to-bin assignment and stacking as scatter/segment ops.
+
+reference: the per-iline Python stacking loops of
+pseudo_3D_interpolation/cube_binning_3D.py:922-1240 (average/median/nearest/
+IDW with per-trace delay padding, zero infill, fold channel). TPU re-design:
+trace->bin assignment happens once on host (affine matmul + rounding), and
+the stack itself is one vectorized segment reduction over the whole block of
+traces — no per-bin Python loops:
+
+  - ``average``: segment-sum / fold
+  - ``idw``:     normalized inverse-distance weighted segment-sum
+                 (weights 1/d^power, reference :986-1002)
+  - ``nearest``: segment-argmin of distance-to-bin-center, then gather
+  - ``median``:  rank-within-bin scatter into a dense (n_bins, max_fold)
+                 slot array, masked median over slots (max_fold is computed
+                 host-side so shapes stay static)
+
+Empty bins yield zero traces (the reference's explicit zero infill,
+:1152-1166); the ``fold`` channel is the segment count.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+STACK_METHODS = ("average", "mean", "median", "nearest", "idw")
+
+
+def assign_bins(x, y, transform, n_ilines: int, n_xlines: int):
+    """Host: CRS coords -> (iline, xline, valid) integer bin assignment.
+
+    ``transform`` maps coordinates to fractional line numbers starting at 1
+    (ops/affine.py). Traces outside the grid get ``valid=False``.
+    """
+    pts = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
+    ilxl = transform.transform(pts)
+    il = np.rint(ilxl[:, 0]).astype(np.int32)
+    xl = np.rint(ilxl[:, 1]).astype(np.int32)
+    valid = (il >= 1) & (il <= n_ilines) & (xl >= 1) & (xl <= n_xlines)
+    return il, xl, valid
+
+
+def bin_index(il, xl, n_xlines: int):
+    """(il, xl) (1-based) -> flat bin id (0-based, il-major)."""
+    return (np.asarray(il) - 1) * n_xlines + (np.asarray(xl) - 1)
+
+
+def fold_map(bin_ids, n_bins: int):
+    """Traces-per-bin count (the ``fold`` data variable)."""
+    ids = jnp.asarray(bin_ids, jnp.int32)
+    return jax.ops.segment_sum(jnp.ones(ids.shape, jnp.int32), ids, num_segments=n_bins)
+
+
+def stack_average(traces, bin_ids, n_bins: int):
+    """Mean stack: (ntraces, nsamples) -> (n_bins, nsamples)."""
+    ids = jnp.asarray(bin_ids, jnp.int32)
+    s = jax.ops.segment_sum(jnp.asarray(traces), ids, num_segments=n_bins)
+    fold = jax.ops.segment_sum(jnp.ones((ids.shape[0],), traces.dtype), ids, num_segments=n_bins)
+    return s / jnp.where(fold == 0, 1.0, fold)[:, None]
+
+
+def stack_idw(traces, bin_ids, dist, n_bins: int, power: float = 1.0, eps: float = 1e-10):
+    """Inverse-distance-weighted stack; ``dist`` = trace-to-bin-center distance."""
+    ids = jnp.asarray(bin_ids, jnp.int32)
+    w = 1.0 / (jnp.asarray(dist, traces.dtype) ** power + eps)
+    num = jax.ops.segment_sum(jnp.asarray(traces) * w[:, None], ids, num_segments=n_bins)
+    den = jax.ops.segment_sum(w, ids, num_segments=n_bins)
+    return num / jnp.where(den == 0, 1.0, den)[:, None]
+
+
+def stack_nearest(traces, bin_ids, dist, n_bins: int):
+    """Keep the trace closest to each bin center."""
+    ids = jnp.asarray(bin_ids, jnp.int32)
+    d = jnp.asarray(dist, jnp.float32)
+    dmin = jax.ops.segment_min(d, ids, num_segments=n_bins)
+    # winner per bin: first trace achieving the minimum
+    is_min = d <= dmin[ids] + 0.0
+    order = jnp.arange(ids.shape[0], dtype=jnp.int32)
+    cand = jnp.where(is_min, order, ids.shape[0])
+    winner = jax.ops.segment_min(cand, ids, num_segments=n_bins)
+    hit = winner < ids.shape[0]
+    safe = jnp.where(hit, winner, 0)
+    out = jnp.asarray(traces)[safe]
+    return jnp.where(hit[:, None], out, 0.0)
+
+
+def stack_median(traces, bin_ids, n_bins: int, max_fold: int):
+    """Masked median stack via rank-within-bin scatter.
+
+    ``max_fold`` must be >= the true maximum fold (host-computed; static
+    shape). Each trace lands in slot ``rank`` of its bin; the median ignores
+    empty slots via NaN masking.
+    """
+    ids = np.asarray(bin_ids)
+    # rank of each trace within its bin: position inside equal-id runs of a
+    # stable sort (host: tiny integer pass)
+    order = np.argsort(ids, kind="stable")
+    ranks = np.empty_like(ids)
+    sorted_ids = ids[order]
+    run_start = np.r_[0, np.nonzero(np.diff(sorted_ids))[0] + 1]
+    run_idx = np.repeat(np.arange(len(run_start)), np.diff(np.r_[run_start, len(ids)]))
+    ranks[order] = np.arange(len(ids)) - run_start[run_idx]
+
+    tr = jnp.asarray(traces)
+    dense = jnp.full((n_bins, max_fold, tr.shape[-1]), jnp.nan, tr.dtype)
+    dense = dense.at[jnp.asarray(ids), jnp.asarray(ranks)].set(tr)
+    return jnp.nan_to_num(jnp.nanmedian(dense, axis=1))
+
+
+def stack_traces(traces, bin_ids, n_bins: int, method: str = "average",
+                 dist=None, idw_power: float = 1.0, max_fold: int | None = None):
+    """Dispatch by stacking method (reference cube geometry config key
+    ``bin_stacking_method``)."""
+    if method in ("average", "mean"):
+        return stack_average(traces, bin_ids, n_bins)
+    if method == "idw":
+        if dist is None:
+            raise ValueError("idw stacking requires trace-to-bin-center distances")
+        return stack_idw(traces, bin_ids, dist, n_bins, power=idw_power)
+    if method == "nearest":
+        if dist is None:
+            raise ValueError("nearest stacking requires trace-to-bin-center distances")
+        return stack_nearest(traces, bin_ids, dist, n_bins)
+    if method == "median":
+        if max_fold is None:
+            max_fold = int(np.bincount(np.asarray(bin_ids), minlength=n_bins).max())
+        return stack_median(traces, bin_ids, n_bins, max_fold=max(max_fold, 1))
+    raise ValueError(f"unknown stacking method {method!r}; choose one of {STACK_METHODS}")
+
+
+def pad_traces_to_global_twt(traces, delrt, twt0: float, dt: float, n_samples_out: int):
+    """Place variable-delay traces onto the shared global TWT axis.
+
+    Device equivalent of the reference's per-trace ``pad_trace``
+    (cube_binning_3D.py:299-342): each trace starts at its
+    ``DelayRecordingTime``; output sample t holds
+    ``trace[t - offset]`` (0 outside the recorded window).
+    """
+    traces = jnp.asarray(traces)
+    off = jnp.rint((jnp.asarray(delrt, jnp.float32) - twt0) / dt).astype(jnp.int32)
+    t_idx = jnp.arange(n_samples_out, dtype=jnp.int32)[None, :] - off[:, None]
+    inside = (t_idx >= 0) & (t_idx < traces.shape[-1])
+    gathered = jnp.take_along_axis(
+        traces, jnp.clip(t_idx, 0, traces.shape[-1] - 1), axis=-1
+    )
+    return jnp.where(inside, gathered, 0.0)
+
+
+def bin_center_distances(x, y, il, xl, ilxl_to_coords):
+    """Host: distance from each trace to its assigned bin center."""
+    centers = ilxl_to_coords.transform(np.column_stack([il, xl]).astype(float))
+    return np.hypot(np.asarray(x) - centers[:, 0], np.asarray(y) - centers[:, 1])

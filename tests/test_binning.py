@@ -1,0 +1,163 @@
+"""Geometry (Affine) and binning/stacking tests."""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.ops import binning as bn
+from pseudo_3d_interpolation_tpu.ops.affine import Affine, coords_to_ilxl_transform, points_from_extent
+
+
+# --------------------------- Affine ----------------------------------------
+def test_affine_identity():
+    a = Affine()
+    p = np.array([[1.0, 2.0], [3.0, -4.0]])
+    np.testing.assert_allclose(a.transform(p), p)
+
+
+def test_affine_translate_scale_rotate():
+    t = Affine().translation((1, 2)).scaling(2.0)
+    np.testing.assert_allclose(t.transform([1.0, 1.0]), [4.0, 6.0])
+    r = Affine().rotation(90.0)
+    np.testing.assert_allclose(r.transform([1.0, 0.0]), [0.0, 1.0], atol=1e-12)
+
+
+def test_affine_inverse_roundtrip():
+    rng = np.random.default_rng(70)
+    t = Affine().rotation(33.0).scaling((2.0, 0.5)).translation((10.0, -5.0))
+    p = rng.normal(size=(20, 2))
+    np.testing.assert_allclose(t.inverse().transform(t.transform(p)), p, atol=1e-9)
+
+
+def test_affine_rotate_around():
+    t = Affine().rotate_around(180.0, origin=(1.0, 1.0))
+    np.testing.assert_allclose(t.transform([2.0, 1.0]), [0.0, 1.0], atol=1e-12)
+    # origin is fixed point
+    np.testing.assert_allclose(t.transform([1.0, 1.0]), [1.0, 1.0], atol=1e-12)
+
+
+def test_affine_compose_order():
+    a = Affine().translation((1.0, 0.0))
+    b = Affine().scaling(2.0)
+    # (b @ a): apply a first
+    np.testing.assert_allclose((b @ a).transform([1.0, 1.0]), [4.0, 2.0])
+    np.testing.assert_allclose(a.then(b).transform([1.0, 1.0]), [4.0, 2.0])
+
+
+def test_affine_immutable():
+    a = Affine()
+    with pytest.raises(AttributeError):
+        a.matrix = np.eye(3)
+    b = a.rotation(10.0)
+    assert b is not a
+    np.testing.assert_allclose(a.matrix, np.eye(3))
+
+
+# --------------------------- grid setup -------------------------------------
+def test_coords_to_ilxl_axis_aligned():
+    # 100 x 50 m extent, 10 m bins -> 10 ilines x 5 xlines
+    t, n_il, n_xl = coords_to_ilxl_transform(extent=(0, 100, 0, 50), spacing=10.0)
+    assert (n_il, n_xl) == (10, 5)
+    # first bin center (5, 5) -> (il, xl) == (1, 1)
+    np.testing.assert_allclose(t.transform([5.0, 5.0]), [1.0, 1.0], atol=1e-9)
+    # last bin center
+    np.testing.assert_allclose(t.transform([95.0, 45.0]), [10.0, 5.0], atol=1e-9)
+
+
+def test_coords_to_ilxl_rotated():
+    angle = 30.0
+    base = Affine().rotate_around(-angle, origin=(0.0, 0.0))
+    corners_unrot = points_from_extent((0, 100, 0, 50))
+    rot = Affine().rotate_around(angle, origin=(0.0, 0.0))
+    t, n_il, n_xl = coords_to_ilxl_transform(
+        corner_points=corners_unrot, spacing=10.0, base_transform=base
+    )
+    # a rotated-world point lands on the same grid node as its unrotated twin
+    p_world = rot.transform([5.0, 5.0])
+    np.testing.assert_allclose(t.transform(p_world), [1.0, 1.0], atol=1e-9)
+
+
+# --------------------------- binning ----------------------------------------
+@pytest.fixture
+def grid():
+    t, n_il, n_xl = coords_to_ilxl_transform(extent=(0, 40, 0, 20), spacing=10.0)
+    return t, n_il, n_xl  # 4 x 2 grid
+
+
+def test_assign_bins(grid):
+    t, n_il, n_xl = grid
+    x = np.array([5.0, 15.0, 35.0, 100.0])
+    y = np.array([5.0, 15.0, 15.0, 5.0])
+    il, xl, valid = bn.assign_bins(x, y, t, n_il, n_xl)
+    np.testing.assert_array_equal(il[:3], [1, 2, 4])
+    np.testing.assert_array_equal(xl[:3], [1, 2, 2])
+    assert not valid[3]
+    assert valid[:3].all()
+
+
+def test_fold_and_average(grid):
+    t, n_il, n_xl = grid
+    n_bins = n_il * n_xl
+    # three traces in bin 0, one in bin 5
+    ids = np.array([0, 0, 0, 5])
+    traces = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [10.0, 20.0]], np.float32)
+    fold = np.asarray(bn.fold_map(ids, n_bins))
+    assert fold[0] == 3 and fold[5] == 1 and fold.sum() == 4
+    out = np.asarray(bn.stack_average(traces, ids, n_bins))
+    np.testing.assert_allclose(out[0], [3.0, 4.0])
+    np.testing.assert_allclose(out[5], [10.0, 20.0])
+    np.testing.assert_allclose(out[1], [0.0, 0.0])  # empty bin -> zeros
+
+
+def test_stack_median():
+    ids = np.array([0, 0, 0, 2])
+    traces = np.array([[1.0], [100.0], [3.0], [7.0]], np.float32)
+    out = np.asarray(bn.stack_traces(traces, ids, 3, method="median"))
+    np.testing.assert_allclose(out[0], [3.0])
+    np.testing.assert_allclose(out[1], [0.0])
+    np.testing.assert_allclose(out[2], [7.0])
+
+
+def test_stack_nearest():
+    ids = np.array([0, 0, 1])
+    dist = np.array([5.0, 1.0, 2.0])
+    traces = np.array([[1.0], [2.0], [3.0]], np.float32)
+    out = np.asarray(bn.stack_traces(traces, ids, 2, method="nearest", dist=dist))
+    np.testing.assert_allclose(out[0], [2.0])  # closest trace wins
+    np.testing.assert_allclose(out[1], [3.0])
+
+
+def test_stack_idw():
+    ids = np.array([0, 0])
+    dist = np.array([1.0, 3.0])
+    traces = np.array([[0.0], [4.0]], np.float32)
+    out = np.asarray(bn.stack_traces(traces, ids, 1, method="idw", dist=dist))
+    w = np.array([1.0, 1 / 3.0])
+    expected = (w * np.array([0.0, 4.0])).sum() / w.sum()
+    np.testing.assert_allclose(out[0], [expected], rtol=1e-5)
+
+
+def test_pad_traces_to_global_twt():
+    traces = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], np.float32)
+    delrt = np.array([0.0, 2.0])  # second trace starts 2 samples later (dt=1)
+    out = np.asarray(bn.pad_traces_to_global_twt(traces, delrt, twt0=0.0, dt=1.0, n_samples_out=6))
+    np.testing.assert_allclose(out[0], [1, 2, 3, 0, 0, 0])
+    np.testing.assert_allclose(out[1], [0, 0, 4, 5, 6, 0])
+
+
+def test_end_to_end_binning(grid):
+    """Scatter 200 random traces; check average stack against a loop."""
+    t, n_il, n_xl = grid
+    rng = np.random.default_rng(71)
+    x = rng.uniform(0, 40, 200)
+    y = rng.uniform(0, 20, 200)
+    traces = rng.normal(size=(200, 16)).astype(np.float32)
+    il, xl, valid = bn.assign_bins(x, y, t, n_il, n_xl)
+    ids = bn.bin_index(il[valid], xl[valid], n_xl)
+    n_bins = n_il * n_xl
+    out = np.asarray(bn.stack_average(traces[valid], ids, n_bins))
+    fold = np.asarray(bn.fold_map(ids, n_bins))
+    for b in range(n_bins):
+        sel = traces[valid][ids == b]
+        assert fold[b] == len(sel)
+        if len(sel):
+            np.testing.assert_allclose(out[b], sel.mean(axis=0), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,86 @@
+"""Cube store tests: round-trip, complex split/combine, dimension scales."""
+
+import h5py
+import numpy as np
+
+from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+
+def make_cube():
+    rng = np.random.default_rng(90)
+    il = np.arange(1, 9)
+    xl = np.arange(1, 7)
+    twt = np.arange(16) * 0.25e-3
+    amp = rng.normal(size=(16, 8, 6)).astype(np.float32)
+    fold = rng.integers(0, 4, size=(8, 6)).astype(np.int32)
+    c = Cube(
+        coords={"twt": twt, "iline": il, "xline": xl},
+        data_vars={
+            "amp": (("twt", "iline", "xline"), amp),
+            "fold": (("iline", "xline"), fold),
+        },
+        attrs={"long_name": "test cube", "history": "binning;"},
+        var_attrs={"amp": {"units": "amplitude"}},
+        coord_attrs={"twt": {"units": "s"}},
+    )
+    return c, amp, fold
+
+
+def test_roundtrip(tmp_path):
+    c, amp, fold = make_cube()
+    p = str(tmp_path / "cube.nc")
+    write_cube(p, c, chunks={"twt": 1})
+    back = read_cube(p)
+    np.testing.assert_allclose(back["amp"], amp)
+    np.testing.assert_array_equal(back["fold"], fold)
+    assert back.dims_of("amp") == ("twt", "iline", "xline")
+    np.testing.assert_allclose(back.coords["twt"], c.coords["twt"])
+    assert back.attrs["long_name"] == "test cube"
+    assert back.var_attrs["amp"]["units"] == "amplitude"
+    assert back.coord_attrs["twt"]["units"] == "s"
+
+
+def test_complex_split_combine(tmp_path):
+    rng = np.random.default_rng(91)
+    z = (rng.normal(size=(4, 5, 6)) + 1j * rng.normal(size=(4, 5, 6))).astype(np.complex64)
+    c = Cube(
+        coords={"freq_twt": np.arange(4.0), "iline": np.arange(5.0), "xline": np.arange(6.0)},
+        data_vars={"freq_amp": (("freq_twt", "iline", "xline"), z)},
+    )
+    p = str(tmp_path / "freq.nc")
+    write_cube(p, c)
+    # on disk: split pair, float32 (reference convention)
+    with h5py.File(p, "r") as f:
+        assert "freq_amp.real" in f and "freq_amp.imag" in f
+        assert f["freq_amp.real"].dtype == np.float32
+    back = read_cube(p)
+    assert back["freq_amp"].dtype == np.complex64
+    np.testing.assert_allclose(back["freq_amp"], z, rtol=1e-6)
+    # split form preserved when not combining
+    split = read_cube(p, combine_complex=False)
+    assert "freq_amp.real" in split.data_vars
+
+
+def test_dimension_scales_netcdf_compatible(tmp_path):
+    c, *_ = make_cube()
+    p = str(tmp_path / "scales.nc")
+    write_cube(p, c)
+    with h5py.File(p, "r") as f:
+        assert f["twt"].attrs["CLASS"] == b"DIMENSION_SCALE"
+        # amp dimension 0 is attached to the twt scale
+        assert f["amp"].dims[0][0] == f["twt"]
+
+
+def test_history_append():
+    c, *_ = make_cube()
+    c.append_history("FFT(TIME)")
+    assert c.attrs["history"].endswith("FFT(TIME);")
+    assert "FFT(TIME)" in c.attrs["text"]
+
+
+def test_partial_variable_read(tmp_path):
+    c, amp, fold = make_cube()
+    p = str(tmp_path / "part.nc")
+    write_cube(p, c)
+    back = read_cube(p, variables=["fold"])
+    assert "fold" in back.data_vars and "amp" not in back.data_vars

@@ -1,0 +1,185 @@
+"""SEG-Y codec tests: IBM float correctness, write/read round-trips,
+header scrapes, coordinate scaling, textual-header provenance."""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.io import (
+    SegyFile,
+    add_processing_entry,
+    check_coordinate_scalar,
+    decode_textual_header,
+    encode_textual_header,
+    ibm2ieee,
+    ieee2ibm,
+    scale_coordinates,
+    unscale_coordinates,
+    write_segy,
+)
+from pseudo_3d_interpolation_tpu.io.textual import get_processing_entries
+
+
+# --------------------------- IBM float --------------------------------------
+def test_ibm_known_values():
+    # canonical examples: 0x42640000 = 100.0, 0xC2640000 = -100.0,
+    # 0x41100000 = 1.0, 0x40800000 = 0.5
+    u = np.array([0x42640000, 0xC2640000, 0x41100000, 0x40800000, 0x00000000], np.uint32)
+    np.testing.assert_allclose(ibm2ieee(u), [100.0, -100.0, 1.0, 0.5, 0.0], rtol=1e-6)
+
+
+def test_ibm_roundtrip():
+    rng = np.random.default_rng(80)
+    x = np.concatenate([
+        rng.normal(0, 1, 1000), rng.normal(0, 1e4, 1000), rng.normal(0, 1e-4, 1000),
+        [0.0, 1.0, -1.0, 16.0, 1 / 16.0],
+    ]).astype(np.float32)
+    back = ibm2ieee(ieee2ibm(x))
+    np.testing.assert_allclose(back, x, rtol=1e-6, atol=1e-30)
+
+
+# --------------------------- write/read round trip ---------------------------
+@pytest.fixture
+def segy_path(tmp_path):
+    return str(tmp_path / "test.sgy")
+
+
+def make_file(path, fmt=5, ntr=15, ns=100, dt_us=250):
+    rng = np.random.default_rng(81)
+    data = rng.normal(size=(ntr, ns)).astype(np.float32)
+    headers = {
+        "FieldRecord": np.arange(1, ntr + 1),
+        "SourceX": (np.linspace(500000, 500100, ntr) * 100).astype(np.int64),
+        "SourceY": (np.linspace(6000000, 6000050, ntr) * 100).astype(np.int64),
+        "SourceGroupScalar": -100,
+        "CoordinateUnits": 1,
+        "DelayRecordingTime": 50,
+        "YearDataRecorded": 2020,
+        "DayOfYear": 100,
+        "HourOfDay": np.arange(ntr) % 24,
+    }
+    write_segy(path, data, headers=headers, fmt=fmt, dt_us=dt_us,
+               text="Survey XYZ\nLine 001")
+    return data, headers
+
+
+@pytest.mark.parametrize("fmt", [5, 1, 3, 2])
+def test_roundtrip_formats(segy_path, fmt):
+    scale = 1000.0 if fmt in (2, 3) else 1.0  # int formats need integer-range data
+    rng = np.random.default_rng(82)
+    data = (rng.normal(size=(7, 64)) * scale).astype(np.float32)
+    if fmt in (2, 3):
+        data = np.rint(data).astype(np.float32)
+    write_segy(segy_path, data, fmt=fmt, dt_us=500)
+    with SegyFile(segy_path) as f:
+        assert f.n_traces == 7
+        assert f.n_samples == 64
+        assert f.dt_us == 500
+        assert f.format == fmt
+        got = f.trace_data()
+    rtol = 1e-6 if fmt in (5, 2, 3) else 1e-5
+    np.testing.assert_allclose(got, data, rtol=rtol, atol=1e-6 * scale)
+
+
+def test_header_access(segy_path):
+    data, headers = make_file(segy_path)
+    with SegyFile(segy_path) as f:
+        np.testing.assert_array_equal(f.header("FieldRecord"), headers["FieldRecord"])
+        np.testing.assert_array_equal(f.header("SourceX"), headers["SourceX"])
+        assert (f.header("SourceGroupScalar") == -100).all()
+        assert (f.header("DelayRecordingTime") == 50).all()
+        # access by raw byte offset
+        np.testing.assert_array_equal(f.header(9), headers["FieldRecord"])
+        df = f.headers_dataframe(["FieldRecord", "SourceX", "HourOfDay"])
+        assert list(df.columns) == ["FieldRecord", "SourceX", "HourOfDay"]
+        assert len(df) == 15
+
+
+def test_binary_header(segy_path):
+    make_file(segy_path)
+    with SegyFile(segy_path) as f:
+        assert f.bin["Samples"] == 100
+        assert f.bin["Interval"] == 250
+        assert f.bin["SEGYRevision"] == 256
+
+
+def test_partial_trace_read(segy_path):
+    data, _ = make_file(segy_path)
+    with SegyFile(segy_path) as f:
+        got = f.trace_data(traces=[3, 7, 11])
+    np.testing.assert_allclose(got, data[[3, 7, 11]], rtol=1e-6)
+
+
+def test_raw_header_passthrough(segy_path, tmp_path):
+    data, headers = make_file(segy_path)
+    out2 = str(tmp_path / "copy.sgy")
+    with SegyFile(segy_path) as f:
+        write_segy(out2, f.trace_data(), raw_trace_headers=f.trace_headers_raw(),
+                   fmt=5, dt_us=f.dt_us)
+    with SegyFile(out2) as f:
+        np.testing.assert_array_equal(f.header("SourceX"), headers["SourceX"])
+        assert (f.header("DelayRecordingTime") == 50).all()
+
+
+# --------------------------- coordinate scaling ------------------------------
+def test_scale_coordinates(segy_path):
+    make_file(segy_path)
+    with SegyFile(segy_path) as f:
+        x, y, units = scale_coordinates(f)
+    assert units == 1
+    np.testing.assert_allclose(x, np.linspace(500000, 500100, 15), atol=0.01)
+    np.testing.assert_allclose(y, np.linspace(6000000, 6000050, 15), atol=0.01)
+
+
+def test_unscale_roundtrip():
+    x = np.array([500000.123, 500010.456])
+    xi, yi = unscale_coordinates(x, x, scale_factor=-100)
+    assert xi.dtype == np.int32
+    np.testing.assert_allclose(xi / 100.0, x, atol=0.01)
+
+
+def test_check_coordinate_scalar():
+    assert check_coordinate_scalar("auto") == -100
+    assert check_coordinate_scalar(-1000) == -1000
+    with pytest.raises(ValueError):
+        check_coordinate_scalar(-37)
+
+
+# --------------------------- textual header ----------------------------------
+def test_textual_roundtrip():
+    raw = encode_textual_header("Hello World\nSecond line")
+    assert len(raw) == 3200
+    text = decode_textual_header(raw)
+    lines = text.split("\n")
+    assert len(lines) == 40
+    assert "Hello World" in lines[0]
+    assert "Second line" in lines[1]
+    assert lines[5].startswith("C06")
+
+
+def test_ebcdic_decode():
+    raw = encode_textual_header("EBCDIC test line", ebcdic=True)
+    text = decode_textual_header(raw)
+    assert "EBCDIC test line" in text
+
+
+def test_processing_provenance():
+    text = decode_textual_header(encode_textual_header("Survey"))
+    text = add_processing_entry(text, "STATIC CORRECTION", prefix="2024-01-15")
+    text = add_processing_entry(text, "TIDE COMP", prefix="2024-01-15")
+    text = add_processing_entry(text, "DESPIKE", prefix="2024-02-01")
+    entries = get_processing_entries(text)
+    assert any("STATIC CORRECTION" in e and "TIDE COMP" in e for e in entries)
+    assert any("DESPIKE" in e for e in entries)
+    assert "***** PROCESSING WORKFLOW *****" in text
+    # header re-encodes cleanly
+    assert len(encode_textual_header(text)) == 3200
+
+
+def test_provenance_survives_segy_roundtrip(tmp_path):
+    path = str(tmp_path / "prov.sgy")
+    text = decode_textual_header(encode_textual_header("Line 42"))
+    text = add_processing_entry(text, "MERGE", prefix="2023-12-01")
+    write_segy(path, np.zeros((2, 10), np.float32), text=text, dt_us=100)
+    with SegyFile(path) as f:
+        assert "MERGE" in f.text
+        assert "Line 42" in f.text
