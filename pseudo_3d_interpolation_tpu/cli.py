@@ -1,0 +1,295 @@
+"""``p3d`` — one CLI with subcommands for every workflow step.
+
+replaces: the reference's 16 numbered console scripts (setup.cfg:80-97)
+with ``python -m pseudo_3d_interpolation_tpu.cli <step> ...``. Numbered
+aliases (``01-merge`` .. ``16-cube2segy``) preserve the reference ordering.
+YAML configs use the reference's key families (cube geometry, POCS
+metadata).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import yaml
+
+from .utils.logging import set_verbosity, xprint
+
+
+def _add_common(p):
+    p.add_argument("--verbose", "-V", type=int, nargs="?", default=1, const=2,
+                   choices=[0, 1, 2], help="output verbosity")
+
+
+def _geometry_from_args(args) -> "object":
+    from .pipeline.binning import BinningGeometry
+
+    if args.geometry_yaml:
+        with open(args.geometry_yaml) as f:
+            g = yaml.safe_load(f)
+        spacing = g.get("bin_size", g.get("spacing", 10.0))
+        if isinstance(spacing, dict):
+            spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
+        rot = g.get("rotation", {}) or {}
+        return BinningGeometry(
+            spacing=spacing,
+            extent=tuple(g["extent"]) if "extent" in g else None,
+            corner_points=np.asarray(g["corner_points"], float) if "corner_points" in g else None,
+            rotation_angle=rot.get("angle"),
+            rotation_center=tuple(rot.get("center", (0.0, 0.0))),
+            twt_limits=tuple(g["twt_limits"]) if g.get("twt_limits") else None,
+            stacking_method=g.get("stacking_method", "average"),
+        )
+    if args.extent is None:
+        raise SystemExit("either --geometry-yaml or --extent is required")
+    return BinningGeometry(
+        spacing=tuple(args.spacing) if len(args.spacing) == 2 else args.spacing[0],
+        extent=tuple(args.extent),
+        rotation_angle=args.rotation_angle,
+        rotation_center=tuple(args.rotation_center),
+        twt_limits=tuple(args.twt_limits) if args.twt_limits else None,
+        stacking_method=args.stack,
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="p3d",
+        description="TPU-native pseudo-3D seismic interpolation workflow",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def cmd(name, num, help_):
+        p = sub.add_parser(name, aliases=[f"{num:02d}-{name}"], help=help_)
+        _add_common(p)
+        return p
+
+    # ---- stage 1 -----------------------------------------------------------
+    p = cmd("merge", 1, "merge short SEG-Y files with temporally adjacent ones")
+    p.add_argument("input", help="directory or datalist of SEG-Y files")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--min-kb", type=float, default=100.0,
+                   help="files smaller than this merge into neighbors")
+    p.add_argument("--max-gap-s", type=float, default=60.0)
+
+    p = cmd("reproject", 2, "reproject trace coordinates between CRSs")
+    p.add_argument("input")
+    p.add_argument("--src-epsg", type=int, required=True)
+    p.add_argument("--dst-epsg", type=int, required=True)
+    p.add_argument("--smooth-window", type=int, default=None)
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("delrt-correct", 3, "detect and fix wrong DelayRecordingTime values")
+    p.add_argument("input")
+    p.add_argument("--n-neighbors", type=int, default=3)
+    p.add_argument("--win-samples", type=int, default=100)
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("delrt-pad", 4, "zero-pad traces onto one global TWT axis")
+    p.add_argument("input")
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("static", 5, "per-profile static correction from the seafloor horizon")
+    p.add_argument("input")
+    p.add_argument("--mode", choices=["amp", "swdep"], default="amp")
+    p.add_argument("--win-samples", type=int, default=30)
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("tide", 6, "tide compensation from a tide model / table")
+    p.add_argument("input")
+    p.add_argument("--tide-file", required=True,
+                   help="CSV of UTC datetime,height_m (predicted tide)")
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("mistie", 7, "network mistie correction across line intersections")
+    p.add_argument("input")
+    p.add_argument("--min-correlation", type=float, default=0.8)
+    p.add_argument("--inplace", action="store_true")
+
+    p = cmd("despike", 8, "remove noise bursts from single traces")
+    p.add_argument("input")
+    p.add_argument("--window", type=int, nargs=2, default=(9, 5),
+                   metavar=("NSAMPLES", "NTRACES"))
+    p.add_argument("--threshold", type=float, default=4.0)
+    p.add_argument("--mode", choices=["median", "mean", "rms"], default="median")
+    p.add_argument("--inplace", action="store_true")
+
+    # ---- stage 2 -----------------------------------------------------------
+    p = cmd("segy2cube", 9, "convert SEG-Y profiles to per-profile netCDF")
+    p.add_argument("input")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--workers", type=int, default=4)
+
+    p = cmd("binning", 10, "bin traces onto the 3D (iline, xline, twt) grid")
+    p.add_argument("input")
+    p.add_argument("output", help="output cube file (.nc)")
+    p.add_argument("--geometry-yaml", default=None)
+    p.add_argument("--extent", type=float, nargs=4, default=None,
+                   metavar=("XMIN", "XMAX", "YMIN", "YMAX"))
+    p.add_argument("--spacing", type=float, nargs="+", default=[10.0])
+    p.add_argument("--rotation-angle", type=float, default=None)
+    p.add_argument("--rotation-center", type=float, nargs=2, default=(0.0, 0.0))
+    p.add_argument("--twt-limits", type=float, nargs=2, default=None)
+    p.add_argument("--stack", default="average",
+                   choices=["average", "mean", "median", "nearest", "idw"])
+
+    p = cmd("preprocess", 11, "balance/gain/filter/resample/envelope the cube")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--balance", choices=["rms", "max"], default=None)
+    p.add_argument("--gain", nargs="*", default=None,
+                   help="sugain key=value pairs, e.g. tpow=2 agc_=True")
+    p.add_argument("--filter", dest="filter_type",
+                   choices=["lowpass", "highpass", "bandpass"], default=None)
+    p.add_argument("--filter-freqs", type=float, nargs="+", default=None)
+    p.add_argument("--resample-to", type=int, default=None)
+    p.add_argument("--envelope", action="store_true")
+
+    p = cmd("fft", 12, "forward FFT along the time axis")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--var", default=None)
+    p.add_argument("--no-real", action="store_true", help="full complex FFT")
+    p.add_argument("--upsampling-factor", type=int, default=1)
+    p.add_argument("--filter", dest="filter_type",
+                   choices=["lowpass", "highpass", "bandpass"], default=None)
+    p.add_argument("--filter-freqs", type=float, nargs="+", default=None)
+    p.add_argument("--drop-filtered-freq", action="store_true")
+
+    p = cmd("pocs", 13, "POCS interpolation of every frequency slice")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--params", default=None, help="POCS parameter YAML (reference format)")
+    p.add_argument("--niter", type=int, default=50)
+    p.add_argument("--transform", default="FFT",
+                   choices=["FFT", "DCT", "WAVELET", "SHEARLET"])
+    p.add_argument("--version", default="fast", choices=["regular", "fast", "adaptive"])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--runtime-csv", default=None)
+
+    p = cmd("ifft", 14, "inverse FFT back to the time domain")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--var", default=None)
+    p.add_argument("--envelope-clip", action="store_true")
+
+    p = cmd("postprocess", 15, "upsample/footprint-removal/smoothing/AGC")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--upsample-iline", type=int, default=1)
+    p.add_argument("--upsample-xline", type=int, default=1)
+    p.add_argument("--footprint-sigma", type=int, default=None)
+    p.add_argument("--smooth", choices=["gaussian", "median"], default=None)
+    p.add_argument("--smooth-sigma", type=float, default=1.0)
+    p.add_argument("--agc-win", type=float, default=None)
+
+    p = cmd("cube2segy", 16, "export the cube to SEG-Y")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--var", default=None)
+    p.add_argument("--format", type=int, default=5, choices=[1, 5])
+
+    sub.add_parser("version", help="print version")
+    return ap
+
+
+def _parse_kv(pairs):
+    out = {}
+    for kv in pairs or []:
+        k, _, v = kv.partition("=")
+        try:
+            out[k] = yaml.safe_load(v)
+        except yaml.YAMLError:
+            out[k] = v
+    return out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cmd = args.cmd.split("-", 1)[-1] if args.cmd[:2].isdigit() else args.cmd
+    if cmd == "version":
+        from . import __version__
+
+        print(__version__)
+        return 0
+    set_verbosity(getattr(args, "verbose", 1))
+    v = getattr(args, "verbose", 1)
+
+    if cmd == "segy2cube":
+        from .pipeline.segy2cube import convert
+
+        outs = convert(args.input, out_dir=args.output_dir, workers=args.workers, verbose=v)
+        xprint(f"converted {len(outs)} profiles", kind="success", verbosity=v)
+    elif cmd == "binning":
+        from .pipeline.binning import bin_cube
+
+        bin_cube(args.input, _geometry_from_args(args), out_path=args.output, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "preprocess":
+        from .pipeline.preprocess import preprocess
+
+        preprocess(args.input, balance=args.balance, gain_args=_parse_kv(args.gain) or None,
+                   filter_type=args.filter_type, filter_freqs=args.filter_freqs,
+                   resample_to=args.resample_to, envelope=args.envelope,
+                   out_path=args.output, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "fft":
+        from .pipeline.fft import apply_fft
+
+        apply_fft(args.input, var=args.var, real=not args.no_real,
+                  upsample=args.upsampling_factor, filter_type=args.filter_type,
+                  filter_freqs=args.filter_freqs, drop_filtered=args.drop_filtered_freq,
+                  out_path=args.output, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "pocs":
+        from .models.pocs import POCSConfig
+        from .pipeline.pocs import interpolate
+
+        cfg = args.params if args.params else POCSConfig(
+            niter=args.niter, thresh_op="hard", thresh_model="exponential",
+            p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
+            version=args.version, alpha=0.75, eps=1e-16,
+            transform_kind=args.transform,
+        )
+        interpolate(args.input, cfg, batch=args.batch, out_path=args.output,
+                    runtime_csv=args.runtime_csv, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "ifft":
+        from .pipeline.ifft import apply_ifft
+
+        apply_ifft(args.input, var=args.var, envelope_clip=args.envelope_clip,
+                   out_path=args.output, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "postprocess":
+        from .pipeline.postprocess import postprocess
+
+        up = {"iline": args.upsample_iline, "xline": args.upsample_xline}
+        postprocess(
+            args.input,
+            upsample_factors=up if max(up.values()) > 1 else None,
+            footprint={"sigma": args.footprint_sigma} if args.footprint_sigma else None,
+            smoothing={"kind": args.smooth, "sigma": args.smooth_sigma}
+            if args.smooth == "gaussian" else ({"kind": "median"} if args.smooth else None),
+            agc_win=args.agc_win,
+            out_path=args.output, verbose=v,
+        )
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "cube2segy":
+        from .pipeline.export import cube_to_segy
+
+        cube_to_segy(args.input, args.output, var=args.var, fmt=args.format, verbose=v)
+        xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd in ("merge", "reproject", "delrt-correct", "delrt-pad", "static",
+                 "tide", "mistie", "despike"):
+        from .pipeline import stage1
+
+        return stage1.run_cli(cmd, args, verbose=v)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

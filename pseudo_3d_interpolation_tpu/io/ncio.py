@@ -85,7 +85,7 @@ def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict
             for k, v in cube.coord_attrs.get(dim, {}).items():
                 dset.attrs[k] = _sanitize_attr(v)
 
-        def _write_var(name, dims, data):
+        def _write_var(name, dims, data, attrs_name=None):
             ck = None
             if chunks:
                 ck = tuple(
@@ -95,14 +95,15 @@ def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict
             for i, dim in enumerate(dims):
                 d.dims[i].attach_scale(f[dim])
             d.attrs["_dims"] = [s.encode() for s in dims]
-            for k, v in cube.var_attrs.get(name, {}).items():
+            for k, v in cube.var_attrs.get(attrs_name or name, {}).items():
                 d.attrs[k] = _sanitize_attr(v)
 
         for name, (dims, data) in cube.data_vars.items():
             data = np.asarray(data)
             if np.iscomplexobj(data):
-                _write_var(f"{name}.real", dims, data.real.astype(np.float32))
-                _write_var(f"{name}.imag", dims, data.imag.astype(np.float32))
+                # attrs of the logical complex variable ride on both halves
+                _write_var(f"{name}.real", dims, data.real.astype(np.float32), attrs_name=name)
+                _write_var(f"{name}.imag", dims, data.imag.astype(np.float32), attrs_name=name)
             else:
                 _write_var(name, dims, data)
 

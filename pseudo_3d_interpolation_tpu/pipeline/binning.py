@@ -1,0 +1,198 @@
+"""Step 10 — geometry & binning: many 2D profiles -> sparse 3D cube.
+
+replaces: pseudo_3D_interpolation/cube_binning_3D.py (1764 LoC). The
+reference scrapes headers with dask.delayed, loops Python over ilines and
+bins, and writes one netCDF per iline before merging. Here the whole
+assignment is one vectorized pass (host affine + rounding), stacking is one
+device segment-reduction per block of traces, and the cube is written once
+— per-iline intermediate files become unnecessary because the stack never
+materializes per-bin Python objects.
+
+Geometry config keys follow the reference's YAML
+(docs/3D/cube_binning_geometry.md): extent or corner points, rotation
+angle/center, bin sizes, optional TWT window, stacking method.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..io.auxiliary import resolve_input_files
+from ..io.headers import scale_coordinates
+from ..io.ncio import Cube, write_cube
+from ..io.segy import SegyFile
+from ..ops import binning as bn
+from ..ops.affine import Affine, coords_to_ilxl_transform, points_from_extent
+from ..utils.logging import xprint
+
+
+@dataclasses.dataclass
+class BinningGeometry:
+    """Cube geometry (reference YAML: cube_binning_geometry)."""
+
+    spacing: tuple[float, float] | float  # (iline, xline) bin size, CRS units
+    extent: tuple | None = None  # (xmin, xmax, ymin, ymax) in unrotated frame
+    corner_points: np.ndarray | None = None
+    rotation_angle: float | None = None  # degrees
+    rotation_center: tuple[float, float] = (0.0, 0.0)
+    twt_limits: tuple[float, float] | None = None  # seconds
+    stacking_method: str = "average"
+    idw_power: float = 1.0
+
+    def transforms(self):
+        base = None
+        if self.rotation_angle is not None:
+            base = Affine().rotate_around(-self.rotation_angle, self.rotation_center)
+        corners = self.corner_points
+        if corners is None:
+            corners = points_from_extent(self.extent)
+        t, n_il, n_xl = coords_to_ilxl_transform(
+            corner_points=np.asarray(corners, float),
+            spacing=self.spacing,
+            base_transform=base,
+        )
+        return t, n_il, n_xl
+
+
+def scrape_traces(files, src_coords_bytes=(73, 77), verbose=0):
+    """Gather (x, y, delrt, dt_us, ns, file, trace_idx) for every trace."""
+    rows = []
+    for p in files:
+        with SegyFile(p) as f:
+            x, y, _ = scale_coordinates(f, src_coords_bytes)
+            delrt = f.header("DelayRecordingTime").astype(np.float64) * 1e-3  # ms -> s
+            rows.append(
+                dict(file=p, x=x, y=y, delrt=delrt, dt_us=f.dt_us, ns=f.n_samples)
+            )
+        xprint(f"scraped {p}: {len(x)} traces", kind="debug", verbosity=verbose)
+    return rows
+
+
+def bin_cube(
+    path,
+    geometry: BinningGeometry,
+    out_path: str | None = None,
+    fsuffix: str = "sgy",
+    src_coords_bytes=(73, 77),
+    trace_block: int = 65536,
+    verbose: int = 0,
+) -> Cube:
+    """Bin all profile traces onto the (iline, xline, twt) grid.
+
+    Traces stream in blocks: each block is delay-padded onto the global TWT
+    axis on device, then segment-stacked into a running (sum, fold)
+    accumulator (average/IDW) or collected for median/nearest. Returns (and
+    optionally writes) the cube with ``amp(iline, xline, twt)`` + ``fold``.
+    """
+    files = resolve_input_files(path, fsuffix)
+    if not files:
+        raise FileNotFoundError(f"no SEG-Y input under {path!r}")
+    scrape = scrape_traces(files, src_coords_bytes, verbose)
+
+    t, n_il, n_xl = geometry.transforms()
+    inv = t.inverse()
+    n_bins = n_il * n_xl
+
+    # global TWT axis across all files
+    dt = scrape[0]["dt_us"] * 1e-6
+    for r in scrape:
+        if r["dt_us"] * 1e-6 != dt:
+            raise ValueError("all profiles must share one sample interval")
+    delrt_min = min(float(r["delrt"].min()) for r in scrape)
+    end_max = max(float(r["delrt"].max()) + r["ns"] * dt for r in scrape)
+    if geometry.twt_limits is not None:
+        twt0, twt1 = geometry.twt_limits
+    else:
+        twt0, twt1 = delrt_min, end_max
+    ns_out = int(np.ceil((twt1 - twt0) / dt))
+    ns_out += ns_out % 2  # even length for the FFT stage
+    xprint(
+        f"grid {n_il} il x {n_xl} xl x {ns_out} samples (twt {twt0:.3f}-{twt1:.3f}s)",
+        kind="info", verbosity=verbose,
+    )
+
+    method = geometry.stacking_method
+    simple = method in ("average", "mean", "idw")
+    acc_num = np.zeros((n_bins, ns_out), np.float32)
+    acc_den = np.zeros((n_bins,), np.float64)
+    fold = np.zeros((n_bins,), np.int64)
+    kept_traces = [] if not simple else None
+    kept_ids = [] if not simple else None
+    kept_dist = [] if not simple else None
+
+    for r in scrape:
+        with SegyFile(r["file"]) as f:
+            data = f.trace_data()
+        il, xl, valid = bn.assign_bins(r["x"], r["y"], t, n_il, n_xl)
+        if not valid.any():
+            continue
+        ids_all = bn.bin_index(np.where(valid, il, 1), np.where(valid, xl, 1), n_xl)
+        dist = bn.bin_center_distances(r["x"], r["y"], il, xl, inv)
+        for s in range(0, len(ids_all), trace_block):
+            sl = slice(s, s + trace_block)
+            v = valid[sl]
+            if not v.any():
+                continue
+            block = np.asarray(
+                bn.pad_traces_to_global_twt(
+                    data[sl][v], r["delrt"][sl][v], twt0, dt, ns_out
+                )
+            )
+            ids = ids_all[sl][v]
+            if simple:
+                if method == "idw":
+                    w = 1.0 / (dist[sl][v] ** geometry.idw_power + 1e-10)
+                else:
+                    w = np.ones(len(ids))
+                np.add.at(acc_num, ids, block * w[:, None].astype(np.float32))
+                np.add.at(acc_den, ids, w)
+            else:
+                kept_traces.append(block)
+                kept_ids.append(ids)
+                kept_dist.append(dist[sl][v])
+            np.add.at(fold, ids, 1)
+
+    if simple:
+        amp = acc_num / np.where(acc_den == 0, 1.0, acc_den)[:, None].astype(np.float32)
+    else:
+        traces = np.concatenate(kept_traces)
+        ids = np.concatenate(kept_ids)
+        dist = np.concatenate(kept_dist)
+        amp = np.asarray(
+            bn.stack_traces(traces, ids, n_bins, method=method, dist=dist,
+                            idw_power=geometry.idw_power)
+        )
+
+    amp = amp.reshape(n_il, n_xl, ns_out)
+    fold = fold.reshape(n_il, n_xl).astype(np.int32)
+    coverage = float((fold > 0).mean())
+    xprint(f"coverage: {coverage:.1%}, max fold {fold.max()}", kind="info", verbosity=verbose)
+
+    cube = Cube(
+        coords={
+            "iline": np.arange(1, n_il + 1, dtype=np.int32),
+            "xline": np.arange(1, n_xl + 1, dtype=np.int32),
+            "twt": (twt0 + np.arange(ns_out) * dt).astype(np.float64),
+        },
+        data_vars={
+            "amp": (("iline", "xline", "twt"), amp),
+            "fold": (("iline", "xline"), fold),
+        },
+        attrs={
+            "long_name": "pseudo-3D cube",
+            "description": f"binned from {len(files)} profiles",
+            "bin_spacing": str(geometry.spacing),
+            "stacking_method": method,
+            "coverage": coverage,
+        },
+        coord_attrs={"twt": {"units": "s", "long_name": "two-way traveltime"}},
+    )
+    cube.append_history(
+        f"cube_binning: {len(files)} files, {method} stack, "
+        f"{n_il}x{n_xl}x{ns_out}"
+    )
+    if out_path:
+        write_cube(out_path, cube)
+    return cube

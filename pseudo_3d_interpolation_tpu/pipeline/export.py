@@ -1,0 +1,81 @@
+"""Step 16 — export the interpolated cube to SEG-Y.
+
+replaces: pseudo_3D_interpolation/cube_cnv_netcdf2segy_3D.py (customized
+segysak writer). Traces are written iline-major with CDP / iline / xline /
+CDP_X / CDP_Y / fold headers (reference byte map :226-233), a regenerated
+40-line textual header carrying the provenance ``text`` attribute
+(:237-261), and binary-header interval/sorting updates (:277-282).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.headers import unscale_coordinates
+from ..io.ncio import Cube, read_cube
+from ..io.segy import write_segy
+from ..io.textual import encode_textual_header, decode_textual_header
+from ..ops.affine import Affine
+from ..utils.logging import xprint
+
+
+def cube_to_segy(
+    cube: Cube | str,
+    out_path: str,
+    var: str | None = None,
+    ilxl_to_coords: Affine | None = None,
+    coordinate_scalar: int = -100,
+    fmt: int = 5,
+    verbose: int = 0,
+) -> str:
+    if isinstance(cube, str):
+        cube = read_cube(cube)
+    if var is None:
+        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+    dims, data = cube.data_vars[var]
+    if dims[-1] != "twt":
+        raise ValueError(f"{var} must be (iline, xline, twt); has {dims}")
+    data = np.asarray(data, np.float32)
+    n_il, n_xl, ns = data.shape
+    twt = np.asarray(cube.coords["twt"], np.float64)
+    dt_us = int(round(float(np.mean(np.diff(twt))) * 1e6))
+    delrt_ms = int(round(float(twt[0]) * 1e3))
+
+    il = np.repeat(np.asarray(cube.coords["iline"]), n_xl).astype(np.int64)
+    xl = np.tile(np.asarray(cube.coords["xline"]), n_il).astype(np.int64)
+    headers = {
+        "INLINE_3D": il,
+        "CROSSLINE_3D": xl,
+        "CDP": np.arange(1, n_il * n_xl + 1),
+        "TraceIdentificationCode": 1,
+        "DelayRecordingTime": delrt_ms,
+        "CoordinateUnits": 1,
+        "SourceGroupScalar": coordinate_scalar,
+    }
+    if "fold" in cube.data_vars:
+        headers["NStackedTraces"] = np.asarray(cube.data_vars["fold"][1]).reshape(-1)
+    if ilxl_to_coords is not None:
+        pts = ilxl_to_coords.transform(np.column_stack([il, xl]).astype(float))
+        cx, cy = unscale_coordinates(pts[:, 0], pts[:, 1], scale_factor=coordinate_scalar)
+        headers["CDP_X"] = cx
+        headers["CDP_Y"] = cy
+        headers["SourceX"] = cx
+        headers["SourceY"] = cy
+
+    text_attr = cube.attrs.get("text", "")
+    if isinstance(text_attr, bytes):
+        text_attr = text_attr.decode()
+    lines = [ln for ln in str(text_attr).split("\n") if ln.strip()][:38]
+    text = "\n".join([f"pseudo-3D cube: {var} ({n_il} il x {n_xl} xl x {ns} samples)"] + lines)
+
+    write_segy(
+        out_path,
+        data.reshape(n_il * n_xl, ns),
+        headers=headers,
+        bin_updates={"SortingCode": 4, "EnsembleFold": 1},
+        text=text,
+        fmt=fmt,
+        dt_us=dt_us,
+    )
+    xprint(f"wrote {n_il * n_xl} traces -> {out_path}", kind="info", verbosity=verbose)
+    return out_path

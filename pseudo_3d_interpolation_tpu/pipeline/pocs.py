@@ -1,0 +1,131 @@
+"""Step 13 — POCS interpolation of every frequency (or time) slice.
+
+replaces: pseudo_3D_interpolation/cube_POCS_interpolation_3D.py. The
+reference ships each 2D slice to a dask worker; here the slice axis is
+batched on device and sharded over the jax mesh
+(parallel/solver.interpolate_cube) — zero inter-chip communication in the
+solver. Per-slice telemetry (effective iterations, final cost) comes back
+as arrays and is written as one CSV, replacing the per-batch ``.out`` file
+appends + merge (reference POCS.py:649-651, driver :388-390).
+
+YAML parameter compatibility: the ``metadata`` keys of the reference's POCS
+config (niter, thresh_op, thresh_model, eps, alpha, p_max, p_min,
+sqrt_decay, decay_kind, version, transform_kind) map 1:1 onto POCSConfig;
+dask cluster keys (n_workers etc.) are accepted and ignored with a note.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import yaml
+
+from ..io.ncio import Cube, read_cube, write_cube
+from ..models.pocs import POCSConfig
+from ..models.transforms import get_transform
+from ..parallel.solver import interpolate_cube
+from ..utils.logging import xprint
+
+_DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "batch_chunk")
+
+
+def config_from_yaml(path_or_dict) -> tuple[POCSConfig, dict]:
+    """Load a reference-style POCS parameter YAML into a POCSConfig."""
+    if isinstance(path_or_dict, (str, os.PathLike)):
+        with open(path_or_dict) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        cfg = dict(path_or_dict)
+    meta = dict(cfg.get("metadata", cfg))
+    ignored = {k: cfg[k] for k in _DASK_KEYS if k in cfg}
+    if ignored:
+        xprint(f"ignoring dask cluster keys (mesh-sharded instead): {sorted(ignored)}",
+               kind="debug")
+    fields = {f.name for f in POCSConfig.__dataclass_fields__.values()}
+    kwargs = {k: v for k, v in meta.items() if k in fields}
+    extra = {k: v for k, v in meta.items() if k not in fields}
+    return POCSConfig(**kwargs), extra
+
+
+def interpolate(
+    cube: Cube | str,
+    config: POCSConfig | str | dict = POCSConfig(
+        niter=50, thresh_op="hard", thresh_model="exponential",
+        p_min="adaptive", version="fast", alpha=0.75, eps=1e-16,
+    ),
+    var: str | None = None,
+    mesh=None,
+    batch: int = 64,
+    out_path: str | None = None,
+    runtime_csv: str | None = None,
+    verbose: int = 0,
+) -> Cube:
+    """Interpolate all slices of a cube. Mask derives from the fold
+    (fold > 0 -> 1), reference driver :239-244."""
+    if isinstance(cube, str):
+        cube = read_cube(cube)
+    extra = {}
+    if not isinstance(config, POCSConfig):
+        config, extra = config_from_yaml(config)
+    if var is None:
+        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+    dims, data = cube.data_vars[var]
+    if "fold" not in cube.data_vars:
+        raise ValueError("cube needs a 'fold' variable to derive the sampling mask")
+    fold = np.asarray(cube.data_vars["fold"][1])
+    mask = (fold > 0).astype(np.float32)
+
+    # slice axis first: (il, xl, F) -> (F, il, xl)
+    slice_dim = dims[-1]
+    moved = np.moveaxis(np.asarray(data), -1, 0)
+
+    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales") if k in extra}
+    transform = get_transform(config.transform_kind, **transform_kwargs)
+    xprint(
+        f"POCS: {moved.shape[0]} slices of {moved.shape[1]}x{moved.shape[2]}, "
+        f"{config.transform_kind}/{config.version}, niter={config.niter}",
+        kind="info", verbosity=verbose,
+    )
+    rec, n_iters, cost = interpolate_cube(
+        moved, mask, config, mesh=mesh, transform=transform, batch=batch,
+        progress=(lambda done, total: xprint(f"  {done}/{total} slices",
+                                             kind="debug", verbosity=verbose)),
+    )
+    rec = np.moveaxis(rec, 0, -1)
+
+    out = Cube(
+        coords=dict(cube.coords),
+        data_vars={
+            f"{var}_interp": (dims, rec),
+            "fold": cube.data_vars["fold"],
+        },
+        attrs=dict(cube.attrs),
+        var_attrs={f"{var}_interp": dict(cube.var_attrs.get(var, {}))},
+        coord_attrs=dict(cube.coord_attrs),
+    )
+    out.append_history(
+        f"POCS({config.transform_kind},{config.version},niter={config.niter},"
+        f"thresh={config.thresh_op}/{config.thresh_model})"
+    )
+    out.attrs["pocs_mean_iterations"] = float(n_iters.mean())
+    out.attrs["pocs_mean_cost"] = float(cost.mean())
+
+    if runtime_csv:
+        pd.DataFrame({
+            slice_dim: np.asarray(cube.coords[slice_dim]),
+            "niterations": n_iters,
+            "cost": cost,
+        }).to_csv(runtime_csv, index=False)
+    if out_path:
+        write_cube(out_path, out, chunks={slice_dim: 1})
+        # reproducibility: copy the exact solver parameters next to the output
+        with open(os.path.splitext(out_path)[0] + "_parameter.yml", "w") as f:
+            yaml.safe_dump({"metadata": {
+                k: getattr(config, k) for k in (
+                    "niter", "thresh_op", "thresh_model", "eps", "alpha",
+                    "p_max", "p_min", "sqrt_decay", "decay_kind", "version",
+                    "transform_kind")
+            }}, f)
+    return out

@@ -1,0 +1,244 @@
+"""Step 15 — post-interpolation conditioning.
+
+replaces: pseudo_3D_interpolation/cube_postprocessing_3D.py: iline/xline
+upsampling to equal bin size (+ kx-ky spatial anti-aliasing), acquisition-
+footprint removal (directional kx-ky notch convolved with a Gaussian),
+gaussian/median slice smoothing with percentile rescale, and AGC. Filters
+are built host-side exactly like the reference; application is one batched
+pair-FFT multiply over all slices on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.signal
+
+import jax
+import jax.numpy as jnp
+
+from ..io.ncio import Cube, read_cube, write_cube
+from ..ops import dft, signal as sig
+from ..ops.cplx import Cplx
+from ..utils.logging import xprint
+from ..utils.rescale import rescale
+
+
+# ---------------------------------------------------------------------------
+# filter construction (host; reference :127-347)
+# ---------------------------------------------------------------------------
+def gaussian_kernel_2d(sigma: int = 7, n=None, normalized: bool = True,
+                       orientation: str = "equal") -> np.ndarray:
+    """Separable Gaussian kernel (reference :127-176)."""
+    factor = {"equal": (8, 8), "iline": (2, 8), "xline": (8, 2)}[orientation]
+    if isinstance(n, tuple):
+        ny, nx = n
+    else:
+        ny = nx = n
+    ny = sigma * factor[0] + 1 if ny is None else ny + (ny % 2 == 0)
+    nx = sigma * factor[1] + 1 if nx is None else nx + (nx % 2 == 0)
+    k = np.outer(scipy.signal.windows.gaussian(ny, sigma),
+                 scipy.signal.windows.gaussian(nx, sigma))
+    if normalized:
+        k = k / (2 * np.pi * sigma**2)
+    return k
+
+
+def footprint_filter(ny: int, nx: int, sigma: int = 7, direction: str = "both",
+                     buffer_center: float = 0.25, buffer_filter: int = 3) -> np.ndarray:
+    """Inverted, Gaussian-smoothed directional notch in the (shifted) kx-ky
+    plane (reference remove_acquisition_footprint :179-260)."""
+    npad = sigma * 5
+    nyp, nxp = ny + npad, nx + npad
+    shape = np.zeros((nyp, nxp), np.float64)
+    if direction in ("both", "horizontal", "iline"):
+        cidx = nxp // 2 + 1
+        fwidth = round(nyp * (1 - buffer_center) + 0.5) // 2
+        shape[:fwidth, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
+        shape[-fwidth:, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
+    if direction in ("both", "vertical", "xline"):
+        cidx = nyp // 2 + 1
+        fwidth = round(nxp * (1 - buffer_center) + 0.5) // 2
+        shape[cidx - buffer_filter : cidx + buffer_filter + 1, :fwidth] = 1
+        shape[cidx - buffer_filter : cidx + buffer_filter + 1, -fwidth:] = 1
+    smoothed = scipy.signal.fftconvolve(shape, gaussian_kernel_2d(sigma), mode="same")
+    cut = smoothed[npad // 2 : -npad // 2, npad // 2 : -npad // 2]
+    return np.asarray(1.0 - rescale(cut)).astype(np.float32)
+
+
+def antialias_filter(ny: int, nx: int, direction: str, factors: dict,
+                     sigma: int = 7) -> np.ndarray:
+    """Low-pass keep-band for the direction that was upsampled
+    (reference spatial_antialiasing :263-347)."""
+    npad = sigma * 5
+    nyp, nxp = ny + npad, nx + npad
+    p = 0.98
+    shape = np.zeros((nyp, nxp), np.float64)
+    if direction == "iline":
+        perc = 1 - factors.get("xline", 1) / factors.get("iline", 1)
+        half = round(ny * perc * p) // 2 + npad
+        shape[half:-half, :] = 1
+    elif direction == "xline":
+        perc = 1 - factors.get("iline", 1) / factors.get("xline", 1)
+        half = round(nx * perc * p) // 2 + npad
+        shape[:, half:-half] = 1
+    else:
+        raise ValueError("direction must be 'iline' or 'xline'")
+    smoothed = scipy.signal.fftconvolve(shape, gaussian_kernel_2d(sigma), mode="same")
+    cut = smoothed[npad // 2 : -npad // 2, npad // 2 : -npad // 2]
+    return np.asarray(rescale(cut, 1e-3, 1.0)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# device application
+# ---------------------------------------------------------------------------
+def apply_kxky_filter(slices: np.ndarray, ffilter: np.ndarray) -> np.ndarray:
+    """Multiply each (..., ny, nx) slice by an fftshifted-domain filter:
+    ``ifft2(ifftshift(filter) · fft2(x)).real`` as one jitted batch."""
+    filt = np.fft.ifftshift(ffilter)
+
+    @jax.jit
+    def run(x):
+        z = Cplx(x, jnp.zeros_like(x))
+        zf = dft.fft2(z)
+        zf = Cplx(zf.re * filt, zf.im * filt)
+        return dft.ifft2(zf).re
+
+    return np.asarray(run(jnp.asarray(slices, jnp.float32)))
+
+
+def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int) -> np.ndarray:
+    """Separable linear interpolation of (..., ny, nx) slices onto a grid
+    ``factor`` times finer (the reference's ``interp_like`` refinement,
+    :350-488): new coords span the same extent with n*f points."""
+    out = np.asarray(slices, np.float32)
+
+    def interp_axis(a, f):
+        n = a.shape[-1]
+        old = np.arange(n, dtype=np.float64)
+        new = np.linspace(0, n - 1, n * f)
+
+        @jax.jit
+        def run(x):
+            return jnp.apply_along_axis(lambda v: jnp.interp(new, old, v), -1, x)
+
+        return np.asarray(run(a))
+
+    if factor_x > 1:
+        out = interp_axis(out, factor_x)
+    if factor_y > 1:
+        out = np.swapaxes(interp_axis(np.swapaxes(out, -1, -2), factor_y), -1, -2)
+    return out
+
+
+def smooth_slices(slices: np.ndarray, kind: str = "gaussian", sigma: float = 1.0,
+                  size: int = 3, rescale_percentiles=None) -> np.ndarray:
+    """Per-slice gaussian or median smoothing (+ optional percentile
+    rescale), batched on device (reference smoothing_filter :88-124)."""
+    x = jnp.asarray(slices, jnp.float32)
+    if kind == "gaussian":
+        r = max(int(3 * sigma + 0.5), 1)
+        g = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+        g = (g / g.sum()).astype(np.float32)
+
+        @jax.jit
+        def run(a):
+            pad = [(0, 0)] * (a.ndim - 2) + [(r, r), (r, r)]
+            ap = jnp.pad(a, pad, mode="reflect")
+            b = jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -1, ap)
+            b = jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -2, b)
+            return b
+
+        out = np.asarray(run(x))
+    elif kind == "median":
+        k = size + (size % 2 == 0)
+        r = k // 2
+
+        @jax.jit
+        def run(a):
+            pad = [(0, 0)] * (a.ndim - 2) + [(r, r), (r, r)]
+            ap = jnp.pad(a, pad, mode="edge")
+            iy = jnp.arange(a.shape[-2])[:, None] + jnp.arange(k)[None, :]
+            ix = jnp.arange(a.shape[-1])[:, None] + jnp.arange(k)[None, :]
+            win = ap[..., iy[:, None, :, None], ix[None, :, None, :]]
+            return jnp.median(win.reshape(win.shape[:-2] + (k * k,)), axis=-1)
+
+        out = np.asarray(run(x))
+    else:
+        raise ValueError("kind must be 'gaussian' or 'median'")
+
+    if rescale_percentiles is not None:
+        lo, hi = np.percentile(slices, sorted(rescale_percentiles))
+        out = np.asarray(rescale(out, lo, hi))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+def postprocess(
+    cube: Cube | str,
+    var: str | None = None,
+    upsample_factors: dict | None = None,  # {'iline': f, 'xline': f}
+    antialias: bool = True,
+    footprint: dict | None = None,  # kwargs for footprint_filter
+    smoothing: dict | None = None,  # kwargs for smooth_slices
+    agc_win: float | None = None,  # seconds
+    agc_kind: str = "rms",
+    out_path: str | None = None,
+    verbose: int = 0,
+) -> Cube:
+    """Apply the postprocessing chain; slice ops act on (iline, xline)."""
+    if isinstance(cube, str):
+        cube = read_cube(cube)
+    if var is None:
+        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+    dims, data = cube.data_vars[var]
+    data = np.asarray(data, np.float32)
+    # slice-major view: (T, il, xl)
+    slices = np.moveaxis(data, -1, 0)
+
+    if upsample_factors:
+        fy = int(upsample_factors.get("iline", 1))
+        fx = int(upsample_factors.get("xline", 1))
+        slices = upsample_slices_linear(slices, fy, fx)
+        for dim, f in (("iline", fy), ("xline", fx)):
+            if f > 1:
+                c = np.asarray(cube.coords[dim], np.float64)
+                cube.coords[dim] = np.linspace(c[0], c[-1], len(c) * f)
+        if antialias and fy != fx:
+            direction = "iline" if fy > fx else "xline"
+            ff = antialias_filter(slices.shape[-2], slices.shape[-1], direction,
+                                  {"iline": fy, "xline": fx})
+            slices = apply_kxky_filter(slices, ff)
+        cube.append_history(f"UPSAMPLE(il x{fy}, xl x{fx})")
+        xprint(f"upsampled to {slices.shape[-2]}x{slices.shape[-1]}",
+               kind="info", verbosity=verbose)
+        # fold no longer matches the refined grid
+        cube.data_vars.pop("fold", None)
+
+    if footprint is not None:
+        ff = footprint_filter(slices.shape[-2], slices.shape[-1], **footprint)
+        slices = apply_kxky_filter(slices, ff)
+        cube.append_history("FOOTPRINT_REMOVAL")
+        xprint("removed acquisition footprint", kind="info", verbosity=verbose)
+
+    if smoothing is not None:
+        slices = smooth_slices(slices, **smoothing)
+        cube.append_history(f"SMOOTH({smoothing.get('kind', 'gaussian')})")
+
+    data = np.moveaxis(slices, 0, -1).astype(np.float32)
+
+    if agc_win is not None:
+        twt = np.asarray(cube.coords[dims[-1]], np.float64)
+        dt = float(np.mean(np.diff(twt)))
+        win = sig.agc_window_samples(agc_win, dt)
+        data = np.asarray(jax.jit(
+            lambda x: sig.agc(x, win, kind=agc_kind)
+        )(jnp.asarray(data))).astype(np.float32)
+        cube.append_history(f"AGC({agc_win}s,{agc_kind})")
+        xprint(f"applied AGC ({agc_win}s {agc_kind})", kind="info", verbosity=verbose)
+
+    cube.data_vars[var] = (dims, data)
+    if out_path:
+        write_cube(out_path, cube)
+    return cube

@@ -1,0 +1,86 @@
+"""Step 11 — cube preprocessing: balance / gain / filter / resample / envelope.
+
+replaces: pseudo_3D_interpolation/cube_preprocessing_3D.py (dask apply_ufunc
+chains). Operations run as batched jit-compatible ops over the whole cube
+(time on the last axis), in the reference's order: trace balancing ->
+time-variant gain -> Butterworth frequency filter -> resampling ->
+envelope. Each applied op appends to the history/provenance attrs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io.ncio import Cube, read_cube, write_cube
+from ..ops import filters as flt
+from ..ops import signal as sig
+from ..utils.logging import xprint
+
+
+def preprocess(
+    cube: Cube | str,
+    var: str = "amp",
+    balance: str | None = None,  # 'rms' | 'max' (reference :171-194)
+    balance_store_ref: bool = True,
+    gain_args: dict | None = None,  # sugain kwargs (reference :196-239)
+    filter_type: str | None = None,  # lowpass/highpass/bandpass (:241-272)
+    filter_freqs=None,
+    resample_to: int | None = None,  # new sample count (:274-336)
+    envelope: bool = False,  # Hilbert envelope -> 'env' (:340-360)
+    out_path: str | None = None,
+    verbose: int = 0,
+) -> Cube:
+    if isinstance(cube, str):
+        cube = read_cube(cube)
+    dims, data = cube.data_vars[var]
+    if dims[-1] != "twt":
+        raise ValueError(f"{var} must be time-last, has dims {dims}")
+    data = np.asarray(data, np.float32)
+    twt = np.asarray(cube.coords["twt"], np.float64)
+    dt = float(np.mean(np.diff(twt)))
+    history = []
+
+    if balance:
+        ref = np.asarray(sig.calc_reference_amplitude(data, axis=-1, scale=balance))
+        data = data / ref[..., None]
+        if balance_store_ref:
+            cube.data_vars["amp_ref"] = (dims[:-1], ref.astype(np.float32))
+        history.append(f"BALANCE({balance})")
+        xprint(f"balanced traces ({balance})", kind="info", verbosity=verbose)
+
+    if gain_args:
+        data = np.asarray(sig.gain(data, twt, **gain_args))
+        history.append("GAIN(" + ",".join(f"{k}={v}" for k, v in gain_args.items()) + ")")
+        xprint(f"applied gain {gain_args}", kind="info", verbosity=verbose)
+
+    if filter_type:
+        if filter_freqs is None:
+            raise ValueError("filter_freqs required with filter_type")
+        data = np.asarray(
+            flt.filter_frequency(data, list(filter_freqs), fs=1.0 / dt,
+                                 filter_type=filter_type, device=True)
+        ).astype(np.float32)
+        history.append(f"FILTER({filter_type},{'/'.join(str(f) for f in filter_freqs)}Hz)")
+        xprint(f"filtered {filter_type} {filter_freqs} Hz", kind="info", verbosity=verbose)
+
+    if resample_to:
+        n_old = data.shape[-1]
+        data = np.asarray(sig.resample_fft(data, int(resample_to))).astype(np.float32)
+        twt = sig.resampled_twt(twt, int(resample_to), n_old)
+        cube.coords["twt"] = twt
+        history.append(f"RESAMPLE({n_old}->{resample_to})")
+        xprint(f"resampled {n_old} -> {resample_to}", kind="info", verbosity=verbose)
+
+    cube.data_vars[var] = (dims, data)
+
+    if envelope:
+        env = np.asarray(sig.envelope(data)).astype(np.float32)
+        cube.data_vars["env"] = (dims, env)
+        history.append("ENVELOPE")
+        xprint("computed envelope", kind="info", verbosity=verbose)
+
+    for h in history:
+        cube.append_history(h)
+    if out_path:
+        write_cube(out_path, cube)
+    return cube

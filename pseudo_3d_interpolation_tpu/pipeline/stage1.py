@@ -1,0 +1,622 @@
+"""Stage-1 workflow steps 01-08: per-profile SEG-Y conditioning.
+
+replaces: the reference scripts merge_segys.py, reproject_segy.py,
+delrt_correction_segy.py, delrt_padding_segy.py, static_correction_segy.py,
+tide_compensation_segy.py, mistie_correction_segy.py, despiking_2D_segy.py.
+
+Shared skeleton (reference pattern, e.g. static_correction_segy.py:324-545):
+resolve input (file/dir/datalist) -> copy or in-place -> eager read ->
+transform -> write back -> textual-header provenance -> sidecar aux file.
+Hot 2D array work (despike statistics, trace shifts, cross-correlations)
+runs as batched jitted device ops; per-profile metadata chains stay numpy.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ..io import textual
+from ..io.auxiliary import aux_path, resolve_input_files, write_aux
+from ..io.headers import scale_coordinates, unscale_coordinates
+from ..io.segy import SegyFile, write_segy
+from ..ops import filters as flt
+from ..ops import signal as sig
+from ..utils.crs import transform as crs_transform
+from ..utils.logging import xprint
+
+TODAY = datetime.date.today().strftime("%Y-%m-%d")
+
+
+# ===========================================================================
+# shared plumbing
+# ===========================================================================
+def _output_path(path: str, inplace: bool, suffix: str, output_dir=None) -> str:
+    if inplace:
+        return path
+    base, ext = os.path.splitext(path)
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        base = os.path.join(output_dir, os.path.basename(base))
+    return f"{base}_{suffix}{ext}"
+
+
+def _rewrite(src: SegyFile, out_path: str, data: np.ndarray, note: str,
+             header_updates: dict | None = None, bin_updates: dict | None = None):
+    """Write a processed copy preserving all trace headers + provenance."""
+    text = textual.add_processing_entry(src.text, note, prefix=TODAY)
+    write_segy(
+        out_path,
+        data,
+        headers=header_updates or {},
+        raw_trace_headers=src.trace_headers_raw(),
+        bin_updates={"Interval": src.dt_us, **(bin_updates or {})},
+        text=text,
+        fmt=5,
+        dt_us=src.dt_us,
+    )
+
+
+@jax.jit
+def _shift_traces(data, shifts):
+    """Integer-sample trace shift with zero fill, batched.
+
+    ``data``: (ntraces, ns); positive shift moves samples deeper (down).
+    reference: static_correction_segy.py:259-321 (compensate_static).
+    """
+    ns = data.shape[-1]
+    idx = jnp.arange(ns, dtype=jnp.int32)[None, :] - shifts[:, None].astype(jnp.int32)
+    inside = (idx >= 0) & (idx < ns)
+    return jnp.where(inside, jnp.take_along_axis(data, jnp.clip(idx, 0, ns - 1), axis=-1), 0.0)
+
+
+# ===========================================================================
+# 08 — despike (reference despiking_2D_segy.py:75-387)
+# ===========================================================================
+def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
+                    mode: str = "median", replace: str = "median"):
+    """Remove single-trace noise bursts from a (nsamples, ntraces) section.
+
+    A sample is a spike when its magnitude exceeds ``threshold`` x the local
+    window statistic (``median``/``mean``/``rms`` of |amplitude| over a
+    (nsamples x ntraces) neighborhood). Spikes are replaced by the window
+    median (``replace='median'``), zero, or a threshold-clipped value.
+    Returns (cleaned, spike_mask).
+    """
+    wy, wx = int(window[0]) | 1, int(window[1]) | 1  # force odd
+
+    @jax.jit
+    def run(x):
+        ry, rx = wy // 2, wx // 2
+        xp = jnp.pad(x, ((ry, ry), (rx, rx)), mode="reflect")
+        iy = jnp.arange(x.shape[0])[:, None] + jnp.arange(wy)[None, :]
+        ix = jnp.arange(x.shape[1])[:, None] + jnp.arange(wx)[None, :]
+        win = xp[iy[:, None, :, None], ix[None, :, None, :]]
+        win = win.reshape(x.shape + (wy * wx,))
+        aw = jnp.abs(win)
+        if mode == "median":
+            stat = jnp.median(aw, axis=-1)
+        elif mode == "mean":
+            stat = jnp.mean(aw, axis=-1)
+        else:
+            stat = jnp.sqrt(jnp.mean(win * win, axis=-1))
+        floor = jnp.maximum(stat, 1e-8 + 0.0 * stat + jnp.mean(jnp.abs(x)) * 1e-3)
+        spikes = jnp.abs(x) > threshold * floor
+        med = jnp.median(win, axis=-1)
+        if replace == "median":
+            repl = med
+        elif replace == "zeros":
+            repl = jnp.zeros_like(x)
+        else:  # 'threshold': clip to the local threshold amplitude
+            repl = jnp.sign(x) * threshold * floor
+        return jnp.where(spikes, repl, x), spikes
+
+    cleaned, spikes = run(jnp.asarray(data, jnp.float32))
+    return np.asarray(cleaned), np.asarray(spikes)
+
+
+def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
+            replace: str = "median", inplace: bool = False, output_dir=None,
+            verbose: int = 0) -> list[str]:
+    outs = []
+    for p in resolve_input_files(path):
+        with SegyFile(p) as f:
+            data = f.trace_data()
+            cleaned, spikes = despike_section(data.T, window, threshold, mode, replace)
+            n_spikes = int(spikes.sum())
+            out = _output_path(p, inplace, "despk", output_dir)
+            _rewrite(f, out, cleaned.T, f"DESPIKE ({n_spikes} samples)")
+        xprint(f"{p}: removed {n_spikes} spike samples -> {out}",
+               kind="info", verbosity=verbose)
+        outs.append(out)
+    return outs
+
+
+# ===========================================================================
+# 04 — delrt padding (reference delrt_padding_segy.py:47-251)
+# ===========================================================================
+def delrt_pad(path, inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+    """Zero-pad all traces of all files onto one global TWT axis spanning
+    the min..max recorded window; updates Samples + per-trace delrt."""
+    files = resolve_input_files(path)
+    infos = []
+    for p in files:
+        with SegyFile(p) as f:
+            delrt = f.header("DelayRecordingTime")
+            infos.append((p, delrt, f.n_samples, f.dt_us))
+    dt_ms = infos[0][3] / 1000.0
+    delrt_min = min(int(d.min()) for _, d, _, _ in infos)
+    end_max = max(int(d.max()) + int(round(ns * dt_ms)) for _, d, ns, _ in infos)
+    ns_out = int(round((end_max - delrt_min) / dt_ms))
+    xprint(f"global TWT axis: {delrt_min}-{end_max} ms ({ns_out} samples)",
+           kind="info", verbosity=verbose)
+
+    outs = []
+    for p, delrt, ns, dt_us in infos:
+        with SegyFile(p) as f:
+            data = f.trace_data()
+            off = np.rint((delrt - delrt_min) / dt_ms).astype(int)
+            padded = np.zeros((f.n_traces, ns_out), np.float32)
+            for o in np.unique(off):
+                sel = off == o
+                end = min(o + ns, ns_out)
+                padded[sel, o:end] = data[sel, : end - o]
+            out = _output_path(p, inplace, "pad", output_dir)
+            _rewrite(
+                f, out, padded,
+                f"DELRT PAD ({delrt_min} ms, {ns_out} samples)",
+                header_updates={
+                    "DelayRecordingTime": delrt_min,
+                    "TRACE_SAMPLE_COUNT": ns_out,
+                },
+                bin_updates={"Samples": ns_out, "SamplesOriginal": ns},
+            )
+        outs.append(out)
+        xprint(f"padded {p} -> {out}", kind="debug", verbosity=verbose)
+    return outs
+
+
+# ===========================================================================
+# 03 — delrt correction (reference delrt_correction_segy.py:82-430)
+# ===========================================================================
+def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
+                  inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+    """Fix wrong DelayRecordingTime values.
+
+    Detection: the first-break TWT (peak |amplitude| within a window) should
+    vary smoothly along the profile; traces whose absolute first-break TWT
+    (delrt + peak-sample·dt) jumps while their neighbors' agree get their
+    delrt re-based so the first break lines up with the local median.
+    """
+    outs = []
+    for p in resolve_input_files(path):
+        with SegyFile(p) as f:
+            data = f.trace_data()
+            delrt = f.header("DelayRecordingTime").astype(np.float64)
+            dt_ms = f.dt_us / 1000.0
+            peak = np.argmax(np.abs(data[:, :win_samples]), axis=1)
+            fb_twt = delrt + peak * dt_ms
+            # a delrt step shows as a jump in first-break TWT matching a
+            # delrt difference; correct by the deviation from the running
+            # median. Wrong values come in runs, so widen the window beyond
+            # the neighbor count and iterate until stable (reference checks
+            # ±n neighbors per trace, :82-255).
+            win = max(2 * n_neighbors + 1, min(21, len(fb_twt) | 1)) | 1
+            new_delrt = delrt.copy()
+            n_fix = 0
+            fb = fb_twt.copy()
+            for _ in range(3):
+                med = np.asarray(flt.moving_median(
+                    jnp.asarray(fb, jnp.float32), min(win, len(fb) | 1), padded=True))
+                dev = fb - med
+                step = np.abs(dev) > max(2 * dt_ms, 1.0)
+                if not step.any():
+                    break
+                new_delrt[step] = new_delrt[step] - dev[step]
+                fb[step] -= dev[step]
+                n_fix = int((new_delrt != delrt).sum())
+            out = _output_path(p, inplace, "delrt", output_dir)
+            _rewrite(
+                f, out, data, f"DELRT CORRECTION ({n_fix} traces)",
+                header_updates={"DelayRecordingTime": np.rint(new_delrt).astype(np.int64)},
+            )
+        xprint(f"{p}: corrected {n_fix} DelayRecordingTime values -> {out}",
+               kind="info", verbosity=verbose)
+        outs.append(out)
+    return outs
+
+
+# ===========================================================================
+# 05 — static correction (reference static_correction_segy.py:93-545)
+# ===========================================================================
+def compute_static(horizon_samples: np.ndarray, dt_ms: float,
+                   savgol_window: int = 41, savgol_order: int = 3,
+                   clip_samples: int | None = None) -> np.ndarray:
+    """static (samples) = lowpassed(horizon) − horizon (reference :93-256)."""
+    import scipy.signal as ss
+
+    h = horizon_samples.astype(np.float64)
+    # outlier-robust pre-filter, as the reference chains r_doubleMAD+interp
+    h_f = flt.filter_interp_1d(h, method="r_doubleMAD", kind="cubic",
+                               win=max(7, (len(h) // 50) | 1))
+    win = min(savgol_window | 1, len(h) - (1 - len(h) % 2))
+    if win <= savgol_order:
+        smooth = h_f
+    else:
+        smooth = ss.savgol_filter(h_f, win, savgol_order)
+    static = smooth - h
+    if clip_samples is not None:
+        static = np.clip(static, -clip_samples, clip_samples)
+    return np.rint(static).astype(np.int32)
+
+
+def static_correct(path, mode: str = "amp", win_samples: int = 30,
+                   savgol_window: int = 41, inplace: bool = False,
+                   output_dir=None, verbose: int = 0) -> list[str]:
+    outs = []
+    for p in resolve_input_files(path):
+        with SegyFile(p) as f:
+            data = f.trace_data()
+            dt_ms = f.dt_us / 1000.0
+            if mode == "swdep":
+                swdep = f.header("SourceWaterDepth").astype(np.float64)
+                scal = int(f.header("ElevationScalar")[0]) or 1
+                depth = swdep / abs(scal) if scal < 0 else swdep * scal
+                delrt = f.header("DelayRecordingTime").astype(np.float64)
+                horizon = (2.0 * depth / 1500.0 * 1e3 - delrt) / dt_ms
+            else:
+                horizon = flt.detect_seafloor_reflection(data.T, win=win_samples)
+            static = compute_static(horizon, dt_ms, savgol_window)
+            shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(static)))
+            out = _output_path(p, inplace, "sta", output_dir)
+            _rewrite(
+                f, out, shifted,
+                f"STATIC CORRECTION ({mode}, sg{savgol_window})",
+                header_updates={"TotalStaticApplied": (static * dt_ms).astype(np.int64)},
+            )
+            write_aux(out, ".sta", pd.DataFrame({
+                "tracl": np.arange(1, len(static) + 1),
+                "horizon_sample": horizon.astype(int),
+                "static_samples": static,
+                "static_ms": static * dt_ms,
+            }))
+        xprint(f"{p}: static range [{static.min()}, {static.max()}] samples -> {out}",
+               kind="info", verbosity=verbose)
+        outs.append(out)
+    return outs
+
+
+# ===========================================================================
+# 06 — tide compensation (reference tide_compensation_segy.py:77-289)
+# ===========================================================================
+def trace_datetimes(f: SegyFile) -> np.ndarray:
+    """Per-trace datetimes from the standard header fields
+    (reference :224-236)."""
+    year = f.header("YearDataRecorded")
+    doy = f.header("DayOfYear")
+    hh = f.header("HourOfDay")
+    mm = f.header("MinuteOfHour")
+    ss = f.header("SecondOfMinute")
+    base = pd.to_datetime(
+        {"year": year, "month": 1, "day": 1, "hour": hh, "minute": mm, "second": ss}
+    )
+    return (base + pd.to_timedelta(doy - 1, unit="D")).to_numpy()
+
+
+def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
+                    inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+    """Shift traces by the predicted tide at their recording time.
+
+    ``tide_file`` is a CSV with columns ``datetime`` (UTC) and ``height``
+    (m, positive up). (The reference calls the TPXO9 atlas; a predicted
+    series per survey area is equivalent input. ``utils.tide`` provides
+    harmonic prediction from constituents when only those are available.)
+    """
+    tide = pd.read_csv(tide_file, parse_dates=["datetime"])
+    t_ref = tide["datetime"].to_numpy().astype("datetime64[ns]").astype("int64")
+    h_ref = tide["height"].to_numpy(float)
+    outs = []
+    for p in resolve_input_files(path):
+        with SegyFile(p) as f:
+            data = f.trace_data()
+            dt_s = f.dt_us * 1e-6
+            times = trace_datetimes(f).astype("datetime64[ns]").astype("int64")
+            height = np.interp(times, t_ref, h_ref)
+            # tide high -> seafloor appears shallow -> shift deeper (positive)
+            shift = np.rint(2.0 * height / velocity / dt_s).astype(np.int32)
+            shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(shift)))
+            out = _output_path(p, inplace, "tide", output_dir)
+            _rewrite(f, out, shifted, "TIDE COMPENSATION")
+            write_aux(out, ".tid", pd.DataFrame({
+                "tracl": np.arange(1, len(shift) + 1),
+                "tide_m": height,
+                "shift_samples": shift,
+            }))
+        xprint(f"{p}: tide range [{height.min():.2f}, {height.max():.2f}] m -> {out}",
+               kind="info", verbosity=verbose)
+        outs.append(out)
+    return outs
+
+
+# ===========================================================================
+# 07 — mistie correction (reference mistie_correction_segy.py)
+# ===========================================================================
+def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray):
+    """All intersection points between two polylines (vectorized cross
+    products; replaces shapely/GEOS STRtree, reference :85-212).
+
+    Returns list of (point, idx_a, idx_b) with segment indices.
+    """
+    a0 = nav_a[:-1][:, None, :]
+    a1 = nav_a[1:][:, None, :]
+    b0 = nav_b[:-1][None, :, :]
+    b1 = nav_b[1:][None, :, :]
+    d1 = a1 - a0
+    d2 = b1 - b0
+    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+    diff = b0 - a0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / denom
+        u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / denom
+    hit = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    out = []
+    for ia, ib in zip(*np.nonzero(hit)):
+        pt = nav_a[ia] + t[ia, ib] * (nav_a[ia + 1] - nav_a[ia])
+        out.append((pt, ia, ib))
+    return out
+
+
+def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
+                    min_correlation: float = 0.8, verbose: int = 0):
+    """Cross-correlate envelope traces at every line intersection.
+
+    ``profiles``: {line_name: dict(nav=(n,2), data=(ntr,ns), delrt=(ntr,),
+    dt_ms=float)}. Returns (pairs DataFrame, lines list).
+    reference: mistie_correction_segy.py:325-543.
+    """
+    names = list(profiles)
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = profiles[names[i]], profiles[names[j]]
+            for pt, ia, ib in _segment_intersections(a["nav"], b["nav"]):
+                tr_a = int(np.argmin(np.hypot(*(a["nav"] - pt).T)))
+                tr_b = int(np.argmin(np.hypot(*(b["nav"] - pt).T)))
+                dt = a["dt_ms"]
+                if b["dt_ms"] != dt:
+                    raise ValueError("profiles must share one sample interval")
+                ea = np.asarray(sig.envelope(a["data"][tr_a]))
+                eb = np.asarray(sig.envelope(b["data"][tr_b]))
+                # overlapping absolute-TWT window
+                t0 = max(a["delrt"][tr_a], b["delrt"][tr_b])
+                t1 = min(a["delrt"][tr_a] + len(ea) * dt, b["delrt"][tr_b] + len(eb) * dt)
+                if t1 - t0 < twt_window_ms:
+                    continue
+                sa = int(round((t0 - a["delrt"][tr_a]) / dt))
+                sb = int(round((t0 - b["delrt"][tr_b]) / dt))
+                n = int((t1 - t0) / dt)
+                wa = ea[sa : sa + n] - ea[sa : sa + n].mean()
+                wb = eb[sb : sb + n] - eb[sb : sb + n].mean()
+                if len(wa) != len(wb) or len(wa) < 8:
+                    continue
+                xc = np.correlate(wa, wb, mode="full")
+                lag = int(np.argmax(xc)) - (len(wa) - 1)
+                denom = np.sqrt((wa**2).sum() * (wb**2).sum())
+                corr = float(xc.max() / denom) if denom > 0 else 0.0
+                rows.append({
+                    "line_a": names[i], "line_b": names[j],
+                    "trace_a": tr_a, "trace_b": tr_b,
+                    "x": pt[0], "y": pt[1],
+                    "lag_samples": lag, "mistie_ms": lag * dt, "correlation": corr,
+                })
+    df = pd.DataFrame(rows)
+    if len(df):
+        kept = df[df["correlation"] >= min_correlation]
+        xprint(f"{len(df)} intersections, {len(kept)} pass correlation "
+               f">= {min_correlation}", kind="info", verbosity=verbose)
+        df = kept
+    return df, names
+
+
+def solve_mistie_network(df: pd.DataFrame, lines: list[str]) -> dict[str, float]:
+    """Least-squares network adjustment (Bishop & Nunns 1994): find one
+    vertical shift per line minimizing all pairwise misties
+    (reference :514-524). Gauge fixed by zero-mean constraint."""
+    if not len(df):
+        return {ln: 0.0 for ln in lines}
+    idx = {ln: k for k, ln in enumerate(lines)}
+    a = np.zeros((len(df) + 1, len(lines)))
+    m = np.zeros(len(df) + 1)
+    for r, row in enumerate(df.itertuples()):
+        # mistie = event TWT on A − event TWT on B  => shift_a − shift_b ≈ −mistie
+        a[r, idx[row.line_a]] = 1.0
+        a[r, idx[row.line_b]] = -1.0
+        m[r] = -row.mistie_ms
+    a[-1, :] = 1.0  # gauge: shifts sum to zero
+    sol, *_ = np.linalg.lstsq(a, m, rcond=None)
+    return {ln: float(sol[idx[ln]]) for ln in lines}
+
+
+def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
+                   output_dir=None, verbose: int = 0) -> list[str]:
+    files = resolve_input_files(path)
+    profiles = {}
+    handles = {}
+    for p in files:
+        f = SegyFile(p)
+        x, y, _ = scale_coordinates(f)
+        profiles[p] = dict(
+            nav=np.column_stack([x, y]),
+            data=f.trace_data(),
+            delrt=f.header("DelayRecordingTime").astype(np.float64),
+            dt_ms=f.dt_us / 1000.0,
+        )
+        handles[p] = f
+    df, lines = compute_misties(profiles, min_correlation=min_correlation,
+                                verbose=verbose)
+    shifts = solve_mistie_network(df, lines)
+    outs = []
+    for p in files:
+        f = handles[p]
+        dt_ms = profiles[p]["dt_ms"]
+        shift_samples = int(round(shifts[p] / dt_ms))
+        shifted = np.asarray(_shift_traces(
+            jnp.asarray(profiles[p]["data"]), jnp.asarray(
+                np.full(f.n_traces, shift_samples, np.int32))))
+        out = _output_path(p, inplace, "mst", output_dir)
+        _rewrite(f, out, shifted, f"MISTIE CORRECTION ({shifts[p]:+.2f} ms)")
+        write_aux(out, ".mst", pd.DataFrame({"line": [p], "shift_ms": [shifts[p]]}))
+        f.close()
+        outs.append(out)
+        xprint(f"{p}: mistie shift {shifts[p]:+.2f} ms -> {out}",
+               kind="info", verbosity=verbose)
+    if len(df):
+        df.to_csv(os.path.join(os.path.dirname(files[0]), "misties.csv"), index=False)
+    return outs
+
+
+# ===========================================================================
+# 02 — reproject (reference reproject_segy.py:73-169)
+# ===========================================================================
+def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = None,
+              coords_bytes=(73, 77), scalar: int = -100, inplace: bool = False,
+              output_dir=None, verbose: int = 0) -> list[str]:
+    outs = []
+    for p in resolve_input_files(path):
+        with SegyFile(p) as f:
+            x, y, units = scale_coordinates(f, coords_bytes)
+            xt, yt = crs_transform(x, y, src_epsg, dst_epsg)
+            if smooth_window and smooth_window > 2:
+                xt = flt.smooth(xt, smooth_window)
+                yt = flt.smooth(yt, smooth_window)
+            xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
+            out = _output_path(p, inplace, "reproj", output_dir)
+            _rewrite(
+                f, out, f.trace_data(),
+                f"REPROJECT EPSG:{src_epsg}->EPSG:{dst_epsg}",
+                header_updates={
+                    "SourceX": xi, "SourceY": yi,
+                    "CDP_X": xi, "CDP_Y": yi,
+                    "SourceGroupScalar": scalar, "CoordinateUnits": 1,
+                },
+            )
+        outs.append(out)
+        xprint(f"reprojected {p} -> {out}", kind="info", verbosity=verbose)
+    return outs
+
+
+# ===========================================================================
+# 01 — merge (reference merge_segys.py:73-382)
+# ===========================================================================
+def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
+                      output_dir=None, verbose: int = 0) -> list[str]:
+    """Merge small SEG-Y files into temporally adjacent neighbors.
+
+    Files smaller than ``min_kb`` join the previous file when their first
+    trace is recorded within ``max_gap_s`` of the neighbor's last trace;
+    duplicate consecutive traces (same time + position) are dropped. A
+    ``.parts`` sidecar records the source files per merged output.
+    """
+    files = resolve_input_files(path)
+    infos = []
+    for p in files:
+        with SegyFile(p) as f:
+            times = trace_datetimes(f)
+            infos.append(dict(path=p, size_kb=os.path.getsize(p) / 1024.0,
+                              t0=times[0], t1=times[-1]))
+    infos.sort(key=lambda r: r["t0"])
+
+    groups: list[list[dict]] = []
+    for info in infos:
+        if (groups and info["size_kb"] < min_kb
+                and (info["t0"] - groups[-1][-1]["t1"]) / np.timedelta64(1, "s") <= max_gap_s):
+            groups[-1].append(info)
+        elif (groups and groups[-1][-1]["size_kb"] < min_kb and len(groups[-1]) == 1
+                and (info["t0"] - groups[-1][-1]["t1"]) / np.timedelta64(1, "s") <= max_gap_s):
+            groups[-1].append(info)  # small leading file merges forward
+        else:
+            groups.append([info])
+
+    outs = []
+    for grp in groups:
+        first = grp[0]["path"]
+        if len(grp) == 1:
+            outs.append(first)
+            continue
+        datas, headers_raw, texts = [], [], None
+        keys_seen = set()
+        dt_us = None
+        for g in grp:
+            with SegyFile(g["path"]) as f:
+                data = f.trace_data()
+                raw = f.trace_headers_raw()
+                t = trace_datetimes(f)
+                xx = f.header("SourceX")
+                keep = []
+                for k in range(f.n_traces):
+                    key = (t[k].astype("int64"), int(xx[k]))
+                    if key not in keys_seen:
+                        keys_seen.add(key)
+                        keep.append(k)
+                datas.append(data[keep])
+                headers_raw.append(raw[keep])
+                texts = texts or f.text
+                dt_us = f.dt_us
+        merged = np.concatenate(datas)
+        raws = np.concatenate(headers_raw)
+        base, ext = os.path.splitext(first)
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            base = os.path.join(output_dir, os.path.basename(base))
+        out = f"{base}_merged{ext}"
+        text = textual.add_processing_entry(texts, f"MERGE ({len(grp)} files)",
+                                            prefix=TODAY)
+        write_segy(out, merged, raw_trace_headers=raws, text=text, fmt=5, dt_us=dt_us,
+                   headers={"TRACE_SEQUENCE_FILE": np.arange(1, len(merged) + 1)})
+        with open(aux_path(out, ".parts"), "w") as fh:
+            fh.write("\n".join(g["path"] for g in grp))
+        outs.append(out)
+        xprint(f"merged {len(grp)} files -> {out} ({len(merged)} traces)",
+               kind="info", verbosity=verbose)
+    return outs
+
+
+# ===========================================================================
+# CLI dispatch
+# ===========================================================================
+def run_cli(cmd: str, args, verbose: int = 0) -> int:
+    if cmd == "merge":
+        merge_small_files(args.input, min_kb=args.min_kb, max_gap_s=args.max_gap_s,
+                          output_dir=args.output_dir, verbose=verbose)
+    elif cmd == "reproject":
+        reproject(args.input, args.src_epsg, args.dst_epsg,
+                  smooth_window=args.smooth_window, inplace=args.inplace,
+                  verbose=verbose)
+    elif cmd == "delrt-correct":
+        delrt_correct(args.input, n_neighbors=args.n_neighbors,
+                      win_samples=args.win_samples, inplace=args.inplace,
+                      verbose=verbose)
+    elif cmd == "delrt-pad":
+        delrt_pad(args.input, inplace=args.inplace, verbose=verbose)
+    elif cmd == "static":
+        static_correct(args.input, mode=args.mode, win_samples=args.win_samples,
+                       inplace=args.inplace, verbose=verbose)
+    elif cmd == "tide":
+        tide_compensate(args.input, args.tide_file, inplace=args.inplace,
+                        verbose=verbose)
+    elif cmd == "mistie":
+        mistie_correct(args.input, min_correlation=args.min_correlation,
+                       inplace=args.inplace, verbose=verbose)
+    elif cmd == "despike":
+        despike(args.input, window=tuple(args.window), threshold=args.threshold,
+                mode=args.mode, inplace=args.inplace, verbose=verbose)
+    else:
+        raise SystemExit(f"unknown stage-1 command {cmd!r}")
+    return 0

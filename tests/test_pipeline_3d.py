@@ -1,0 +1,135 @@
+"""End-to-end 3D-stage chain test: profiles -> binning -> FFT -> POCS ->
+IFFT, quality-checked against dense synthetic truth (BASELINE config 2 at
+test scale)."""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube
+from pseudo_3d_interpolation_tpu.io.segy import write_segy
+from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+from pseudo_3d_interpolation_tpu.ops import metrics
+from pseudo_3d_interpolation_tpu.pipeline import binning as pbin
+from pseudo_3d_interpolation_tpu.pipeline.fft import apply_fft
+from pseudo_3d_interpolation_tpu.pipeline.ifft import apply_ifft
+from pseudo_3d_interpolation_tpu.pipeline.pocs import config_from_yaml, interpolate
+
+
+def dense_truth(n_il=24, n_xl=20, ns=64, dt=0.25e-3):
+    """Smooth dipping-reflector cube: band-limited wavelets at dipping TWTs."""
+    il = np.arange(n_il)[:, None]
+    xl = np.arange(n_xl)[None, :]
+    t = np.arange(ns) * dt
+    cube = np.zeros((n_il, n_xl, ns), np.float32)
+    for t0, amp, f0 in [(8e-3, 1.0, 300.0), (1.9e-2, -0.7, 250.0), (4.2e-2, 0.5, 200.0)]:
+        tt = t0 + 2e-4 * (il / n_il) + 1.5e-4 * (xl / n_xl)  # dipping plane
+        arg = (t[None, None, :] - tt[..., None]) * f0
+        cube += amp * np.exp(-(arg**2) * 8).astype(np.float32) * np.cos(
+            2 * np.pi * arg
+        ).astype(np.float32)
+    return cube, t
+
+
+@pytest.fixture(scope="module")
+def survey(tmp_path_factory):
+    """Write an irregular ~60% subset of ilines as 2D SEG-Y profiles.
+
+    Irregular decimation is the POCS use case — regular decimation creates
+    coherent aliases that sparsity thresholding cannot separate."""
+    d = tmp_path_factory.mktemp("survey")
+    truth, twt = dense_truth()
+    n_il, n_xl, ns = truth.shape
+    dt_us = 250
+    spacing = 10.0
+    rng = np.random.default_rng(123)
+    acquired = sorted(set([0, n_il - 1]) | set(
+        int(i) for i in rng.choice(n_il, size=int(n_il * 0.6), replace=False)
+    ))
+    for i in acquired:
+        x = np.full(n_xl, 5.0 + i * spacing)
+        y = 5.0 + np.arange(n_xl) * spacing
+        write_segy(
+            str(d / f"profile_{i:02d}_UTM.sgy"),
+            truth[i],
+            headers={
+                "SourceX": np.rint(x * 100).astype(np.int64),
+                "SourceY": np.rint(y * 100).astype(np.int64),
+                "SourceGroupScalar": -100,
+                "CoordinateUnits": 1,
+                "DelayRecordingTime": 0,
+            },
+            fmt=5,
+            dt_us=dt_us,
+        )
+    return str(d), truth, twt, np.asarray(acquired)
+
+
+def test_full_chain(survey, tmp_path):
+    d, truth, twt, acquired = survey
+    n_il, n_xl, ns = truth.shape
+    missing = np.setdiff1d(np.arange(n_il), acquired)
+
+    geom = pbin.BinningGeometry(
+        spacing=10.0, extent=(0.0, n_il * 10.0, 0.0, n_xl * 10.0),
+        stacking_method="average",
+    )
+    cube = pbin.bin_cube(d, geom, out_path=str(tmp_path / "cube.nc"))
+    assert cube["amp"].shape == (n_il, n_xl, ns)
+    fold = cube["fold"]
+    assert fold[acquired].min() >= 1 and fold[missing].max() == 0
+    # binned values match the truth on acquired lines
+    np.testing.assert_allclose(cube["amp"][acquired], truth[acquired], atol=1e-5)
+
+    freq = apply_fft(cube, out_path=str(tmp_path / "freq.nc"))
+    assert freq["freq_amp"].dtype == np.complex64
+    assert freq["freq_amp"].shape == (n_il, n_xl, ns // 2 + 1)
+
+    cfg = POCSConfig(niter=40, thresh_op="hard", thresh_model="exponential",
+                     p_min="adaptive", version="fast", alpha=0.75, eps=1e-16)
+    interp = interpolate(freq, cfg, batch=8, out_path=str(tmp_path / "interp.nc"),
+                         runtime_csv=str(tmp_path / "runtimes.csv"))
+    assert "freq_amp_interp" in interp.data_vars
+
+    back = apply_ifft(interp, var="freq_amp_interp", out_path=str(tmp_path / "out.nc"))
+    rec = back["freq_amp_interp"] if "freq_amp_interp" in back.data_vars else back["amp"]
+
+    snr_sparse = float(metrics.snr(truth, np.asarray(cube["amp"])))
+    snr_rec = float(metrics.snr(truth, np.asarray(rec)))
+    assert snr_rec > snr_sparse + 8, (snr_sparse, snr_rec)
+    assert snr_rec > 10, snr_rec
+
+    # artifacts on disk
+    out = read_cube(str(tmp_path / "out.nc"))
+    assert "POCS" in str(out.attrs.get("history", ""))
+    import pandas as pd
+
+    rt = pd.read_csv(str(tmp_path / "runtimes.csv"))
+    assert {"niterations", "cost"} <= set(rt.columns)
+    assert len(rt) == ns // 2 + 1
+
+
+def test_yaml_config_compat(tmp_path):
+    """Reference-style POCS YAML (incl. dask keys) loads into POCSConfig."""
+    import yaml
+
+    p = str(tmp_path / "pocs.yml")
+    with open(p, "w") as f:
+        yaml.safe_dump({
+            "dim": "freq_twt",
+            "batch_chunk": 50,
+            "n_workers": 12,
+            "processes": True,
+            "threads_per_worker": 1,
+            "memory_limit": "2.5GB",
+            "output_runtime_results": True,
+            "metadata": {
+                "transform_kind": "FFT", "version": "fast", "niter": 50,
+                "eps": 1.0e-16, "thresh_op": "hard",
+                "thresh_model": "exponential", "alpha": 0.75,
+                "p_max": 0.99, "p_min": "adaptive",
+                "sqrt_decay": False, "decay_kind": "values",
+            },
+        }, f)
+    cfg, extra = config_from_yaml(p)
+    assert cfg.niter == 50 and cfg.version == "fast" and cfg.p_min == "adaptive"
+    assert cfg.transform_kind == "FFT" and cfg.alpha == 0.75

@@ -1,0 +1,207 @@
+"""Stage-1 step tests on synthetic profiles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pseudo_3d_interpolation_tpu.io.segy import SegyFile, write_segy
+from pseudo_3d_interpolation_tpu.pipeline import stage1
+
+
+def ricker(t, f0=200.0):
+    a = (np.pi * f0 * t) ** 2
+    return (1 - 2 * a) * np.exp(-a)
+
+
+def make_profile(path, ntr=80, ns=400, dt_us=250, delrt_ms=20, seafloor_ms=None,
+                 seed=0, times_start="2023-05-01T10:00:00", x0=0.0, y0=0.0,
+                 heading=(1.0, 0.0), spacing=5.0, extra_headers=None, data=None):
+    rng = np.random.default_rng(seed)
+    dt_ms = dt_us / 1000.0
+    if data is None:
+        data = rng.normal(0, 0.02, (ntr, ns)).astype(np.float32)
+        t_axis = np.arange(ns) * dt_ms
+        if seafloor_ms is None:
+            seafloor_ms = np.full(ntr, 40.0)
+        for i in range(ntr):
+            d_ms = delrt_ms[i] if np.ndim(delrt_ms) else delrt_ms
+            data[i] += ricker((t_axis - (seafloor_ms[i] - d_ms)) * 1e-3).astype(np.float32)
+    t0 = np.datetime64(times_start)
+    times = t0 + np.arange(ntr) * np.timedelta64(1, "s")
+    dt64 = pd.DatetimeIndex(times)
+    xs = x0 + np.arange(ntr) * spacing * heading[0]
+    ys = y0 + np.arange(ntr) * spacing * heading[1]
+    headers = {
+        "SourceX": np.rint(xs * 100).astype(np.int64),
+        "SourceY": np.rint(ys * 100).astype(np.int64),
+        "SourceGroupScalar": -100,
+        "CoordinateUnits": 1,
+        "DelayRecordingTime": np.asarray(delrt_ms) if np.ndim(delrt_ms) else delrt_ms,
+        "YearDataRecorded": dt64.year.values,
+        "DayOfYear": dt64.dayofyear.values,
+        "HourOfDay": dt64.hour.values,
+        "MinuteOfHour": dt64.minute.values,
+        "SecondOfMinute": dt64.second.values,
+    }
+    headers.update(extra_headers or {})
+    write_segy(path, data, headers=headers, fmt=5, dt_us=dt_us)
+    return data
+
+
+def test_despike(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    data = make_profile(p, seed=1)
+    # plant strong spikes
+    with SegyFile(p) as f:
+        d = f.trace_data()
+    d[10, 100] = 50.0
+    d[40, 250:253] = -40.0
+    write_segy(p, d, raw_trace_headers=SegyFile(p).trace_headers_raw(), fmt=5, dt_us=250)
+    outs = stage1.despike(p, window=(9, 5), threshold=5.0)
+    with SegyFile(outs[0]) as f:
+        clean = f.trace_data()
+        assert "DESPIKE" in f.text
+    assert abs(clean[10, 100]) < 1.0
+    assert np.abs(clean[40, 250:253]).max() < 1.0
+    # the vast majority of samples stay untouched (noise extremes may also
+    # trip the detector, as in the reference)
+    changed = np.abs(clean - d) > 1e-5
+    assert changed.mean() < 0.01
+
+
+def test_delrt_pad(tmp_path):
+    p1 = str(tmp_path / "a_UTM.sgy")
+    p2 = str(tmp_path / "b_UTM.sgy")
+    make_profile(p1, delrt_ms=20, seed=2)
+    make_profile(p2, delrt_ms=30, seed=3, times_start="2023-05-01T11:00:00")
+    outs = stage1.delrt_pad(str(tmp_path))
+    with SegyFile(outs[0]) as f1, SegyFile(outs[1]) as f2:
+        assert f1.n_samples == f2.n_samples
+        assert (f1.header("DelayRecordingTime") == 20).all()
+        assert (f2.header("DelayRecordingTime") == 20).all()
+        d2 = f2.trace_data()
+        # the 30ms file should be zero for the first 10ms (40 samples)
+        assert np.abs(d2[:, :40]).max() == 0
+
+
+def test_delrt_correct(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr = 80
+    # all traces recorded identically (true delrt 20 ms) but some headers
+    # wrongly claim 0 ms — the classic broken-logger case
+    data = make_profile(str(tmp_path / "tmp.sgy"), ntr=ntr, delrt_ms=20, seed=4)
+    delrt = np.full(ntr, 20)
+    delrt[30:35] = 0
+    make_profile(p, ntr=ntr, delrt_ms=delrt, seed=4, data=data)
+    outs = stage1.delrt_correct(p, win_samples=200)
+    with SegyFile(outs[0]) as f:
+        fixed = f.header("DelayRecordingTime")
+    # the wrong traces should be re-based to ~20
+    assert np.abs(fixed[30:35] - 20).max() <= 2
+    assert (fixed[:30] == 20).all()
+
+
+def test_static_correction(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr = 120
+    smooth_floor = 40.0 + 3.0 * np.sin(np.linspace(0, 2 * np.pi, ntr))
+    rng = np.random.default_rng(5)
+    jitter = rng.integers(-4, 5, ntr) * 0.25  # heave jitter in ms
+    make_profile(p, ntr=ntr, seafloor_ms=smooth_floor + jitter, seed=5)
+    outs = stage1.static_correct(p, mode="amp", savgol_window=31)
+    with SegyFile(outs[0]) as f:
+        corrected = f.trace_data()
+        statics = f.header("TotalStaticApplied")
+        assert "STATIC" in f.text
+    # after correction the first-break picks should be smoother
+    from pseudo_3d_interpolation_tpu.ops import filters as flt
+
+    picks = flt.detect_seafloor_reflection(corrected.T, win=15,
+                                           post_detection_filter=False)
+    rough_before = np.abs(np.diff(jitter / 0.25)).mean()
+    rough_after = np.abs(np.diff(picks)).mean()
+    assert rough_after < rough_before
+    assert statics.any()
+    import os
+
+    assert os.path.exists(outs[0].replace(".sgy", ".sta"))
+
+
+def test_tide_compensation(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, seed=6)
+    tide_csv = str(tmp_path / "tide.csv")
+    pd.DataFrame({
+        "datetime": pd.date_range("2023-05-01T09:00:00", periods=10, freq="900s"),
+        "height": np.linspace(-1.0, 1.0, 10),
+    }).to_csv(tide_csv, index=False)
+    outs = stage1.tide_compensate(p, tide_csv)
+    with SegyFile(outs[0]) as f:
+        assert "TIDE" in f.text
+    tid = pd.read_csv(outs[0].replace(".sgy", ".tid"))
+    assert tid["shift_samples"].abs().max() >= 1
+    assert (tid["tide_m"].diff().dropna() > 0).all()  # rising tide
+
+
+def test_mistie_network(tmp_path):
+    """Two crossing lines; line B recorded 2 ms deeper -> solver splits the
+    mistie between them (gauge: zero mean)."""
+    dt_ms = 0.25
+    floor = 40.0
+    pa = str(tmp_path / "A_UTM.sgy")
+    pb = str(tmp_path / "B_UTM.sgy")
+    make_profile(pa, ntr=60, seafloor_ms=np.full(60, floor), seed=7,
+                 x0=0, y0=50, heading=(1, 0), spacing=5)
+    make_profile(pb, ntr=60, seafloor_ms=np.full(60, floor + 2.0), seed=8,
+                 x0=150, y0=0, heading=(0, 1), spacing=5,
+                 times_start="2023-05-01T12:00:00")
+    outs = stage1.mistie_correct(str(tmp_path), min_correlation=0.3)
+    import os
+
+    mst = pd.read_csv(os.path.join(str(tmp_path), "misties.csv"))
+    assert len(mst) >= 1
+    assert abs(abs(mst["mistie_ms"].iloc[0]) - 2.0) <= 2 * dt_ms
+    # applied shifts should reduce the measured mistie to ~0
+    profiles = {}
+    for p in outs:
+        with SegyFile(p) as f:
+            from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+
+            x, y, _ = scale_coordinates(f)
+            profiles[p] = dict(nav=np.column_stack([x, y]), data=f.trace_data(),
+                               delrt=f.header("DelayRecordingTime").astype(float),
+                               dt_ms=f.dt_us / 1000.0)
+    df2, _ = stage1.compute_misties(profiles, min_correlation=0.3)
+    assert abs(df2["mistie_ms"].iloc[0]) <= 2 * dt_ms
+
+
+def test_merge(tmp_path):
+    big = str(tmp_path / "big_UTM.sgy")
+    small = str(tmp_path / "small_UTM.sgy")
+    make_profile(big, ntr=80, seed=9, times_start="2023-05-01T10:00:00")
+    make_profile(small, ntr=5, seed=10, times_start="2023-05-01T10:01:30",
+                 x0=400.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    merged = [o for o in outs if "merged" in o]
+    assert len(merged) == 1
+    with SegyFile(merged[0]) as f:
+        assert f.n_traces == 85
+        assert "MERGE" in f.text
+    import os
+
+    assert os.path.exists(merged[0].replace(".sgy", ".parts"))
+
+
+def test_reproject_roundtrip(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, x0=500000.0, y0=6000000.0, seed=11)
+    out1 = stage1.reproject(p, 32632, 4326)[0]
+    with SegyFile(out1) as f:
+        lon = f.header("SourceX") / 100.0
+        lat = f.header("SourceY") / 100.0
+    # scalar -100 keeps only 2 decimals for degrees: coarse but monotonic
+    assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
+    out2 = stage1.reproject(out1, 4326, 32632)[0]
+    with SegyFile(out2) as f:
+        x = f.header("SourceX") / 100.0
+    assert abs(x[0] - 500000.0) < 600  # dominated by the -100 scalar rounding
