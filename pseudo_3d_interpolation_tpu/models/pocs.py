@@ -61,6 +61,10 @@ class POCSConfig:
     version: str = "regular"  # regular | fast | adaptive
     transform_kind: str = "FFT"
     keep_cost_history: bool = False
+    # fused Pallas iteration (FFT basis, hard/soft threshold, square slices,
+    # shared 2D mask); falls back to the XLA path when unsupported
+    use_pallas: bool = False
+    pallas_interpret: bool = False  # interpret mode for CPU testing
 
 
 class POCSResult(NamedTuple):
@@ -114,7 +118,19 @@ def pocs_interpolate(
         transform = get_transform(cfg.transform_kind)
 
     batch_shape = z.shape[:-2]
-    mask = jnp.broadcast_to(jnp.asarray(mask, z.dtype), z.shape)
+    mask_in = jnp.asarray(mask, z.dtype)
+    use_fused = False
+    if cfg.use_pallas:
+        from ..ops.pallas import pallas_supported
+
+        use_fused = (
+            mask_in.ndim == 2
+            and len(batch_shape) == 1
+            and cfg.transform_kind.upper() == "FFT"
+            and cfg.thresh_op in ("hard", "soft")
+            and pallas_supported(z.shape)
+        )
+    mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
     # --- one-time decay schedule from the initial forward transform ---
@@ -159,9 +175,17 @@ def pocs_interpolate(
         else:
             raise ValueError(f"unknown POCS version {cfg.version!r}")
 
-        coeffs = transform.forward(x_input)
-        coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)
-        x_rec = reinsert(transform.inverse(coeffs))
+        if use_fused:
+            from ..ops.pallas import pocs_iteration_fused
+
+            x_rec = pocs_iteration_fused(
+                x_input, z, mask_in, decay_i, alpha=cfg.alpha,
+                thresh_op=cfg.thresh_op, interpret=cfg.pallas_interpret,
+            )
+        else:
+            coeffs = transform.forward(x_input)
+            coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)
+            x_rec = reinsert(transform.inverse(coeffs))
 
         # cost (Gao et al. 2013): (Σ(|x_new| − |x_curr|))² / (Σ|x_new|)²
         # per-slice reduction over the trailing two axes (reference POCS.py:622)

@@ -1,0 +1,158 @@
+"""Fused POCS iteration as a Pallas TPU kernel.
+
+One iteration of the FFT-basis POCS update for a batch of square slices:
+
+    X   = F @ x @ F^T            (2D DFT, complex as (re, im) pairs)
+    X̂   = threshold(X, tau)      (hard or soft, magnitude-based)
+    x'  = conj(F) @ X̂ @ conj(F)^T / N²
+    out = x'·(1 − α·mask) + α·x_obs
+
+The whole chain stays VMEM-resident per slice: the XLA version materializes
+each matmul operand/result in HBM (~24 MB of traffic per 512² slice-iter),
+the fused kernel touches HBM only for slice in/out (+ shared constants),
+which is the difference between memory- and compute-bound in the fast
+(bf16-matmul) regime on v5e/v5p.
+
+Constraints (fall back to the XLA path otherwise — models/pocs.py):
+  - square slices (one shared DFT matrix), H == W, multiples of 128
+  - FFT transform, hard or soft threshold
+
+The kernel grid runs one program per slice; per-slice thresholds arrive as
+a scalar-prefetch vector.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import dft
+from ..cplx import Cplx
+
+try:  # pallas requires a TPU-capable lowering; import lazily/guarded
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+
+def pallas_supported(shape) -> bool:
+    """Whether the fused kernel supports slices of this shape."""
+    if not _PALLAS_OK:
+        return False
+    h, w = shape[-2], shape[-1]
+    return h == w and h % 128 == 0
+
+
+def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
+            fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
+            soft: bool):
+    i = pl.program_id(0)
+    tau = tau_ref[i]
+
+    fr = fr_ref[...]
+    fi = fi_ref[...]
+    xr = xr_ref[...]
+    xi = xi_ref[...]
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    # forward: Y = F @ x ; X = Y @ F^T (F symmetric -> use F directly)
+    yr = dot(fr, xr) - dot(fi, xi)
+    yi = dot(fr, xi) + dot(fi, xr)
+    Xr = dot(yr, fr) - dot(yi, fi)
+    Xi = dot(yr, fi) + dot(yi, fr)
+
+    # magnitude threshold (phase preserving)
+    mag2 = Xr * Xr + Xi * Xi
+    if soft:
+        mag = jnp.sqrt(mag2)
+        denom = jnp.where(mag == 0.0, 1.0, mag)
+        shrink = jnp.maximum(1.0 - tau / denom, 0.0)
+    else:
+        shrink = (mag2 >= tau * tau).astype(jnp.float32)
+    Xr = Xr * shrink
+    Xi = Xi * shrink
+
+    # inverse: conj(F) @ X̂ @ conj(F)^T / n², conj(F) = (fr, −fi)
+    yr = dot(fr, Xr) + dot(fi, Xi)
+    yi = dot(fr, Xi) - dot(fi, Xr)
+    rr = dot(yr, fr) + dot(yi, fi)
+    ri = dot(yi, fr) - dot(yr, fi)
+    scale = 1.0 / (n * n)
+    rr = rr * scale
+    ri = ri * scale
+
+    # data-consistency reinsertion
+    keep = 1.0 - alpha * mask_ref[...]
+    outr_ref[...] = rr * keep + alpha * obr_ref[...]
+    outi_ref[...] = ri * keep + alpha * obi_ref[...]
+
+
+def pocs_iteration_fused(
+    x: Cplx,
+    obs: Cplx,
+    mask,
+    tau,
+    alpha: float = 1.0,
+    thresh_op: str = "hard",
+    interpret: bool = False,
+) -> Cplx:
+    """One fused POCS iteration over a batch of square slices.
+
+    ``x``/``obs``: (B, N, N) pairs; ``mask``: (N, N); ``tau``: (B,) per-slice
+    thresholds. Returns the updated (B, N, N) pair.
+    """
+    if thresh_op not in ("hard", "soft"):
+        raise ValueError("fused kernel supports hard/soft thresholds")
+    b, n, n2 = x.re.shape
+    assert n == n2, "square slices required"
+    fr, fi = dft.dft_matrices(n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kernel(tau_ref, xr, xi, obr, obi, mask_r, fr_r, fi_r, outr, outi):
+        _kernel(
+            tau_ref,
+            xr.at[0], xi.at[0], obr.at[0], obi.at[0],
+            mask_r, fr_r, fi_r,
+            outr.at[0], outi.at[0],
+            n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
+        )
+
+    outr, outi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.asarray(tau, jnp.float32),
+        x.re, x.im, obs.re, obs.im,
+        jnp.asarray(mask, jnp.float32),
+        jnp.asarray(fr), jnp.asarray(fi),
+    )
+    return Cplx(outr, outi)

@@ -49,6 +49,111 @@ def config_from_yaml(path_or_dict) -> tuple[POCSConfig, dict]:
     return POCSConfig(**kwargs), extra
 
 
+def interpolate_checkpointed(
+    cube: Cube | str,
+    config: POCSConfig | str | dict,
+    checkpoint_dir: str,
+    var: str | None = None,
+    mesh=None,
+    batch: int = 64,
+    out_path: str | None = None,
+    verbose: int = 0,
+) -> Cube:
+    """Batch-file checkpointed interpolation with automatic resume.
+
+    Each batch of slices writes ``slices_<start>_<stop>.nc`` into
+    ``checkpoint_dir`` as soon as it completes; re-running skips finished
+    batches and merges everything at the end. This formalizes the
+    reference's de-facto crash recovery (per-batch netCDFs named by
+    frequency range + manual re-runs; cube_POCS_interpolation_3D.py:146-157,
+    369-405, SURVEY.md §5.4).
+    """
+    import numpy as _np
+
+    from ..models.transforms import get_transform as _get_transform
+    from ..ops.cplx import from_complex, to_complex
+    from ..parallel.solver import pocs_interpolate_sharded
+    from ..parallel import mesh as mesh_lib
+
+    if isinstance(cube, str):
+        cube = read_cube(cube)
+    extra = {}
+    if not isinstance(config, POCSConfig):
+        config, extra = config_from_yaml(config)
+    if var is None:
+        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+    dims, data = cube.data_vars[var]
+    fold = np.asarray(cube.data_vars["fold"][1])
+    mask = (fold > 0).astype(np.float32)
+    moved = np.moveaxis(np.asarray(data), -1, 0)
+    f_total = moved.shape[0]
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+    batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
+    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales") if k in extra}
+    transform = _get_transform(config.transform_kind, **transform_kwargs)
+
+    slice_dim = dims[-1]
+    rec = np.empty(moved.shape, moved.dtype if np.iscomplexobj(moved) else np.float32)
+    n_iters = np.zeros(f_total, np.int32)
+    costs = np.zeros(f_total, np.float32)
+    was_complex = np.iscomplexobj(moved)
+
+    for start in range(0, f_total, batch):
+        stop = min(start + batch, f_total)
+        ck = os.path.join(checkpoint_dir, f"slices_{start:05d}_{stop:05d}.nc")
+        if os.path.exists(ck):
+            part = read_cube(ck)
+            rec[start:stop] = part["rec"]
+            n_iters[start:stop] = part["niterations"]
+            costs[start:stop] = part["cost"]
+            xprint(f"resume: batch {start}-{stop} from checkpoint", kind="info",
+                   verbosity=verbose)
+            continue
+        chunk = moved[start:stop]
+        pad = batch - chunk.shape[0]
+        if pad:
+            chunk = _np.concatenate([chunk, _np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        res = pocs_interpolate_sharded(from_complex(chunk), mask, mesh=mesh,
+                                       transform=transform, config=config)
+        out_chunk = to_complex(res.data) if was_complex else np.asarray(res.data.re)
+        rec[start:stop] = out_chunk[: stop - start]
+        n_iters[start:stop] = np.asarray(res.n_iterations)[: stop - start]
+        costs[start:stop] = np.asarray(res.cost)[: stop - start]
+        part = Cube(
+            coords={slice_dim: np.asarray(cube.coords[slice_dim])[start:stop]},
+            data_vars={
+                "rec": ((slice_dim,) + dims[:-1], rec[start:stop]),
+                "niterations": ((slice_dim,), n_iters[start:stop]),
+                "cost": ((slice_dim,), costs[start:stop]),
+            },
+        )
+        # missing other coords for rec dims: attach them for completeness
+        for d in dims[:-1]:
+            part.coords[d] = np.asarray(cube.coords[d])
+        write_cube(ck, part)
+        xprint(f"batch {start}-{stop} done -> {ck}", kind="info", verbosity=verbose)
+
+    out = Cube(
+        coords=dict(cube.coords),
+        data_vars={
+            f"{var}_interp": (dims, np.moveaxis(rec, 0, -1)),
+            "fold": cube.data_vars["fold"],
+        },
+        attrs=dict(cube.attrs),
+        var_attrs={f"{var}_interp": dict(cube.var_attrs.get(var, {}))},
+        coord_attrs=dict(cube.coord_attrs),
+    )
+    out.append_history(f"POCS({config.transform_kind},{config.version},checkpointed)")
+    out.attrs["pocs_mean_iterations"] = float(n_iters.mean())
+    if out_path:
+        write_cube(out_path, out, chunks={slice_dim: 1})
+    return out
+
+
 def interpolate(
     cube: Cube | str,
     config: POCSConfig | str | dict = POCSConfig(
@@ -60,10 +165,16 @@ def interpolate(
     batch: int = 64,
     out_path: str | None = None,
     runtime_csv: str | None = None,
+    profile_dir: str | None = None,
     verbose: int = 0,
 ) -> Cube:
     """Interpolate all slices of a cube. Mask derives from the fold
-    (fold > 0 -> 1), reference driver :239-244."""
+    (fold > 0 -> 1), reference driver :239-244.
+
+    ``profile_dir`` wraps the solve in a ``jax.profiler`` trace — the
+    analogue of the reference's dask ``performance_report`` HTML
+    (cube_POCS_interpolation_3D.py:378-383); open with TensorBoard/XProf.
+    """
     if isinstance(cube, str):
         cube = read_cube(cube)
     extra = {}
@@ -88,11 +199,18 @@ def interpolate(
         f"{config.transform_kind}/{config.version}, niter={config.niter}",
         kind="info", verbosity=verbose,
     )
-    rec, n_iters, cost = interpolate_cube(
-        moved, mask, config, mesh=mesh, transform=transform, batch=batch,
-        progress=(lambda done, total: xprint(f"  {done}/{total} slices",
-                                             kind="debug", verbosity=verbose)),
-    )
+    import contextlib
+
+    import jax as _jax
+
+    prof = (_jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
+    with prof:
+        rec, n_iters, cost = interpolate_cube(
+            moved, mask, config, mesh=mesh, transform=transform, batch=batch,
+            progress=(lambda done, total: xprint(f"  {done}/{total} slices",
+                                                 kind="debug", verbosity=verbose)),
+        )
     rec = np.moveaxis(rec, 0, -1)
 
     out = Cube(

@@ -133,3 +133,29 @@ def test_yaml_config_compat(tmp_path):
     cfg, extra = config_from_yaml(p)
     assert cfg.niter == 50 and cfg.version == "fast" and cfg.p_min == "adaptive"
     assert cfg.transform_kind == "FFT" and cfg.alpha == 0.75
+
+
+def test_checkpointed_interpolation_resumes(survey, tmp_path):
+    """Checkpointed POCS writes batch files; a second run resumes from them
+    and produces identical output."""
+    from pseudo_3d_interpolation_tpu.pipeline import binning as pbin2
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import interpolate_checkpointed
+    import os
+
+    d, truth, twt, acquired = survey
+    n_il, n_xl, ns = truth.shape
+    geom = pbin2.BinningGeometry(spacing=10.0,
+                                 extent=(0.0, n_il * 10.0, 0.0, n_xl * 10.0))
+    cube = pbin2.bin_cube(d, geom)
+    freq = apply_fft(cube)
+    cfg = POCSConfig(niter=10, p_min=1e-3, version="fast")
+    ckdir = str(tmp_path / "ck")
+    out1 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
+    files = sorted(os.listdir(ckdir))
+    assert len(files) >= 2
+    # delete nothing; rerun resumes fully from checkpoints (no recompute)
+    out2 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
+    np.testing.assert_allclose(
+        np.asarray(out1["freq_amp_interp"]), np.asarray(out2["freq_amp_interp"]),
+        rtol=1e-6,
+    )

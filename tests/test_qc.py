@@ -1,0 +1,65 @@
+"""Smoke tests for the QC plotting library (files written, figures valid)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu import qc
+
+
+@pytest.fixture
+def section():
+    rng = np.random.default_rng(120)
+    return rng.normal(size=(200, 60)).astype(np.float32)
+
+
+def test_seismic_image(section, tmp_path):
+    p = str(tmp_path / "img.png")
+    qc.plot_seismic_image(section, twt=np.arange(200) * 0.25e-3, title="t", path=p)
+    assert os.path.getsize(p) > 1000
+
+
+def test_difference(section, tmp_path):
+    p = str(tmp_path / "diff.png")
+    qc.plot_seismic_difference(section, section * 0.5, path=p)
+    assert os.path.exists(p)
+
+
+def test_wiggle(section, tmp_path):
+    p = str(tmp_path / "wig.png")
+    qc.plot_seismic_wiggle(section[:, :20], twt=np.arange(200) * 0.25e-3, path=p)
+    assert os.path.exists(p)
+
+
+def test_statics_overlay(section, tmp_path):
+    p = str(tmp_path / "sta.png")
+    horizon = 50 + 10 * np.sin(np.linspace(0, 3, 60))
+    qc.plot_statics_overlay(section, horizon, static=np.ones(60),
+                            twt=np.arange(200) * 0.25e-3, path=p)
+    assert os.path.exists(p)
+
+
+def test_spectra(section, tmp_path):
+    qc.plot_trace_spectrum(section[:, 0], fs=4000.0, path=str(tmp_path / "sp1.png"))
+    qc.plot_average_spectrum(section.T, fs=4000.0, n_traces=10,
+                             path=str(tmp_path / "sp2.png"))
+    assert os.path.exists(str(tmp_path / "sp2.png"))
+
+
+def test_inversion_panels(tmp_path):
+    rng = np.random.default_rng(121)
+    x = (rng.normal(size=(32, 32)) + 1j * rng.normal(size=(32, 32))).astype(np.complex64)
+    qc.plot_inversion_result(x * 0.5, x, metadata={"transform_kind": "FFT",
+                                                   "version": "fast",
+                                                   "niterations": 42},
+                             path=str(tmp_path / "inv.png"))
+    qc.plot_inversion_result(np.real(x) * 0.5, np.real(x),
+                             path=str(tmp_path / "inv_real.png"))
+    assert os.path.exists(str(tmp_path / "inv.png"))
+
+
+def test_fold_map(tmp_path):
+    fold = np.random.default_rng(122).integers(0, 5, (20, 15))
+    qc.plot_fold_map(fold, path=str(tmp_path / "fold.png"))
+    assert os.path.exists(str(tmp_path / "fold.png"))
