@@ -112,6 +112,41 @@ def read_auxiliary_files(path, fsuffix: str, prefix: str | None = None,
     return out
 
 
+def export_coords(df: pd.DataFrame, out_path: str, fmt: str | None = None) -> str:
+    """Export navigation coordinates to CSV or GeoJSON
+    (reference utils_IO.py:129-187; GeoJSON replaces the geopandas path —
+    plain-text, no GEOS dependency)."""
+    fmt = fmt or ("geojson" if out_path.endswith((".geojson", ".json")) else "csv")
+    if fmt == "csv":
+        df.to_csv(out_path, index=False)
+        return out_path
+    if fmt != "geojson":
+        raise ValueError("fmt must be 'csv' or 'geojson'")
+    import json
+
+    features = []
+    if "line" in df.columns:
+        for line, grp in df.groupby("line"):
+            coords = [[float(x), float(y)] for x, y in zip(grp["x"], grp["y"])]
+            features.append({
+                "type": "Feature",
+                "properties": {"line": str(line), "n_traces": len(grp)},
+                "geometry": {"type": "LineString", "coordinates": coords},
+            })
+    else:
+        for _, row in df.iterrows():
+            features.append({
+                "type": "Feature",
+                "properties": {k: (None if pd.isna(v) else v) for k, v in row.items()
+                               if k not in ("x", "y")},
+                "geometry": {"type": "Point",
+                             "coordinates": [float(row["x"]), float(row["y"])]},
+            })
+    with open(out_path, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    return out_path
+
+
 def extract_navigation(path, fsuffix: str = "sgy", fnprefix=None, fnsuffix=None,
                        splitter: str = "UTM", src_coords_bytes=(73, 77),
                        write_sidecars: bool = False) -> pd.DataFrame:

@@ -42,6 +42,32 @@ def assign_bins(x, y, transform, n_ilines: int, n_xlines: int):
     return il, xl, valid
 
 
+def assign_bins_indexed(x, y, transform, il_indices, xl_indices):
+    """Host: CRS coords -> positions in explicit (possibly stepped) index
+    lists — the nested-region grid case (reference cube_binning_3D.py:
+    491-529). Traces snap to the nearest listed line; ``valid`` requires
+    landing within half a step of it.
+
+    Returns (pos_il, pos_xl, valid) with 0-based positions.
+    """
+    pts = np.column_stack([np.asarray(x, float), np.asarray(y, float)])
+    frac = transform.transform(pts)
+
+    def snap(vals, indices):
+        indices = np.asarray(indices, float)
+        step = indices[1] - indices[0] if len(indices) > 1 else 1.0
+        pos = np.clip(np.searchsorted(indices, vals), 0, len(indices) - 1)
+        pos_lo = np.clip(pos - 1, 0, len(indices) - 1)
+        choose_lo = np.abs(vals - indices[pos_lo]) <= np.abs(vals - indices[pos])
+        pos = np.where(choose_lo, pos_lo, pos)
+        ok = np.abs(vals - indices[pos]) <= step / 2.0 + 1e-9
+        return pos.astype(np.int32), ok
+
+    pi, ok_i = snap(frac[:, 0], il_indices)
+    px, ok_x = snap(frac[:, 1], xl_indices)
+    return pi, px, ok_i & ok_x
+
+
 def bin_index(il, xl, n_xlines: int):
     """(il, xl) (1-based) -> flat bin id (0-based, il-major)."""
     return (np.asarray(il) - 1) * n_xlines + (np.asarray(xl) - 1)

@@ -328,11 +328,14 @@ def resampled_twt(twt, n_resamples: int, n_samples: int):
 # ---------------------------------------------------------------------------
 # frequency spectrum (reference: functions/signal.py:715-773)
 # ---------------------------------------------------------------------------
-def freq_spectrum(signal, fs: float, n: int | None = None, taper: bool = True):
+def freq_spectrum(signal, fs: float, n: int | None = None, taper: bool = True,
+                  return_minmax: bool = False):
     """Single-sided magnitude spectrum with optional Blackman taper.
 
     Returns (frequencies, normalized magnitudes); magnitudes scaled by
-    ``2 / sum(window)`` like the reference.
+    ``2 / sum(window)`` like the reference. ``return_minmax`` additionally
+    estimates the signal band via a slope-derived amplitude threshold
+    (reference signal.py:754-770) -> (f, a, f_min, f_max).
     """
     signal = jnp.asarray(signal)
     n_sig = signal.shape[-1]
@@ -342,4 +345,15 @@ def freq_spectrum(signal, fs: float, n: int | None = None, taper: bool = True):
     spec = dft.rfft1(s, axis=-1, n=n)
     a = spec.abs()
     f = np.fft.rfftfreq(n, 1.0 / fs)
-    return jnp.asarray(f), a * 2.0 / jnp.sum(win)
+    a_norm = a * 2.0 / jnp.sum(win)
+    if not return_minmax:
+        return jnp.asarray(f), a_norm
+    a_np = np.asarray(a_norm)
+    if a_np.ndim > 1:
+        a_np = a_np.mean(axis=tuple(range(a_np.ndim - 1)))
+    slope = np.abs(np.diff(a_np) / np.diff(f))
+    threshold = (slope.max() - slope.min()) * 0.001
+    limits = np.nonzero(a_np > threshold)[0]
+    f_min = float(f[limits[0]]) if limits.size else 0.0
+    f_max = float(f[limits[-1]]) if limits.size else float(f[-1])
+    return jnp.asarray(f), a_norm, f_min, f_max

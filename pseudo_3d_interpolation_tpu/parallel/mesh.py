@@ -18,6 +18,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 SLICE_AXIS = "slices"
 
 
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host setup: one jax process group over DCN.
+
+    Call once per host before :func:`make_mesh` on TPU pods spanning hosts
+    (``jax.distributed.initialize``); single-host runs skip this. Arguments
+    default to the TPU environment's auto-detection.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: int | None = None, axis_name: str = SLICE_AXIS) -> Mesh:
     """1-D mesh over available devices (or the first ``n_devices``)."""
     devs = jax.devices()

@@ -30,7 +30,15 @@ from ..utils.logging import xprint
 
 @dataclasses.dataclass
 class BinningGeometry:
-    """Cube geometry (reference YAML: cube_binning_geometry)."""
+    """Cube geometry (reference YAML: cube_binning_geometry).
+
+    Optional nested region (reference cube_binning_3D.py:413-558): when the
+    cube is a sub-area of a larger master grid, ``region_extent`` /
+    ``region_corner_points`` + ``region_spacing`` define the fine master
+    grid; line indices then live on the master grid (no longer starting at
+    1) and step by ``spacing / region_spacing``, so differently binned
+    cubes of one survey share index space.
+    """
 
     spacing: tuple[float, float] | float  # (iline, xline) bin size, CRS units
     extent: tuple | None = None  # (xmin, xmax, ymin, ymax) in unrotated frame
@@ -40,20 +48,54 @@ class BinningGeometry:
     twt_limits: tuple[float, float] | None = None  # seconds
     stacking_method: str = "average"
     idw_power: float = 1.0
+    region_extent: tuple | None = None
+    region_corner_points: np.ndarray | None = None
+    region_spacing: tuple[float, float] | float | None = None
+
+    def _pair(self, s):
+        return (float(s[0]), float(s[1])) if isinstance(s, (tuple, list)) else (float(s), float(s))
 
     def transforms(self):
+        """Returns (world->ilxl transform, il_indices, xl_indices)."""
         base = None
         if self.rotation_angle is not None:
             base = Affine().rotate_around(-self.rotation_angle, self.rotation_center)
         corners = self.corner_points
         if corners is None:
             corners = points_from_extent(self.extent)
-        t, n_il, n_xl = coords_to_ilxl_transform(
-            corner_points=np.asarray(corners, float),
-            spacing=self.spacing,
+        corners = np.asarray(corners, float)
+
+        use_region = self.region_spacing is not None and (
+            self.region_extent is not None or self.region_corner_points is not None
+        )
+        if not use_region:
+            t, n_il, n_xl = coords_to_ilxl_transform(
+                corner_points=corners, spacing=self.spacing, base_transform=base
+            )
+            return t, np.arange(1, n_il + 1), np.arange(1, n_xl + 1)
+
+        region_corners = self.region_corner_points
+        if region_corners is None:
+            region_corners = points_from_extent(self.region_extent)
+        t, n_il_r, n_xl_r = coords_to_ilxl_transform(
+            corner_points=np.asarray(region_corners, float),
+            spacing=self.region_spacing,
             base_transform=base,
         )
-        return t, n_il, n_xl
+        # cube corner indices on the master grid; lower bounds round up,
+        # upper bounds round down (reference round_ilxl_extent)
+        idx = t.transform(corners)
+        il_lo = int(np.ceil(idx[:, 0].min()))
+        il_hi = int(np.floor(idx[:, 0].max()))
+        xl_lo = int(np.ceil(idx[:, 1].min()))
+        xl_hi = int(np.floor(idx[:, 1].max()))
+        sy, sx = self._pair(self.spacing)
+        ry, rx = self._pair(self.region_spacing)
+        il_step = max(int(round(sy / ry)), 1)
+        xl_step = max(int(round(sx / rx)), 1)
+        il_indices = np.arange(il_lo, il_hi + 1, il_step)
+        xl_indices = np.arange(xl_lo, xl_hi + 1, xl_step)
+        return t, il_indices, xl_indices
 
 
 def scrape_traces(files, src_coords_bytes=(73, 77), verbose=0):
@@ -91,8 +133,9 @@ def bin_cube(
         raise FileNotFoundError(f"no SEG-Y input under {path!r}")
     scrape = scrape_traces(files, src_coords_bytes, verbose)
 
-    t, n_il, n_xl = geometry.transforms()
+    t, il_indices, xl_indices = geometry.transforms()
     inv = t.inverse()
+    n_il, n_xl = len(il_indices), len(xl_indices)
     n_bins = n_il * n_xl
 
     # global TWT axis across all files
@@ -125,11 +168,14 @@ def bin_cube(
     for r in scrape:
         with SegyFile(r["file"]) as f:
             data = f.trace_data()
-        il, xl, valid = bn.assign_bins(r["x"], r["y"], t, n_il, n_xl)
+        pi, px, valid = bn.assign_bins_indexed(r["x"], r["y"], t, il_indices, xl_indices)
         if not valid.any():
             continue
-        ids_all = bn.bin_index(np.where(valid, il, 1), np.where(valid, xl, 1), n_xl)
-        dist = bn.bin_center_distances(r["x"], r["y"], il, xl, inv)
+        ids_all = pi.astype(np.int64) * n_xl + px
+        centers = inv.transform(
+            np.column_stack([il_indices[pi], xl_indices[px]]).astype(float)
+        )
+        dist = np.hypot(r["x"] - centers[:, 0], r["y"] - centers[:, 1])
         for s in range(0, len(ids_all), trace_block):
             sl = slice(s, s + trace_block)
             v = valid[sl]
@@ -172,8 +218,8 @@ def bin_cube(
 
     cube = Cube(
         coords={
-            "iline": np.arange(1, n_il + 1, dtype=np.int32),
-            "xline": np.arange(1, n_xl + 1, dtype=np.int32),
+            "iline": np.asarray(il_indices, np.int32),
+            "xline": np.asarray(xl_indices, np.int32),
             "twt": (twt0 + np.arange(ns_out) * dt).astype(np.float64),
         },
         data_vars={

@@ -123,14 +123,28 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
 
 
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
-            replace: str = "median", inplace: bool = False, output_dir=None,
-            verbose: int = 0) -> list[str]:
+            replace: str = "median", split_at_delrt: bool = False,
+            inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
     outs = []
     for p in resolve_input_files(path):
         with SegyFile(p) as f:
             data = f.trace_data()
-            cleaned, spikes = despike_section(data.T, window, threshold, mode, replace)
-            n_spikes = int(spikes.sum())
+            if split_at_delrt:
+                # process segments of constant DelayRecordingTime separately
+                # so window statistics never mix differently-delayed traces
+                # (reference despiking_2D_segy.py:451-473)
+                delrt = f.header("DelayRecordingTime")
+                cleaned = np.empty_like(data)
+                n_spikes = 0
+                edges = np.r_[0, np.nonzero(np.diff(delrt))[0] + 1, len(delrt)]
+                for a, b in zip(edges[:-1], edges[1:]):
+                    c, s = despike_section(data[a:b].T, window, threshold, mode, replace)
+                    cleaned[a:b] = c.T
+                    n_spikes += int(s.sum())
+                cleaned = cleaned.T
+            else:
+                cleaned, spikes = despike_section(data.T, window, threshold, mode, replace)
+                n_spikes = int(spikes.sum())
             out = _output_path(p, inplace, "despk", output_dir)
             _rewrite(f, out, cleaned.T, f"DESPIKE ({n_spikes} samples)")
         xprint(f"{p}: removed {n_spikes} spike samples -> {out}",

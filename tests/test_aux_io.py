@@ -1,0 +1,86 @@
+"""Tests for auxiliary IO: datalists, sidecars, navigation, exports,
+backends flags."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pseudo_3d_interpolation_tpu import backends
+from pseudo_3d_interpolation_tpu.io import auxiliary as aux
+from pseudo_3d_interpolation_tpu.io.segy import write_segy
+
+
+def make_segy(path, ntr=10, x0=0.0):
+    write_segy(path, np.zeros((ntr, 20), np.float32), headers={
+        "SourceX": (np.arange(ntr) * 100 + int(x0 * 100)).astype(np.int64),
+        "SourceY": np.full(ntr, 500),
+        "SourceGroupScalar": -100, "CoordinateUnits": 1,
+    }, fmt=5, dt_us=250)
+
+
+def test_resolve_single_file(tmp_path):
+    p = str(tmp_path / "a.sgy")
+    make_segy(p)
+    assert aux.resolve_input_files(p) == [p]
+
+
+def test_resolve_directory_with_filters(tmp_path):
+    for name in ["x_one_UTM.sgy", "x_two_UTM.sgy", "y_one_UTM.sgy"]:
+        make_segy(str(tmp_path / name))
+    files = aux.resolve_input_files(str(tmp_path), fnprefix="x_")
+    assert len(files) == 2
+
+
+def test_resolve_datalist(tmp_path):
+    make_segy(str(tmp_path / "a.sgy"))
+    make_segy(str(tmp_path / "b.sgy"))
+    dl = str(tmp_path / "list.txt")
+    with open(dl, "w") as f:
+        f.write("a.sgy\n# comment\nb.sgy\n")
+    files = aux.resolve_input_files(dl)
+    assert [os.path.basename(f) for f in files] == ["a.sgy", "b.sgy"]
+
+
+def test_resolve_invalid(tmp_path):
+    with pytest.raises(IOError):
+        aux.resolve_input_files(str(tmp_path / "missing.foo"))
+
+
+def test_line_name():
+    assert aux.line_name("/data/20200101_line7_UTM60S_despk.sgy") == "20200101_line7"
+    assert aux.line_name("noline.sgy") == "noline"
+
+
+def test_extract_navigation_and_sidecars(tmp_path):
+    make_segy(str(tmp_path / "l1_UTM.sgy"), x0=0)
+    make_segy(str(tmp_path / "l2_UTM.sgy"), x0=50)
+    df = aux.extract_navigation(str(tmp_path), write_sidecars=True)
+    assert {"tracl", "x", "y", "line"} <= set(df.columns)
+    assert len(df) == 20
+    assert os.path.exists(str(tmp_path / "l1_UTM.nav"))
+    merged = aux.read_auxiliary_files(str(tmp_path), ".nav")
+    assert merged is not None and len(merged) == 20
+
+
+def test_export_coords_csv_and_geojson(tmp_path):
+    df = pd.DataFrame({
+        "x": [0.0, 1.0, 2.0], "y": [0.0, 0.5, 1.0],
+        "line": ["A", "A", "A"], "tracl": [1, 2, 3],
+    })
+    p_csv = aux.export_coords(df, str(tmp_path / "nav.csv"))
+    assert os.path.exists(p_csv)
+    p_gj = aux.export_coords(df, str(tmp_path / "nav.geojson"))
+    gj = json.load(open(p_gj))
+    assert gj["type"] == "FeatureCollection"
+    assert gj["features"][0]["geometry"]["type"] == "LineString"
+    assert len(gj["features"][0]["geometry"]["coordinates"]) == 3
+
+
+def test_backends_summary():
+    s = backends.summary()
+    assert s["platform"] in ("cpu", "tpu", "axon")
+    assert s["native_segy"] in (True, False)
+    assert "FFT" in s["transforms"]

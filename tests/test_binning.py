@@ -161,3 +161,44 @@ def test_end_to_end_binning(grid):
         assert fold[b] == len(sel)
         if len(sel):
             np.testing.assert_allclose(out[b], sel.mean(axis=0), rtol=1e-4, atol=1e-5)
+
+
+def test_region_grid_indexing():
+    """Nested region: cube indices live on the master grid with steps."""
+    from pseudo_3d_interpolation_tpu.pipeline.binning import BinningGeometry
+
+    geom = BinningGeometry(
+        spacing=20.0,                      # coarse cube bins
+        extent=(40.0, 120.0, 20.0, 60.0),  # sub-area
+        region_extent=(0.0, 200.0, 0.0, 100.0),
+        region_spacing=10.0,               # fine master grid
+    )
+    t, il_idx, xl_idx = geom.transforms()
+    # master grid: 20 x 10 lines; cube sub-range with step 2
+    assert il_idx[0] >= 4 and il_idx[-1] <= 13
+    assert np.all(np.diff(il_idx) == 2)
+    assert np.all(np.diff(xl_idx) == 2)
+    # a trace at a master-grid node inside the cube snaps to a listed line
+    from pseudo_3d_interpolation_tpu.ops import binning as bnops
+
+    x = np.array([65.0])  # master il = (65-5)/10+1 = 7
+    y = np.array([35.0])
+    pi, px, valid = bnops.assign_bins_indexed(x, y, t, il_idx, xl_idx)
+    assert valid[0]
+    assert il_idx[pi[0]] in (6, 7, 8)
+
+
+def test_assign_bins_indexed_matches_simple():
+    """With step-1 indices the indexed path equals the simple path."""
+    from pseudo_3d_interpolation_tpu.ops.affine import coords_to_ilxl_transform
+
+    t, n_il, n_xl = coords_to_ilxl_transform(extent=(0, 40, 0, 20), spacing=10.0)
+    rng = np.random.default_rng(140)
+    x = rng.uniform(0, 40, 100)
+    y = rng.uniform(0, 20, 100)
+    il, xl, v1 = bn.assign_bins(x, y, t, n_il, n_xl)
+    pi, px, v2 = bn.assign_bins_indexed(x, y, t, np.arange(1, n_il + 1),
+                                        np.arange(1, n_xl + 1))
+    np.testing.assert_array_equal(v1, v2)
+    np.testing.assert_array_equal(il[v1], pi[v2] + 1)
+    np.testing.assert_array_equal(xl[v1], px[v2] + 1)
