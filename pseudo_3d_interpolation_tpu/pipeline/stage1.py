@@ -585,6 +585,10 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
                 dt_us = f.dt_us
         merged = np.concatenate(datas)
         raws = np.concatenate(headers_raw)
+        merged, raws, n_inserted = _fill_time_gaps(merged, raws)
+        if n_inserted:
+            xprint(f"inserted {n_inserted} zero traces for data gaps",
+                   kind="info", verbosity=verbose)
         base, ext = os.path.splitext(first)
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
@@ -600,6 +604,54 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
         xprint(f"merged {len(grp)} files -> {out} ({len(merged)} traces)",
                kind="info", verbosity=verbose)
     return outs
+
+
+def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
+    """Insert zero traces (with linearly interpolated headers) into recording
+    gaps longer than ``factor`` x the median shot interval
+    (reference merge_segys.py gap handling)."""
+    from ..io.segy import TRACE_HEADER_FIELDS
+
+    def col(name):
+        off, dt = TRACE_HEADER_FIELDS[name]
+        size = int(dt[-1])
+        return np.ascontiguousarray(raws[:, off - 1 : off - 1 + size]).view(">" + dt)[:, 0]
+
+    year, doy = col("YearDataRecorded").astype(int), col("DayOfYear").astype(int)
+    hh, mm, ss = (col(k).astype(int) for k in ("HourOfDay", "MinuteOfHour", "SecondOfMinute"))
+    t = ((doy * 24 + hh) * 60 + mm) * 60 + ss + (year - year.min()) * 366 * 86400
+    dts = np.diff(t)
+    if len(dts) == 0:
+        return data, raws, 0
+    med = np.median(dts[dts > 0]) if (dts > 0).any() else 1.0
+    out_data = [data[:1]]
+    out_raws = [raws[:1]]
+    n_ins = 0
+    for i in range(1, len(data)):
+        gap = t[i] - t[i - 1]
+        if med > 0 and gap > factor * med:
+            n_fill = min(int(round(gap / med)) - 1, 10000)
+            for k in range(1, n_fill + 1):
+                frac = k / (n_fill + 1)
+                z = np.zeros((1, data.shape[1]), data.dtype)
+                hdr = raws[i - 1 : i].copy()
+                # interpolate coordinates of inserted traces
+                for name in ("SourceX", "SourceY", "GroupX", "GroupY"):
+                    off, dtc = TRACE_HEADER_FIELDS[name]
+                    size = int(dtc[-1])
+                    v0 = float(col(name)[i - 1])
+                    v1 = float(col(name)[i])
+                    vi = np.array([round(v0 + frac * (v1 - v0))]).astype(">" + dtc)
+                    hdr[0, off - 1 : off - 1 + size] = vi.view(np.uint8)
+                # mark as dead trace (TraceIdentificationCode = 2)
+                off, dtc = TRACE_HEADER_FIELDS["TraceIdentificationCode"]
+                hdr[0, off - 1 : off + 1] = np.array([2]).astype(">" + dtc).view(np.uint8)
+                out_data.append(z)
+                out_raws.append(hdr)
+                n_ins += 1
+        out_data.append(data[i : i + 1])
+        out_raws.append(raws[i : i + 1])
+    return np.concatenate(out_data), np.concatenate(out_raws), n_ins
 
 
 # ===========================================================================

@@ -179,7 +179,8 @@ def test_merge(tmp_path):
     big = str(tmp_path / "big_UTM.sgy")
     small = str(tmp_path / "small_UTM.sgy")
     make_profile(big, ntr=80, seed=9, times_start="2023-05-01T10:00:00")
-    make_profile(small, ntr=5, seed=10, times_start="2023-05-01T10:01:30",
+    # contiguous recording (no gap -> no zero-trace insertion)
+    make_profile(small, ntr=5, seed=10, times_start="2023-05-01T10:01:20",
                  x0=400.0)
     outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
     merged = [o for o in outs if "merged" in o]
@@ -205,3 +206,26 @@ def test_reproject_roundtrip(tmp_path):
     with SegyFile(out2) as f:
         x = f.header("SourceX") / 100.0
     assert abs(x[0] - 500000.0) < 600  # dominated by the -100 scalar rounding
+
+
+def test_merge_fills_data_gaps(tmp_path):
+    """A recording gap between merged files gets zero traces with
+    interpolated coordinates and dead-trace codes."""
+    big = str(tmp_path / "big_UTM.sgy")
+    small = str(tmp_path / "small_UTM.sgy")
+    # 1 s shot interval; second file starts 6 s after the first ends -> 5 missing
+    make_profile(big, ntr=60, seed=20, times_start="2023-05-01T10:00:00",
+                 x0=0.0)
+    make_profile(small, ntr=5, seed=21, times_start="2023-05-01T10:01:05",
+                 x0=65 * 5.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    merged = [o for o in outs if "merged" in o][0]
+    with SegyFile(merged) as f:
+        assert f.n_traces == 60 + 5 + 5
+        codes = f.header("TraceIdentificationCode")
+        assert (codes == 2).sum() == 5  # inserted dead traces
+        data = f.trace_data()
+        assert np.abs(data[codes == 2]).max() == 0
+        # interpolated coordinates are monotonic across the gap
+        x = f.header("SourceX")
+        assert (np.diff(x.astype(np.int64)) > 0).all()
