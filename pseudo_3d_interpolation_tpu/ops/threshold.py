@@ -64,16 +64,33 @@ def _is_zero(substitute) -> bool:
     return isinstance(substitute, (int, float)) and substitute == 0
 
 
-def _percentile_threshold(x, perc):
-    """Per-slice percentile of |x| over the trailing two axes.
+def _percentile_from_mag(mag, perc):
+    """Per-slice percentile threshold from magnitudes (..., H, W).
 
-    ``perc`` in [0, 100]. Returns shape ``x.shape[:-2] + (1, 1)`` so it
-    broadcasts against ``x``.
+    ``perc`` may be a scalar or a per-slice array broadcastable to the batch
+    shape (e.g. from a decay schedule of factors). Returns
+    ``mag.shape[:-2] + (1, 1)``.
     """
-    mag = jnp.abs(x)
-    flat = mag.reshape(mag.shape[:-2] + (-1,))
-    t = jnp.percentile(flat, perc, axis=-1)
+    import jax
+
+    batch_shape = mag.shape[:-2]
+    flat = mag.reshape(batch_shape + (-1,))
+    if jnp.ndim(perc) == 0:
+        t = jnp.percentile(flat, perc, axis=-1)
+    else:
+        q = jnp.asarray(perc)
+        while q.ndim > len(batch_shape):  # strip trailing broadcast dims
+            q = q[..., 0]
+        q = jnp.broadcast_to(q, batch_shape).reshape(-1)
+        t = jax.vmap(lambda v, p: jnp.percentile(v, p))(
+            flat.reshape((-1, flat.shape[-1])), q
+        ).reshape(batch_shape)
     return t[..., None, None]
+
+
+def _percentile_threshold(x, perc):
+    """Per-slice percentile of |x| over the trailing two axes."""
+    return _percentile_from_mag(jnp.abs(x), perc)
 
 
 def soft_pair(z, value):
@@ -99,9 +116,7 @@ def garrote_pair(z, value):
 
 
 def _percentile_threshold_pair(z, perc):
-    mag = z.abs()
-    flat = mag.reshape(mag.shape[:-2] + (-1,))
-    return jnp.percentile(flat, perc, axis=-1)[..., None, None]
+    return _percentile_from_mag(z.abs(), perc)
 
 
 def threshold_pair(z, value, kind: str = "soft"):

@@ -172,3 +172,53 @@ def test_dct_transform_runs():
     cfg = POCSConfig(niter=40, transform_kind="DCT", p_min=1e-3, version="fast")
     rec, _, _ = pocs_interpolate_numpy(x * mask, mask, cfg, transform=DCTTransform())
     assert float(metrics.snr(x, rec)) > float(metrics.snr(x, x * mask))
+
+
+@pytest.mark.parametrize("model", ["linear", "exponential-2", "data-driven",
+                                   "inverse_proportional"])
+def test_solver_all_decay_models(model):
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=9)
+    cfg = POCSConfig(niter=20, thresh_model=model, p_min=1e-3, version="fast")
+    rec, n_it, cost = pocs_interpolate_numpy(x * mask, mask, cfg)
+    assert np.isfinite(np.abs(rec)).all(), model
+    snr = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert snr > 5, (model, snr)
+
+
+@pytest.mark.parametrize("op", ["garrote", "soft-percentile", "hard-percentile"])
+def test_solver_threshold_ops(op):
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=10)
+    kind = "factors" if op.endswith("percentile") else "values"
+    p_max, p_min = (99.9, 60.0) if kind == "factors" else (0.99, 1e-3)
+    cfg = POCSConfig(niter=25, thresh_op=op, decay_kind=kind,
+                     p_max=p_max, p_min=p_min, version="regular")
+    rec, n_it, _ = pocs_interpolate_numpy(x * mask, mask, cfg)
+    assert np.isfinite(np.abs(rec)).all(), op
+    assert float(metrics.snr(np.abs(x), np.abs(rec))) > 3, op
+
+
+def test_solver_sqrt_decay():
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=11)
+    cfg = POCSConfig(niter=15, sqrt_decay=True, p_min=1e-3)
+    rec, _, _ = pocs_interpolate_numpy(x * mask, mask, cfg)
+    assert np.isfinite(np.abs(rec)).all()
+
+
+def test_cost_history():
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=12)
+    from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
+    from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
+    import jax
+
+    cfg = POCSConfig(niter=12, p_min=1e-3, keep_cost_history=True)
+    res = jax.jit(lambda z, m: pocs_interpolate(z, m, config=cfg))(
+        from_complex(x * mask), mask)
+    hist = np.asarray(res.cost_history)
+    assert hist.shape == (12,)
+    assert np.isfinite(hist).all()
+    # cost decreases over iterations (roughly monotone at the end)
+    assert hist[-1] < hist[1]
