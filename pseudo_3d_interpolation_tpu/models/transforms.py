@@ -206,6 +206,18 @@ register_transform(
 )
 
 
+def _curvelet_stub(**kw):
+    raise NotImplementedError(
+        "CURVELET is not available: the reference wraps CurveLab (C++/FFTW "
+        "2.1.5, Unix-only, optional there too — reference README.md:101-104). "
+        "Use SHEARLET, the directional multiscale frame with equivalent "
+        "reconstruction behavior."
+    )
+
+
+register_transform("CURVELET", _curvelet_stub)
+
+
 def get_transform(kind: str, **kwargs):
     """Build a transform by reference kind name (FFT/DCT/WAVELET/SHEARLET)."""
     kind = kind.upper()

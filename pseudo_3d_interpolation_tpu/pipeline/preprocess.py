@@ -26,6 +26,7 @@ def preprocess(
     filter_type: str | None = None,  # lowpass/highpass/bandpass (:241-272)
     filter_freqs=None,
     resample_to: int | None = None,  # new sample count (:274-336)
+    resample_method: str = "fft",  # 'fft' (device) | 'poly' (host polyphase)
     envelope: bool = False,  # Hilbert envelope -> 'env' (:340-360)
     out_path: str | None = None,
     verbose: int = 0,
@@ -65,7 +66,17 @@ def preprocess(
 
     if resample_to:
         n_old = data.shape[-1]
-        data = np.asarray(sig.resample_fft(data, int(resample_to))).astype(np.float32)
+        if resample_method == "poly":
+            # exact scipy polyphase path (reference resample_poly option)
+            from math import gcd
+
+            import scipy.signal as ss
+
+            g = gcd(int(resample_to), n_old)
+            data = ss.resample_poly(data, int(resample_to) // g, n_old // g,
+                                    axis=-1).astype(np.float32)
+        else:
+            data = np.asarray(sig.resample_fft(data, int(resample_to))).astype(np.float32)
         twt = sig.resampled_twt(twt, int(resample_to), n_old)
         cube.coords["twt"] = twt
         history.append(f"RESAMPLE({n_old}->{resample_to})")

@@ -77,6 +77,25 @@ def _shift_traces(data, shifts):
     return jnp.where(inside, jnp.take_along_axis(data, jnp.clip(idx, 0, ns - 1), axis=-1), 0.0)
 
 
+
+def _per_file(files, fn, verbose: int = 0) -> list[str]:
+    """Run ``fn(path) -> out_path`` per file; failures are counted and
+    skipped so one bad profile doesn't kill the batch (reference pattern:
+    static_correction_segy.py:617-623)."""
+    outs, failed = [], 0
+    for p in files:
+        try:
+            outs.append(fn(p))
+        except Exception as e:  # noqa: BLE001 — batch robustness by design
+            failed += 1
+            xprint(f"{p}: FAILED ({type(e).__name__}: {e})", kind="error",
+                   verbosity=verbose)
+    if failed:
+        xprint(f"{failed}/{len(files)} files failed", kind="warning",
+               verbosity=verbose)
+    return outs
+
+
 # ===========================================================================
 # 08 — despike (reference despiking_2D_segy.py:75-387)
 # ===========================================================================
@@ -125,8 +144,7 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             replace: str = "median", split_at_delrt: bool = False,
             inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
-    outs = []
-    for p in resolve_input_files(path):
+    def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             if split_at_delrt:
@@ -149,8 +167,9 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             _rewrite(f, out, cleaned.T, f"DESPIKE ({n_spikes} samples)")
         xprint(f"{p}: removed {n_spikes} spike samples -> {out}",
                kind="info", verbosity=verbose)
-        outs.append(out)
-    return outs
+        return out
+
+    return _per_file(resolve_input_files(path), _one, verbose)
 
 
 # ===========================================================================
@@ -209,8 +228,7 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
     (delrt + peak-sample·dt) jumps while their neighbors' agree get their
     delrt re-based so the first break lines up with the local median.
     """
-    outs = []
-    for p in resolve_input_files(path):
+    def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             delrt = f.header("DelayRecordingTime").astype(np.float64)
@@ -243,8 +261,9 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
             )
         xprint(f"{p}: corrected {n_fix} DelayRecordingTime values -> {out}",
                kind="info", verbosity=verbose)
-        outs.append(out)
-    return outs
+        return out
+
+    return _per_file(resolve_input_files(path), _one, verbose)
 
 
 # ===========================================================================
@@ -274,8 +293,7 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
 def static_correct(path, mode: str = "amp", win_samples: int = 30,
                    savgol_window: int = 41, inplace: bool = False,
                    output_dir=None, verbose: int = 0) -> list[str]:
-    outs = []
-    for p in resolve_input_files(path):
+    def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             dt_ms = f.dt_us / 1000.0
@@ -303,8 +321,9 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
             }))
         xprint(f"{p}: static range [{static.min()}, {static.max()}] samples -> {out}",
                kind="info", verbosity=verbose)
-        outs.append(out)
-    return outs
+        return out
+
+    return _per_file(resolve_input_files(path), _one, verbose)
 
 
 # ===========================================================================
@@ -336,8 +355,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
     tide = pd.read_csv(tide_file, parse_dates=["datetime"])
     t_ref = tide["datetime"].to_numpy().astype("datetime64[ns]").astype("int64")
     h_ref = tide["height"].to_numpy(float)
-    outs = []
-    for p in resolve_input_files(path):
+    def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             dt_s = f.dt_us * 1e-6
@@ -355,8 +373,9 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             }))
         xprint(f"{p}: tide range [{height.min():.2f}, {height.max():.2f}] m -> {out}",
                kind="info", verbosity=verbose)
-        outs.append(out)
-    return outs
+        return out
+
+    return _per_file(resolve_input_files(path), _one, verbose)
 
 
 # ===========================================================================
@@ -502,8 +521,7 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
 def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = None,
               coords_bytes=(73, 77), scalar: int = -100, inplace: bool = False,
               output_dir=None, verbose: int = 0) -> list[str]:
-    outs = []
-    for p in resolve_input_files(path):
+    def _one(p):
         with SegyFile(p) as f:
             x, y, units = scale_coordinates(f, coords_bytes)
             xt, yt = crs_transform(x, y, src_epsg, dst_epsg)
@@ -521,9 +539,10 @@ def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = No
                     "SourceGroupScalar": scalar, "CoordinateUnits": 1,
                 },
             )
-        outs.append(out)
         xprint(f"reprojected {p} -> {out}", kind="info", verbosity=verbose)
-    return outs
+        return out
+
+    return _per_file(resolve_input_files(path), _one, verbose)
 
 
 # ===========================================================================

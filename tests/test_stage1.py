@@ -229,3 +229,15 @@ def test_merge_fills_data_gaps(tmp_path):
         # interpolated coordinates are monotonic across the gap
         x = f.header("SourceX")
         assert (np.diff(x.astype(np.int64)) > 0).all()
+
+
+def test_batch_continues_past_corrupt_file(tmp_path):
+    """A corrupt SEG-Y in the batch is reported, others still process."""
+    good = str(tmp_path / "good_UTM.sgy")
+    make_profile(good, seed=30)
+    bad = str(tmp_path / "bad_UTM.sgy")
+    with open(bad, "wb") as f:
+        f.write(b"not a segy file" * 10)
+    outs = stage1.despike(str(tmp_path))
+    assert len(outs) == 1
+    assert "good" in outs[0]
