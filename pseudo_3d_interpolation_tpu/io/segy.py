@@ -363,10 +363,13 @@ def write_segy(
         th = np.zeros((ntr, TRACE_HEADER_SIZE), np.uint8)
 
     hdrs = dict(headers or {})
-    hdrs.setdefault("TRACE_SAMPLE_COUNT", ns)
-    if dt_us is not None:
-        hdrs.setdefault("TRACE_SAMPLE_INTERVAL", dt_us)
-    hdrs.setdefault("TRACE_SEQUENCE_FILE", np.arange(1, ntr + 1))
+    if raw_trace_headers is None:
+        # fresh headers get sensible defaults; preserved headers are kept
+        # verbatim (no silent trace renumbering on rewrites)
+        hdrs.setdefault("TRACE_SAMPLE_COUNT", ns)
+        if dt_us is not None:
+            hdrs.setdefault("TRACE_SAMPLE_INTERVAL", dt_us)
+        hdrs.setdefault("TRACE_SEQUENCE_FILE", np.arange(1, ntr + 1))
     for name, value in hdrs.items():
         off, dt = TRACE_HEADER_FIELDS[name] if isinstance(name, str) else (int(name), "i4")
         size = int(dt[-1])

@@ -116,6 +116,8 @@ def pocs_interpolate(
     cfg = config
     if transform is None:
         transform = get_transform(cfg.transform_kind)
+    if hasattr(transform, "with_shape"):
+        transform = transform.with_shape(z.shape)
 
     batch_shape = z.shape[:-2]
     mask_in = jnp.asarray(mask, z.dtype)
@@ -242,6 +244,16 @@ def apocs(z, mask, transform=None, config=POCSConfig()):
     return pocs_interpolate(z, mask, transform, dataclasses.replace(config, version="adaptive"))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_solver(transform, config: POCSConfig):
+    """jit cache keyed on (transform, config) so repeated host-boundary
+    calls don't retrace."""
+    return jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, transform, config))
+
+
 def pocs_interpolate_numpy(x, mask, config: POCSConfig = POCSConfig(), transform=None):
     """Host-boundary convenience: numpy (complex or real) in/out, jitted solve.
 
@@ -252,7 +264,6 @@ def pocs_interpolate_numpy(x, mask, config: POCSConfig = POCSConfig(), transform
     was_complex = np.iscomplexobj(x)
     z = from_complex(np.asarray(x))
     tr = transform if transform is not None else get_transform(config.transform_kind)
-    fn = jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, tr, config))
-    res = fn(z, jnp.asarray(np.asarray(mask, np.float32)))
+    res = _jitted_solver(tr, config)(z, jnp.asarray(np.asarray(mask, np.float32)))
     out = to_complex(res.data) if was_complex else np.asarray(res.data.re)
     return out, np.asarray(res.n_iterations), np.asarray(res.cost)

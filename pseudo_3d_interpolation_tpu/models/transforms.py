@@ -89,12 +89,43 @@ class WaveletTransform:
     wavelet: str = "db4"
     level: int | None = None
     kind: str = "WAVELET"
+    # original slice shape when zero-padding to a 2**level multiple is
+    # needed; set automatically via with_shape() (the solver calls it)
+    crop: tuple | None = None
+
+    def with_shape(self, shape):
+        """Bind to a slice shape: resolves the level and records the crop
+        needed after zero-padding to the next 2**level multiple, so
+        arbitrary (e.g. odd) cube dimensions work like pywt's ragged
+        handling in the reference."""
+        import dataclasses as _dc
+
+        from ..ops import wavelet as wv
+
+        h, w = int(shape[-2]), int(shape[-1])
+        level = self.level
+        if level is None:
+            level = min(wv.max_level(max(h, 1), self.wavelet),
+                        wv.max_level(max(w, 1), self.wavelet), 3)
+        m = 2 ** level
+        if h % m == 0 and w % m == 0:
+            return _dc.replace(self, level=level, crop=None)
+        return _dc.replace(self, level=level, crop=(h, w))
+
+    def _pad(self, a):
+        if self.crop is None:
+            return a
+        m = 2 ** (self.level or 1)
+        h, w = self.crop
+        ph = (-h) % m
+        pw = (-w) % m
+        return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)])
 
     def forward(self, z: Cplx):
         from ..ops import wavelet as wv
 
-        re = wv.wavedec2(z.re, self.wavelet, self.level)
-        im = wv.wavedec2(z.im, self.wavelet, self.level)
+        re = wv.wavedec2(self._pad(z.re), self.wavelet, self.level)
+        im = wv.wavedec2(self._pad(z.im), self.wavelet, self.level)
         out = [Cplx(re[0], im[0])]
         for (rh, rv, rd), (ih, iv, id_) in zip(re[1:], im[1:]):
             out.append((Cplx(rh, ih), Cplx(rv, iv), Cplx(rd, id_)))
@@ -105,7 +136,11 @@ class WaveletTransform:
 
         re = [coeffs[0].re] + [tuple(c.re for c in det) for det in coeffs[1:]]
         im = [coeffs[0].im] + [tuple(c.im for c in det) for det in coeffs[1:]]
-        return Cplx(wv.waverec2(re, self.wavelet), wv.waverec2(im, self.wavelet))
+        out = Cplx(wv.waverec2(re, self.wavelet), wv.waverec2(im, self.wavelet))
+        if self.crop is not None:
+            h, w = self.crop
+            out = Cplx(out.re[..., :h, :w], out.im[..., :h, :w])
+        return out
 
     def decay(self, coeffs, model, niter, p_max, p_min, decay_kind):
         if isinstance(p_min, str):

@@ -125,11 +125,12 @@ def inverse_fft_original(spec: Spectrum, precision=dft.Precision.HIGHEST):
 # ---------------------------------------------------------------------------
 # frequency-domain window filter (reference: cube_apply_FFT.py:49-143)
 # ---------------------------------------------------------------------------
-def _stopband(n: int, kind: str) -> np.ndarray:
-    size = n * 2
-    size += 1 if size % 2 == 0 else 0
-    h = np.hanning(size)
-    return h[1 : size // 2 + 1] if kind == "highpass" else h[size // 2 : -1]
+def _ramp_down(f, fmin, fmax):
+    """Hanning-shaped 1->0 taper over [fmin, fmax] as a function of f."""
+    t = np.clip((f - fmin) / max(fmax - fmin, 1e-30), 0.0, 1.0)
+    w = np.cos(0.5 * np.pi * t) ** 2
+    # exact pass/stop values outside the taper band
+    return np.where(f <= fmin, 1.0, np.where(f >= fmax, 0.0, w))
 
 
 def freq_filter_window(freqs, filter_freqs, filter_type: str = "lowpass") -> np.ndarray:
@@ -137,28 +138,24 @@ def freq_filter_window(freqs, filter_freqs, filter_type: str = "lowpass") -> np.
 
     ``filter_freqs`` = [fmin, fmax] (taper band) for low/highpass, or
     [f1, f2, f3, f4] for bandpass. Returns values in [0, 1] to multiply the
-    spectrum with. Matches the reference construction bin-for-bin.
+    spectrum with. The weight is a function of |frequency| (cos² Hanning
+    ramps), so it is correct for any bin ordering — including full-fft
+    ``fftfreq`` layouts with negative bins — and preserves Hermitian
+    symmetry. (The reference counts bin positions, which assumes ascending
+    rfft frequencies; equivalent here on that layout.)
     """
-    freqs = np.asarray(freqs)
-    if filter_type in ("lowpass", "highpass"):
+    af = np.abs(np.asarray(freqs, np.float64))
+    if filter_type == "lowpass":
         fmin, fmax = min(filter_freqs), max(filter_freqs)
-        n_lower = int(np.count_nonzero(freqs < fmin))
-        n_stop = int(np.count_nonzero((freqs >= fmin) & (freqs <= fmax)))
-        n_higher = int(np.count_nonzero(freqs > fmax))
-        const = (0, 1) if filter_type == "highpass" else (1, 0)
-        stop = _stopband(n_stop, filter_type)
+        win = _ramp_down(af, fmin, fmax)
+    elif filter_type == "highpass":
+        fmin, fmax = min(filter_freqs), max(filter_freqs)
+        win = 1.0 - _ramp_down(af, fmin, fmax)
     elif filter_type == "bandpass":
         f1, f2, f3, f4 = sorted(filter_freqs)
-        n_lower = int(np.count_nonzero(freqs < f1))
-        n_lo = int(np.count_nonzero((freqs >= f1) & (freqs <= f2)))
-        n_pass = int(np.count_nonzero((freqs > f2) & (freqs < f3)))
-        n_hi = int(np.count_nonzero((freqs >= f3) & (freqs <= f4)))
-        n_higher = int(np.count_nonzero(freqs > f4))
-        const = (0, 0)
-        stop = np.hstack([_stopband(n_lo, "highpass"), np.ones(n_pass), _stopband(n_hi, "lowpass")])
+        win = (1.0 - _ramp_down(af, f1, f2)) * _ramp_down(af, f3, f4)
     else:
         raise ValueError(f"unknown filter_type {filter_type!r}")
-    win = np.pad(stop, (n_lower, n_higher), mode="constant", constant_values=const)
     return win.astype(np.float32)
 
 
@@ -177,6 +174,11 @@ def apply_freq_filter(spec: Spectrum, filter_freqs, filter_type: str = "lowpass"
     if drop_filtered:
         if filter_type != "lowpass":
             raise ValueError("drop_filtered only supported for lowpass filters")
+        if not spec.real:
+            raise ValueError(
+                "drop_filtered requires the rfft layout (real=True); "
+                "full-fft bins are not contiguous in |frequency|"
+            )
         fmax = max(filter_freqs)
         keep = int(np.count_nonzero(spec.freqs <= fmax))
         data = Cplx(data.re[..., :keep], data.im[..., :keep])

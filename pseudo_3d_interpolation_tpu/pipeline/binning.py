@@ -89,10 +89,14 @@ class BinningGeometry:
         il_hi = int(np.floor(idx[:, 0].max()))
         xl_lo = int(np.ceil(idx[:, 1].min()))
         xl_hi = int(np.floor(idx[:, 1].max()))
+        # spacing tuples are (yspacing, xspacing) and ilines advance along x
+        # (ops/affine.coords_to_ilxl_transform), so the iline step comes from
+        # the [1] component — the reference makes the same cross-assignment
+        # ("using XLINE bin size", cube_binning_3D.py:494-497)
         sy, sx = self._pair(self.spacing)
         ry, rx = self._pair(self.region_spacing)
-        il_step = max(int(round(sy / ry)), 1)
-        xl_step = max(int(round(sx / rx)), 1)
+        il_step = max(int(round(sx / rx)), 1)
+        xl_step = max(int(round(sy / ry)), 1)
         il_indices = np.arange(il_lo, il_hi + 1, il_step)
         xl_indices = np.arange(xl_lo, xl_hi + 1, xl_step)
         return t, il_indices, xl_indices

@@ -10,6 +10,8 @@ pair-FFT multiply over all slices on device.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import scipy.signal
 
@@ -91,19 +93,19 @@ def antialias_filter(ny: int, nx: int, direction: str, factors: dict,
 # ---------------------------------------------------------------------------
 # device application
 # ---------------------------------------------------------------------------
+@jax.jit
+def _kxky_apply(x, filt):
+    z = Cplx(x, jnp.zeros_like(x))
+    zf = dft.fft2(z)
+    zf = Cplx(zf.re * filt, zf.im * filt)
+    return dft.ifft2(zf).re
+
+
 def apply_kxky_filter(slices: np.ndarray, ffilter: np.ndarray) -> np.ndarray:
     """Multiply each (..., ny, nx) slice by an fftshifted-domain filter:
     ``ifft2(ifftshift(filter) · fft2(x)).real`` as one jitted batch."""
-    filt = np.fft.ifftshift(ffilter)
-
-    @jax.jit
-    def run(x):
-        z = Cplx(x, jnp.zeros_like(x))
-        zf = dft.fft2(z)
-        zf = Cplx(zf.re * filt, zf.im * filt)
-        return dft.ifft2(zf).re
-
-    return np.asarray(run(jnp.asarray(slices, jnp.float32)))
+    filt = jnp.asarray(np.fft.ifftshift(ffilter))
+    return np.asarray(_kxky_apply(jnp.asarray(slices, jnp.float32), filt))
 
 
 def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int) -> np.ndarray:
@@ -113,21 +115,40 @@ def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int) -> 
     out = np.asarray(slices, np.float32)
 
     def interp_axis(a, f):
-        n = a.shape[-1]
-        old = np.arange(n, dtype=np.float64)
-        new = np.linspace(0, n - 1, n * f)
-
-        @jax.jit
-        def run(x):
-            return jnp.apply_along_axis(lambda v: jnp.interp(new, old, v), -1, x)
-
-        return np.asarray(run(a))
+        return np.asarray(_interp_last(jnp.asarray(a), int(f)))
 
     if factor_x > 1:
         out = interp_axis(out, factor_x)
     if factor_y > 1:
         out = np.swapaxes(interp_axis(np.swapaxes(out, -1, -2), factor_y), -1, -2)
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _interp_last(x, f):
+    n = x.shape[-1]
+    old = jnp.arange(n, dtype=jnp.float32)
+    new = jnp.linspace(0.0, n - 1.0, n * f)
+    return jnp.apply_along_axis(lambda v: jnp.interp(new, old, v), -1, x)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gauss_smooth(x, g, r):
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+    ap = jnp.pad(x, pad, mode="reflect")
+    b = jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -1, ap)
+    return jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -2, b)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _median_smooth(x, k):
+    r = k // 2
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+    ap = jnp.pad(x, pad, mode="edge")
+    iy = jnp.arange(x.shape[-2])[:, None] + jnp.arange(k)[None, :]
+    ix = jnp.arange(x.shape[-1])[:, None] + jnp.arange(k)[None, :]
+    win = ap[..., iy[:, None, :, None], ix[None, :, None, :]]
+    return jnp.median(win.reshape(win.shape[:-2] + (k * k,)), axis=-1)
 
 
 def smooth_slices(slices: np.ndarray, kind: str = "gaussian", sigma: float = 1.0,
@@ -138,31 +159,10 @@ def smooth_slices(slices: np.ndarray, kind: str = "gaussian", sigma: float = 1.0
     if kind == "gaussian":
         r = max(int(3 * sigma + 0.5), 1)
         g = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
-        g = (g / g.sum()).astype(np.float32)
-
-        @jax.jit
-        def run(a):
-            pad = [(0, 0)] * (a.ndim - 2) + [(r, r), (r, r)]
-            ap = jnp.pad(a, pad, mode="reflect")
-            b = jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -1, ap)
-            b = jnp.apply_along_axis(lambda v: jnp.convolve(v, g, mode="valid"), -2, b)
-            return b
-
-        out = np.asarray(run(x))
+        out = np.asarray(_gauss_smooth(x, jnp.asarray((g / g.sum()).astype(np.float32)), r))
     elif kind == "median":
         k = size + (size % 2 == 0)
-        r = k // 2
-
-        @jax.jit
-        def run(a):
-            pad = [(0, 0)] * (a.ndim - 2) + [(r, r), (r, r)]
-            ap = jnp.pad(a, pad, mode="edge")
-            iy = jnp.arange(a.shape[-2])[:, None] + jnp.arange(k)[None, :]
-            ix = jnp.arange(a.shape[-1])[:, None] + jnp.arange(k)[None, :]
-            win = ap[..., iy[:, None, :, None], ix[None, :, None, :]]
-            return jnp.median(win.reshape(win.shape[:-2] + (k * k,)), axis=-1)
-
-        out = np.asarray(run(x))
+        out = np.asarray(_median_smooth(x, k))
     else:
         raise ValueError("kind must be 'gaussian' or 'median'")
 
@@ -170,6 +170,11 @@ def smooth_slices(slices: np.ndarray, kind: str = "gaussian", sigma: float = 1.0
         lo, hi = np.percentile(slices, sorted(rescale_percentiles))
         out = np.asarray(rescale(out, lo, hi))
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _agc_kernel(x, win, kind):
+    return sig.agc(x, win, kind=kind)
 
 
 # ---------------------------------------------------------------------------
@@ -232,9 +237,7 @@ def postprocess(
         twt = np.asarray(cube.coords[dims[-1]], np.float64)
         dt = float(np.mean(np.diff(twt)))
         win = sig.agc_window_samples(agc_win, dt)
-        data = np.asarray(jax.jit(
-            lambda x: sig.agc(x, win, kind=agc_kind)
-        )(jnp.asarray(data))).astype(np.float32)
+        data = np.asarray(_agc_kernel(jnp.asarray(data), win, agc_kind)).astype(np.float32)
         cube.append_history(f"AGC({agc_win}s,{agc_kind})")
         xprint(f"applied AGC ({agc_win}s {agc_kind})", kind="info", verbosity=verbose)
 

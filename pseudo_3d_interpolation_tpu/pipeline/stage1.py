@@ -14,8 +14,9 @@ runs as batched jitted device ops; per-profile metadata chains stay numpy.
 from __future__ import annotations
 
 import datetime
+import functools
 import os
-import shutil
+
 
 import numpy as np
 import pandas as pd
@@ -110,35 +111,39 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
     Returns (cleaned, spike_mask).
     """
     wy, wx = int(window[0]) | 1, int(window[1]) | 1  # force odd
-
-    @jax.jit
-    def run(x):
-        ry, rx = wy // 2, wx // 2
-        xp = jnp.pad(x, ((ry, ry), (rx, rx)), mode="reflect")
-        iy = jnp.arange(x.shape[0])[:, None] + jnp.arange(wy)[None, :]
-        ix = jnp.arange(x.shape[1])[:, None] + jnp.arange(wx)[None, :]
-        win = xp[iy[:, None, :, None], ix[None, :, None, :]]
-        win = win.reshape(x.shape + (wy * wx,))
-        aw = jnp.abs(win)
-        if mode == "median":
-            stat = jnp.median(aw, axis=-1)
-        elif mode == "mean":
-            stat = jnp.mean(aw, axis=-1)
-        else:
-            stat = jnp.sqrt(jnp.mean(win * win, axis=-1))
-        floor = jnp.maximum(stat, 1e-8 + 0.0 * stat + jnp.mean(jnp.abs(x)) * 1e-3)
-        spikes = jnp.abs(x) > threshold * floor
-        med = jnp.median(win, axis=-1)
-        if replace == "median":
-            repl = med
-        elif replace == "zeros":
-            repl = jnp.zeros_like(x)
-        else:  # 'threshold': clip to the local threshold amplitude
-            repl = jnp.sign(x) * threshold * floor
-        return jnp.where(spikes, repl, x), spikes
-
-    cleaned, spikes = run(jnp.asarray(data, jnp.float32))
+    cleaned, spikes = _despike_kernel(
+        jnp.asarray(data, jnp.float32), jnp.float32(threshold), wy, wx, mode, replace
+    )
     return np.asarray(cleaned), np.asarray(spikes)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _despike_kernel(x, threshold, wy, wx, mode, replace):
+    # module-level jit: one compile per (shape, window, mode) across a batch
+    # of files, not one per call
+    ry, rx = wy // 2, wx // 2
+    xp = jnp.pad(x, ((ry, ry), (rx, rx)), mode="reflect")
+    iy = jnp.arange(x.shape[0])[:, None] + jnp.arange(wy)[None, :]
+    ix = jnp.arange(x.shape[1])[:, None] + jnp.arange(wx)[None, :]
+    win = xp[iy[:, None, :, None], ix[None, :, None, :]]
+    win = win.reshape(x.shape + (wy * wx,))
+    aw = jnp.abs(win)
+    if mode == "median":
+        stat = jnp.median(aw, axis=-1)
+    elif mode == "mean":
+        stat = jnp.mean(aw, axis=-1)
+    else:
+        stat = jnp.sqrt(jnp.mean(win * win, axis=-1))
+    floor = jnp.maximum(stat, 1e-8 + 0.0 * stat + jnp.mean(jnp.abs(x)) * 1e-3)
+    spikes = jnp.abs(x) > threshold * floor
+    med = jnp.median(win, axis=-1)
+    if replace == "median":
+        repl = med
+    elif replace == "zeros":
+        repl = jnp.zeros_like(x)
+    else:  # 'threshold': clip to the local threshold amplitude
+        repl = jnp.sign(x) * threshold * floor
+    return jnp.where(spikes, repl, x), spikes
 
 
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
@@ -361,8 +366,10 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             dt_s = f.dt_us * 1e-6
             times = trace_datetimes(f).astype("datetime64[ns]").astype("int64")
             height = np.interp(times, t_ref, h_ref)
-            # tide high -> seafloor appears shallow -> shift deeper (positive)
-            shift = np.rint(2.0 * height / velocity / dt_s).astype(np.int32)
+            # high tide raises the vessel, so the seafloor records DEEPER;
+            # compensation shifts traces up (negative = shallower), matching
+            # the reference's compensate_tide sign
+            shift = -np.rint(2.0 * height / velocity / dt_s).astype(np.int32)
             shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(shift)))
             out = _output_path(p, inplace, "tide", output_dir)
             _rewrite(f, out, shifted, "TIDE COMPENSATION")
@@ -481,32 +488,43 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
                    output_dir=None, verbose: int = 0) -> list[str]:
     files = resolve_input_files(path)
     profiles = {}
-    handles = {}
     for p in files:
-        f = SegyFile(p)
-        x, y, _ = scale_coordinates(f)
-        profiles[p] = dict(
-            nav=np.column_stack([x, y]),
-            data=f.trace_data(),
-            delrt=f.header("DelayRecordingTime").astype(np.float64),
-            dt_ms=f.dt_us / 1000.0,
-        )
-        handles[p] = f
+        try:
+            # read everything needed up front; no handle kept open across
+            # the global solve
+            with SegyFile(p) as f:
+                x, y, _ = scale_coordinates(f)
+                profiles[p] = dict(
+                    nav=np.column_stack([x, y]),
+                    data=f.trace_data(),
+                    delrt=f.header("DelayRecordingTime").astype(np.float64),
+                    dt_ms=f.dt_us / 1000.0,
+                    raw_headers=f.trace_headers_raw().copy(),
+                    text=f.text,
+                    dt_us=f.dt_us,
+                )
+        except Exception as e:  # noqa: BLE001 — skip unreadable profiles
+            xprint(f"{p}: FAILED to read ({type(e).__name__}: {e})",
+                   kind="error", verbosity=verbose)
+    if not profiles:
+        raise FileNotFoundError(f"no readable SEG-Y profiles under {path!r}")
     df, lines = compute_misties(profiles, min_correlation=min_correlation,
                                 verbose=verbose)
     shifts = solve_mistie_network(df, lines)
     outs = []
-    for p in files:
-        f = handles[p]
-        dt_ms = profiles[p]["dt_ms"]
+    for p, prof in profiles.items():
+        dt_ms = prof["dt_ms"]
         shift_samples = int(round(shifts[p] / dt_ms))
         shifted = np.asarray(_shift_traces(
-            jnp.asarray(profiles[p]["data"]), jnp.asarray(
-                np.full(f.n_traces, shift_samples, np.int32))))
+            jnp.asarray(prof["data"]),
+            jnp.asarray(np.full(len(prof["data"]), shift_samples, np.int32))))
         out = _output_path(p, inplace, "mst", output_dir)
-        _rewrite(f, out, shifted, f"MISTIE CORRECTION ({shifts[p]:+.2f} ms)")
+        text = textual.add_processing_entry(
+            prof["text"], f"MISTIE CORRECTION ({shifts[p]:+.2f} ms)", prefix=TODAY)
+        write_segy(out, shifted, raw_trace_headers=prof["raw_headers"],
+                   bin_updates={"Interval": prof["dt_us"]}, text=text, fmt=5,
+                   dt_us=prof["dt_us"])
         write_aux(out, ".mst", pd.DataFrame({"line": [p], "shift_ms": [shifts[p]]}))
-        f.close()
         outs.append(out)
         xprint(f"{p}: mistie shift {shifts[p]:+.2f} ms -> {out}",
                kind="info", verbosity=verbose)

@@ -88,3 +88,30 @@ def test_complex_fullfft_path():
     assert spec.freqs.size == 128
     twt_out, x_out = spectral.inverse_fft_original(spec)
     np.testing.assert_allclose(np.asarray(x_out), x, rtol=1e-3, atol=1e-4)
+
+
+def test_freq_filter_window_full_fft_hermitian():
+    """Full-fft (fftfreq-ordered, negative bins) windows act on |f| and
+    preserve Hermitian symmetry (regression: positional construction broke
+    on non-ascending freq layouts)."""
+    freqs = np.fft.fftfreq(64, 0.01)  # fs=100 Hz, ordering [0..+50, -50..-df]
+    win = spectral.freq_filter_window(freqs, [10.0, 20.0], "lowpass")
+    assert win[np.abs(freqs) < 10].min() == 1.0
+    assert win[np.abs(freqs) > 20].max() == 0.0
+    # symmetric in ±f
+    for k in range(1, 32):
+        np.testing.assert_allclose(win[k], win[64 - k], atol=1e-7)
+
+
+def test_wavelet_transform_odd_shapes():
+    """WAVELET POCS pads odd/indivisible slices internally (regression)."""
+    from pseudo_3d_interpolation_tpu.models import POCSConfig, WaveletTransform, pocs_interpolate_numpy
+
+    rng = np.random.default_rng(150)
+    x = rng.normal(size=(3, 45, 53)).astype(np.float32)
+    mask = (rng.uniform(size=(45, 53)) < 0.6).astype(np.float32)
+    cfg = POCSConfig(niter=6, p_min=1e-3, transform_kind="WAVELET")
+    rec, n_it, _ = pocs_interpolate_numpy(x * mask, mask, cfg,
+                                          transform=WaveletTransform("db2"))
+    assert rec.shape == x.shape
+    assert np.isfinite(rec).all()

@@ -241,3 +241,26 @@ def test_batch_continues_past_corrupt_file(tmp_path):
     outs = stage1.despike(str(tmp_path))
     assert len(outs) == 1
     assert "good" in outs[0]
+
+
+def test_tide_sign_removes_tidal_depth_error(tmp_path):
+    """Regression: high tide records the seafloor DEEPER; compensation must
+    shift traces up so the seafloor returns to its true TWT."""
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr = 80
+    tide_m = np.linspace(0.0, 1.5, ntr)  # rising tide during the line
+    dt_ms = 0.25
+    tide_ms = 2.0 * tide_m / 1500.0 * 1e3  # extra two-way time
+    make_profile(p, ntr=ntr, seafloor_ms=40.0 + tide_ms, seed=40)
+    tide_csv = str(tmp_path / "tide.csv")
+    pd.DataFrame({
+        "datetime": pd.date_range("2023-05-01T10:00:00", periods=ntr, freq="1s"),
+        "height": tide_m,
+    }).to_csv(tide_csv, index=False)
+    outs = stage1.tide_compensate(p, tide_csv)
+    with SegyFile(outs[0]) as f:
+        corrected = f.trace_data()
+    peaks = np.argmax(np.abs(corrected[:, :200]), axis=1) * dt_ms + 20.0
+    # without compensation the last traces sit ~2 ms deep; after, ~40 ms flat
+    assert abs(peaks[-1] - 40.0) <= 2 * dt_ms, peaks[-5:]
+    assert np.abs(peaks - 40.0).max() <= 3 * dt_ms
