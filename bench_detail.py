@@ -69,12 +69,15 @@ def main():
             r = pocs_interpolate(z, m, tr, cfg)
             return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-        fn = jax.jit(solve_sum)
+        fn = jax.jit(lambda z, m, s: solve_sum(type(z)(z.re * s, z.im * s), m))
         m = jnp.asarray(m2)
-        float(fn(from_complex(o2), m))  # compile
+        z = from_complex(o2)
+        float(fn(z, m, jnp.float32(1.0)))  # compile
         t0 = time.perf_counter()
-        for i in range(reps):
-            float(fn(from_complex(o2 * (1 + 1e-3 * i)), m))
+        acc = fn(z, m, jnp.float32(1.0))
+        for i in range(1, reps):
+            acc = acc + fn(z, m, jnp.float32(1.0 + 1e-3 * i))
+        float(acc)
         dt = (time.perf_counter() - t0) / reps
         # quality on the same problem
         full = jax.jit(lambda z, mm: pocs_interpolate(z, mm, tr, cfg))(from_complex(o2), m)

@@ -51,7 +51,7 @@ def pallas_supported(shape) -> bool:
 
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
             fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
-            soft: bool):
+            soft: bool, precision):
     i = pl.program_id(0)
     tau = tau_ref[i]
 
@@ -60,7 +60,8 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
     xr = xr_ref[...]
     xi = xi_ref[...]
 
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=precision)
 
     # forward: Y = F @ x ; X = Y @ F^T (F symmetric -> use F directly)
     yr = dot(fr, xr) - dot(fi, xi)
@@ -102,6 +103,7 @@ def pocs_iteration_fused(
     alpha: float = 1.0,
     thresh_op: str = "hard",
     interpret: bool = False,
+    precision=None,
 ) -> Cplx:
     """One fused POCS iteration over a batch of square slices.
 
@@ -139,6 +141,8 @@ def pocs_iteration_fused(
             mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0],
             n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
+            precision=(precision if precision is not None
+                       else jax.lax.Precision.HIGHEST),
         )
 
     outr, outi = pl.pallas_call(
@@ -148,6 +152,11 @@ def pocs_iteration_fused(
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),
             jax.ShapeDtypeStruct((b, n, n), jnp.float32),
         ],
+        # 512² slices need ~18 MB of scoped VMEM (slice pairs + DFT matrices
+        # + matmul temporaries); raise the Mosaic limit above its 16 MB
+        # default so the fused kernel fits without spilling
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if _PALLAS_OK and not interpret else None,
         interpret=interpret,
     )(
         jnp.asarray(tau, jnp.float32),
