@@ -109,8 +109,16 @@ def shearlet_spectra(h: int, w: int, n_scales: int | None = None) -> np.ndarray:
 
     for j in range(n_scales):
         a = 4.0 ** (-j)
-        r_h = _psi1_hat(a * W1)  # radial window on the horizontal cone axis
-        r_v = _psi1_hat(a * W2)
+        if j == n_scales - 1:
+            # finest scale: extend the radial window flat to the grid corner
+            # so the plane is covered up to (and including) Nyquist — the
+            # standard ψ1 rolls off to zero exactly at 4·4^j, which for
+            # power-of-two sizes lands on the Nyquist ring and leaves a hole
+            r_h = np.where(np.abs(a * W1) >= 1.0, 1.0, _psi1_hat(a * W1))
+            r_v = np.where(np.abs(a * W2) >= 1.0, 1.0, _psi1_hat(a * W2))
+        else:
+            r_h = _psi1_hat(a * W1)  # radial window on the horizontal cone axis
+            r_v = _psi1_hat(a * W2)
         shears = range(-(2**j), 2**j + 1)
         for k in shears:
             ang_h = _psi2_hat((2.0**j) * tan_h + k)
