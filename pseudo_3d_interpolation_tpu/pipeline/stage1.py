@@ -529,7 +529,15 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
         xprint(f"{p}: mistie shift {shifts[p]:+.2f} ms -> {out}",
                kind="info", verbosity=verbose)
     if len(df):
-        df.to_csv(os.path.join(os.path.dirname(files[0]), "misties.csv"), index=False)
+        base = os.path.dirname(files[0])
+        df.to_csv(os.path.join(base, "misties.csv"), index=False)
+        # intersection QC layer (reference writes a GeoPackage,
+        # mistie_correction_segy.py:629-703; GeoJSON needs no GEOS)
+        from ..io.auxiliary import export_coords
+
+        export_coords(df.drop(columns=["line_a", "line_b"]).assign(
+            pair=df["line_a"].astype(str) + " x " + df["line_b"].astype(str)
+        ), os.path.join(base, "misties.geojson"))
     return outs
 
 

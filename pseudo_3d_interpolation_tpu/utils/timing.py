@@ -60,6 +60,19 @@ def profile(fn=None, *, path: str | None = None, n_top: int = 30):
     return deco(fn) if fn is not None else deco
 
 
+def debug(fn):
+    """Decorator printing call arguments + result (reference
+    functions/utils.py debug decorator)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        xprint(f"{fn.__name__}({args!r}, {kwargs!r}) -> {out!r}", kind="debug")
+        return out
+
+    return wrapper
+
+
 class block_timer:
     """Context manager measuring wall time of a block; ``.elapsed`` afterwards."""
 

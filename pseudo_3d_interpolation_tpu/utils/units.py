@@ -47,6 +47,15 @@ def samples2depth(samples, dt: float, v: float = 1500.0, units: str = "s"):
     return twt2depth(samples * _dt_in_seconds(dt, units), v=v)
 
 
+def euclidean_distance(coords):
+    """Distances between consecutive (N, 2) points
+    (reference: functions/utils.py:402-406)."""
+    import numpy as np
+
+    diff = np.diff(np.asarray(coords, float), axis=0)
+    return np.sqrt((diff**2).sum(axis=1))
+
+
 def convert_twt(twt, unit_in: str, unit_out: str):
     """Convert TWT values between time units (s/ms/us/ns)."""
     for u in (unit_in, unit_out):
