@@ -30,17 +30,35 @@ from ..ops import threshold as threshold_ops
 from ..ops.cplx import Cplx
 
 
+def _resolve_precision(p):
+    """'highest' | 'high' | 'default' | Precision -> jax.lax.Precision.
+
+    The matmul precision is the framework's speed/quality lever on TPU
+    (docs/perf.md): HIGHEST ≈ f32 (6-pass bf16), HIGH = bf16x3 (~1.7x
+    faster, solve SNR ~84 dB — cube-SNR neutral), DEFAULT = single-pass
+    bf16 (~3x faster, solve SNR ~28 dB).
+    """
+    import jax
+
+    if isinstance(p, str):
+        return {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[p.lower()]
+    return p if p is not None else jax.lax.Precision.HIGHEST
+
+
 @dataclasses.dataclass(frozen=True)
 class FFTTransform:
     """2D Fourier basis via MXU matmul-DFT (reference FFT kind)."""
 
+    precision: str = "highest"
     kind: str = "FFT"
 
     def forward(self, z: Cplx) -> Cplx:
-        return dft.fft2(z)
+        return dft.fft2(z, precision=_resolve_precision(self.precision))
 
     def inverse(self, coeffs: Cplx) -> Cplx:
-        return dft.ifft2(coeffs)
+        return dft.ifft2(coeffs, precision=_resolve_precision(self.precision))
 
     def decay(self, coeffs: Cplx, model, niter, p_max, p_min, decay_kind):
         return decay_ops.threshold_decay(
@@ -230,7 +248,7 @@ def register_transform(name: str, factory) -> None:
     _REGISTRY[name.upper()] = factory
 
 
-register_transform("FFT", lambda **kw: FFTTransform())
+register_transform("FFT", lambda precision="highest", **kw: FFTTransform(precision=precision))
 register_transform("DCT", lambda **kw: DCTTransform())
 register_transform(
     "WAVELET",
