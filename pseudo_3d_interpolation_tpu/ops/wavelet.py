@@ -70,8 +70,76 @@ def daubechies(p: int) -> np.ndarray:
     return h[::-1].copy()  # pywt orientation (h[0] smallest index)
 
 
+@functools.lru_cache(maxsize=32)
+def symlet(p: int) -> np.ndarray:
+    """Symlet ``sym-p``: least-asymmetric orthogonal filter, length 2p.
+
+    Same |m0(ω)|² as db-p, but the spectral-factorization roots are chosen
+    (exhaustively over conjugate-pair in/out assignments, p <= 12) to
+    minimize the phase nonlinearity of the filter — the standard
+    least-asymmetric construction.
+    """
+    if p < 2:
+        return daubechies(1)
+    if p > 12:
+        raise ValueError("symlets supported up to sym12 (exhaustive search)")
+    from itertools import product
+    from math import comb
+
+    ck = np.array([comb(p - 1 + k, k) for k in range(p - 1, -1, -1)], np.float64)
+    yroots = np.roots(ck)
+    # group complex roots into conjugate pairs; reals stand alone
+    used = np.zeros(len(yroots), bool)
+    groups = []
+    for i, y in enumerate(yroots):
+        if used[i]:
+            continue
+        used[i] = True
+        if abs(y.imag) < 1e-12:
+            groups.append([y.real])
+        else:
+            j = int(np.argmin([
+                abs(yroots[k] - np.conj(y)) + (1e18 if used[k] else 0)
+                for k in range(len(yroots))
+            ]))
+            used[j] = True
+            groups.append([y, yroots[j]])
+
+    def z_of(y, inside: bool):
+        r = np.roots([1.0, 4.0 * y - 2.0, 1.0])
+        r = r[np.argsort(np.abs(r))]
+        return r[0] if inside else r[1]
+
+    def build(choice):
+        poly = np.array([1.0 + 0j])
+        for _ in range(p):
+            poly = np.convolve(poly, [1.0, 1.0])
+        for grp, inside in zip(groups, choice):
+            for y in grp:
+                poly = np.convolve(poly, [1.0, -z_of(y, inside)])
+        h = np.real(poly)
+        return h / np.sum(h) * np.sqrt(2.0)
+
+    def asymmetry(h):
+        # deviation of the group delay from constant (phase nonlinearity)
+        w = np.linspace(0.01, np.pi - 0.01, 128)
+        e = np.exp(-1j * np.outer(w, np.arange(len(h))))
+        H = e @ h
+        phase = np.unwrap(np.angle(H * np.exp(1j * w * (len(h) - 1) / 2)))
+        return float(np.sum(np.diff(phase) ** 2))
+
+    best, best_a = None, np.inf
+    for choice in product([True, False], repeat=len(groups)):
+        h = build(choice)
+        a = asymmetry(h)
+        if a < best_a:
+            best, best_a = h, a
+    return best[::-1].copy()
+
+
 _FAMILIES = {"haar": 1}
 _FAMILIES.update({f"db{i}": i for i in range(1, 21)})
+_FAMILIES.update({f"sym{i}": i for i in range(2, 13)})
 
 
 def wavelet_filters(name: str):
@@ -80,9 +148,12 @@ def wavelet_filters(name: str):
     if name not in _FAMILIES:
         raise ValueError(
             f"Wavelet {name!r} not available; choose one of {sorted(_FAMILIES)} "
-            "(orthogonal Daubechies family, generated exactly)"
+            "(orthogonal Daubechies/Symlet families, generated exactly)"
         )
-    h = daubechies(_FAMILIES[name]).astype(np.float32)
+    if name.startswith("sym"):
+        h = symlet(_FAMILIES[name]).astype(np.float32)
+    else:
+        h = daubechies(_FAMILIES[name]).astype(np.float32)
     L = h.size
     g = (h[::-1] * np.asarray([(-1.0) ** k for k in range(L)], np.float32)).astype(np.float32)
     # orthogonal: synthesis filters equal analysis filters (transpose op)

@@ -1,0 +1,90 @@
+"""CLI surface tests: parser coverage, aliases, and a couple of end-to-end
+subcommand runs."""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.cli import build_parser, main
+
+from test_stage1 import make_profile
+
+
+ALL_COMMANDS = [
+    "merge", "reproject", "delrt-correct", "delrt-pad", "static", "tide",
+    "mistie", "despike", "segy2cube", "binning", "preprocess", "fft",
+    "pocs", "ifft", "postprocess", "cube2segy", "version",
+]
+
+
+def test_all_subcommands_registered():
+    parser = build_parser()
+    sub = next(a for a in parser._actions if hasattr(a, "choices") and a.choices)
+    for cmd in ALL_COMMANDS:
+        assert cmd in sub.choices, cmd
+
+
+def test_numbered_aliases():
+    parser = build_parser()
+    sub = next(a for a in parser._actions if hasattr(a, "choices") and a.choices)
+    for num, cmd in [(1, "merge"), (10, "binning"), (13, "pocs"), (16, "cube2segy")]:
+        assert f"{num:02d}-{cmd}" in sub.choices
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().count(".") == 2
+
+
+def test_missing_required_args():
+    with pytest.raises(SystemExit):
+        main(["binning"])  # missing input/output
+    with pytest.raises(SystemExit):
+        main(["pocs", "in.nc"])  # missing output
+
+
+def test_unknown_command():
+    with pytest.raises(SystemExit):
+        main(["frobnicate"])
+
+
+def test_despike_and_binning_via_cli(tmp_path, capsys):
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    for k in range(3):
+        make_profile(str(survey / f"l{k}_UTM.sgy"), ntr=20, ns=64,
+                     x0=5.0 + 10.0 * k, y0=5.0, heading=(0, 1), spacing=10.0,
+                     seed=k)
+    assert main(["despike", str(survey), "--threshold", "6"]) == 0
+    cube = str(tmp_path / "cube.nc")
+    assert main(["binning", str(survey), cube,
+                 "--extent", "0", "30", "0", "200", "--spacing", "10"]) == 0
+    import os
+
+    assert os.path.exists(cube)
+
+
+def test_fft_pocs_ifft_via_cli(tmp_path):
+    import os
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+    rng = np.random.default_rng(160)
+    amp = rng.normal(size=(8, 8, 32)).astype(np.float32)
+    c = Cube(
+        coords={"iline": np.arange(1, 9), "xline": np.arange(1, 9),
+                "twt": np.arange(32) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"), amp),
+                   "fold": (("iline", "xline"), np.ones((8, 8), np.int32))},
+    )
+    p0 = str(tmp_path / "c.nc")
+    write_cube(p0, c)
+    p1 = str(tmp_path / "f.nc")
+    assert main(["fft", p0, p1]) == 0
+    p2 = str(tmp_path / "i.nc")
+    assert main(["pocs", p1, p2, "--niter", "5", "--batch", "8"]) == 0
+    p3 = str(tmp_path / "t.nc")
+    assert main(["ifft", p2, p3]) == 0
+    back = read_cube(p3)
+    assert any(v not in ("fold",) for v in back.data_vars)
+    assert os.path.exists(str(tmp_path / "i_parameter.yml"))

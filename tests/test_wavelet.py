@@ -119,3 +119,34 @@ def test_wavelet_pocs_reconstruction():
     snr_out = float(metrics.snr(x, rec))
     assert snr_out > snr_in + 6, (snr_in, snr_out)
     assert snr_out > 15, snr_out
+
+
+@pytest.mark.parametrize("p", [2, 4, 6, 8])
+def test_symlet_properties(p):
+    """Symlets: orthonormal, Σh=√2, even-shift orthogonality, and less
+    asymmetric than the corresponding Daubechies filter."""
+    h = wv.symlet(p)
+    assert h.size == 2 * p
+    np.testing.assert_allclose(h.sum(), np.sqrt(2.0), rtol=1e-9)
+    np.testing.assert_allclose(np.dot(h, h), 1.0, rtol=1e-9)
+    for k in range(1, p):
+        np.testing.assert_allclose(np.dot(h[: -2 * k], h[2 * k:]), 0.0, atol=1e-8)
+
+    def asym(h):
+        w = np.linspace(0.01, np.pi - 0.01, 128)
+        e = np.exp(-1j * np.outer(w, np.arange(len(h))))
+        H = e @ h
+        ph = np.unwrap(np.angle(H * np.exp(1j * w * (len(h) - 1) / 2)))
+        return float(np.sum(np.diff(ph) ** 2))
+
+    if p >= 4:
+        assert asym(h) <= asym(wv.daubechies(p)) + 1e-9
+
+
+@pytest.mark.parametrize("name", ["sym4", "sym8"])
+def test_symlet_perfect_reconstruction(name):
+    rng = np.random.default_rng(55)
+    x = rng.normal(size=(64, 64)).astype(np.float32)
+    coeffs = wv.wavedec2(x, name, 2)
+    back = np.asarray(wv.waverec2(coeffs, name))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
