@@ -61,6 +61,11 @@ class POCSConfig:
     version: str = "regular"  # regular | fast | adaptive
     transform_kind: str = "FFT"
     keep_cost_history: bool = False
+    # stop the whole batch once EVERY slice has converged (lax.while_loop
+    # instead of a fixed scan): saves the tail iterations when eps is
+    # realistic, at the price of no cost history and a per-iteration
+    # all-reduce of the active flags
+    global_early_stop: bool = False
     # fused Pallas iteration (FFT basis, hard/soft threshold, square slices,
     # shared 2D mask); falls back to the XLA path when unsupported
     use_pallas: bool = False
@@ -217,9 +222,26 @@ def pocs_interpolate(
     c0 = jnp.zeros(batch_shape, z.dtype)
     carry0 = (z, z, active0, n0, c0)
 
-    (x_prev, x_inv, active, n_eff, cost), history = jax.lax.scan(
-        one_iter, carry0, (iters, fracs, decay_tree)
-    )
+    if cfg.global_early_stop and not cfg.keep_cost_history:
+        def wl_cond(state):
+            i, carry = state
+            return (i < cfg.niter) & jnp.any(carry[2])
+
+        def wl_body(state):
+            i, carry = state
+            xs_i = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
+                a, i, axis=0, keepdims=False), (iters, fracs, decay_tree))
+            carry, _ = one_iter(carry, xs_i)
+            return i + 1, carry
+
+        _, (x_prev, x_inv, active, n_eff, cost) = jax.lax.while_loop(
+            wl_cond, wl_body, (jnp.int32(0), carry0)
+        )
+        history = None
+    else:
+        (x_prev, x_inv, active, n_eff, cost), history = jax.lax.scan(
+            one_iter, carry0, (iters, fracs, decay_tree)
+        )
 
     # zero-input short-circuit (reference POCS.py:515-521)
     nonzero = jnp.sum(z.abs2(), axis=(-2, -1)) > 0

@@ -222,3 +222,17 @@ def test_cost_history():
     assert np.isfinite(hist).all()
     # cost decreases over iterations (roughly monotone at the end)
     assert hist[-1] < hist[1]
+
+
+def test_global_early_stop_matches_scan():
+    """while_loop early-stop variant == fixed-scan results (same eps)."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=13)
+    obs = x * mask
+    base = POCSConfig(niter=40, p_min=1e-3, eps=1e-6, version="regular")
+    rec_a, n_a, c_a = pocs_interpolate_numpy(obs, mask, base)
+    ges = dataclasses.replace(base, global_early_stop=True)
+    rec_b, n_b, c_b = pocs_interpolate_numpy(obs, mask, ges)
+    assert n_a == n_b
+    assert n_a < 40  # early stop actually triggered
+    np.testing.assert_allclose(rec_a, rec_b, rtol=1e-5, atol=1e-6)
