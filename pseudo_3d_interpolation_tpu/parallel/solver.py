@@ -108,7 +108,7 @@ def interpolate_cube(
     costs = np.empty((f_total,), np.float32)
     mask32 = np.asarray(mask, np.float32)
 
-    for start in range(0, f_total, batch):
+    def _dispatch(start):
         stop = min(start + batch, f_total)
         chunk = data[start:stop]
         pad = batch - chunk.shape[0]
@@ -117,10 +117,26 @@ def interpolate_cube(
         res = pocs_interpolate_sharded(
             from_complex(chunk), mask32, mesh=mesh, transform=transform, config=config
         )
+        return start, stop, res
+
+    def _collect(item):
+        start, stop, res = item
         rec = to_complex(res.data) if was_complex else np.asarray(res.data.re)
         out[start:stop] = rec[: stop - start]
         n_iters[start:stop] = np.asarray(res.n_iterations)[: stop - start]
         costs[start:stop] = np.asarray(res.cost)[: stop - start]
         if progress is not None:
             progress(stop, f_total)
+
+    # jax dispatch is async: keep one chunk in flight ahead of the one being
+    # materialized, overlapping host<->device transfers with device compute
+    # (the reference overlaps via threaded dask writes instead)
+    in_flight = None
+    for start in range(0, f_total, batch):
+        nxt = _dispatch(start)
+        if in_flight is not None:
+            _collect(in_flight)
+        in_flight = nxt
+    if in_flight is not None:
+        _collect(in_flight)
     return out, n_iters, costs
