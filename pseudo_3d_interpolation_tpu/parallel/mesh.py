@@ -62,3 +62,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def pad_to_multiple(n: int, m: int) -> int:
     """Batch size padded so it divides evenly across ``m`` shards."""
     return -(-n // m) * m
+
+
+def reshard_axis(x, mesh: Mesh, axis: int, axis_name: str = SLICE_AXIS):
+    """Re-lay an array so that ``axis`` is the sharded one.
+
+    The device-resident replacement for the reference's on-disk time-major /
+    slice-major transpose (cube_binning_3D.py:1313-1351): moving the sharded
+    axis makes XLA insert the ICI ``all_to_all`` between stages that want
+    different parallel axes (e.g. trace-parallel time FFT -> slice-parallel
+    POCS), with no host round-trip.
+    """
+    import jax
+
+    spec = [None] * np.ndim(x)
+    spec[axis] = axis_name
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))

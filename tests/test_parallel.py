@@ -1,5 +1,6 @@
 """Sharding tests on the 8-device virtual CPU mesh: sharded == single-device."""
 
+import jax.numpy as jnp
 import numpy as np
 
 from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate_numpy
@@ -66,3 +67,21 @@ def test_interpolate_cube_real_input():
     rec, _, _ = interpolate_cube(slices * mask, mask, POCSConfig(niter=8, p_min=1e-3),
                                  mesh=make_mesh(), batch=8)
     assert rec.dtype == np.float32
+
+
+def test_reshard_axis_all_to_all():
+    """Device-side layout swap between trace-parallel and slice-parallel
+    shardings (replaces the reference's on-disk transpose)."""
+    import jax
+    from pseudo_3d_interpolation_tpu.parallel.mesh import reshard_axis
+
+    mesh = make_mesh()
+    x = np.arange(8 * 16 * 4, dtype=np.float32).reshape(8, 16, 4)
+    a = reshard_axis(x, mesh, axis=0)  # sharded over leading (slice) axis
+    assert a.sharding.spec[0] == "slices"
+    b = reshard_axis(a, mesh, axis=1)  # all_to_all to trace-parallel
+    assert b.sharding.spec[1] == "slices" and b.sharding.spec[0] is None
+    np.testing.assert_array_equal(np.asarray(b), x)
+    # computation composes across the reshard
+    y = jax.jit(jnp.sum)(b)
+    assert float(y) == x.sum()
