@@ -168,6 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", default="fast", choices=["regular", "fast", "adaptive"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--runtime-csv", default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="write per-batch slice files here and resume from them")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax profiler trace (TensorBoard/XProf)")
 
     p = cmd("ifft", 14, "inverse FFT back to the time domain")
     p.add_argument("input")
@@ -190,6 +194,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--var", default=None)
     p.add_argument("--format", type=int, default=5, choices=[1, 5])
+
+    p = sub.add_parser("nav", help="extract navigation from SEG-Y headers")
+    _add_common(p)
+    p.add_argument("input")
+    p.add_argument("output", help=".csv or .geojson path")
+    p.add_argument("--write-sidecars", action="store_true",
+                   help="also write a .nav next to every profile")
 
     sub.add_parser("version", help="print version")
     return ap
@@ -245,7 +256,7 @@ def main(argv=None) -> int:
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "pocs":
         from .models.pocs import POCSConfig
-        from .pipeline.pocs import interpolate
+        from .pipeline.pocs import interpolate, interpolate_checkpointed
 
         cfg = args.params if args.params else POCSConfig(
             niter=args.niter, thresh_op="hard", thresh_model="exponential",
@@ -253,9 +264,21 @@ def main(argv=None) -> int:
             version=args.version, alpha=0.75, eps=1e-16,
             transform_kind=args.transform,
         )
-        interpolate(args.input, cfg, batch=args.batch, out_path=args.output,
-                    runtime_csv=args.runtime_csv, verbose=v)
+        if args.checkpoint_dir:
+            interpolate_checkpointed(args.input, cfg, args.checkpoint_dir,
+                                     batch=args.batch, out_path=args.output,
+                                     verbose=v)
+        else:
+            interpolate(args.input, cfg, batch=args.batch, out_path=args.output,
+                        runtime_csv=args.runtime_csv,
+                        profile_dir=args.profile_dir, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "nav":
+        from .io.auxiliary import export_coords, extract_navigation
+
+        df = extract_navigation(args.input, write_sidecars=args.write_sidecars)
+        export_coords(df, args.output)
+        xprint(f"wrote {args.output} ({len(df)} traces)", kind="success", verbosity=v)
     elif cmd == "ifft":
         from .pipeline.ifft import apply_ifft
 

@@ -88,3 +88,34 @@ def test_fft_pocs_ifft_via_cli(tmp_path):
     back = read_cube(p3)
     assert any(v not in ("fold",) for v in back.data_vars)
     assert os.path.exists(str(tmp_path / "i_parameter.yml"))
+
+
+def test_nav_and_checkpointed_pocs(tmp_path):
+    import os
+
+    survey = tmp_path / "s"
+    survey.mkdir()
+    for k in range(2):
+        make_profile(str(survey / f"n{k}_UTM.sgy"), ntr=10, ns=32,
+                     x0=k * 50.0, seed=k)
+    gj = str(tmp_path / "nav.geojson")
+    assert main(["nav", str(survey), gj]) == 0
+    assert os.path.getsize(gj) > 100
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, write_cube
+
+    rng = np.random.default_rng(170)
+    c = Cube(
+        coords={"iline": np.arange(1, 7), "xline": np.arange(1, 7),
+                "twt": np.arange(32) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"),
+                           rng.normal(size=(6, 6, 32)).astype(np.float32)),
+                   "fold": (("iline", "xline"), np.ones((6, 6), np.int32))},
+    )
+    p0 = str(tmp_path / "c.nc"); write_cube(p0, c)
+    p1 = str(tmp_path / "f.nc"); assert main(["fft", p0, p1]) == 0
+    ck = str(tmp_path / "ck")
+    p2 = str(tmp_path / "i.nc")
+    assert main(["pocs", p1, p2, "--niter", "4", "--batch", "8",
+                 "--checkpoint-dir", ck]) == 0
+    assert len(os.listdir(ck)) >= 1
