@@ -195,6 +195,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--var", default=None)
     p.add_argument("--format", type=int, default=5, choices=[1, 5])
 
+    p = sub.add_parser("qc", help="write QC figures for a SEG-Y profile or cube")
+    _add_common(p)
+    p.add_argument("input", help=".sgy profile or .nc cube")
+    p.add_argument("--output-dir", default="qc")
+    p.add_argument("--iline", type=int, default=None,
+                   help="cube: iline section to image (default: middle)")
+
     p = sub.add_parser("nav", help="extract navigation from SEG-Y headers")
     _add_common(p)
     p.add_argument("input")
@@ -273,6 +280,49 @@ def main(argv=None) -> int:
                         runtime_csv=args.runtime_csv,
                         profile_dir=args.profile_dir, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
+    elif cmd == "qc":
+        import os
+
+        import numpy as np
+
+        from . import qc as qclib
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        written = []
+        if args.input.lower().endswith((".sgy", ".segy")):
+            from .io.segy import SegyFile
+
+            with SegyFile(args.input) as f:
+                data = f.trace_data().T
+                twt = (f.header("DelayRecordingTime")[0] / 1e3
+                       + np.arange(f.n_samples) * f.dt_us * 1e-6)
+                fs = 1e6 / f.dt_us
+            base = os.path.splitext(os.path.basename(args.input))[0]
+            written.append(qclib.plot_seismic_image(
+                data, twt=twt, title=base,
+                path=os.path.join(args.output_dir, f"{base}_image.png")))
+            written.append(qclib.plot_average_spectrum(
+                data.T, fs=fs, n_traces=50,
+                path=os.path.join(args.output_dir, f"{base}_spectrum.png")))
+        else:
+            from .io.ncio import read_cube
+
+            cube = read_cube(args.input)
+            base = os.path.splitext(os.path.basename(args.input))[0]
+            var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref"))
+            data = np.asarray(cube[var])
+            if np.iscomplexobj(data):
+                data = np.abs(data)
+            i = args.iline if args.iline is not None else data.shape[0] // 2
+            twt = np.asarray(cube.coords.get("twt", np.arange(data.shape[-1])))
+            written.append(qclib.plot_seismic_image(
+                data[i].T, twt=twt, title=f"{base} iline {i}",
+                path=os.path.join(args.output_dir, f"{base}_il{i}.png")))
+            if "fold" in cube.data_vars:
+                written.append(qclib.plot_fold_map(
+                    cube["fold"], path=os.path.join(args.output_dir, f"{base}_fold.png")))
+        xprint(f"wrote {len(written)} QC figures -> {args.output_dir}/",
+               kind="success", verbosity=v)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation
 

@@ -119,3 +119,27 @@ def test_nav_and_checkpointed_pocs(tmp_path):
     assert main(["pocs", p1, p2, "--niter", "4", "--batch", "8",
                  "--checkpoint-dir", ck]) == 0
     assert len(os.listdir(ck)) >= 1
+
+
+def test_qc_subcommand(tmp_path):
+    import os
+
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, ntr=20, ns=64)
+    qcdir = str(tmp_path / "qc")
+    assert main(["qc", p, "--output-dir", qcdir]) == 0
+    files = os.listdir(qcdir)
+    assert any("image" in f for f in files) and any("spectrum" in f for f in files)
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, write_cube
+
+    c = Cube(
+        coords={"iline": np.arange(1, 5), "xline": np.arange(1, 5),
+                "twt": np.arange(16) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"),
+                           np.random.default_rng(0).normal(size=(4, 4, 16)).astype(np.float32)),
+                   "fold": (("iline", "xline"), np.ones((4, 4), np.int32))},
+    )
+    cp = str(tmp_path / "cube.nc"); write_cube(cp, c)
+    assert main(["qc", cp, "--output-dir", qcdir]) == 0
+    assert any("fold" in f for f in os.listdir(qcdir))
