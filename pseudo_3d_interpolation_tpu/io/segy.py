@@ -208,6 +208,11 @@ class SegyFile:
         self.format = self.bin["Format"] or 5
         if self.format not in _FORMAT_INFO:
             raise ValueError(f"{path}: unsupported sample format {self.format}")
+        # i2 fields storing 32768..65535 read back negative; normalize
+        # (rev2 unsigned semantics, e.g. long sub-bottom records)
+        for f16 in ("Samples", "SamplesOriginal", "Interval"):
+            if self.bin[f16] < 0:
+                self.bin[f16] &= 0xFFFF
         self.n_samples = self.bin["Samples"]
         self.dt_us = self.bin["Interval"]
         n_ext = max(self.bin.get("ExtendedHeaders", 0), 0)
@@ -340,9 +345,16 @@ def write_segy(
     def _set_bin(name, value):
         off, dt = BINARY_HEADER_FIELDS[name]
         size = int(dt[-1])
-        bin_raw[off - 3201 : off - 3201 + size] = np.frombuffer(
-            np.array([value]).astype(">" + dt).tobytes(), np.uint8
-        )
+        if size == 2:
+            # SEG-Y i2 fields hold up to 65535 via the unsigned bit pattern
+            # (rev2 semantics); beyond that the format cannot represent it
+            if not 0 <= int(value) <= 65535:
+                raise ValueError(f"binary header {name}={value} exceeds the "
+                                 "16-bit SEG-Y field range (max 65535)")
+            enc = np.array([int(value)], ">u2")
+        else:
+            enc = np.array([value]).astype(">" + dt)
+        bin_raw[off - 3201 : off - 3201 + size] = np.frombuffer(enc.tobytes(), np.uint8)
 
     _set_bin("Samples", ns)
     _set_bin("SamplesOriginal", ns)

@@ -127,16 +127,23 @@ def pocs_interpolate(
     batch_shape = z.shape[:-2]
     mask_in = jnp.asarray(mask, z.dtype)
     use_fused = False
+    fused_precision = None
     if cfg.use_pallas:
         from ..ops.pallas import pallas_supported
+        from .transforms import FFTTransform, _resolve_precision
 
+        # gate on the transform actually in use, not the config string —
+        # an explicitly passed non-FFT transform must never be silently
+        # replaced by the FFT kernel
         use_fused = (
-            mask_in.ndim == 2
+            isinstance(transform, FFTTransform)
+            and mask_in.ndim == 2
             and len(batch_shape) == 1
-            and cfg.transform_kind.upper() == "FFT"
             and cfg.thresh_op in ("hard", "soft")
             and pallas_supported(z.shape)
         )
+        if use_fused:
+            fused_precision = _resolve_precision(transform.precision)
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
@@ -188,6 +195,7 @@ def pocs_interpolate(
             x_rec = pocs_iteration_fused(
                 x_input, z, mask_in, decay_i, alpha=cfg.alpha,
                 thresh_op=cfg.thresh_op, interpret=cfg.pallas_interpret,
+                precision=fused_precision,
             )
         else:
             coeffs = transform.forward(x_input)

@@ -107,14 +107,15 @@ class WaveletTransform:
     wavelet: str = "db4"
     level: int | None = None
     kind: str = "WAVELET"
-    # original slice shape when zero-padding to a 2**level multiple is
-    # needed; set automatically via with_shape() (the solver calls it)
+    # original slice shape + padded target when zero-padding is needed; set
+    # automatically via with_shape() (the solver calls it)
     crop: tuple | None = None
+    target: tuple | None = None
 
     def with_shape(self, shape):
-        """Bind to a slice shape: resolves the level and records the crop
-        needed after zero-padding to the next 2**level multiple, so
-        arbitrary (e.g. odd) cube dimensions work like pywt's ragged
+        """Bind to a slice shape: resolves the level and records the padded
+        target (a 2**level multiple, at least the filter length), so
+        arbitrary (odd, small) cube dimensions work like pywt's ragged
         handling in the reference."""
         import dataclasses as _dc
 
@@ -123,20 +124,25 @@ class WaveletTransform:
         h, w = int(shape[-2]), int(shape[-1])
         level = self.level
         if level is None:
-            level = min(wv.max_level(max(h, 1), self.wavelet),
-                        wv.max_level(max(w, 1), self.wavelet), 3)
+            level = min(max(wv.max_level(h, self.wavelet), 1),
+                        max(wv.max_level(w, self.wavelet), 1), 3)
         m = 2 ** level
-        if h % m == 0 and w % m == 0:
-            return _dc.replace(self, level=level, crop=None)
-        return _dc.replace(self, level=level, crop=(h, w))
+        filt_len = 2 * wv._FAMILIES[self.wavelet.lower()]
+        # the axis entering the final level is target / 2**(level-1); it must
+        # hold the full filter for the periodized convolution to be exact
+        min_size = -(-(filt_len * 2 ** (level - 1)) // m) * m
+        th = max(-(-h // m) * m, min_size)
+        tw = max(-(-w // m) * m, min_size)
+        if (th, tw) == (h, w):
+            return _dc.replace(self, level=level, crop=None, target=None)
+        return _dc.replace(self, level=level, crop=(h, w), target=(th, tw))
 
     def _pad(self, a):
-        if self.crop is None:
+        if self.target is None:
             return a
-        m = 2 ** (self.level or 1)
-        h, w = self.crop
-        ph = (-h) % m
-        pw = (-w) % m
+        th, tw = self.target
+        ph = th - a.shape[-2]
+        pw = tw - a.shape[-1]
         return jnp.pad(a, [(0, 0)] * (a.ndim - 2) + [(0, ph), (0, pw)])
 
     def forward(self, z: Cplx):

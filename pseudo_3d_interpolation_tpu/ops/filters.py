@@ -61,13 +61,15 @@ def _unfold_last(x, win: int):
 
 def moving_median(a, win: int = 3, padded: bool = False):
     """Centered moving median; optional odd-symmetric edge padding
-    (reference filter.py:89-113 + pad_array)."""
+    (reference filter.py:89-113 + pad_array). ``win`` should be odd when
+    ``padded`` so the output keeps the input length."""
+    from ..utils.pad import pad_mirror_flip
+
     a = jnp.asarray(a)
     if padded:
-        half = (win - 1) // 2
-        start = a[..., 0:1] - jnp.abs(a[..., 1 : half + 1][..., ::-1] - a[..., 0:1])
-        end = a[..., -1:] - jnp.abs(a[..., -half - 1 : -1][..., ::-1] - a[..., -1:])
-        a = jnp.concatenate([start, a, end], axis=-1)
+        if a.ndim != 1:
+            raise ValueError("padded moving_median expects a 1D array")
+        a = pad_mirror_flip(a, (win - 1) // 2)
     return jnp.median(_unfold_last(a, win), axis=-1)
 
 
@@ -208,9 +210,9 @@ def median_abs_deviation_double(x, axis=-1):
 
 
 def _pad_mirror_flip_np(a, n):
-    start = a[0] - np.abs(a[1 : n + 1][::-1] - a[0])
-    end = a[-1] - np.abs(a[-n - 1 : -1][::-1] - a[-1])
-    return np.concatenate([start, a, end])
+    from ..utils.pad import pad_mirror_flip
+
+    return np.asarray(pad_mirror_flip(a, n))
 
 
 def smooth(data, window_len: int = 11, window: str = "hanning"):
@@ -393,8 +395,10 @@ def detect_seafloor_reflection(
     idx = filter_interp_1d(idx, method="r_doubleMAD", kind="cubic",
                            threshold=3, win=win_mad).astype(int)
 
-    # (4) moving median to kill remaining spikes
+    # (4) moving median to kill remaining spikes (window forced odd — an
+    # even window makes the centered median one element short)
     win_median = int(0.3 * work.shape[1]) if win_median > work.shape[1] else win_median
+    win_median = max(win_median, 3) | 1
     idx = np.asarray(moving_median(jnp.asarray(idx.astype(np.float32)),
                                    win_median, padded=True)).astype(int)
 

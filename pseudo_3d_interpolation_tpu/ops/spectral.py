@@ -54,7 +54,9 @@ def forward_fft(
     frequency sampling (reference ``--upsampling-factor``). Odd-length time
     axes are truncated by one sample first (reference cube_apply_FFT.py:224-233).
     """
-    x = jnp.asarray(x)
+    is_pair = isinstance(x, Cplx)
+    if not is_pair:
+        x = jnp.asarray(x)
     twt = np.asarray(twt, np.float64)
     n = x.shape[-1]
     if n % 2 != 0:
@@ -66,10 +68,12 @@ def forward_fft(
     nfft = int(upsample) * n
 
     if real:
+        if is_pair:
+            raise ValueError("real=True expects a real array, not a Cplx pair")
         spec = dft.rfft1(x, axis=-1, n=nfft, precision=precision)
         freqs = np.fft.rfftfreq(nfft, dt)
     else:
-        z = x if isinstance(x, Cplx) else Cplx(x, jnp.zeros_like(x))
+        z = x if is_pair else Cplx(x, jnp.zeros_like(x))
         if nfft != n:
             pad = [(0, 0)] * (z.re.ndim - 1) + [(0, nfft - n)]
             z = Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))

@@ -161,13 +161,18 @@ def wavelet_filters(name: str):
 
 
 def max_level(n: int, name: str) -> int:
-    """Max decomposition levels for axis length ``n`` (periodized)."""
+    """Max decomposition levels for axis length ``n`` (periodized).
+
+    Returns 0 when the axis is shorter than the filter — decomposition is
+    not possible (callers raise a clear error rather than wrapping
+    incorrectly).
+    """
     L = 2 * _FAMILIES[name.lower()]
     lvl = 0
-    while n % 2 == 0 and n // 2 >= L // 2 and n >= L:
+    while n % 2 == 0 and n >= L:
         n //= 2
         lvl += 1
-    return max(lvl, 1)
+    return lvl
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +253,12 @@ def wavedec2(x, name: str = "db4", level: int | None = None):
     h, w = x.shape[-2], x.shape[-1]
     if level is None:
         level = min(max_level(h, name), max_level(w, name))
+    if level < 1:
+        raise ValueError(
+            f"slice {h}x{w} too short for wavelet {name!r} "
+            f"(filter length {2 * _FAMILIES[name.lower()]}); pad the input "
+            "(WaveletTransform.with_shape does this automatically)"
+        )
     for s in (h, w):
         if s % (2**level):
             raise ValueError(f"axis length {s} not divisible by 2**{level}")

@@ -50,12 +50,11 @@ def apply_fft(
                + (" (+drop)" if drop_filtered else ""), kind="info", verbosity=verbose)
 
     var_new = f"freq_{var}"
+    # carry every non-time coordinate (works for cubes and 2D profiles alike)
+    coords = {k: v for k, v in cube.coords.items() if k != "twt"}
+    coords["freq_twt"] = spec.freqs
     out = Cube(
-        coords={
-            "iline": cube.coords["iline"],
-            "xline": cube.coords["xline"],
-            "freq_twt": spec.freqs,
-        },
+        coords=coords,
         data_vars={var_new: (dims[:-1] + ("freq_twt",), to_complex(spec.data))},
         attrs=dict(cube.attrs),
         coord_attrs={"freq_twt": {"units": "Hz", "long_name": "frequency"}},

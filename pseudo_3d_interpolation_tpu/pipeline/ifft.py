@@ -45,12 +45,10 @@ def apply_ifft(
     if isinstance(var_out, bytes):
         var_out = var_out.decode()
     dims = cube.dims_of(var)[:-1] + ("twt",)
+    coords = {k: v for k, v in cube.coords.items() if k != "freq_twt"}
+    coords["twt"] = twt
     out = Cube(
-        coords={
-            "iline": cube.coords["iline"],
-            "xline": cube.coords["xline"],
-            "twt": twt,
-        },
+        coords=coords,
         data_vars={var_out: (dims, x.astype(np.float32))},
         attrs=dict(cube.attrs),
         coord_attrs={"twt": {"units": "s", "long_name": "two-way traveltime"}},

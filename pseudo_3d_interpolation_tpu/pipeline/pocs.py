@@ -68,11 +68,8 @@ def interpolate_checkpointed(
     frequency range + manual re-runs; cube_POCS_interpolation_3D.py:146-157,
     369-405, SURVEY.md §5.4).
     """
-    import numpy as _np
-
     from ..models.transforms import get_transform as _get_transform
-    from ..ops.cplx import from_complex, to_complex
-    from ..parallel.solver import pocs_interpolate_sharded
+    from ..parallel.solver import interpolate_cube as _interpolate_cube
     from ..parallel import mesh as mesh_lib
 
     if isinstance(cube, str):
@@ -113,16 +110,14 @@ def interpolate_checkpointed(
             xprint(f"resume: batch {start}-{stop} from checkpoint", kind="info",
                    verbosity=verbose)
             continue
-        chunk = moved[start:stop]
-        pad = batch - chunk.shape[0]
-        if pad:
-            chunk = _np.concatenate([chunk, _np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-        res = pocs_interpolate_sharded(from_complex(chunk), mask, mesh=mesh,
-                                       transform=transform, config=config)
-        out_chunk = to_complex(res.data) if was_complex else np.asarray(res.data.re)
-        rec[start:stop] = out_chunk[: stop - start]
-        n_iters[start:stop] = np.asarray(res.n_iterations)[: stop - start]
-        costs[start:stop] = np.asarray(res.cost)[: stop - start]
+        # reuse the pipelined chunk driver for the padded solve
+        rec_c, n_c, c_c = _interpolate_cube(
+            moved[start:stop], mask, config, mesh=mesh, transform=transform,
+            batch=batch,
+        )
+        rec[start:stop] = rec_c
+        n_iters[start:stop] = n_c
+        costs[start:stop] = c_c
         part = Cube(
             coords={slice_dim: np.asarray(cube.coords[slice_dim])[start:stop]},
             data_vars={

@@ -664,7 +664,12 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
 
     year, doy = col("YearDataRecorded").astype(int), col("DayOfYear").astype(int)
     hh, mm, ss = (col(k).astype(int) for k in ("HourOfDay", "MinuteOfHour", "SecondOfMinute"))
-    t = ((doy * 24 + hh) * 60 + mm) * 60 + ss + (year - year.min()) * 366 * 86400
+    # real calendar epochs (a day-count formula fabricates ~1-day gaps at
+    # year boundaries)
+    base = pd.to_datetime({"year": year, "month": 1, "day": 1,
+                           "hour": hh, "minute": mm, "second": ss})
+    stamps = (base + pd.to_timedelta(doy - 1, unit="D")).to_numpy()
+    t = stamps.astype("datetime64[s]").astype("int64")
     dts = np.diff(t)
     if len(dts) == 0:
         return data, raws, 0

@@ -264,3 +264,17 @@ def test_tide_sign_removes_tidal_depth_error(tmp_path):
     # without compensation the last traces sit ~2 ms deep; after, ~40 ms flat
     assert abs(peaks[-1] - 40.0) <= 2 * dt_ms, peaks[-5:]
     assert np.abs(peaks - 40.0).max() <= 3 * dt_ms
+
+
+def test_merge_across_year_boundary_no_fabricated_gap(tmp_path):
+    """Regression: Dec 31 -> Jan 1 recording must not fabricate a day gap."""
+    a = str(tmp_path / "a_UTM.sgy")
+    b = str(tmp_path / "b_UTM.sgy")
+    make_profile(a, ntr=60, seed=31, times_start="2023-12-31T23:59:00")
+    make_profile(b, ntr=5, seed=32, times_start="2024-01-01T00:00:00", x0=400.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    merged = [o for o in outs if "merged" in o][0]
+    with SegyFile(merged) as f:
+        # 60 + 5 traces, no fabricated zero traces
+        assert f.n_traces == 65
+        assert (f.header("TraceIdentificationCode") != 2).all()
