@@ -14,7 +14,7 @@ import numpy as np
 from ..io.headers import unscale_coordinates
 from ..io.ncio import Cube, read_cube
 from ..io.segy import write_segy
-from ..io.textual import encode_textual_header, decode_textual_header
+
 from ..ops.affine import Affine
 from ..utils.logging import xprint
 

@@ -9,12 +9,23 @@ envelope. Each applied op appends to the history/provenance attrs.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+
+import jax
 
 from ..io.ncio import Cube, read_cube, write_cube
 from ..ops import filters as flt
 from ..ops import signal as sig
 from ..utils.logging import xprint
+
+# module-level jits: each op is one compiled program per cube shape instead
+# of per-primitive eager dispatch (pathologically slow on remote backends)
+_balance_ref = jax.jit(sig.calc_reference_amplitude,
+                       static_argnames=("axis", "scale"))
+_envelope = jax.jit(sig.envelope)
+_resample = jax.jit(sig.resample_fft, static_argnames=("n_out",))
 
 
 def preprocess(
@@ -42,7 +53,7 @@ def preprocess(
     history = []
 
     if balance:
-        ref = np.asarray(sig.calc_reference_amplitude(data, axis=-1, scale=balance))
+        ref = np.asarray(_balance_ref(data, axis=-1, scale=balance))
         data = data / ref[..., None]
         if balance_store_ref:
             cube.data_vars["amp_ref"] = (dims[:-1], ref.astype(np.float32))
@@ -50,7 +61,8 @@ def preprocess(
         xprint(f"balanced traces ({balance})", kind="info", verbosity=verbose)
 
     if gain_args:
-        data = np.asarray(sig.gain(data, twt, **gain_args))
+        gain_fn = jax.jit(functools.partial(sig.gain, twt=twt, **gain_args))
+        data = np.asarray(gain_fn(data))
         history.append("GAIN(" + ",".join(f"{k}={v}" for k, v in gain_args.items()) + ")")
         xprint(f"applied gain {gain_args}", kind="info", verbosity=verbose)
 
@@ -76,7 +88,7 @@ def preprocess(
             data = ss.resample_poly(data, int(resample_to) // g, n_old // g,
                                     axis=-1).astype(np.float32)
         else:
-            data = np.asarray(sig.resample_fft(data, int(resample_to))).astype(np.float32)
+            data = np.asarray(_resample(data, n_out=int(resample_to))).astype(np.float32)
         twt = sig.resampled_twt(twt, int(resample_to), n_old)
         cube.coords["twt"] = twt
         history.append(f"RESAMPLE({n_old}->{resample_to})")
@@ -85,7 +97,7 @@ def preprocess(
     cube.data_vars[var] = (dims, data)
 
     if envelope:
-        env = np.asarray(sig.envelope(data)).astype(np.float32)
+        env = np.asarray(_envelope(data)).astype(np.float32)
         cube.data_vars["env"] = (dims, env)
         history.append("ENVELOPE")
         xprint("computed envelope", kind="info", verbosity=verbose)
