@@ -276,8 +276,16 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
 # ===========================================================================
 def compute_static(horizon_samples: np.ndarray, dt_ms: float,
                    savgol_window: int = 41, savgol_order: int = 3,
-                   clip_samples: int | None = None) -> np.ndarray:
-    """static (samples) = lowpassed(horizon) − horizon (reference :93-256)."""
+                   clip_samples: int | None = None,
+                   clip_percentile: float | None = None,
+                   clip_mad: float | None = None) -> np.ndarray:
+    """static (samples) = lowpassed(horizon) − horizon (reference :93-256).
+
+    Clipping options mirror the reference's percentile/samples/MAD limits:
+    ``clip_samples`` = hard bound, ``clip_percentile`` = symmetric bound at
+    that percentile of |static|, ``clip_mad`` = bound at k·MAD of the
+    static distribution.
+    """
     import scipy.signal as ss
 
     h = horizon_samples.astype(np.float64)
@@ -290,6 +298,14 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
     else:
         smooth = ss.savgol_filter(h_f, win, savgol_order)
     static = smooth - h
+    if clip_percentile is not None:
+        bound = np.percentile(np.abs(static), clip_percentile)
+        static = np.clip(static, -bound, bound)
+    if clip_mad is not None:
+        mad = flt.median_abs_deviation(static)
+        bound = clip_mad * (mad if mad > 0 else 1.0)
+        med = np.median(static)
+        static = np.clip(static, med - bound, med + bound)
     if clip_samples is not None:
         static = np.clip(static, -clip_samples, clip_samples)
     return np.rint(static).astype(np.int32)

@@ -278,3 +278,16 @@ def test_merge_across_year_boundary_no_fabricated_gap(tmp_path):
         # 60 + 5 traces, no fabricated zero traces
         assert f.n_traces == 65
         assert (f.header("TraceIdentificationCode") != 2).all()
+
+
+def test_static_clipping_options():
+    rng = np.random.default_rng(50)
+    horizon = 100 + rng.normal(0, 2, 200)
+    horizon[50] = 160  # big outlier handled by robust prefilter anyway
+    s_plain = stage1.compute_static(horizon, 0.25)
+    s_pct = stage1.compute_static(horizon, 0.25, clip_percentile=80)
+    s_mad = stage1.compute_static(horizon, 0.25, clip_mad=2.0)
+    s_hard = stage1.compute_static(horizon, 0.25, clip_samples=1)
+    assert np.abs(s_hard).max() <= 1
+    assert np.abs(s_pct).max() <= np.abs(s_plain).max()
+    assert np.abs(s_mad - np.median(s_plain)).max() <= np.abs(s_plain - np.median(s_plain)).max()
