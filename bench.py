@@ -28,19 +28,6 @@ def _arm_watchdog(seconds: float = 900.0):
     import os
     import threading
 
-    import jax
-
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "unknown"
-    if platform == "cpu":
-        class _Noop:
-            def cancel(self):
-                pass
-
-        return _Noop()
-
     def _fire():
         print(json.dumps({
             "metric": "pocs_slice_iters_per_sec_per_chip_512x512",
@@ -52,9 +39,19 @@ def _arm_watchdog(seconds: float = 900.0):
         }), flush=True)
         os._exit(0)
 
+    # arm BEFORE any device probe — backend initialization itself goes
+    # through the tunnel and can hang; disarm afterwards on CPU (a slow CPU
+    # run should simply finish)
     t = threading.Timer(seconds, _fire)
     t.daemon = True
     t.start()
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            t.cancel()
+    except Exception:
+        pass  # probe failed: keep the watchdog armed
     return t
 
 

@@ -385,7 +385,20 @@ def write_segy(
     for name, value in hdrs.items():
         off, dt = TRACE_HEADER_FIELDS[name] if isinstance(name, str) else (int(name), "i4")
         size = int(dt[-1])
-        col = np.broadcast_to(np.asarray(value), (ntr,)).astype(">" + dt)
+        vals = np.broadcast_to(np.asarray(value), (ntr,))
+        if size == 2:
+            # i2 fields: signed range natively; 32768..65535 via the
+            # unsigned bit pattern (matches the reader's normalization);
+            # beyond that the format cannot hold it — fail loudly
+            vmin, vmax = int(np.min(vals)), int(np.max(vals))
+            if vmin < -32768 or vmax > 65535:
+                raise ValueError(
+                    f"trace header {name}: value range [{vmin}, {vmax}] "
+                    "exceeds the 16-bit SEG-Y field"
+                )
+            col = (vals.astype(np.int64) & 0xFFFF).astype(">u2")
+        else:
+            col = vals.astype(">" + dt)
         th[:, off - 1 : off - 1 + size] = col.view(np.uint8).reshape(ntr, size)
 
     samples = _encode_samples(data, fmt)

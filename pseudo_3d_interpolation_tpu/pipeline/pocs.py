@@ -97,7 +97,6 @@ def interpolate_checkpointed(
     rec = np.empty(moved.shape, moved.dtype if np.iscomplexobj(moved) else np.float32)
     n_iters = np.zeros(f_total, np.int32)
     costs = np.zeros(f_total, np.float32)
-    was_complex = np.iscomplexobj(moved)
 
     for start in range(0, f_total, batch):
         stop = min(start + batch, f_total)

@@ -189,6 +189,11 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, verbose: int = 0) ->
         with SegyFile(p) as f:
             delrt = f.header("DelayRecordingTime")
             infos.append((p, delrt, f.n_samples, f.dt_us))
+    dts = {dt_us for _, _, _, dt_us in infos}
+    if len(dts) > 1:
+        raise ValueError(
+            f"delrt_pad requires one sample interval across files, got {sorted(dts)} µs"
+        )
     dt_ms = infos[0][3] / 1000.0
     delrt_min = min(int(d.min()) for _, d, _, _ in infos)
     end_max = max(int(d.max()) + int(round(ns * dt_ms)) for _, d, ns, _ in infos)
@@ -240,11 +245,13 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
             dt_ms = f.dt_us / 1000.0
             peak = np.argmax(np.abs(data[:, :win_samples]), axis=1)
             fb_twt = delrt + peak * dt_ms
-            # a delrt step shows as a jump in first-break TWT matching a
-            # delrt difference; correct by the deviation from the running
-            # median. Wrong values come in runs, so widen the window beyond
-            # the neighbor count and iterate until stable (reference checks
-            # ±n neighbors per trace, :82-255).
+            # Only traces whose HEADER disagrees with the neighborhood are
+            # candidates (the reference inspects delrt-change points,
+            # :82-255) — first-break deviation alone must never rewrite a
+            # correct header on rough seafloor. Corrections snap to the
+            # neighborhood's recorded delrt when the first breaks then
+            # line up. Wrong values come in runs, so widen the window and
+            # iterate until stable.
             win = max(2 * n_neighbors + 1, min(21, len(fb_twt) | 1)) | 1
             new_delrt = delrt.copy()
             n_fix = 0
@@ -252,12 +259,20 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
             for _ in range(3):
                 med = np.asarray(flt.moving_median(
                     jnp.asarray(fb, jnp.float32), min(win, len(fb) | 1), padded=True))
+                delrt_med = np.asarray(flt.moving_median(
+                    jnp.asarray(new_delrt, jnp.float32), min(win, len(fb) | 1),
+                    padded=True))
                 dev = fb - med
-                step = np.abs(dev) > max(2 * dt_ms, 1.0)
+                header_odd = np.abs(new_delrt - delrt_med) > max(dt_ms, 0.5)
+                step = header_odd & (np.abs(dev) > max(2 * dt_ms, 1.0))
                 if not step.any():
                     break
-                new_delrt[step] = new_delrt[step] - dev[step]
-                fb[step] -= dev[step]
+                corrected = new_delrt[step] - dev[step]
+                # snap to the neighborhood's actual recorded delrt value
+                snap = np.abs(corrected - delrt_med[step]) <= max(2 * dt_ms, 1.0)
+                corrected[snap] = delrt_med[step][snap]
+                fb[step] += corrected - new_delrt[step]
+                new_delrt[step] = corrected
                 n_fix = int((new_delrt != delrt).sum())
             out = _output_path(p, inplace, "delrt", output_dir)
             _rewrite(
@@ -276,15 +291,16 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
 # ===========================================================================
 def compute_static(horizon_samples: np.ndarray, dt_ms: float,
                    savgol_window: int = 41, savgol_order: int = 3,
-                   clip_samples: int | None = None,
-                   clip_percentile: float | None = None,
+                   clip_samples: int | None = 10,
+                   clip_percentile: float | None = 99.0,
                    clip_mad: float | None = None) -> np.ndarray:
-    """static (samples) = lowpassed(horizon) − horizon (reference :93-256).
+    """static (samples) = lowpassed(horizon) − filtered horizon
+    (reference :93-256).
 
-    Clipping options mirror the reference's percentile/samples/MAD limits:
-    ``clip_samples`` = hard bound, ``clip_percentile`` = symmetric bound at
-    that percentile of |static|, ``clip_mad`` = bound at k·MAD of the
-    static distribution.
+    The static is measured against the MAD-repaired horizon — a mispicked
+    trace must not inherit its full pick error as a shift. Clipping limits
+    default to the reference's (99th percentile + ±10 samples,
+    static_correction_segy.py:166-174); ``clip_mad`` adds a k·MAD bound.
     """
     import scipy.signal as ss
 
@@ -297,7 +313,7 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
         smooth = h_f
     else:
         smooth = ss.savgol_filter(h_f, win, savgol_order)
-    static = smooth - h
+    static = smooth - h_f
     if clip_percentile is not None:
         bound = np.percentile(np.abs(static), clip_percentile)
         static = np.clip(static, -bound, bound)
@@ -690,6 +706,8 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
     if len(dts) == 0:
         return data, raws, 0
     med = np.median(dts[dts > 0]) if (dts > 0).any() else 1.0
+    coord_cols = {name: col(name).astype(np.float64)
+                  for name in ("SourceX", "SourceY", "GroupX", "GroupY")}
     out_data = [data[:1]]
     out_raws = [raws[:1]]
     n_ins = 0
@@ -702,12 +720,11 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
                 z = np.zeros((1, data.shape[1]), data.dtype)
                 hdr = raws[i - 1 : i].copy()
                 # interpolate coordinates of inserted traces
-                for name in ("SourceX", "SourceY", "GroupX", "GroupY"):
+                for name, cvals in coord_cols.items():
                     off, dtc = TRACE_HEADER_FIELDS[name]
                     size = int(dtc[-1])
-                    v0 = float(col(name)[i - 1])
-                    v1 = float(col(name)[i])
-                    vi = np.array([round(v0 + frac * (v1 - v0))]).astype(">" + dtc)
+                    vi = np.array([round(cvals[i - 1] + frac * (cvals[i] - cvals[i - 1]))
+                                   ]).astype(">" + dtc)
                     hdr[0, off - 1 : off - 1 + size] = vi.view(np.uint8)
                 # mark as dead trace (TraceIdentificationCode = 2)
                 off, dtc = TRACE_HEADER_FIELDS["TraceIdentificationCode"]
