@@ -65,8 +65,21 @@ def cube_to_segy(
     text_attr = cube.attrs.get("text", "")
     if isinstance(text_attr, bytes):
         text_attr = text_attr.decode()
-    lines = [ln for ln in str(text_attr).split("\n") if ln.strip()][:38]
-    text = "\n".join([f"pseudo-3D cube: {var} ({n_il} il x {n_xl} xl x {ns} samples)"] + lines)
+    # regenerate a 40-line header: title + provenance entries under the
+    # PROCESSING WORKFLOW banner (reference :237-261)
+    from ..io import textual as txt
+
+    text = txt.decode_textual_header(txt.encode_textual_header(
+        f"pseudo-3D cube: {var} ({n_il} il x {n_xl} xl x {ns} samples)"))
+    text, _ = txt.ensure_workflow_header(text, line=5)
+    for ln in str(text_attr).split("\n"):
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            text = txt.add_processing_entry(text, ln, prefix=None)
+        except IndexError:
+            break  # header full; keep the earliest entries
 
     write_segy(
         out_path,
