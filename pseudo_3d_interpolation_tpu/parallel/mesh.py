@@ -49,6 +49,24 @@ def make_mesh(n_devices: int | None = None, axis_name: str = SLICE_AXIS) -> Mesh
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_2d(n_slices: int, n_space: int,
+                 axis_names=(SLICE_AXIS, "space")) -> Mesh:
+    """2-D mesh: slice-data-parallel × spatial model-parallel.
+
+    For cubes whose slices are too large for one chip's HBM (or to scale
+    past the number of frequency slices), the second axis shards the iline
+    dimension of every slice; XLA partitions the DFT matmuls over it and
+    inserts the ICI collectives for the contractions. Verified equal to the
+    single-device solve in tests.
+    """
+    devs = jax.devices()
+    if n_slices * n_space > len(devs):
+        raise ValueError(f"mesh {n_slices}x{n_space} needs more than "
+                         f"{len(devs)} devices")
+    arr = np.asarray(devs[: n_slices * n_space]).reshape(n_slices, n_space)
+    return Mesh(arr, axis_names)
+
+
 def slice_sharding(mesh: Mesh, ndim: int, axis_name: str = SLICE_AXIS) -> NamedSharding:
     """Shard the leading (frequency/batch) axis; slice axes stay local."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))

@@ -85,3 +85,27 @@ def test_reshard_axis_all_to_all():
     # computation composes across the reshard
     y = jax.jit(jnp.sum)(b)
     assert float(y) == x.sum()
+
+
+def test_2d_mesh_slices_by_space():
+    """Slice-DP x spatial sharding (2-D mesh) matches single-device —
+    XLA partitions the DFT matmuls and inserts the collectives."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
+    from pseudo_3d_interpolation_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    obs = np.stack([synthetic_slice(seed=s) for s in range(8)])
+    mask = random_mask(frac=0.5, seed=20)
+    obs = obs * mask
+    cfg = POCSConfig(niter=10, p_min=1e-3, version="fast")
+    sh = NamedSharding(mesh, P("slices", "space", None))
+    z = cplx.Cplx(jax.device_put(jnp.asarray(obs.real), sh),
+                  jax.device_put(jnp.asarray(obs.imag), sh))
+    m = jax.device_put(jnp.asarray(mask), NamedSharding(mesh, P("space", None)))
+    res = jax.jit(lambda z, m: pocs_interpolate(z, m, config=cfg))(z, m)
+    rec = np.asarray(res.data.re) + 1j * np.asarray(res.data.im)
+    rec1, _, _ = pocs_interpolate_numpy(obs, mask, cfg)
+    np.testing.assert_allclose(rec, rec1, rtol=1e-3, atol=1e-4)
