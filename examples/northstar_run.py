@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--basis", default="FFT",
                     choices=["FFT", "DCT", "WAVELET", "SHEARLET"])
     ap.add_argument("--keep", type=float, default=0.5, help="fraction of bins kept")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--postprocess", action="store_true")
     args = ap.parse_args()
 
@@ -74,6 +74,31 @@ def main():
 
     slice_sh = NamedSharding(mesh, P("slices", None, None))
     repl = NamedSharding(mesh, P())
+
+    if args.basis in ("SHEARLET", "WAVELET"):
+        # multiscale coefficient stacks are too large to materialize for all
+        # slices in one jit (61 subbands x all slices at 512² is terabytes);
+        # stream through the batched driver instead
+        from pseudo_3d_interpolation_tpu.parallel import interpolate_cube
+
+        t0 = time.time()
+        spec = jax.jit(lambda x: dft.rfft1(x, axis=-1))(jnp.asarray(obs))
+        freq = (np.moveaxis(np.asarray(spec.re), -1, 0)
+                + 1j * np.moveaxis(np.asarray(spec.im), -1, 0)).astype(np.complex64)
+        rec, n_it, _ = interpolate_cube(freq, mask2d, cfg, mesh=mesh,
+                                        transform=transform, batch=args.batch)
+        z = Cplx(jnp.asarray(np.moveaxis(rec.real, 0, -1)),
+                 jnp.asarray(np.moveaxis(rec.imag, 0, -1)))
+        out = jax.jit(lambda z: dft.irfft1(z, n=t, axis=-1))(z)
+        wall = time.time() - t0
+        nslices = t // 2 + 1
+        print(f"solver stage (batched, incl transfers): {wall:.1f}s "
+              f"({nslices * args.niter / wall:.0f} slice-iters/s, basis={args.basis})")
+        truth_d = jnp.asarray(cube)
+        snr_in = float(jax.jit(metrics.snr)(truth_d, jnp.asarray(obs)))
+        snr_out = float(jax.jit(metrics.snr)(truth_d, out))
+        print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
+        return
 
     @jax.jit
     def full_chain(x, mask):
