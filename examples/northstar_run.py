@@ -40,6 +40,8 @@ def main():
     from pseudo_3d_interpolation_tpu.ops import dft, metrics
     from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
     from pseudo_3d_interpolation_tpu.parallel import make_mesh
+    from pseudo_3d_interpolation_tpu.parallel.mesh import (
+        replicated_sharding, slice_sharding)
 
     h, w, t = args.size
     print(f"devices: {jax.devices()}")
@@ -68,12 +70,10 @@ def main():
         cfg = POCSConfig(**{**cfg.__dict__, "p_min": 1e-3})
     transform = get_transform(args.basis)
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
 
-    slice_sh = NamedSharding(mesh, P("slices", None, None))
-    repl = NamedSharding(mesh, P())
+    slice_sh = slice_sharding(mesh, 3)
+    repl = replicated_sharding(mesh)
 
     if args.basis in ("SHEARLET", "WAVELET"):
         # multiscale coefficient stacks are too large to materialize for all

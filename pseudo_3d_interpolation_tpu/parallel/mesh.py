@@ -27,8 +27,6 @@ def initialize_distributed(coordinator: str | None = None,
     (``jax.distributed.initialize``); single-host runs skip this. Arguments
     default to the TPU environment's auto-detection.
     """
-    import jax
-
     kwargs = {}
     if coordinator is not None:
         kwargs["coordinator_address"] = coordinator
@@ -91,8 +89,6 @@ def reshard_axis(x, mesh: Mesh, axis: int, axis_name: str = SLICE_AXIS):
     different parallel axes (e.g. trace-parallel time FFT -> slice-parallel
     POCS), with no host round-trip.
     """
-    import jax
-
     spec = [None] * np.ndim(x)
     spec[axis] = axis_name
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))

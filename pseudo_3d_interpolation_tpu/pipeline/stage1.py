@@ -111,10 +111,26 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
     Returns (cleaned, spike_mask).
     """
     wy, wx = int(window[0]) | 1, int(window[1]) | 1  # force odd
-    cleaned, spikes = _despike_kernel(
-        jnp.asarray(data, jnp.float32), jnp.float32(threshold), wy, wx, mode, replace
-    )
-    return np.asarray(cleaned), np.asarray(spikes)
+    data = np.asarray(data, np.float32)
+    ns, ntr = data.shape
+    # bound the (ns, block, wy·wx) window tensor to ~256 MB
+    block = max(int(256e6 / max(ns * wy * wx * 4, 1)), wx * 4)
+    if ntr <= block:
+        cleaned, spikes = _despike_kernel(
+            jnp.asarray(data), jnp.float32(threshold), wy, wx, mode, replace)
+        return np.asarray(cleaned), np.asarray(spikes)
+    halo = wx // 2
+    cleaned = np.empty_like(data)
+    spikes = np.empty(data.shape, bool)
+    for s0 in range(0, ntr, block):
+        s1 = min(s0 + block, ntr)
+        lo = max(s0 - halo, 0)
+        hi = min(s1 + halo, ntr)
+        c, sp = _despike_kernel(jnp.asarray(data[:, lo:hi]),
+                                jnp.float32(threshold), wy, wx, mode, replace)
+        cleaned[:, s0:s1] = np.asarray(c)[:, s0 - lo : s0 - lo + (s1 - s0)]
+        spikes[:, s0:s1] = np.asarray(sp)[:, s0 - lo : s0 - lo + (s1 - s0)]
+    return cleaned, spikes
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -389,7 +405,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
     series per survey area is equivalent input. ``utils.tide`` provides
     harmonic prediction from constituents when only those are available.)
     """
-    tide = pd.read_csv(tide_file, parse_dates=["datetime"])
+    tide = pd.read_csv(tide_file, parse_dates=["datetime"]).sort_values("datetime")
     t_ref = tide["datetime"].to_numpy().astype("datetime64[ns]").astype("int64")
     h_ref = tide["height"].to_numpy(float)
     def _one(p):
@@ -397,6 +413,10 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             data = f.trace_data()
             dt_s = f.dt_us * 1e-6
             times = trace_datetimes(f).astype("datetime64[ns]").astype("int64")
+            if times.min() < t_ref[0] or times.max() > t_ref[-1]:
+                xprint(f"{p}: trace times extend beyond the tide table — "
+                       "endpoint heights will be clamped", kind="warning",
+                       verbosity=verbose)
             height = np.interp(times, t_ref, h_ref)
             # high tide raises the vessel, so the seafloor records DEEPER;
             # compensation shifts traces up (negative = shallower), matching
@@ -426,22 +446,34 @@ def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray):
 
     Returns list of (point, idx_a, idx_b) with segment indices.
     """
-    a0 = nav_a[:-1][:, None, :]
-    a1 = nav_a[1:][:, None, :]
-    b0 = nav_b[:-1][None, :, :]
-    b1 = nav_b[1:][None, :, :]
-    d1 = a1 - a0
-    d2 = b1 - b0
-    denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
-    diff = b0 - a0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / denom
-        u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / denom
-    hit = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
     out = []
-    for ia, ib in zip(*np.nonzero(hit)):
-        pt = nav_a[ia] + t[ia, ib] * (nav_a[ia + 1] - nav_a[ia])
-        out.append((pt, ia, ib))
+    chunk = 2048  # bounds broadcast memory at ~chunk² · 8 floats
+    for sa in range(0, len(nav_a) - 1, chunk):
+        ea = min(sa + chunk, len(nav_a) - 1)
+        a_lo = np.minimum(nav_a[sa:ea], nav_a[sa + 1 : ea + 1])
+        a_hi = np.maximum(nav_a[sa:ea], nav_a[sa + 1 : ea + 1])
+        for sb in range(0, len(nav_b) - 1, chunk):
+            eb = min(sb + chunk, len(nav_b) - 1)
+            b_lo = np.minimum(nav_b[sb:eb], nav_b[sb + 1 : eb + 1])
+            b_hi = np.maximum(nav_b[sb:eb], nav_b[sb + 1 : eb + 1])
+            # bbox rejection of whole chunk pairs
+            if (a_lo.min(0) > b_hi.max(0)).any() or (b_lo.min(0) > a_hi.max(0)).any():
+                continue
+            a0 = nav_a[sa:ea][:, None, :]
+            a1 = nav_a[sa + 1 : ea + 1][:, None, :]
+            b0 = nav_b[sb:eb][None, :, :]
+            b1 = nav_b[sb + 1 : eb + 1][None, :, :]
+            d1 = a1 - a0
+            d2 = b1 - b0
+            denom = d1[..., 0] * d2[..., 1] - d1[..., 1] * d2[..., 0]
+            diff = b0 - a0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / denom
+                u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / denom
+            hit = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            for ia, ib in zip(*np.nonzero(hit)):
+                pt = nav_a[sa + ia] + t[ia, ib] * (nav_a[sa + ia + 1] - nav_a[sa + ia])
+                out.append((pt, sa + ia, sb + ib))
     return out
 
 
@@ -642,20 +674,19 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
             outs.append(first)
             continue
         datas, headers_raw, texts = [], [], None
-        keys_seen = set()
+        prev_header_set: set[bytes] = set()
         dt_us = None
         for g in grp:
             with SegyFile(g["path"]) as f:
                 data = f.trace_data()
                 raw = f.trace_headers_raw()
-                t = trace_datetimes(f)
-                xx = f.header("SourceX")
-                keep = []
-                for k in range(f.n_traces):
-                    key = (t[k].astype("int64"), int(xx[k]))
-                    if key not in keys_seen:
-                        keys_seen.add(key)
-                        keep.append(k)
+                # drop only TRUE duplicates: traces whose full 240-byte
+                # header already appeared in the previous file (overlap at
+                # the file seam) — timestamp resolution is 1 s, so partial
+                # keys would discard real high-rate traces
+                keep = [k for k in range(f.n_traces)
+                        if raw[k].tobytes() not in prev_header_set]
+                prev_header_set = {raw[k].tobytes() for k in range(f.n_traces)}
                 datas.append(data[keep])
                 headers_raw.append(raw[keep])
                 texts = texts or f.text

@@ -291,3 +291,21 @@ def test_static_clipping_options():
     assert np.abs(s_hard).max() <= 1
     assert np.abs(s_pct).max() <= np.abs(s_plain).max()
     assert np.abs(s_mad - np.median(s_plain)).max() <= np.abs(s_plain - np.median(s_plain)).max()
+
+
+def test_merge_preserves_high_rate_traces(tmp_path):
+    """Regression: traces sharing the same 1-s timestamp + position are real
+    data (high ping rate / stationary vessel), not duplicates — dedup must
+    key on full header equality."""
+    big = str(tmp_path / "big_UTM.sgy")
+    small = str(tmp_path / "small_UTM.sgy")
+    # stationary vessel: same coordinates for all traces, 1 Hz headers with
+    # 4 traces per second would alias — emulate by equal SourceX + same time
+    data = make_profile(big, ntr=80, seed=60, times_start="2023-05-01T10:00:00",
+                        spacing=0.0)  # all traces same position
+    make_profile(small, ntr=5, seed=61, times_start="2023-05-01T10:01:20",
+                 x0=0.0, spacing=0.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    merged = [o for o in outs if "merged" in o][0]
+    with SegyFile(merged) as f:
+        assert f.n_traces == 85  # nothing dropped
