@@ -9,7 +9,7 @@ envelope. Each applied op appends to the history/provenance attrs.
 
 from __future__ import annotations
 
-import functools
+
 
 import numpy as np
 
@@ -61,7 +61,10 @@ def preprocess(
         xprint(f"balanced traces ({balance})", kind="info", verbosity=verbose)
 
     if gain_args:
-        gain_fn = jax.jit(functools.partial(sig.gain, twt=twt, **gain_args))
+        # closure, not functools.partial: jit unwraps partials and traces
+        # their bound arguments, but twt (and dict-valued PGC specs) must
+        # stay concrete host values
+        gain_fn = jax.jit(lambda d: sig.gain(d, twt, **gain_args))
         data = np.asarray(gain_fn(data))
         history.append("GAIN(" + ",".join(f"{k}={v}" for k, v in gain_args.items()) + ")")
         xprint(f"applied gain {gain_args}", kind="info", verbosity=verbose)

@@ -101,7 +101,8 @@ def _per_file(files, fn, verbose: int = 0) -> list[str]:
 # 08 — despike (reference despiking_2D_segy.py:75-387)
 # ===========================================================================
 def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
-                    mode: str = "median", replace: str = "median"):
+                    mode: str = "median", replace: str = "median",
+                    max_bytes: float = 256e6):
     """Remove single-trace noise bursts from a (nsamples, ntraces) section.
 
     A sample is a spike when its magnitude exceeds ``threshold`` x the local
@@ -113,8 +114,8 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
     wy, wx = int(window[0]) | 1, int(window[1]) | 1  # force odd
     data = np.asarray(data, np.float32)
     ns, ntr = data.shape
-    # bound the (ns, block, wy·wx) window tensor to ~256 MB
-    block = max(int(256e6 / max(ns * wy * wx * 4, 1)), wx * 4)
+    # bound the (ns, block, wy·wx) window tensor to ~max_bytes
+    block = max(int(max_bytes / max(ns * wy * wx * 4, 1)), wx * 4)
     if ntr <= block:
         cleaned, spikes = _despike_kernel(
             jnp.asarray(data), jnp.float32(threshold), wy, wx, mode, replace)
@@ -440,14 +441,15 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
 # ===========================================================================
 # 07 — mistie correction (reference mistie_correction_segy.py)
 # ===========================================================================
-def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray):
+def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray,
+                           chunk: int = 2048):
     """All intersection points between two polylines (vectorized cross
     products; replaces shapely/GEOS STRtree, reference :85-212).
 
     Returns list of (point, idx_a, idx_b) with segment indices.
     """
     out = []
-    chunk = 2048  # bounds broadcast memory at ~chunk² · 8 floats
+    # `chunk` bounds broadcast memory at ~chunk² · 8 floats
     for sa in range(0, len(nav_a) - 1, chunk):
         ea = min(sa + chunk, len(nav_a) - 1)
         a_lo = np.minimum(nav_a[sa:ea], nav_a[sa + 1 : ea + 1])

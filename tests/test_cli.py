@@ -143,3 +143,24 @@ def test_qc_subcommand(tmp_path):
     cp = str(tmp_path / "cube.nc"); write_cube(cp, c)
     assert main(["qc", cp, "--output-dir", qcdir]) == 0
     assert any("fold" in f for f in os.listdir(qcdir))
+
+
+def test_preprocess_gain_kv_parsing(tmp_path):
+    """--gain key=value pairs incl. a PGC dict parse through YAML."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, write_cube, read_cube
+
+    rng = np.random.default_rng(180)
+    c = Cube(
+        coords={"iline": np.arange(1, 5), "xline": np.arange(1, 5),
+                "twt": np.arange(64) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"),
+                           rng.normal(size=(4, 4, 64)).astype(np.float32)),
+                   "fold": (("iline", "xline"), np.ones((4, 4), np.int32))},
+    )
+    p0 = str(tmp_path / "c.nc"); write_cube(p0, c)
+    p1 = str(tmp_path / "g.nc")
+    assert main(["preprocess", p0, p1, "--gain", "tpow=1.5",
+                 "pgc={0.0: 1.0, 0.01: 3.0}"]) == 0
+    out = read_cube(p1)
+    assert "GAIN" in str(out.attrs["history"])
+    assert "tpow=1.5" in str(out.attrs["history"])

@@ -309,3 +309,31 @@ def test_merge_preserves_high_rate_traces(tmp_path):
     merged = [o for o in outs if "merged" in o][0]
     with SegyFile(merged) as f:
         assert f.n_traces == 85  # nothing dropped
+
+
+def test_despike_chunked_matches_unchunked():
+    """The haloed trace-block path must equal the one-shot path."""
+    rng = np.random.default_rng(70)
+    data = rng.normal(0, 0.1, (200, 120)).astype(np.float32)
+    data[50, 30] = 20.0
+    data[100, 90] = -15.0
+    c1, s1 = stage1.despike_section(data, window=(9, 5), threshold=5.0)
+    # force tiny blocks (a few traces each)
+    c2, s2 = stage1.despike_section(data, window=(9, 5), threshold=5.0,
+                                    max_bytes=200 * 9 * 5 * 4 * 30)
+    np.testing.assert_allclose(c2, c1, rtol=1e-6)
+    np.testing.assert_array_equal(s2, s1)
+
+
+def test_segment_intersections_chunked_matches_unchunked():
+    rng = np.random.default_rng(71)
+    a = np.column_stack([np.linspace(0, 100, 300),
+                         50 + rng.normal(0, 0.5, 300)])
+    b = np.column_stack([50 + rng.normal(0, 0.5, 250),
+                         np.linspace(0, 100, 250)])
+    full = stage1._segment_intersections(a, b, chunk=10_000)
+    small = stage1._segment_intersections(a, b, chunk=64)
+    assert len(full) == len(small) >= 1
+    pts_f = sorted((round(p[0][0], 6), round(p[0][1], 6)) for p in full)
+    pts_s = sorted((round(p[0][0], 6), round(p[0][1], 6)) for p in small)
+    assert pts_f == pts_s
