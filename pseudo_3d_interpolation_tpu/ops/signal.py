@@ -174,6 +174,9 @@ def gain(
     linear -> PGC -> norm_rms -> scale (or 1/scale when ``norm``).
     """
     data = jnp.asarray(data)
+    # keep a host copy for the PGC/AGC metadata paths: jnp.asarray's dtype
+    # conversion yields a tracer under jit even for closed-over constants
+    twt_host = np.asarray(twt) if not isinstance(twt, jax.core.Tracer) else None
     twt = jnp.asarray(twt)
     t = twt.reshape((1,) * (data.ndim - 1) + (-1,))
 
@@ -195,7 +198,9 @@ def gain(
         data = jnp.sign(data) * jnp.abs(data) ** gpow
 
     if agc_:
-        dt = float(np.round(float(jnp.mean(jnp.diff(twt))) * 1e9) / 1e9)
+        if twt_host is None:
+            raise ValueError("gain(agc_=True) under jit requires a concrete twt")
+        dt = float(np.round(float(np.mean(np.diff(twt_host))) * 1e9) / 1e9)
         data = agc(data, agc_window_samples(agc_win, dt), kind=agc_kind, squared=agc_sqrt)
 
     if clip is not None:
@@ -213,7 +218,9 @@ def gain(
         data = data * g.reshape(t.shape)
 
     if isinstance(pgc, dict):
-        g = programmed_gain_control(np.asarray(twt), pgc)
+        if twt_host is None:
+            raise ValueError("gain(pgc=...) under jit requires a concrete twt")
+        g = programmed_gain_control(twt_host, pgc)
         data = data * g.reshape(t.shape)
 
     if norm_rms:
