@@ -132,7 +132,8 @@ def ieee2ibm(x: np.ndarray) -> np.ndarray:
     x = np.asarray(x, np.float64)
     sign = (x < 0).astype(np.uint32) << 31
     ax = np.abs(x)
-    nonzero = ax > 0
+    isinf = np.isinf(ax)
+    nonzero = (ax > 0) & np.isfinite(ax)  # NaN encodes to zero
     exp16 = np.zeros(x.shape, np.int64)
     # exponent: smallest e with ax <= 16^e, mantissa in [1/16, 1)
     with np.errstate(divide="ignore"):
@@ -150,10 +151,17 @@ def ieee2ibm(x: np.ndarray) -> np.ndarray:
     carry = m24 >= (1 << 24)
     m24[carry] >>= 4
     exp16[carry] += 1
-    exp = np.clip(exp16 + 64, 0, 127).astype(np.uint32)
-    out = sign | (np.where(nonzero, exp, 0).astype(np.uint32) << 24) | (
-        m24.astype(np.uint32) & 0x00FFFFFF
-    )
+    biased = exp16 + 64
+    # saturate out-of-range magnitudes: overflow -> IBM max (exp=127,
+    # mantissa all ones), underflow -> flush to zero
+    over = (nonzero & (biased > 127)) | isinf
+    under = nonzero & (biased < 0)
+    exp = np.clip(biased, 0, 127).astype(np.uint32)
+    exp[over] = 127
+    m24u = m24.astype(np.uint32) & 0x00FFFFFF
+    m24u[over] = 0x00FFFFFF
+    out = sign | (np.where(nonzero | over, exp, 0).astype(np.uint32) << 24) | m24u
+    out[under] = 0
     return out
 
 

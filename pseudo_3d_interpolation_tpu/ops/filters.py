@@ -46,6 +46,11 @@ def sta_lta(a, nsta: int, nlta: int):
     return jnp.where(lta != 0, sta / jnp.where(lta == 0, 1.0, lta), 0.0)
 
 
+# module-level jit so same-shape calls across files reuse the compiled
+# executable (a per-call jax.jit wrapper would recompile every time)
+_sta_lta_jit = jax.jit(sta_lta, static_argnums=(1, 2))
+
+
 def moving_average(a, win: int = 3):
     """Trailing moving average, 'valid' length (reference filter.py:42-66)."""
     a = jnp.asarray(a)
@@ -373,8 +378,7 @@ def detect_seafloor_reflection(
         nsta, nlta = 3, 50
 
     # (1) STA/LTA on device; reference layout is time-first, ours time-last
-    ratio = np.asarray(jax.jit(sta_lta, static_argnums=(1, 2))(
-        jnp.asarray(work.T), nsta, nlta)).T
+    ratio = np.asarray(_sta_lta_jit(jnp.asarray(work.T), nsta, nlta)).T
 
     # (2) first sample exceeding the threshold (default: water-column noise)
     thr = ratio[nlta : nlta * 2, :].max() if threshold is None else threshold

@@ -655,7 +655,8 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
         with SegyFile(p) as f:
             times = trace_datetimes(f)
             infos.append(dict(path=p, size_kb=os.path.getsize(p) / 1024.0,
-                              t0=times[0], t1=times[-1]))
+                              t0=times[0], t1=times[-1],
+                              n_samples=f.n_samples, dt_us=f.dt_us))
     infos.sort(key=lambda r: r["t0"])
 
     groups: list[list[dict]] = []
@@ -668,6 +669,25 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
             groups[-1].append(info)  # small leading file merges forward
         else:
             groups.append([info])
+
+    # split groups at n_samples/dt mismatches: traces of different length or
+    # rate cannot be concatenated (delrt-pad is the step that harmonizes
+    # them) — a ragged group would otherwise crash the whole merge run
+    conforming: list[list[dict]] = []
+    for grp in groups:
+        split = [[grp[0]]]
+        for g in grp[1:]:
+            prev = split[-1][-1]
+            if (g["n_samples"], g["dt_us"]) == (prev["n_samples"], prev["dt_us"]):
+                split[-1].append(g)
+            else:
+                split.append([g])
+        if len(split) > 1:
+            xprint(f"group starting at {grp[0]['path']} mixes n_samples/dt; "
+                   f"split into {len(split)} conforming runs",
+                   kind="warning", verbosity=verbose)
+        conforming.extend(split)
+    groups = conforming
 
     outs = []
     for grp in groups:
@@ -759,6 +779,20 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
                     vi = np.array([round(cvals[i - 1] + frac * (cvals[i] - cvals[i - 1]))
                                    ]).astype(">" + dtc)
                     hdr[0, off - 1 : off - 1 + size] = vi.view(np.uint8)
+                # interpolate the recording time too — verbatim-copied
+                # timestamps would give gap fillers duplicate times, which
+                # confuses time-keyed steps downstream (tide, dedup/merge)
+                ts = pd.Timestamp(np.datetime64(
+                    int(round(t[i - 1] + frac * gap)), "s"))
+                for name, val in (("YearDataRecorded", ts.year),
+                                  ("DayOfYear", ts.dayofyear),
+                                  ("HourOfDay", ts.hour),
+                                  ("MinuteOfHour", ts.minute),
+                                  ("SecondOfMinute", ts.second)):
+                    off, dtc = TRACE_HEADER_FIELDS[name]
+                    size = int(dtc[-1])
+                    hdr[0, off - 1 : off - 1 + size] = (
+                        np.array([val]).astype(">" + dtc).view(np.uint8))
                 # mark as dead trace (TraceIdentificationCode = 2)
                 off, dtc = TRACE_HEADER_FIELDS["TraceIdentificationCode"]
                 hdr[0, off - 1 : off + 1] = np.array([2]).astype(">" + dtc).view(np.uint8)

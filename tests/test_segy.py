@@ -183,3 +183,23 @@ def test_provenance_survives_segy_roundtrip(tmp_path):
     with SegyFile(path) as f:
         assert "MERGE" in f.text
         assert "Line 42" in f.text
+
+
+def test_ieee2ibm_saturates_out_of_range():
+    """Magnitudes outside the IBM float range must saturate/flush, not wrap
+    to a wrong exponent (ADVICE r1). IBM max (~7.2e75) exceeds the float32
+    range, so the saturated patterns are checked at the bit level."""
+    x = np.array([1e78, -1e78, 1e-80, -1e-80, 0.0, 1.0, np.inf, np.nan],
+                 np.float64)
+    enc = ieee2ibm(x)
+    IBM_MAX = 0x7FFFFFFF  # sign=0, exp=127, mantissa all ones
+    assert enc[0] == IBM_MAX
+    assert enc[1] == (IBM_MAX | 0x80000000)
+    assert enc[2] == 0 and enc[3] == 0 and enc[4] == 0
+    assert enc[6] == IBM_MAX
+    assert enc[7] == 0
+    back = ibm2ieee(enc)
+    assert back[5] == 1.0
+    # within-range values still round-trip after the saturation change
+    y = np.array([3.0e38, -1.2e-38, 123.456], np.float64)
+    assert np.allclose(ibm2ieee(ieee2ibm(y)).astype(np.float64), y, rtol=1e-6)

@@ -337,3 +337,37 @@ def test_segment_intersections_chunked_matches_unchunked():
     pts_f = sorted((round(p[0][0], 6), round(p[0][1], 6)) for p in full)
     pts_s = sorted((round(p[0][0], 6), round(p[0][1], 6)) for p in small)
     assert pts_f == pts_s
+
+
+def test_merge_splits_ragged_sample_counts(tmp_path):
+    """Files with different n_samples in one temporal group must not crash
+    the merge — the group splits into conforming runs (ADVICE r1)."""
+    big = str(tmp_path / "big_UTM.sgy")
+    small = str(tmp_path / "small_UTM.sgy")
+    make_profile(big, ntr=80, ns=400, seed=80, times_start="2023-05-01T10:00:00")
+    make_profile(small, ntr=5, ns=300, seed=81,
+                 times_start="2023-05-01T10:01:20", x0=400.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    # no merged output (shapes differ), both originals pass through untouched
+    assert len(outs) == 2
+    assert not any("merged" in o for o in outs)
+
+
+def test_merge_gap_fillers_get_interpolated_timestamps(tmp_path):
+    """Inserted zero traces must carry interpolated recording times, not a
+    copy of the previous trace's timestamp (ADVICE r1)."""
+    big = str(tmp_path / "big_UTM.sgy")
+    small = str(tmp_path / "small_UTM.sgy")
+    make_profile(big, ntr=60, seed=82, times_start="2023-05-01T10:00:00", x0=0.0)
+    make_profile(small, ntr=5, seed=83, times_start="2023-05-01T10:01:05",
+                 x0=65 * 5.0)
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=40.0, max_gap_s=120.0)
+    merged = [o for o in outs if "merged" in o][0]
+    with SegyFile(merged) as f:
+        codes = f.header("TraceIdentificationCode")
+        mins = f.header("MinuteOfHour").astype(int)
+        secs = f.header("SecondOfMinute").astype(int)
+    t = mins * 60 + secs
+    assert (codes == 2).sum() == 5
+    # whole timeline (including fillers) is strictly increasing at 1 s
+    assert (np.diff(t) == 1).all(), t[55:70]
