@@ -4,10 +4,12 @@ Prints exactly ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 ``vs_baseline`` normalizes against the north-star-derived requirement from
-BASELINE.json: a 512×512×1024-sample cube (1024 frequency slices × 50 FPOCS
-iterations) interpolated in < 60 s on a v5p-8 needs
-1024·50/60/8 ≈ 107 slice-iterations/sec/chip at 512×512. vs_baseline > 1
-means this chip already exceeds the per-chip north-star rate.
+BASELINE.json: a 512×512×1024-sample cube runs POCS on its rfft spectrum —
+513 frequency slices × 50 FPOCS iterations — so < 60 s on a v5p-8 needs
+513·50/60/8 ≈ 53.4 slice-iterations/sec/chip at 512×512. vs_baseline > 1
+means this chip already exceeds the per-chip north-star rate. (Round 1
+normalized by 1024 slices — the full-complex worst case — which was
+conservative but inconsistent with the actual rfft workload.)
 """
 
 from __future__ import annotations
@@ -118,7 +120,7 @@ def main():
 
     watchdog.cancel()
     slice_iters_per_sec = B * NITER / dt
-    northstar_per_chip = 1024 * 50 / 60.0 / 8.0  # ≈ 106.7
+    northstar_per_chip = 513 * 50 / 60.0 / 8.0  # ≈ 53.4 (rfft slice count)
     print(json.dumps({
         "metric": "pocs_slice_iters_per_sec_per_chip_512x512",
         "value": round(slice_iters_per_sec, 1),

@@ -1,19 +1,28 @@
 """Detailed performance study (run manually on a healthy TPU; bench.py is
 the driver-facing single-line benchmark).
 
-Measures POCS slice-iterations/sec at 512x512 across:
-  - matmul precision: HIGHEST (6-pass bf16 ~ f32) / HIGH (3-pass) / DEFAULT
-  - XLA scan path vs fused Pallas iteration
-  - batch sizes
+Two parts:
 
-and reports reconstruction SNR per precision so speed/quality trade-offs
-are explicit. Timing uses scalar-fetch round-trips (see
-.claude/skills/verify/SKILL.md for why block_until_ready is insufficient
-on the remote-TPU tunnel).
+1. Per-basis gate (default): measures POCS slice-iterations/sec AND
+   reconstruction SNR at 512x512 for every sparse basis — FFT, DCT,
+   WAVELET, and SHEARLET (the reference's production basis,
+   cube_POCS_interpolation_3D.py:269-274) at both HIGHEST and HIGH matmul
+   precision. Emits ONE JSON line per entry so regressions in any basis
+   are visible, not just the FFT headline.
+
+2. Precision x batch x Pallas study (BENCH_STUDY=1): the round-1 table.
+
+Timing uses scalar-fetch round-trips (see .claude/skills/verify/SKILL.md
+for why block_until_ready is insufficient on the remote-TPU tunnel).
+
+Env overrides: BENCH_N (512), BENCH_NITER (50), BENCH_BATCH (8),
+BENCH_BASES (comma list), BENCH_STUDY=1 for part 2 only.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import time
 
 import numpy as np
@@ -34,75 +43,112 @@ def make_problem(b, n, seed=0):
     return truth, truth * mask, mask
 
 
-def main():
-    import dataclasses
-
+def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
     import jax
     import jax.numpy as jnp
 
-    from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
-    from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
-    from pseudo_3d_interpolation_tpu.ops import dft, metrics
+    from pseudo_3d_interpolation_tpu.models import pocs_interpolate
+    from pseudo_3d_interpolation_tpu.ops import metrics
     from pseudo_3d_interpolation_tpu.ops.cplx import from_complex, to_complex
 
-    import os
+    def solve_sum(z, m, s):
+        z = type(z)(z.re * s, z.im * s)
+        r = pocs_interpolate(z, m, transform, cfg)
+        return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-    N = int(os.environ.get("BENCH_N", 512))
-    NITER = int(os.environ.get("BENCH_NITER", 50))
-    truth, obs, mask = make_problem(8, N)
+    fn = jax.jit(solve_sum)
+    m = jnp.asarray(mask)
+    z = from_complex(obs)
+    t0 = time.perf_counter()
+    float(fn(z, m, jnp.float32(1.0)))  # compile + first run
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    acc = fn(z, m, jnp.float32(1.0))
+    for i in range(1, reps):
+        acc = acc + fn(z, m, jnp.float32(1.0 + 1e-3 * i))
+    float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    full = jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, transform, cfg))(
+        from_complex(obs), m)
+    rec = to_complex(full.data)
+    snr = float(metrics.snr(np.abs(truth), np.abs(rec)))
+    b = truth.shape[0]
+    return b * niter / dt, snr, compile_s
 
-    def timed_solve(cfg, b, precision, reps=3):
-        dft_prec = precision
 
-        @dataclasses.dataclass(frozen=True)
-        class PrecFFT(FFTTransform):
-            def forward(self, z):
-                return dft.fft2(z, precision=dft_prec)
+def run_basis_gate():
+    from pseudo_3d_interpolation_tpu.models import POCSConfig
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+    from pseudo_3d_interpolation_tpu.utils.compcache import enable_persistent_cache
 
-            def inverse(self, c):
-                return dft.ifft2(c, precision=dft_prec)
+    enable_persistent_cache()
+    n = int(os.environ.get("BENCH_N", 512))
+    niter = int(os.environ.get("BENCH_NITER", 50))
+    batch = int(os.environ.get("BENCH_BATCH", 8))
+    bases = os.environ.get("BENCH_BASES", "FFT,DCT,WAVELET,SHEARLET").split(",")
+    truth, obs, mask = make_problem(batch, n)
 
-        tr = PrecFFT()
-        t2, o2, m2 = make_problem(b, N)
+    for kind in bases:
+        kind = kind.strip().upper()
+        precisions = ["highest", "high"] if kind in ("FFT", "SHEARLET") else [None]
+        for prec in precisions:
+            kw = {"precision": prec} if prec else {}
+            if kind == "WAVELET":
+                kw = {"wavelet": "db4"}
+            tr = get_transform(kind, **kw)
+            if hasattr(tr, "with_shape"):
+                tr = tr.with_shape((n, n))
+            p_min = "adaptive" if kind in ("FFT", "DCT", "SHEARLET") else 1e-3
+            cfg = POCSConfig(niter=niter, thresh_op="hard",
+                             thresh_model="exponential", p_min=p_min,
+                             version="fast", alpha=0.75, eps=0.0)
+            try:
+                rate, snr, compile_s = _timed_solve(tr, cfg, truth, obs, mask,
+                                                    niter)
+                print(json.dumps({
+                    "basis": kind, "precision": prec or "highest", "n": n,
+                    "batch": batch, "niter": niter,
+                    "slice_iters_per_sec": round(rate, 1),
+                    "snr_db": round(snr, 2),
+                    "compile_s": round(compile_s, 1),
+                }), flush=True)
+            except Exception as e:  # keep the gate running past one basis
+                print(json.dumps({"basis": kind, "precision": prec,
+                                  "error": f"{type(e).__name__}: {e}"}),
+                      flush=True)
 
-        def solve_sum(z, m):
-            r = pocs_interpolate(z, m, tr, cfg)
-            return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-        fn = jax.jit(lambda z, m, s: solve_sum(type(z)(z.re * s, z.im * s), m))
-        m = jnp.asarray(m2)
-        z = from_complex(o2)
-        float(fn(z, m, jnp.float32(1.0)))  # compile
-        t0 = time.perf_counter()
-        acc = fn(z, m, jnp.float32(1.0))
-        for i in range(1, reps):
-            acc = acc + fn(z, m, jnp.float32(1.0 + 1e-3 * i))
-        float(acc)
-        dt = (time.perf_counter() - t0) / reps
-        # quality on the same problem
-        full = jax.jit(lambda z, mm: pocs_interpolate(z, mm, tr, cfg))(from_complex(o2), m)
-        rec = to_complex(full.data)
-        snr = float(metrics.snr(np.abs(t2), np.abs(rec)))
-        return b * NITER / dt, snr
+def run_study():
+    import dataclasses
 
-    base = POCSConfig(niter=NITER, thresh_op="hard", p_min="adaptive",
+    import jax
+
+    from pseudo_3d_interpolation_tpu.models import POCSConfig
+    from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
+
+    n = int(os.environ.get("BENCH_N", 512))
+    niter = int(os.environ.get("BENCH_NITER", 50))
+    base = POCSConfig(niter=niter, thresh_op="hard", p_min="adaptive",
                       version="fast", alpha=0.75, eps=0.0)
-
     print(f"{'config':<44s} {'slice-iters/s':>14s} {'SNR dB':>8s}")
-    P = jax.lax.Precision
-    for prec, name in [(P.HIGHEST, "HIGHEST"), (P.HIGH, "HIGH"), (P.DEFAULT, "DEFAULT")]:
+    for prec in ("highest", "high", "default"):
         for b in (8, 32):
-            rate, snr = timed_solve(base, b, prec)
-            print(f"XLA  {name:<8s} batch={b:<3d}{'':<24s} {rate:>14.0f} {snr:>8.2f}")
-
+            truth, obs, mask = make_problem(b, n)
+            tr = FFTTransform(precision=prec)
+            rate, snr, _ = _timed_solve(tr, base, truth, obs, mask, niter)
+            print(f"XLA  {prec:<8s} batch={b:<3d}{'':<24s} {rate:>14.0f} {snr:>8.2f}")
     pcfg = dataclasses.replace(base, use_pallas=True)
     for b in (8, 32):
+        truth, obs, mask = make_problem(b, n)
         try:
-            rate, snr = timed_solve(pcfg, b, P.HIGHEST)
+            rate, snr, _ = _timed_solve(FFTTransform(), pcfg, truth, obs, mask, niter)
             print(f"PALLAS fused    batch={b:<3d}{'':<22s} {rate:>14.0f} {snr:>8.2f}")
         except Exception as e:
             print(f"PALLAS fused    batch={b}: failed ({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_STUDY") == "1":
+        run_study()
+    else:
+        run_basis_gate()

@@ -157,3 +157,166 @@ def read_cube(path: str, combine_complex: bool = True, variables=None) -> Cube:
 
     return Cube(coords=coords, data_vars=data_vars, attrs=attrs,
                 var_attrs=var_attrs, coord_attrs=coord_attrs)
+
+
+class CubeFile:
+    """Lazy cube reader: metadata up-front, data slabs on demand.
+
+    The out-of-core counterpart of :func:`read_cube` — the reference keeps
+    its stage-2 cubes dask-chunked end to end
+    (cube_POCS_interpolation_3D.py:231-234); here the pipeline steps stream
+    (start, stop) slabs along a chosen dim through the device instead of
+    materializing survey-scale cubes in RAM. Split complex pairs recombine
+    per slab. Use as a context manager.
+    """
+
+    def __init__(self, path: str):
+        self._f = h5py.File(path, "r")
+        f = self._f
+
+        def _s(v):
+            return v.decode() if isinstance(v, bytes) else v
+
+        self.dim_names = [
+            k for k in f.keys() if _s(f[k].attrs.get("CLASS", "")) == "DIMENSION_SCALE"
+        ]
+        self.coords = {k: f[k][()] for k in self.dim_names}
+        self.coord_attrs = {
+            k: {a: v for a, v in f[k].attrs.items()
+                if not a.startswith(("CLASS", "NAME", "REFERENCE_LIST"))}
+            for k in self.dim_names
+        }
+        self.attrs = dict(f.attrs)
+        self._dims = {}
+        self.var_attrs = {}
+        complex_halves = set()
+        for k in f.keys():
+            if k in self.dim_names:
+                continue
+            dims = tuple(_s(s) for s in f[k].attrs.get("_dims", []))
+            self._dims[k] = dims
+            self.var_attrs[k] = {
+                a: v for a, v in f[k].attrs.items()
+                if not a.startswith(("DIMENSION_LIST", "_dims"))
+            }
+            if k.endswith(".real") and k[:-5] + ".imag" in f.keys():
+                complex_halves.add(k[:-5])
+        # logical variable table: complex pairs appear under their base name
+        self.data_vars = {}
+        for k, dims in self._dims.items():
+            base = k[:-5] if k.endswith((".real", ".imag")) else k
+            if base in complex_halves:
+                self.data_vars[base] = dims
+                self.var_attrs.setdefault(base, self.var_attrs.get(base + ".real", {}))
+            else:
+                self.data_vars[k] = dims
+        self._complex = complex_halves
+
+    def dims_of(self, var: str) -> tuple[str, ...]:
+        return self.data_vars[var]
+
+    def sizes(self) -> dict[str, int]:
+        return {d: len(c) for d, c in self.coords.items()}
+
+    def is_complex(self, var: str) -> bool:
+        return var in self._complex
+
+    def read_slab(self, var: str, dim: str | None = None,
+                  start: int = 0, stop: int | None = None) -> np.ndarray:
+        """Read ``var`` restricted to ``[start:stop]`` along ``dim``."""
+        dims = self.data_vars[var]
+        sel = tuple(
+            slice(start, stop) if (dim is not None and d == dim) else slice(None)
+            for d in dims
+        )
+        if var in self._complex:
+            re = self._f[var + ".real"][sel]
+            im = self._f[var + ".imag"][sel]
+            return re.astype(np.complex64) + 1j * im.astype(np.complex64)
+        return self._f[var][sel]
+
+    def read(self, var: str) -> np.ndarray:
+        return self.read_slab(var)
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class CubeWriter:
+    """Incremental cube writer: dims and datasets created up-front, data
+    filled slab by slab, attributes finalized on close.
+
+    The out-of-core counterpart of :func:`write_cube`; output files are
+    byte-compatible with it. Complex dtypes store as ``.real``/``.imag``
+    float32 halves like everywhere else.
+    """
+
+    def __init__(self, path: str, coords: dict, attrs: dict | None = None,
+                 coord_attrs: dict | None = None):
+        self._f = h5py.File(path, "w")
+        self.coords = {k: np.asarray(v) for k, v in coords.items()}
+        for dim, coord in self.coords.items():
+            d = self._f.create_dataset(dim, data=coord)
+            d.make_scale(dim)
+            for k, v in (coord_attrs or {}).get(dim, {}).items():
+                d.attrs[k] = _sanitize_attr(v)
+        self._attrs = dict(attrs or {})
+        self._complex = set()
+
+    def create_var(self, name: str, dims: tuple[str, ...], dtype,
+                   chunks: dict | None = None, attrs: dict | None = None):
+        shape = tuple(len(self.coords[d]) for d in dims)
+        ck = None
+        if chunks:
+            ck = tuple(min(chunks.get(d, s), s) for d, s in zip(dims, shape))
+        dtype = np.dtype(dtype)
+        names = [name]
+        if dtype.kind == "c":
+            names = [name + ".real", name + ".imag"]
+            dtype = np.float32
+            self._complex.add(name)
+        for n in names:
+            d = self._f.create_dataset(n, shape=shape, dtype=dtype, chunks=ck)
+            for i, dim in enumerate(dims):
+                d.dims[i].attach_scale(self._f[dim])
+            d.attrs["_dims"] = [s.encode() for s in dims]
+            for k, v in (attrs or {}).items():
+                d.attrs[k] = _sanitize_attr(v)
+
+    def write_slab(self, name: str, data: np.ndarray, dim: str | None = None,
+                   start: int = 0):
+        """Write ``data`` at offset ``start`` along ``dim`` (full extent on
+        the other axes)."""
+        target = self._f[name + ".real"] if name in self._complex else self._f[name]
+        dims = tuple(s.decode() if isinstance(s, bytes) else s
+                     for s in target.attrs["_dims"])
+        sel = tuple(
+            slice(start, start + n) if (dim is not None and d == dim) else slice(None)
+            for d, n in zip(dims, data.shape)
+        )
+        if name in self._complex:
+            data = np.asarray(data)
+            self._f[name + ".real"][sel] = data.real.astype(np.float32)
+            self._f[name + ".imag"][sel] = data.imag.astype(np.float32)
+        else:
+            self._f[name][sel] = data
+
+    def set_attrs(self, **kw):
+        self._attrs.update(kw)
+
+    def close(self):
+        for k, v in self._attrs.items():
+            self._f.attrs[k] = _sanitize_attr(v)
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -205,24 +205,27 @@ class ShearletTransform:
     over the spatial axes only, POCS.py:255-259, 284-285, 341)."""
 
     n_scales: int | None = None
+    precision: str = "highest"
     kind: str = "SHEARLET"
 
-    def _psi(self, h, w):
+    def _plan(self, h, w):
         from ..ops import shearlet as sh
 
-        return sh.shearlet_spectra(h, w, self.n_scales)
+        return sh.shearlet_plan(h, w, self.n_scales)
 
     def forward(self, z: Cplx) -> Cplx:
         from ..ops import shearlet as sh
 
-        return sh.shearlet_transform(z, self._psi(z.shape[-2], z.shape[-1]))
+        return sh.shearlet_transform_planned(
+            z, self._plan(z.shape[-2], z.shape[-1]),
+            precision=_resolve_precision(self.precision))
 
     def inverse(self, coeffs: Cplx) -> Cplx:
         from ..ops import shearlet as sh
 
-        return sh.inverse_shearlet_transform(
-            coeffs, self._psi(coeffs.shape[-2], coeffs.shape[-1])
-        )
+        return sh.inverse_shearlet_transform_planned(
+            coeffs, self._plan(coeffs.shape[-2], coeffs.shape[-1]),
+            precision=_resolve_precision(self.precision))
 
     def decay(self, coeffs: Cplx, model, niter, p_max, p_min, decay_kind):
         from ..ops import shearlet as sh
@@ -261,7 +264,9 @@ register_transform(
     lambda wavelet="db4", level=None, **kw: WaveletTransform(wavelet=wavelet, level=level),
 )
 register_transform(
-    "SHEARLET", lambda n_scales=None, **kw: ShearletTransform(n_scales=n_scales)
+    "SHEARLET",
+    lambda n_scales=None, precision="highest", **kw: ShearletTransform(
+        n_scales=n_scales, precision=precision),
 )
 
 

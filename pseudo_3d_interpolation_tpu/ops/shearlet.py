@@ -173,3 +173,150 @@ def inverse_shearlet_transform(coeffs: Cplx, psi, precision=dft.Precision.HIGHES
     cf = dft.fft2(coeffs, precision=precision)
     acc = Cplx(jnp.sum(cf.re * p, axis=-3), jnp.sum(cf.im * p, axis=-3))
     return dft.ifft2(acc, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Support-cropped transform plan
+#
+# Scale-j subband spectra are compactly supported: the radial window
+# ψ1(4^{-j}ω) vanishes outside |ω| <= 4^{j+1}, so every subband of scale j
+# (both cones, plus the lowpass for j=0) lives in a centered frequency box
+# of side 2·4^{j+1}+1. Restricting the per-subband DFT matmuls to that box
+# is EXACT (the nonlinear threshold happens in the spatial domain; its
+# spectrum is re-windowed by the compactly supported Psi before the sum) and
+# cuts ~45% of the solver's matmul flops at 512² — only the finest scale
+# still pays full-size transforms. The spatial coefficients keep full H×W
+# resolution, so thresholds/decays see exactly the FFST coefficient values.
+# ---------------------------------------------------------------------------
+
+class _ScaleGroup:
+    """Static per-scale plan entry: frequency-box indices + cropped Psi."""
+
+    __slots__ = ("idx_h", "idx_w", "psi")
+
+    def __init__(self, idx_h, idx_w, psi):
+        self.idx_h = idx_h  # (sr,) int32 fft-layout row indices, or None=full
+        self.idx_w = idx_w
+        self.psi = psi      # (Lg, sr, sc) f32
+
+
+def _box_indices(n: int, bound: int) -> np.ndarray:
+    """fft-layout indices of frequencies |ω| <= bound (size 2·bound+1)."""
+    return np.concatenate([np.arange(bound + 1),
+                           np.arange(n - bound, n)]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=8)
+def shearlet_plan(h: int, w: int, n_scales: int | None = None):
+    """Precompute per-scale support-cropped spectra groups (host, cached)."""
+    if n_scales is None:
+        n_scales = default_scales(h, w)
+    psi = shearlet_spectra(h, w, n_scales)
+    counts = [1 + 4] + [2 ** (j + 2) for j in range(1, n_scales)]
+    bounds = [4] + [4 ** (j + 1) for j in range(1, n_scales)]
+    groups = []
+    l0 = 0
+    for cnt, bound in zip(counts, bounds):
+        sub = psi[l0 : l0 + cnt]
+        l0 += cnt
+        if 2 * bound + 1 >= min(h, w):
+            groups.append(_ScaleGroup(None, None, sub))
+            continue
+        ih = _box_indices(h, bound)
+        iw = _box_indices(w, bound)
+        # exactness guard: all energy of this scale lies inside the box
+        outside = np.ones((h, w), bool)
+        outside[np.ix_(ih, iw)] = False
+        leak = np.abs(sub[:, outside]).max() if outside.any() else 0.0
+        assert leak == 0.0, f"scale group leaks outside its box: {leak}"
+        groups.append(_ScaleGroup(ih, iw, np.ascontiguousarray(sub[:, ih][:, :, iw])))
+    assert l0 == psi.shape[0]
+    return tuple(groups)
+
+
+def _partial_ifft2(v: Cplx, idx_h, idx_w, h: int, w: int, precision) -> Cplx:
+    """ifft2 of a spectrum that is zero outside the (idx_h × idx_w) box.
+
+    ``v``: (..., sr, sc) box values -> (..., h, w) spatial, scaled 1/(h·w).
+    """
+    fhr, fhi = dft.dft_matrices(h)
+    fwr, fwi = dft.dft_matrices(w)
+    # inverse matrix = conj(F)/n: columns restricted to the box indices
+    mhr = jnp.asarray(fhr[:, idx_h])
+    mhi = jnp.asarray(-fhi[:, idx_h])
+    mwr = jnp.asarray(fwr[:, idx_w])
+    mwi = jnp.asarray(-fwi[:, idx_w])
+    yr = (jnp.einsum("hr,...rc->...hc", mhr, v.re, precision=precision)
+          - jnp.einsum("hr,...rc->...hc", mhi, v.im, precision=precision))
+    yi = (jnp.einsum("hr,...rc->...hc", mhr, v.im, precision=precision)
+          + jnp.einsum("hr,...rc->...hc", mhi, v.re, precision=precision))
+    outr = (jnp.einsum("...hc,wc->...hw", yr, mwr, precision=precision)
+            - jnp.einsum("...hc,wc->...hw", yi, mwi, precision=precision))
+    outi = (jnp.einsum("...hc,wc->...hw", yr, mwi, precision=precision)
+            + jnp.einsum("...hc,wc->...hw", yi, mwr, precision=precision))
+    s = 1.0 / (h * w)
+    return Cplx(outr * s, outi * s)
+
+
+def _partial_fft2(x: Cplx, idx_h, idx_w, precision) -> Cplx:
+    """fft2 evaluated only at the (idx_h × idx_w) box of output frequencies."""
+    h, w = x.shape[-2], x.shape[-1]
+    fhr, fhi = dft.dft_matrices(h)
+    fwr, fwi = dft.dft_matrices(w)
+    mhr = jnp.asarray(fhr[idx_h])   # (sr, H)
+    mhi = jnp.asarray(fhi[idx_h])
+    mwr = jnp.asarray(fwr[idx_w])   # (sc, W)
+    mwi = jnp.asarray(fwi[idx_w])
+    yr = (jnp.einsum("rh,...hw->...rw", mhr, x.re, precision=precision)
+          - jnp.einsum("rh,...hw->...rw", mhi, x.im, precision=precision))
+    yi = (jnp.einsum("rh,...hw->...rw", mhr, x.im, precision=precision)
+          + jnp.einsum("rh,...hw->...rw", mhi, x.re, precision=precision))
+    outr = (jnp.einsum("...rw,cw->...rc", yr, mwr, precision=precision)
+            - jnp.einsum("...rw,cw->...rc", yi, mwi, precision=precision))
+    outi = (jnp.einsum("...rw,cw->...rc", yr, mwi, precision=precision)
+            + jnp.einsum("...rw,cw->...rc", yi, mwr, precision=precision))
+    return Cplx(outr, outi)
+
+
+def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -> Cplx:
+    """Forward transform via the support-cropped plan (== full, cheaper)."""
+    h, w = z.shape[-2], z.shape[-1]
+    zf = dft.fft2(z, precision=precision)
+    outs = []
+    for g in plan:
+        p = jnp.asarray(g.psi)
+        if g.idx_h is None:
+            prod = Cplx(zf.re[..., None, :, :] * p, zf.im[..., None, :, :] * p)
+            outs.append(dft.ifft2(prod, precision=precision))
+        else:
+            box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
+            prod = Cplx(box.re[..., None, :, :] * p, box.im[..., None, :, :] * p)
+            outs.append(_partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision))
+    return Cplx(jnp.concatenate([o.re for o in outs], axis=-3),
+                jnp.concatenate([o.im for o in outs], axis=-3))
+
+
+def inverse_shearlet_transform_planned(coeffs: Cplx, plan,
+                                       precision=dft.Precision.HIGHEST) -> Cplx:
+    """Inverse transform via the support-cropped plan (== full, cheaper)."""
+    h, w = coeffs.shape[-2], coeffs.shape[-1]
+    batch = coeffs.shape[:-3]
+    acc_re = jnp.zeros(batch + (h, w), coeffs.dtype)
+    acc_im = jnp.zeros(batch + (h, w), coeffs.dtype)
+    l0 = 0
+    for g in plan:
+        lg = g.psi.shape[0]
+        c = coeffs[..., l0 : l0 + lg, :, :]
+        l0 += lg
+        p = jnp.asarray(g.psi)
+        if g.idx_h is None:
+            cf = dft.fft2(c, precision=precision)
+            acc_re = acc_re + jnp.sum(cf.re * p, axis=-3)
+            acc_im = acc_im + jnp.sum(cf.im * p, axis=-3)
+        else:
+            v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+            sr = jnp.sum(v.re * p, axis=-3)
+            si = jnp.sum(v.im * p, axis=-3)
+            acc_re = acc_re.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(sr)
+            acc_im = acc_im.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(si)
+    return dft.ifft2(Cplx(acc_re, acc_im), precision=precision)

@@ -58,91 +58,151 @@ def interpolate_checkpointed(
     batch: int = 64,
     out_path: str | None = None,
     verbose: int = 0,
-) -> Cube:
-    """Batch-file checkpointed interpolation with automatic resume.
+) -> Cube | str:
+    """Batch-file checkpointed interpolation — out-of-core, with resume.
 
     Each batch of slices writes ``slices_<start>_<stop>.nc`` into
     ``checkpoint_dir`` as soon as it completes; re-running skips finished
-    batches and merges everything at the end. This formalizes the
-    reference's de-facto crash recovery (per-batch netCDFs named by
-    frequency range + manual re-runs; cube_POCS_interpolation_3D.py:146-157,
-    369-405, SURVEY.md §5.4).
+    batches. This formalizes the reference's de-facto crash recovery
+    (per-batch netCDFs named by frequency range + manual re-runs;
+    cube_POCS_interpolation_3D.py:146-157, 369-405, SURVEY.md §5.4).
+
+    Out-of-core contract: pass the input as a *path* and set ``out_path``
+    — slices then stream HDF5 -> device -> HDF5 in ``batch``-sized slabs
+    and the full cube is NEVER materialized in host RAM (peak usage is
+    one batch plus the 2D fold/mask; mirrors the reference's dask-chunked
+    stage 2, cube_POCS_interpolation_3D.py:231-234). The return value is
+    ``out_path``. Passing an in-RAM :class:`Cube` keeps the convenience
+    behavior of returning an assembled Cube.
     """
     from ..models.transforms import get_transform as _get_transform
     from ..parallel.solver import interpolate_cube as _interpolate_cube
     from ..parallel import mesh as mesh_lib
+    from ..io.ncio import CubeFile, CubeWriter
+    from ..utils.compcache import enable_persistent_cache
 
-    if isinstance(cube, str):
-        cube = read_cube(cube)
+    enable_persistent_cache()
+
     extra = {}
     if not isinstance(config, POCSConfig):
         config, extra = config_from_yaml(config)
-    if var is None:
-        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
-    dims, data = cube.data_vars[var]
-    fold = np.asarray(cube.data_vars["fold"][1])
-    mask = (fold > 0).astype(np.float32)
-    moved = np.moveaxis(np.asarray(data), -1, 0)
-    f_total = moved.shape[0]
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    if mesh is None:
-        mesh = mesh_lib.make_mesh()
-    n_dev = mesh.devices.size
-    batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
-    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales") if k in extra}
-    transform = _get_transform(config.transform_kind, **transform_kwargs)
+    src = CubeFile(cube) if isinstance(cube, str) else cube
+    streaming = isinstance(cube, str)
+    if streaming and not out_path:
+        raise ValueError("out-of-core mode (path input) requires out_path")
+    try:
+        if var is None:
+            var = next(v for v in src.data_vars
+                       if v not in ("fold", "amp_ref", "mask"))
+        if streaming:
+            dims = src.dims_of(var)
+            is_complex = src.is_complex(var)
+            fold = np.asarray(src.read("fold"))
+        else:
+            dims, data = src.data_vars[var]
+            is_complex = np.iscomplexobj(data)
+            fold = np.asarray(src.data_vars["fold"][1])
+        mask = (fold > 0).astype(np.float32)
+        slice_dim = dims[-1]
+        coords = {d: np.asarray(src.coords[d]) for d in src.coords}
+        f_total = len(coords[slice_dim])
 
-    slice_dim = dims[-1]
-    rec = np.empty(moved.shape, moved.dtype if np.iscomplexobj(moved) else np.float32)
-    n_iters = np.zeros(f_total, np.int32)
-    costs = np.zeros(f_total, np.float32)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        if mesh is None:
+            mesh = mesh_lib.make_mesh()
+        n_dev = mesh.devices.size
+        batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
+        transform_kwargs = {k: extra[k] for k in ("wavelet", "level",
+                                                  "n_scales", "precision")
+                            if k in extra}
+        transform = _get_transform(config.transform_kind, **transform_kwargs)
 
-    for start in range(0, f_total, batch):
-        stop = min(start + batch, f_total)
-        ck = os.path.join(checkpoint_dir, f"slices_{start:05d}_{stop:05d}.nc")
-        if os.path.exists(ck):
-            part = read_cube(ck)
-            rec[start:stop] = part["rec"]
-            n_iters[start:stop] = part["niterations"]
-            costs[start:stop] = part["cost"]
-            xprint(f"resume: batch {start}-{stop} from checkpoint", kind="info",
+        n_iters = np.zeros(f_total, np.int32)
+        costs = np.zeros(f_total, np.float32)
+        ck_paths = []
+
+        for start in range(0, f_total, batch):
+            stop = min(start + batch, f_total)
+            ck = os.path.join(checkpoint_dir, f"slices_{start:05d}_{stop:05d}.nc")
+            ck_paths.append((start, stop, ck))
+            if os.path.exists(ck):
+                part = read_cube(ck, variables=["niterations", "cost"])
+                n_iters[start:stop] = part["niterations"]
+                costs[start:stop] = part["cost"]
+                xprint(f"resume: batch {start}-{stop} from checkpoint",
+                       kind="info", verbosity=verbose)
+                continue
+            if streaming:
+                slab = src.read_slab(var, dim=slice_dim, start=start, stop=stop)
+            else:
+                slab = np.asarray(src.data_vars[var][1][..., start:stop])
+            moved = np.moveaxis(slab, -1, 0)
+            rec_c, n_c, c_c = _interpolate_cube(
+                moved, mask, config, mesh=mesh, transform=transform,
+                batch=batch,
+            )
+            n_iters[start:stop] = n_c
+            costs[start:stop] = c_c
+            part = Cube(
+                coords={slice_dim: coords[slice_dim][start:stop]},
+                data_vars={
+                    "rec": ((slice_dim,) + dims[:-1], rec_c),
+                    "niterations": ((slice_dim,), n_c),
+                    "cost": ((slice_dim,), c_c),
+                },
+            )
+            for d in dims[:-1]:
+                part.coords[d] = coords[d]
+            write_cube(ck, part)
+            xprint(f"batch {start}-{stop} done -> {ck}", kind="info",
                    verbosity=verbose)
-            continue
-        # reuse the pipelined chunk driver for the padded solve
-        rec_c, n_c, c_c = _interpolate_cube(
-            moved[start:stop], mask, config, mesh=mesh, transform=transform,
-            batch=batch,
-        )
-        rec[start:stop] = rec_c
-        n_iters[start:stop] = n_c
-        costs[start:stop] = c_c
-        part = Cube(
-            coords={slice_dim: np.asarray(cube.coords[slice_dim])[start:stop]},
-            data_vars={
-                "rec": ((slice_dim,) + dims[:-1], rec[start:stop]),
-                "niterations": ((slice_dim,), n_iters[start:stop]),
-                "cost": ((slice_dim,), costs[start:stop]),
-            },
-        )
-        # missing other coords for rec dims: attach them for completeness
-        for d in dims[:-1]:
-            part.coords[d] = np.asarray(cube.coords[d])
-        write_cube(ck, part)
-        xprint(f"batch {start}-{stop} done -> {ck}", kind="info", verbosity=verbose)
 
+        history = f"POCS({config.transform_kind},{config.version},checkpointed)"
+        attrs = dict(src.attrs)
+        import datetime as _dt
+
+        attrs["history"] = attrs.get("history", "") + f"{history};"
+        attrs["text"] = (attrs.get("text", "")
+                         + f"\n{_dt.date.today().isoformat()}: {history}")
+        attrs["pocs_mean_iterations"] = float(n_iters.mean())
+
+        if streaming:
+            # merge checkpoints -> output file slab by slab (never whole-cube)
+            fold_dims = src.dims_of("fold")
+            with CubeWriter(out_path, coords, attrs=attrs,
+                            coord_attrs=dict(src.coord_attrs)) as w:
+                w.create_var(f"{var}_interp", dims,
+                             np.complex64 if is_complex else np.float32,
+                             chunks={slice_dim: 1},
+                             attrs=dict(src.var_attrs.get(var, {})))
+                w.create_var("fold", fold_dims, fold.dtype)
+                w.write_slab("fold", fold)
+                for start, stop, ck in ck_paths:
+                    part = read_cube(ck)
+                    w.write_slab(f"{var}_interp",
+                                 np.moveaxis(part["rec"], 0, -1),
+                                 dim=slice_dim, start=start)
+            return out_path
+    finally:
+        if streaming:
+            src.close()
+
+    # in-RAM convenience path: assemble and return a Cube
+    rec = np.empty((f_total,) + tuple(len(coords[d]) for d in dims[:-1]),
+                   np.complex64 if is_complex else np.float32)
+    for start, stop, ck in ck_paths:
+        rec[start:stop] = read_cube(ck)["rec"]
     out = Cube(
-        coords=dict(cube.coords),
+        coords=coords,
         data_vars={
             f"{var}_interp": (dims, np.moveaxis(rec, 0, -1)),
-            "fold": cube.data_vars["fold"],
+            "fold": src.data_vars["fold"],
         },
-        attrs=dict(cube.attrs),
-        var_attrs={f"{var}_interp": dict(cube.var_attrs.get(var, {}))},
-        coord_attrs=dict(cube.coord_attrs),
+        attrs=attrs,
+        var_attrs={f"{var}_interp": dict(src.var_attrs.get(var, {}))},
+        coord_attrs=dict(src.coord_attrs),
     )
-    out.append_history(f"POCS({config.transform_kind},{config.version},checkpointed)")
-    out.attrs["pocs_mean_iterations"] = float(n_iters.mean())
     if out_path:
         write_cube(out_path, out, chunks={slice_dim: 1})
     return out
@@ -169,6 +229,9 @@ def interpolate(
     analogue of the reference's dask ``performance_report`` HTML
     (cube_POCS_interpolation_3D.py:378-383); open with TensorBoard/XProf.
     """
+    from ..utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     if isinstance(cube, str):
         cube = read_cube(cube)
     extra = {}
@@ -186,7 +249,8 @@ def interpolate(
     slice_dim = dims[-1]
     moved = np.moveaxis(np.asarray(data), -1, 0)
 
-    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales") if k in extra}
+    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales",
+                                               "precision") if k in extra}
     transform = get_transform(config.transform_kind, **transform_kwargs)
     xprint(
         f"POCS: {moved.shape[0]} slices of {moved.shape[1]}x{moved.shape[2]}, "

@@ -1,0 +1,42 @@
+"""Persistent XLA compilation cache.
+
+The SHEARLET production basis compiles in minutes cold (61-subband einsum
+program at 512²; STATUS.md round-1 measured 5–7 min on the remote chip).
+jax's persistent compilation cache keys serialized executables by program
+hash, so every process after the first starts warm. The reference has no
+analogue (numpy is interpreted); this is the TPU-native answer to its
+"first run is slow" problem, enabled by every long-running driver
+(pipeline POCS step, CLI, bench).
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "p3d-jax-cache")
+_enabled = False
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Point jax at an on-disk compilation cache (idempotent).
+
+    Env override: ``P3D_COMPILATION_CACHE`` (set to ``0``/``off`` to
+    disable). Safe to call before or after backend initialization.
+    """
+    global _enabled
+    env = os.environ.get("P3D_COMPILATION_CACHE")
+    if env is not None and env.lower() in ("0", "off", "none", ""):
+        return ""
+    path = path or env or _DEFAULT
+    if _enabled:
+        return path
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took noticeable time; tiny programs recompile
+    # faster than they deserialize
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    _enabled = True
+    return path

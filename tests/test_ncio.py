@@ -3,7 +3,7 @@
 import h5py
 import numpy as np
 
-from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+from pseudo_3d_interpolation_tpu.io.ncio import Cube, CubeFile, CubeWriter, read_cube, write_cube
 
 
 def make_cube():
@@ -84,3 +84,58 @@ def test_partial_variable_read(tmp_path):
     write_cube(p, c)
     back = read_cube(p, variables=["fold"])
     assert "fold" in back.data_vars and "amp" not in back.data_vars
+
+
+def test_cubefile_lazy_slab_reads(tmp_path):
+    """CubeFile slabs must equal in-RAM reads, including complex recombine."""
+    p = str(tmp_path / "lazy.nc")
+    rng = np.random.default_rng(0)
+    il, xl, F = 8, 6, 10
+    amp = (rng.normal(size=(il, xl, F)) + 1j * rng.normal(size=(il, xl, F))
+           ).astype(np.complex64)
+    fold = rng.integers(0, 3, size=(il, xl)).astype(np.int32)
+    cube = Cube(
+        coords={"iline": np.arange(il), "xline": np.arange(xl),
+                "freq_twt": np.arange(F) * 2.0},
+        data_vars={"freq_env": (("iline", "xline", "freq_twt"), amp),
+                   "fold": (("iline", "xline"), fold)},
+        attrs={"history": "test;"},
+    )
+    write_cube(p, cube, chunks={"freq_twt": 1})
+    with CubeFile(p) as cf:
+        assert cf.sizes() == {"iline": il, "xline": xl, "freq_twt": F}
+        assert cf.dims_of("freq_env") == ("iline", "xline", "freq_twt")
+        assert cf.is_complex("freq_env") and not cf.is_complex("fold")
+        np.testing.assert_array_equal(cf.read("fold"), fold)
+        slab = cf.read_slab("freq_env", dim="freq_twt", start=3, stop=7)
+        np.testing.assert_array_equal(slab, amp[:, :, 3:7])
+        assert cf.attrs["history"] == "test;"
+
+
+def test_cubewriter_incremental_matches_write_cube(tmp_path):
+    """A slab-by-slab CubeWriter file must read back like a write_cube file."""
+    p = str(tmp_path / "inc.nc")
+    rng = np.random.default_rng(1)
+    il, xl, F = 5, 4, 9
+    rec = (rng.normal(size=(il, xl, F)) + 1j * rng.normal(size=(il, xl, F))
+           ).astype(np.complex64)
+    fold = rng.integers(0, 2, size=(il, xl)).astype(np.int32)
+    coords = {"iline": np.arange(il), "xline": np.arange(xl),
+              "freq_twt": np.arange(F) * 1.5}
+    with CubeWriter(p, coords, attrs={"history": "streamed;"}) as w:
+        w.create_var("freq_env_interp", ("iline", "xline", "freq_twt"),
+                     np.complex64, chunks={"freq_twt": 1})
+        w.create_var("fold", ("iline", "xline"), np.int32)
+        w.write_slab("fold", fold)
+        for s in range(0, F, 4):
+            w.write_slab("freq_env_interp", rec[:, :, s : s + 4],
+                         dim="freq_twt", start=s)
+    back = read_cube(p)
+    np.testing.assert_array_equal(back["freq_env_interp"], rec)
+    np.testing.assert_array_equal(back["fold"], fold)
+    assert back.attrs["history"] == "streamed;"
+    # and lazily
+    with CubeFile(p) as cf:
+        np.testing.assert_array_equal(
+            cf.read_slab("freq_env_interp", dim="freq_twt", start=2, stop=5),
+            rec[:, :, 2:5])

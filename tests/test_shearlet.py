@@ -90,3 +90,42 @@ def test_shearlet_pocs_reconstruction():
     snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
     snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
     assert snr_out > snr_in + 6, (snr_in, snr_out)
+
+
+def test_planned_transform_matches_full():
+    """The support-cropped plan must reproduce the full transform exactly
+    (it is the same math with per-scale DFTs restricted to the frequency
+    boxes where each Psi is supported)."""
+    rng = np.random.default_rng(5)
+    for shape in [(64, 64), (64, 32)]:
+        z = cplx.from_complex(
+            (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64))
+        psi = sh.shearlet_spectra(*shape)
+        plan = sh.shearlet_plan(*shape)
+        full = sh.shearlet_transform(z, psi)
+        planned = sh.shearlet_transform_planned(z, plan)
+        np.testing.assert_allclose(np.asarray(planned.re), np.asarray(full.re),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(planned.im), np.asarray(full.im),
+                                   atol=1e-4)
+        # inverse path: threshold-like modification, then both inverses agree
+        mod = cplx.Cplx(planned.re * 0.7, planned.im * 0.7)
+        inv_full = sh.inverse_shearlet_transform(mod, psi)
+        inv_planned = sh.inverse_shearlet_transform_planned(mod, plan)
+        np.testing.assert_allclose(np.asarray(inv_planned.re),
+                                   np.asarray(inv_full.re), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(inv_planned.im),
+                                   np.asarray(inv_full.im), atol=1e-4)
+
+
+def test_planned_roundtrip_tight_frame():
+    """x == inverse(forward(x)) through the planned path (Parseval frame)."""
+    rng = np.random.default_rng(6)
+    z = cplx.from_complex(
+        (rng.normal(size=(2, 64, 64)) + 1j * rng.normal(size=(2, 64, 64))
+         ).astype(np.complex64))
+    plan = sh.shearlet_plan(64, 64)
+    back = sh.inverse_shearlet_transform_planned(
+        sh.shearlet_transform_planned(z, plan), plan)
+    np.testing.assert_allclose(np.asarray(back.re), np.asarray(z.re), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(back.im), np.asarray(z.im), atol=2e-5)
