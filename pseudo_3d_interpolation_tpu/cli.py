@@ -100,7 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = cmd("tide", 6, "tide compensation from a tide model / table")
     p.add_argument("input")
     p.add_argument("--tide-file", required=True,
-                   help="CSV of UTC datetime,height_m (predicted tide)")
+                   help="CSV of UTC datetime,height_m (constant-position "
+                        "series) OR a harmonic-constant atlas .nc/.h5 "
+                        "(per-trace lat/lon/time spatial prediction)")
+    p.add_argument("--src-epsg", type=int, default=None,
+                   help="EPSG of projected trace coordinates (atlas mode)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("mistie", 7, "network mistie correction across line intersections")

@@ -398,27 +398,71 @@ def trace_datetimes(f: SegyFile) -> np.ndarray:
 
 
 def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
+                    src_epsg: int | None = None,
                     inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
-    """Shift traces by the predicted tide at their recording time.
+    """Shift traces by the predicted tide at their recording time/position.
 
-    ``tide_file`` is a CSV with columns ``datetime`` (UTC) and ``height``
-    (m, positive up). (The reference calls the TPXO9 atlas; a predicted
-    series per survey area is equivalent input. ``utils.tide`` provides
-    harmonic prediction from constituents when only those are available.)
+    ``tide_file`` is either
+
+    - a CSV with columns ``datetime`` (UTC) and ``height`` (m, positive up)
+      — a positionally constant tide series, or
+    - a harmonic-constant **atlas** (``.nc``/``.h5`` with ``<NAME>_amp`` /
+      ``<NAME>_phase`` grids over lat/lon, see ``utils.tide.TideAtlas``) —
+      tide is then predicted at every trace's lat/lon and recording time,
+      matching the reference's TPXO9 spatial prediction
+      (tide_compensation_segy.py:77-143, 242-252). Long lines crossing
+      amphidromic gradients get position-dependent corrections.
+
+    ``src_epsg``: EPSG of projected trace coordinates, for conversion to
+    lat/lon when using an atlas (unnecessary when headers already carry
+    geographic coordinates).
     """
-    tide = pd.read_csv(tide_file, parse_dates=["datetime"]).sort_values("datetime")
-    t_ref = tide["datetime"].to_numpy().astype("datetime64[ns]").astype("int64")
-    h_ref = tide["height"].to_numpy(float)
+    atlas = None
+    if tide_file.lower().endswith((".nc", ".h5", ".hdf5", ".atlas")):
+        from ..utils.tide import TideAtlas
+
+        atlas = TideAtlas.from_file(tide_file)
+        xprint(f"tide atlas: {sorted(atlas.constituents)} over "
+               f"lat [{atlas.lat[0]:.2f}, {atlas.lat[-1]:.2f}], "
+               f"lon [{atlas.lon[0]:.2f}, {atlas.lon[-1]:.2f}]",
+               kind="info", verbosity=verbose)
+    else:
+        tide = pd.read_csv(tide_file, parse_dates=["datetime"]).sort_values("datetime")
+        t_ref = tide["datetime"].to_numpy().astype("datetime64[ns]").astype("int64")
+        h_ref = tide["height"].to_numpy(float)
+
+    def _trace_latlon(f):
+        from ..io.headers import scale_coordinates
+        from ..utils import crs as crs_lib
+
+        x, y, units = scale_coordinates(f)
+        if units == 2:  # already geographic (converted to decimal degrees)
+            return y, x
+        if src_epsg in (None, 4326):
+            # heuristic: plausible decimal degrees stored as lengths
+            if (np.abs(x) <= 360).all() and (np.abs(y) <= 90).all() and src_epsg == 4326:
+                return y, x
+            raise ValueError(
+                "atlas tide compensation on projected coordinates requires "
+                "src_epsg (e.g. the UTM zone EPSG) to convert to lat/lon")
+        lon, lat = crs_lib.transform(x, y, src_epsg, 4326)
+        return lat, lon
+
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             dt_s = f.dt_us * 1e-6
-            times = trace_datetimes(f).astype("datetime64[ns]").astype("int64")
-            if times.min() < t_ref[0] or times.max() > t_ref[-1]:
-                xprint(f"{p}: trace times extend beyond the tide table — "
-                       "endpoint heights will be clamped", kind="warning",
-                       verbosity=verbose)
-            height = np.interp(times, t_ref, h_ref)
+            times64 = trace_datetimes(f).astype("datetime64[ns]")
+            times = times64.astype("int64")
+            if atlas is not None:
+                lat, lon = _trace_latlon(f)
+                height = atlas.predict(times64, lat, lon)
+            else:
+                if times.min() < t_ref[0] or times.max() > t_ref[-1]:
+                    xprint(f"{p}: trace times extend beyond the tide table — "
+                           "endpoint heights will be clamped", kind="warning",
+                           verbosity=verbose)
+                height = np.interp(times, t_ref, h_ref)
             # high tide raises the vessel, so the seafloor records DEEPER;
             # compensation shifts traces up (negative = shallower), matching
             # the reference's compensate_tide sign
@@ -613,6 +657,12 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
 def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = None,
               coords_bytes=(73, 77), scalar: int = -100, inplace: bool = False,
               output_dir=None, verbose: int = 0) -> list[str]:
+    """Reproject trace-header coordinates between CRSs (reference
+    reproject_segy.py:73-169). Any EPSG supported by ``utils.crs`` works:
+    geographic, UTM (analytic), Lambert conformal conic, polar
+    stereographic, and Mercator codes from the registry, plus anything
+    added via ``utils.crs.register_crs`` (the pyproj-custom-CRS analogue).
+    """
     def _one(p):
         with SegyFile(p) as f:
             x, y, units = scale_coordinates(f, coords_bytes)
@@ -825,8 +875,9 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
         static_correct(args.input, mode=args.mode, win_samples=args.win_samples,
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "tide":
-        tide_compensate(args.input, args.tide_file, inplace=args.inplace,
-                        verbose=verbose)
+        tide_compensate(args.input, args.tide_file,
+                        src_epsg=getattr(args, "src_epsg", None),
+                        inplace=args.inplace, verbose=verbose)
     elif cmd == "mistie":
         mistie_correct(args.input, min_correlation=args.min_correlation,
                        inplace=args.inplace, verbose=verbose)

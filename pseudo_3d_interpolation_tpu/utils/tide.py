@@ -115,3 +115,122 @@ def tide_table(start, end, constituents, freq: str = "600s",
     times = pd.date_range(start, end, freq=freq)
     return pd.DataFrame({"datetime": times,
                          "height": predict_tide(times, constituents, mean_level)})
+
+
+# ---------------------------------------------------------------------------
+# Spatial (atlas-based) prediction
+#
+# replaces: the reference's TPXO9-atlas path — tide predicted at per-trace
+# lat/lon/time (tide_compensation_segy.py:77-143, 242-252) — without the
+# tpxo-tide-prediction dependency. The atlas is a gridded set of harmonic
+# constants: per constituent, amplitude (m) and Greenwich phase lag (deg)
+# maps over (lat, lon). Constants are bilinearly interpolated at each trace
+# position as COMPLEX numbers A·e^{-ig} (interpolating amplitude and phase
+# separately is wrong where the phase wraps — same convention as the TPXO
+# tools), then synthesized per trace time with nodal corrections.
+# ---------------------------------------------------------------------------
+
+class TideAtlas:
+    """Gridded harmonic constants: {name: (amp(lat,lon), phase_deg(lat,lon))}.
+
+    NaN cells mark land/invalid nodes; interpolation renormalizes over the
+    valid corners of each cell (positions inside fully-invalid cells raise).
+    """
+
+    def __init__(self, lat: np.ndarray, lon: np.ndarray,
+                 constituents: dict[str, tuple[np.ndarray, np.ndarray]]):
+        self.lat = np.asarray(lat, float)
+        self.lon = np.asarray(lon, float)
+        if not (np.all(np.diff(self.lat) > 0) and np.all(np.diff(self.lon) > 0)):
+            raise ValueError("atlas lat/lon axes must be strictly increasing")
+        self.constituents = {}
+        for name, (amp, ph) in constituents.items():
+            if name not in _CONSTITUENTS:
+                raise ValueError(f"unknown constituent {name!r}; supported: "
+                                 f"{sorted(_CONSTITUENTS)}")
+            amp = np.asarray(amp, float)
+            ph = np.asarray(ph, float)
+            if amp.shape != (len(self.lat), len(self.lon)):
+                raise ValueError(f"{name}: amp grid {amp.shape} != "
+                                 f"({len(self.lat)}, {len(self.lon)})")
+            self.constituents[name] = (amp, ph)
+
+    # -- persistence (ncio cube convention: <NAME>_amp / <NAME>_phase) --
+    def save(self, path: str) -> None:
+        from ..io.ncio import Cube, write_cube
+
+        data_vars = {}
+        for name, (amp, ph) in self.constituents.items():
+            data_vars[f"{name}_amp"] = (("lat", "lon"), amp.astype(np.float32))
+            data_vars[f"{name}_phase"] = (("lat", "lon"), ph.astype(np.float32))
+        write_cube(path, Cube(coords={"lat": self.lat, "lon": self.lon},
+                              data_vars=data_vars,
+                              attrs={"title": "tidal harmonic constant atlas"}))
+
+    @classmethod
+    def from_file(cls, path: str) -> "TideAtlas":
+        from ..io.ncio import read_cube
+
+        cube = read_cube(path)
+        cons = {}
+        for k in cube.data_vars:
+            if k.endswith("_amp"):
+                name = k[:-4]
+                if f"{name}_phase" in cube.data_vars:
+                    cons[name] = (cube[k], cube[f"{name}_phase"])
+        if not cons:
+            raise ValueError(f"{path}: no <NAME>_amp/<NAME>_phase variable "
+                             "pairs found — not a tide atlas")
+        return cls(cube.coords["lat"], cube.coords["lon"], cons)
+
+    def _bilinear_complex(self, grid_c: np.ndarray, lats, lons) -> np.ndarray:
+        """Masked bilinear interpolation of a complex grid at query points.
+
+        Out-of-grid positions clamp to the border (matches nearest-edge
+        behavior of atlas tools for coastal surveys at the grid rim).
+        """
+        lats = np.clip(np.asarray(lats, float), self.lat[0], self.lat[-1])
+        lons = np.clip(np.asarray(lons, float), self.lon[0], self.lon[-1])
+        iy = np.clip(np.searchsorted(self.lat, lats) - 1, 0, len(self.lat) - 2)
+        ix = np.clip(np.searchsorted(self.lon, lons) - 1, 0, len(self.lon) - 2)
+        wy = (lats - self.lat[iy]) / (self.lat[iy + 1] - self.lat[iy])
+        wx = (lons - self.lon[ix]) / (self.lon[ix + 1] - self.lon[ix])
+        vals = np.zeros(lats.shape, complex)
+        wsum = np.zeros(lats.shape, float)
+        for dy, dx, w in ((0, 0, (1 - wy) * (1 - wx)), (0, 1, (1 - wy) * wx),
+                          (1, 0, wy * (1 - wx)), (1, 1, wy * wx)):
+            c = grid_c[iy + dy, ix + dx]
+            ok = np.isfinite(c)
+            vals += np.where(ok, c, 0.0) * w * ok
+            wsum += w * ok
+        if (wsum <= 0).any():
+            raise ValueError("tide atlas: query positions fall in fully "
+                             "invalid (land) atlas cells")
+        return vals / wsum
+
+    def predict(self, times, lats, lons) -> np.ndarray:
+        """Tide height (m) at each (time, lat, lon) triple (equal lengths).
+
+        The spatial analogue of :func:`predict_tide`: constants vary per
+        position, astronomy varies per time.
+        """
+        times = pd.to_datetime(np.asarray(times))
+        epoch = pd.Timestamp("2000-01-01T12:00:00")
+        t_days = np.asarray((times - epoch).total_seconds()) / 86400.0
+        hours_utc = (t_days - np.floor(t_days)) * 24.0 + 12.0
+        s, hl, p, N = _mean_longitudes(t_days)
+        fs, us = _nodal_corrections(N)
+        tau = 15.0 * hours_utc
+
+        h_total = np.zeros(t_days.shape, float)
+        for name, (amp, ph) in self.constituents.items():
+            _, (nT, ns_, nh, np_, ph0), group = _CONSTITUENTS[name]
+            c = self._bilinear_complex(
+                amp * np.exp(-1j * np.deg2rad(ph)), lats, lons)
+            V = nT * tau + ns_ * s + nh * hl + np_ * p + ph0
+            f = fs.get(group, 1.0) if group else 1.0
+            u = us.get(group, 0.0) if group else 0.0
+            # A·cos(V+u−g) == Re[(A·e^{-ig}) · e^{i(V+u)}]
+            h_total = h_total + f * np.real(
+                c * np.exp(1j * np.deg2rad(V + u)))
+        return h_total
