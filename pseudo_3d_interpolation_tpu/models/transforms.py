@@ -127,7 +127,7 @@ class WaveletTransform:
             level = min(max(wv.max_level(h, self.wavelet), 1),
                         max(wv.max_level(w, self.wavelet), 1), 3)
         m = 2 ** level
-        filt_len = 2 * wv._FAMILIES[self.wavelet.lower()]
+        filt_len = wv.filter_length(self.wavelet)
         # the axis entering the final level is target / 2**(level-1); it must
         # hold the full filter for the periodized convolution to be exact
         min_size = -(-(filt_len * 2 ** (level - 1)) // m) * m

@@ -1,6 +1,7 @@
 """Wavelet transform tests: exact filter generation, perfect reconstruction,
 orthonormality, and wavelet-basis POCS (BASELINE config 3)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -150,3 +151,125 @@ def test_symlet_perfect_reconstruction(name):
     coeffs = wv.wavedec2(x, name, 2)
     back = np.asarray(wv.waverec2(coeffs, name))
     np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+class TestCoiflets:
+    """Coiflet family (VERDICT r1 missing #5: the reference's WAVELET
+    production default is coif5 — cube_POCS_interpolation_3D.py:260-266)."""
+
+    def test_defining_properties(self):
+        for K in range(1, 6):
+            h = wv.coiflet(K)
+            L = len(h)
+            assert L == 6 * K
+            # orthonormality
+            assert abs(h @ h - 1.0) < 1e-14
+            for m in range(1, L // 2):
+                assert abs(h[2 * m:] @ h[: L - 2 * m]) < 1e-14, (K, m)
+            assert abs(h.sum() - np.sqrt(2.0)) < 1e-14
+            k = np.arange(L, dtype=np.float64)
+            c = 4 * K - 1
+            for j in range(1, 2 * K):  # scaling moments about 4K-1
+                assert abs((((k - c) / L) ** j * h).sum()) < 1e-13, (K, j)
+            for j in range(2 * K):  # wavelet moments
+                assert abs((((-1.0) ** k) * (k / L) ** j * h).sum()) < 1e-13
+
+    def test_matches_published_tables(self):
+        # coif1/coif2 published values (PyWavelets convention); the printed
+        # tables themselves are accurate to ~1e-9, ours to 1e-15
+        coif1 = [-0.015655728135791993, -0.07273261951252645,
+                 0.3848648468648578, 0.8525720202116004,
+                 0.33789766245748216, -0.07273261951252645]
+        np.testing.assert_allclose(wv.coiflet(1), coif1, atol=1e-10)
+        assert abs(wv.coiflet(2).max() - 0.812723635449556) < 1e-9
+        assert abs(wv.coiflet(3).max() - 0.793777222625620) < 1e-8
+        assert abs(wv.coiflet(4).max() - 0.782238930920499) < 1e-6
+        assert abs(wv.coiflet(5).max() - 0.774289603652956) < 1e-5
+
+    def test_periodized_roundtrip_coif5(self):
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, 128, 128)).astype(np.float32))
+        c = wv.wavedec2(x, "coif5", 2)
+        back = wv.waverec2(c, "coif5")
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=2e-5)
+
+
+class TestGeneralBoundaryModes:
+    """pywt-compatible 'smooth'/'symmetric'/'zero' dwt semantics
+    (VERDICT r1 missing #5: reference uses pywt mode='smooth')."""
+
+    def test_perfect_reconstruction_all_modes(self):
+        rng = np.random.default_rng(0)
+        for name in ("db4", "sym5", "coif3"):
+            for mode in ("smooth", "symmetric", "zero"):
+                for shape in ((64, 64), (37, 51)):
+                    x = rng.normal(size=shape)
+                    c, shp = wv.wavedec2_mode(x, name, level=2, mode=mode)
+                    back = wv.waverec2_mode(c, shp, name)
+                    assert np.abs(back - x).max() < 1e-10, (name, mode, shape)
+
+    def test_coif5_smooth_64x64(self):
+        """The VERDICT acceptance shape: coif5/'smooth' on a 64x64 slice."""
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(64, 64))
+        c, shp = wv.wavedec2_mode(x, "coif5", level=2, mode="smooth")
+        # pywt shape law: O = floor((N + L - 1)/2), L = 30
+        assert c[-1][0].shape == ((64 + 29) // 2, (64 + 29) // 2) == (46, 46)
+        assert c[1][0].shape == ((46 + 29) // 2, (46 + 29) // 2) == (37, 37)
+        back = wv.waverec2_mode(c, shp, "coif5")
+        assert np.abs(back - x).max() < 1e-10
+
+    def test_db1_even_equals_periodization(self):
+        """Anchor: for haar on even lengths the extension is never touched,
+        so 'smooth' must equal the periodized transform exactly — up to the
+        documented convention difference: the mode path uses pywt's
+        convolution (out[i] = sum f[j] x[2i+1-j]) while the device path
+        uses correlation, flipping the sign of single-highpass bands for
+        the antisymmetric db1 highpass (magnitudes identical, which is all
+        POCS thresholds consume)."""
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(16, 16))
+        c1, _ = wv.wavedec2_mode(x, "db1", level=1, mode="smooth")
+        c2 = wv.wavedec2(jnp.asarray(x.astype(np.float32)), "db1", 1)
+        np.testing.assert_allclose(c1[0], np.asarray(c2[0]), atol=1e-6)
+        np.testing.assert_allclose(c1[1][0], -np.asarray(c2[1][0]), atol=1e-6)
+        np.testing.assert_allclose(c1[1][1], -np.asarray(c2[1][1]), atol=1e-6)
+        np.testing.assert_allclose(c1[1][2], np.asarray(c2[1][2]), atol=1e-6)
+
+    def test_smooth_extension_is_linear(self):
+        """A linear ramp has zero detail coefficients INSIDE the slice for
+        db2+ (2 vanishing moments); with 'smooth' extension the boundary
+        coefficients also vanish — with 'zero' they do not."""
+        x = np.outer(np.ones(32), np.arange(32, dtype=np.float64))
+        _, (lh_s, _, _) = wv.dwt2_mode(x, "db2", "smooth")
+        _, (lh_z, _, _) = wv.dwt2_mode(x, "db2", "zero")
+        assert np.abs(lh_s).max() < 1e-10
+        assert np.abs(lh_z).max() > 1.0
+
+
+def test_pocs_wavelet_coif5_basis():
+    """POCS solve with the reference's production wavelet (coif5) improves
+    the masked slice (periodized device path via with_shape padding)."""
+    from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+    from pseudo_3d_interpolation_tpu.models.transforms import WaveletTransform
+    from pseudo_3d_interpolation_tpu.ops import metrics
+    from pseudo_3d_interpolation_tpu.ops.cplx import from_complex, to_complex
+
+    rng = np.random.default_rng(4)
+    n = 64
+    yy, xx = np.mgrid[0:n, 0:n]
+    truth = np.zeros((2, n, n), np.complex64)
+    for i in range(2):
+        for (fy, fx) in ((2, 3), (5, 1), (1, 6)):
+            truth[i] += np.exp(2j * np.pi * (fy * yy / n + fx * xx / n))
+    mask = (rng.uniform(size=n) < 0.6).astype(np.float32)
+    mask = np.ascontiguousarray(np.broadcast_to(mask[None, :], (n, n)))
+    obs = truth * mask
+    tr = WaveletTransform(wavelet="coif5").with_shape((n, n))
+    cfg = POCSConfig(niter=30, thresh_op="hard", p_min=1e-3, version="fast",
+                     eps=0.0)
+    res = pocs_interpolate(from_complex(obs), jnp.asarray(mask), tr, cfg)
+    rec = to_complex(res.data)
+    snr_obs = float(metrics.snr(np.abs(truth), np.abs(obs)))
+    snr_rec = float(metrics.snr(np.abs(truth), np.abs(rec)))
+    assert snr_rec > snr_obs + 6.0, (snr_obs, snr_rec)
