@@ -291,6 +291,31 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
                 fb[step] += corrected - new_delrt[step]
                 new_delrt[step] = corrected
                 n_fix = int((new_delrt != delrt).sum())
+            # Offset-trace special case (reference delrt_correction_segy.py:
+            # 195-242): a GENUINE delrt change whose header flip is
+            # misaligned by one trace leaves exactly one trace adjacent to
+            # the boundary recorded with the OTHER delay. Its header agrees
+            # with its side's majority (so the trend pass keeps it), but its
+            # absolute first break is off by the delrt step; snap it to the
+            # other delrt value present at the boundary when that lines the
+            # first break up.
+            tol = max(2 * dt_ms, 1.0)
+            for c in np.where(np.diff(new_delrt) != 0)[0] + 1:
+                lo = max(c - n_neighbors - 1, 0)
+                hi = min(c + n_neighbors + 1, len(new_delrt))
+                vals = np.unique(new_delrt[lo:hi])
+                if len(vals) != 2:
+                    continue
+                fb2 = new_delrt[lo:hi] + peak[lo:hi] * dt_ms
+                med = np.median(fb2)
+                for j in (c - 1, c):
+                    if not (lo <= j < hi):
+                        continue
+                    other = vals[vals != new_delrt[j]][0]
+                    if (abs(new_delrt[j] + peak[j] * dt_ms - med) > tol
+                            and abs(other + peak[j] * dt_ms - med) <= tol):
+                        new_delrt[j] = other
+            n_fix = int((new_delrt != delrt).sum())
             out = _output_path(p, inplace, "delrt", output_dir)
             _rewrite(
                 f, out, data, f"DELRT CORRECTION ({n_fix} traces)",

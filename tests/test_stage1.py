@@ -371,3 +371,53 @@ def test_merge_gap_fillers_get_interpolated_timestamps(tmp_path):
     assert (codes == 2).sum() == 5
     # whole timeline (including fillers) is strictly increasing at 1 s
     assert (np.diff(t) == 1).all(), t[55:70]
+
+
+def test_delrt_offset_trace_case(tmp_path):
+    """Reference offset-trace special case (delrt_correction_segy.py:195-242):
+    a genuine delrt change whose header flip lags the data change by one
+    trace — the boundary trace was recorded with the NEW delay but still
+    carries the OLD header. It must snap to the new delay; the genuine
+    change itself must survive untouched."""
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr, k = 60, 30  # data changes at trace k, header changes at k+1
+    dt_ms = 0.25
+    true_floor_ms = 40.0  # flat in absolute TWT
+    recorded_delrt = np.where(np.arange(ntr) < k, 20.0, 30.0)  # actual recording
+    header_delrt = np.where(np.arange(ntr) < k + 1, 20, 30)    # lagging header
+    # seafloor position inside each trace window follows the RECORDED delay
+    make_profile(p, ntr=ntr, delrt_ms=recorded_delrt, seed=77,
+                 seafloor_ms=np.full(ntr, true_floor_ms))
+    # overwrite the header with the lagging flip
+    with SegyFile(p) as f:
+        d = f.trace_data()
+        raw = f.trace_headers_raw().copy()
+        txt = f.text
+    from pseudo_3d_interpolation_tpu.io.segy import TRACE_HEADER_FIELDS, write_segy
+
+    off, dtc = TRACE_HEADER_FIELDS["DelayRecordingTime"]
+    size = int(dtc[-1])
+    for t in range(ntr):
+        raw[t, off - 1 : off - 1 + size] = (
+            np.array([header_delrt[t]], ">" + dtc).view(np.uint8))
+    write_segy(p, d, raw_trace_headers=raw, text=txt, fmt=5, dt_us=250)
+
+    outs = stage1.delrt_correct(p)
+    with SegyFile(outs[0]) as f:
+        fixed = f.header("DelayRecordingTime").astype(int)
+    expect = recorded_delrt.astype(int)
+    np.testing.assert_array_equal(fixed, expect)
+
+
+def test_delrt_genuine_change_untouched(tmp_path):
+    """A clean, aligned delrt change is a real recording change — the
+    correction must not rewrite anything."""
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr, k = 60, 30
+    delrt = np.where(np.arange(ntr) < k, 20.0, 30.0)
+    make_profile(p, ntr=ntr, delrt_ms=delrt, seed=78,
+                 seafloor_ms=np.full(ntr, 40.0))
+    outs = stage1.delrt_correct(p)
+    with SegyFile(outs[0]) as f:
+        fixed = f.header("DelayRecordingTime").astype(int)
+    np.testing.assert_array_equal(fixed, delrt.astype(int))
