@@ -305,9 +305,16 @@ def main(argv=None) -> int:
             written.append(qclib.plot_seismic_image(
                 data, twt=twt, title=base,
                 path=os.path.join(args.output_dir, f"{base}_image.png")))
-            written.append(qclib.plot_average_spectrum(
+            written.append(qclib.plot_seismic_wiggle(
+                data, twt=twt, title=base,
+                path=os.path.join(args.output_dir, f"{base}_wiggle.png")))
+            written.append(qclib.plot_average_freq_spectrum(
                 data.T, fs=fs, n_traces=50,
-                path=os.path.join(args.output_dir, f"{base}_spectrum.png")))
+                path=os.path.join(args.output_dir, f"{base}_spectrum_avg.png")))
+            sel = np.linspace(0, data.shape[1] - 1, min(4, data.shape[1])).astype(int)
+            written.append(qclib.plot_trace_freq_spectrum(
+                data.T[sel], fs=fs, trace_labels=[f"trace {s}" for s in sel],
+                path=os.path.join(args.output_dir, f"{base}_spectrum_traces.png")))
         else:
             from .io.ncio import read_cube
 

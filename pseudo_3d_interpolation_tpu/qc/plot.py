@@ -183,3 +183,139 @@ def plot_fold_map(fold, title=None, path=None):
     ax.set_title(title or f"fold (coverage {coverage:.1%})")
     fig.colorbar(im, ax=ax, fraction=0.05, pad=0.02)
     return _finish(fig, path)
+
+
+# ---------------------------------------------------------------------------
+# round-2 parity panels (reference plot.py:536, 704, 863, 1067)
+# ---------------------------------------------------------------------------
+
+def _wiggle_on_ax(ax, data, t, scale=1.0, tr_step=1, color="k", norm=None,
+                  fill=True):
+    data = np.asarray(data)
+    norm = norm or (np.abs(data).max() or 1.0)
+    for k in range(0, data.shape[1], tr_step):
+        x = k + scale * tr_step * data[:, k] / norm
+        ax.plot(x, t, color=color, lw=0.5)
+        if fill:
+            ax.fill_betweenx(t, k, x, where=x > k, color=color, lw=0)
+    ax.set_ylim(t[-1], t[0])
+    ax.set_xlabel("trace")
+
+
+def plot_seismic_wiggle_diff(before, after, twt=None, gain=1.0, tr_step=None,
+                             titles=("original", "edited"), path=None):
+    """Three wiggle panels: before / after / difference, on a SHARED
+    amplitude normalization so the difference panel is honestly scaled
+    (reference plot.py:536-701)."""
+    before = np.asarray(before)
+    after = np.asarray(after)
+    assert before.shape == after.shape, "sections must share a shape"
+    ns, ntr = before.shape
+    tr_step = tr_step or max(1, ntr // 60)
+    t = np.asarray(twt) if twt is not None else np.arange(ns)
+    fig, axes = plt.subplots(1, 3, figsize=(16, 6), sharey=True)
+    norm = max(np.abs(before).max(), np.abs(after).max()) / gain or 1.0
+    for ax, d, title in zip(axes, (before, after, after - before),
+                            (titles[0], titles[1], "difference")):
+        _wiggle_on_ax(ax, d, t, tr_step=tr_step, norm=norm)
+        ax.set_title(title)
+    axes[0].set_ylabel("TWT (s)" if twt is not None else "sample")
+    return _finish(fig, path)
+
+
+def plot_statics_panels(sections, titles=None, twt=None, gain=1.0,
+                        tr_step=None, path=None):
+    """Auto-gridded wiggle panels of N processing states of one section
+    (e.g. raw / detected horizon applied / smoothed static applied) —
+    reference _plot_seismic_wiggle_statics (plot.py:704-860) incl. its
+    ceil(sqrt(N)) grid layout and shared normalization."""
+    sections = [np.asarray(s) for s in sections]
+    assert all(s.shape == sections[0].shape for s in sections)
+    n = len(sections)
+    ncols = int(np.ceil(np.sqrt(n)))
+    nrows = 1 if ncols == n else ncols - 1
+    nrows = nrows + 1 if n > ncols * nrows else nrows
+    ns, ntr = sections[0].shape
+    tr_step = tr_step or max(1, ntr // 40)
+    t = np.asarray(twt) if twt is not None else np.arange(ns)
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows),
+                             sharey=True, squeeze=False)
+    norm = max(np.abs(s).max() for s in sections) / gain or 1.0
+    flat = axes.ravel()
+    for i, s in enumerate(sections):
+        _wiggle_on_ax(flat[i], s, t, tr_step=tr_step, norm=norm)
+        flat[i].set_title((titles or [f"state {i}"] * n)[i])
+    for j in range(n, len(flat)):
+        flat[j].axis("off")
+    flat[0].set_ylabel("TWT (s)" if twt is not None else "sample")
+    return _finish(fig, path)
+
+
+def plot_trace_freq_spectrum(data, fs, trace_labels=None, plot_mvg_avg=True,
+                             plot_combined=True, mvg_win=7, path=None):
+    """Per-trace amplitude spectra grid with optional moving-average
+    overlays and a combined-average panel (reference plot.py:863-1064)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None]
+    n = data.shape[0]
+    f, a = sig.freq_spectrum(data, fs)
+    f, a = np.asarray(f), np.atleast_2d(np.asarray(a))
+    total = n + (1 if (plot_combined and n > 1) else 0)
+    ncols = int(np.ceil(np.sqrt(total)))
+    nrows = int(np.ceil(total / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 3.2 * nrows),
+                             sharex=True, squeeze=False)
+    flat = axes.ravel()
+    kern = np.ones(mvg_win) / mvg_win
+    for i in range(n):
+        ax = flat[i]
+        ax.plot(f, a[i], "k-", lw=0.6, label="spectrum")
+        if plot_mvg_avg and len(f) > mvg_win:
+            ax.plot(f, np.convolve(a[i], kern, mode="same"), "r-", lw=1.0,
+                    label=f"moving avg ({mvg_win})")
+        label = trace_labels[i] if trace_labels is not None else f"trace {i}"
+        ax.set_title(str(label))
+        ax.set_ylabel("amplitude")
+        if i == 0:
+            ax.legend(fontsize=8)
+    if plot_combined and n > 1:
+        ax = flat[n]
+        ax.plot(f, a.mean(axis=0), "b-", lw=1.2)
+        ax.set_title("combined average")
+    for j in range(total, len(flat)):
+        flat[j].axis("off")
+    for ax in axes[-1]:
+        ax.set_xlabel("frequency (Hz)")
+    return _finish(fig, path)
+
+
+def plot_average_freq_spectrum(data, fs, n_traces=None, norm=False,
+                               mvg_win=7, path=None, title=None):
+    """Survey-average spectrum: mean over traces with a percentile band and
+    a moving-average overlay (reference plot.py:1067-1184)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None]
+    if n_traces and data.shape[0] > n_traces:
+        idx = np.linspace(0, data.shape[0] - 1, n_traces).astype(int)
+        data = data[idx]
+    f, a = sig.freq_spectrum(data, fs)
+    f, a = np.asarray(f), np.atleast_2d(np.asarray(a))
+    mean = a.mean(axis=0)
+    if norm and mean.max() > 0:
+        a = a / mean.max()
+        mean = mean / mean.max()
+    p10, p90 = np.percentile(a, [10, 90], axis=0)
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    ax.fill_between(f, p10, p90, color="0.8", label="P10–P90")
+    ax.plot(f, mean, "k-", lw=1.0, label="mean")
+    if len(f) > mvg_win:
+        kern = np.ones(mvg_win) / mvg_win
+        ax.plot(f, np.convolve(mean, kern, mode="same"), "r-", lw=1.2,
+                label=f"moving avg ({mvg_win})")
+    ax.set_xlabel("frequency (Hz)")
+    ax.set_ylabel("amplitude" + (" (normalized)" if norm else ""))
+    ax.legend()
+    ax.set_title(title or "average frequency spectrum")
+    return _finish(fig, path)

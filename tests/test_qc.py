@@ -63,3 +63,42 @@ def test_fold_map(tmp_path):
     fold = np.random.default_rng(122).integers(0, 5, (20, 15))
     qc.plot_fold_map(fold, path=str(tmp_path / "fold.png"))
     assert os.path.exists(str(tmp_path / "fold.png"))
+
+
+def test_wiggle_diff_and_statics_panels(tmp_path):
+    """Round-2 parity panels (reference plot.py:536, 704)."""
+    from pseudo_3d_interpolation_tpu.qc import (plot_seismic_wiggle_diff,
+                                                plot_statics_panels)
+
+    rng = np.random.default_rng(0)
+    ns, ntr = 120, 24
+    before = rng.normal(0, 0.1, (ns, ntr)).astype(np.float32)
+    before[50:55] += 1.0
+    after = np.roll(before, 2, axis=0)
+    p1 = str(tmp_path / "wigdiff.png")
+    plot_seismic_wiggle_diff(before, after, twt=np.arange(ns) * 0.25e-3, path=p1)
+    p2 = str(tmp_path / "statics.png")
+    plot_statics_panels([before, after, after * 0.5],
+                        titles=["raw", "static", "smoothed"], path=p2)
+    import os
+
+    assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
+
+
+def test_frequency_spectrum_grids(tmp_path):
+    """Reference plot.py:863 (per-trace grid) and :1067 (survey average)."""
+    from pseudo_3d_interpolation_tpu.qc import (plot_average_freq_spectrum,
+                                                plot_trace_freq_spectrum)
+
+    rng = np.random.default_rng(1)
+    fs = 4000.0
+    t = np.arange(400) / fs
+    data = (np.sin(2 * np.pi * 300 * t)[None, :]
+            + 0.1 * rng.normal(size=(6, 400))).astype(np.float32)
+    p1 = str(tmp_path / "traces.png")
+    plot_trace_freq_spectrum(data, fs, trace_labels=list("abcdef"), path=p1)
+    p2 = str(tmp_path / "avg.png")
+    plot_average_freq_spectrum(data, fs, norm=True, path=p2)
+    import os
+
+    assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
