@@ -138,6 +138,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--twt-limits", type=float, nargs=2, default=None)
     p.add_argument("--stack", default="average",
                    choices=["average", "mean", "median", "nearest", "idw"])
+    p.add_argument("--attrs-yaml", default=None,
+                   help="netCDF attrs/encodings YAML (reference format: "
+                        "attrs_time/attrs_freq/encodings families)")
 
     p = cmd("preprocess", 11, "balance/gain/filter/resample/envelope the cube")
     p.add_argument("input")
@@ -161,6 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["lowpass", "highpass", "bandpass"], default=None)
     p.add_argument("--filter-freqs", type=float, nargs="+", default=None)
     p.add_argument("--drop-filtered-freq", action="store_true")
+    p.add_argument("--attrs-yaml", default=None,
+                   help="netCDF attrs/encodings YAML (attrs_freq family)")
 
     p = cmd("pocs", 13, "POCS interpolation of every frequency slice")
     p.add_argument("input")
@@ -247,7 +252,8 @@ def main(argv=None) -> int:
     elif cmd == "binning":
         from .pipeline.binning import bin_cube
 
-        bin_cube(args.input, _geometry_from_args(args), out_path=args.output, verbose=v)
+        bin_cube(args.input, _geometry_from_args(args), out_path=args.output,
+                 attrs_config=args.attrs_yaml, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "preprocess":
         from .pipeline.preprocess import preprocess
@@ -263,7 +269,7 @@ def main(argv=None) -> int:
         apply_fft(args.input, var=args.var, real=not args.no_real,
                   upsample=args.upsampling_factor, filter_type=args.filter_type,
                   filter_freqs=args.filter_freqs, drop_filtered=args.drop_filtered_freq,
-                  out_path=args.output, verbose=v)
+                  out_path=args.output, attrs_config=args.attrs_yaml, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "pocs":
         from .models.pocs import POCSConfig

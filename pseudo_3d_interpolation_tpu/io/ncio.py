@@ -67,16 +67,48 @@ def _sanitize_attr(v):
     return str(v)
 
 
-def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict | None = None):
+def _pack(data: np.ndarray, enc: dict):
+    """CF-convention packing: stored = rint((x - add_offset)/scale_factor)
+    as the encoding dtype; NaN -> _FillValue. Returns (stored, cf_attrs)."""
+    dtype = np.dtype(enc.get("dtype", data.dtype))
+    scale = float(enc.get("scale_factor", 1.0))
+    offset = float(enc.get("add_offset", 0.0))
+    fill = enc.get("_FillValue")
+    if dtype.kind in "iu":
+        stored = np.rint((np.asarray(data, np.float64) - offset) / scale)
+        info = np.iinfo(dtype)
+        stored = np.clip(stored, info.min, info.max)
+        if fill is not None:
+            stored = np.where(np.isnan(data), float(fill), stored)
+        stored = stored.astype(dtype)
+    else:
+        stored = np.asarray(data, dtype)
+    cf = {}
+    if scale != 1.0:
+        cf["scale_factor"] = scale
+    if offset != 0.0:
+        cf["add_offset"] = offset
+    if fill is not None:
+        cf["_FillValue"] = np.asarray(fill, dtype)
+    return stored, cf
+
+
+def write_cube(path: str, cube: Cube, compress: bool | str = False,
+               chunks: dict | None = None, encodings: dict | None = None):
     """Write a :class:`Cube` as a netCDF4-flavored HDF5 file.
 
     ``chunks`` maps dim name -> chunk length (e.g. ``{"freq_twt": 1}`` to
-    mirror the reference's slice-major layout choice).
+    mirror the reference's slice-major layout choice). ``encodings`` maps
+    var name -> {dtype, scale_factor, add_offset, _FillValue} for
+    CF-convention packed integer storage — the reference's YAML
+    ``encodings`` family (cube_binning_3D.py:1476-1483); :func:`read_cube`
+    unpacks transparently.
     """
     kw = {}
     if compress:
         kw["compression"] = "gzip" if compress is True else compress
         kw["compression_opts"] = 1 if kw["compression"] == "gzip" else None
+    encodings = encodings or {}
 
     with h5py.File(path, "w") as f:
         for dim, coord in cube.coords.items():
@@ -85,7 +117,7 @@ def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict
             for k, v in cube.coord_attrs.get(dim, {}).items():
                 dset.attrs[k] = _sanitize_attr(v)
 
-        def _write_var(name, dims, data, attrs_name=None):
+        def _write_var(name, dims, data, attrs_name=None, cf_attrs=None):
             ck = None
             if chunks:
                 ck = tuple(
@@ -97,6 +129,8 @@ def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict
             d.attrs["_dims"] = [s.encode() for s in dims]
             for k, v in cube.var_attrs.get(attrs_name or name, {}).items():
                 d.attrs[k] = _sanitize_attr(v)
+            for k, v in (cf_attrs or {}).items():
+                d.attrs[k] = v
 
         for name, (dims, data) in cube.data_vars.items():
             data = np.asarray(data)
@@ -104,6 +138,9 @@ def write_cube(path: str, cube: Cube, compress: bool | str = False, chunks: dict
                 # attrs of the logical complex variable ride on both halves
                 _write_var(f"{name}.real", dims, data.real.astype(np.float32), attrs_name=name)
                 _write_var(f"{name}.imag", dims, data.imag.astype(np.float32), attrs_name=name)
+            elif name in encodings:
+                stored, cf = _pack(data, encodings[name])
+                _write_var(name, dims, stored, cf_attrs=cf)
             else:
                 _write_var(name, dims, data)
 
@@ -138,11 +175,22 @@ def read_cube(path: str, combine_complex: bool = True, variables=None) -> Cube:
                 dims = tuple(
                     (d.keys()[0] if len(d.keys()) else f"dim_{i}") for i, d in enumerate(f[k].dims)
                 )
-            data_vars[k] = (dims, f[k][()])
-            var_attrs[k] = {
+            raw = f[k][()]
+            attrs_k = {
                 a: v for a, v in f[k].attrs.items()
                 if not a.startswith(("DIMENSION_LIST", "_dims"))
             }
+            # CF-convention unpacking (scale_factor/add_offset/_FillValue)
+            if "scale_factor" in attrs_k or "add_offset" in attrs_k:
+                scale = float(attrs_k.pop("scale_factor", 1.0))
+                offset = float(attrs_k.pop("add_offset", 0.0))
+                fill = attrs_k.pop("_FillValue", None)
+                unpacked = raw.astype(np.float32) * scale + offset
+                if fill is not None:
+                    unpacked = np.where(raw == fill, np.nan, unpacked)
+                raw = unpacked.astype(np.float32)
+            data_vars[k] = (dims, raw)
+            var_attrs[k] = attrs_k
         attrs = dict(f.attrs)
 
     if combine_complex:
@@ -320,3 +368,38 @@ class CubeWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def load_attrs_config(path_or_dict):
+    """Load the reference-format netCDF attrs/encodings YAML
+    (cube_binning_3D.py:1476-1483; docs/3D/cube_binning_geometry.md:120-184).
+
+    Returns (attrs_time, attrs_freq, encodings, var_aux) dicts — any family
+    may be absent. ``attrs_time`` keys are variable/coordinate names;
+    ``attrs_freq`` uses the reference's ``data``/``new_dim`` placeholders
+    for the spectral variable and frequency coordinate.
+    """
+    if isinstance(path_or_dict, dict):
+        cfg = dict(path_or_dict)
+    else:
+        import yaml
+
+        with open(path_or_dict) as f:
+            cfg = yaml.safe_load(f) or {}
+    return (cfg.get("attrs_time", {}) or {}, cfg.get("attrs_freq", {}) or {},
+            cfg.get("encodings", {}) or {}, cfg.get("var_aux", []) or [])
+
+
+def apply_attrs(cube: "Cube", attrs: dict) -> None:
+    """Merge a per-variable/coordinate attrs mapping into a cube in place;
+    the special key ``cube`` carries global attributes."""
+    for name, a in attrs.items():
+        if name == "cube":
+            for k, v in a.items():
+                if k == "history":
+                    continue  # history accumulates through append_history
+                cube.attrs[k] = v
+        elif name in cube.data_vars:
+            cube.var_attrs.setdefault(name, {}).update(a)
+        elif name in cube.coords:
+            cube.coord_attrs.setdefault(name, {}).update(a)

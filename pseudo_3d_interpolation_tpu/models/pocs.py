@@ -158,6 +158,30 @@ def pocs_interpolate(
     fracs = jnp.asarray(_fpocs_fractions(cfg.niter))
     iters = jnp.arange(cfg.niter, dtype=jnp.int32)
 
+    # --- fully fused Pallas solve: the whole fixed-iteration solve in one
+    # kernel launch per slice (x and x_prev stay VMEM-resident across all
+    # iterations). Measured on v5e at 512²/DEFAULT: +29% over the XLA scan
+    # at batch 32, +7% at batch 8, and ~20x faster compiles (docs/perf.md).
+    # Requires no early stopping / history (telemetry reduces to the final
+    # cost, which the kernel reports identically to the scan's).
+    if (use_fused and cfg.eps == 0.0 and not cfg.keep_cost_history
+            and not cfg.global_early_stop
+            and cfg.version in ("regular", "fast")):
+        from ..ops.pallas import pocs_solve_fused
+
+        result, cost = pocs_solve_fused(
+            z, mask_in, decay_tree, alpha=cfg.alpha, thresh_op=cfg.thresh_op,
+            version=cfg.version, fracs=_fpocs_fractions(cfg.niter),
+            interpret=cfg.pallas_interpret, precision=fused_precision,
+        )
+        nonzero = jnp.sum(z.abs2(), axis=(-2, -1)) > 0
+        nz = nonzero[..., None, None]
+        x_out = Cplx(jnp.where(nz, result.re, z.re),
+                     jnp.where(nz, result.im, z.im))
+        n_eff = jnp.where(nonzero, cfg.niter, 0).astype(jnp.int32)
+        cost = jnp.where(nonzero, cost, 0.0)
+        return POCSResult(x_out, n_eff, cost, None)
+
     keep_mask_f = 1.0 - alpha * mask  # reinsertion weights, reused every iter
     alpha_x = Cplx(alpha * z.re, alpha * z.im)
 

@@ -1,5 +1,5 @@
 """Pallas TPU kernels for the solver hot loop."""
 
-from .pocs_iter import pocs_iteration_fused, pallas_supported
+from .pocs_iter import pallas_supported, pocs_iteration_fused, pocs_solve_fused
 
-__all__ = ["pocs_iteration_fused", "pallas_supported"]
+__all__ = ["pallas_supported", "pocs_iteration_fused", "pocs_solve_fused"]

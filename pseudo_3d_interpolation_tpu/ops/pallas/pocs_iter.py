@@ -164,3 +164,157 @@ def pocs_iteration_fused(
         jnp.asarray(fr), jnp.asarray(fi),
     )
     return Cplx(outr, outi)
+
+
+# ---------------------------------------------------------------------------
+# Folded multi-iteration kernel (round 2)
+#
+# The one-iteration kernel above pays an HBM round trip of the slice pair
+# per iteration plus a launch per scan step, which is why it merely matched
+# XLA at saturating batch (docs/perf.md round 1). Folding the WHOLE solve
+# into one launch keeps x (and the FPOCS x_prev) VMEM-resident across all
+# iterations — HBM is touched once per slice for in/out and once for the
+# shared constants. Regular + fast versions, hard/soft thresholds.
+# ---------------------------------------------------------------------------
+
+def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
+                  outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
+                  soft: bool, niter: int, precision):
+    i = pl.program_id(0)
+    fr = fr_ref[...]
+    fi = fi_ref[...]
+    obr = xr_ref[...]  # the observed slice doubles as the initial iterate
+    obi = xi_ref[...]
+    mask = mask_ref[...]
+    keep = 1.0 - alpha * mask
+
+    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                            precision=precision)
+
+    def one(j, carry):
+        xr_prev, xi_prev, xr, xi = carry
+        tau = tau_ref[i, j]
+        f = frac_ref[j]
+        # FPOCS extrapolation (f == 0 for 'regular' -> identity)
+        yr_in = xr + f * (xr - xr_prev)
+        yi_in = xi + f * (xi - xi_prev)
+
+        yr = dot(fr, yr_in) - dot(fi, yi_in)
+        yi = dot(fr, yi_in) + dot(fi, yr_in)
+        Xr = dot(yr, fr) - dot(yi, fi)
+        Xi = dot(yr, fi) + dot(yi, fr)
+
+        mag2 = Xr * Xr + Xi * Xi
+        if soft:
+            mag = jnp.sqrt(mag2)
+            denom = jnp.where(mag == 0.0, 1.0, mag)
+            shrink = jnp.maximum(1.0 - tau / denom, 0.0)
+        else:
+            shrink = (mag2 >= tau * tau).astype(jnp.float32)
+        Xr = Xr * shrink
+        Xi = Xi * shrink
+
+        yr = dot(fr, Xr) + dot(fi, Xi)
+        yi = dot(fr, Xi) - dot(fi, Xr)
+        rr = dot(yr, fr) + dot(yi, fi)
+        ri = dot(yi, fr) - dot(yr, fi)
+        scale = 1.0 / (n * n)
+        new_r = rr * scale * keep + alpha * obr
+        new_i = ri * scale * keep + alpha * obi
+        return xr, xi, new_r, new_i
+
+    xr_prev, xi_prev, xr, xi = jax.lax.fori_loop(
+        0, niter - 1, one, (obr, obi, obr, obi))
+    _, _, xr_fin, xi_fin = one(niter - 1, (xr_prev, xi_prev, xr, xi))
+    outr_ref[...] = xr_fin
+    outi_ref[...] = xi_fin
+    # final-iteration cost (Gao et al. 2013), matching the XLA scan:
+    # (sum(|x_new| - |x_prev|))^2 / (sum|x_new|)^2 per slice
+    mag_new = jnp.sqrt(xr_fin * xr_fin + xi_fin * xi_fin)
+    mag_old = jnp.sqrt(xr * xr + xi * xi)
+    d = jnp.sum(mag_new - mag_old)
+    s = jnp.sum(mag_new)
+    cost_ref[0] = (d * d) / jnp.where(s == 0.0, 1.0, s * s)
+
+
+def pocs_solve_fused(
+    obs: Cplx,
+    mask,
+    decay,
+    alpha: float = 0.75,
+    thresh_op: str = "hard",
+    version: str = "fast",
+    fracs=None,
+    interpret: bool = False,
+    precision=None,
+) -> Cplx:
+    """The COMPLETE POCS solve in one kernel launch per slice.
+
+    ``obs``: (B, N, N) pair; ``mask``: (N, N); ``decay``: (niter, B)
+    per-iteration per-slice thresholds; ``fracs``: (niter,) FPOCS momentum
+    fractions (zeros for 'regular'). Returns ``(result, final_cost)`` —
+    the final-iteration cost matches the XLA scan's telemetry; per-
+    iteration history / early stopping are intentionally not supported
+    (this is the fixed-iteration production path; use the XLA scan for
+    instrumented runs).
+    """
+    if thresh_op not in ("hard", "soft"):
+        raise ValueError("fused kernel supports hard/soft thresholds")
+    if version not in ("regular", "fast"):
+        raise ValueError("fused solve supports regular/fast versions")
+    b, n, n2 = obs.re.shape
+    assert n == n2, "square slices required"
+    decay = jnp.asarray(decay, jnp.float32)
+    niter = decay.shape[0]
+    if fracs is None or version == "regular":
+        import numpy as _np
+
+        fracs = _np.zeros(niter, _np.float32)
+    fr, fi = dft.dft_matrices(n)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i, tau, fc: (i,), memory_space=pltpu.VMEM),
+        ],
+    )
+
+    def kernel(tau_ref, frac_ref, xr, xi, mask_r, fr_r, fi_r, outr, outi, cost):
+        _solve_kernel(
+            tau_ref, frac_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
+            outr.at[0], outi.at[0], cost,
+            n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
+            niter=int(niter),
+            precision=(precision if precision is not None
+                       else jax.lax.Precision.HIGHEST),
+        )
+
+    outr, outi, cost = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if _PALLAS_OK and not interpret else None,
+        interpret=interpret,
+    )(
+        decay.T,  # (B, niter) scalar-prefetch: tau_ref[i, j]
+        jnp.asarray(fracs, jnp.float32),
+        obs.re, obs.im,
+        jnp.asarray(mask, jnp.float32),
+        jnp.asarray(fr), jnp.asarray(fi),
+    )
+    return Cplx(outr, outi), cost

@@ -102,18 +102,27 @@ class BinningGeometry:
         return t, il_indices, xl_indices
 
 
-def scrape_traces(files, src_coords_bytes=(73, 77), verbose=0):
-    """Gather (x, y, delrt, dt_us, ns, file, trace_idx) for every trace."""
-    rows = []
-    for p in files:
+def scrape_traces(files, src_coords_bytes=(73, 77), verbose=0, workers: int = 8):
+    """Gather (x, y, delrt, dt_us, ns, file, trace_idx) for every trace.
+
+    Files scrape concurrently on a host thread pool (header I/O releases
+    the GIL in the kernel read path) — the analogue of the reference's
+    dask.delayed header scrape (cube_binning_3D.py:624-634); order is
+    preserved."""
+    import concurrent.futures
+
+    def _one(p):
         with SegyFile(p) as f:
             x, y, _ = scale_coordinates(f, src_coords_bytes)
             delrt = f.header("DelayRecordingTime").astype(np.float64) * 1e-3  # ms -> s
-            rows.append(
-                dict(file=p, x=x, y=y, delrt=delrt, dt_us=f.dt_us, ns=f.n_samples)
-            )
+            row = dict(file=p, x=x, y=y, delrt=delrt, dt_us=f.dt_us, ns=f.n_samples)
         xprint(f"scraped {p}: {len(x)} traces", kind="debug", verbosity=verbose)
-    return rows
+        return row
+
+    if len(files) <= 1 or workers <= 1:
+        return [_one(p) for p in files]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(_one, files))
 
 
 def bin_cube(
@@ -123,6 +132,7 @@ def bin_cube(
     fsuffix: str = "sgy",
     src_coords_bytes=(73, 77),
     trace_block: int = 65536,
+    attrs_config=None,
     verbose: int = 0,
 ) -> Cube:
     """Bin all profile traces onto the (iline, xline, twt) grid.
@@ -243,6 +253,12 @@ def bin_cube(
         f"cube_binning: {len(files)} files, {method} stack, "
         f"{n_il}x{n_xl}x{ns_out}"
     )
+    encodings = None
+    if attrs_config is not None:
+        from ..io.ncio import apply_attrs, load_attrs_config
+
+        attrs_time, _, encodings, _ = load_attrs_config(attrs_config)
+        apply_attrs(cube, attrs_time)
     if out_path:
-        write_cube(out_path, cube)
+        write_cube(out_path, cube, encodings=encodings)
     return cube

@@ -27,6 +27,7 @@ def apply_fft(
     filter_freqs=None,
     drop_filtered: bool = False,
     out_path: str | None = None,
+    attrs_config=None,
     verbose: int = 0,
 ) -> Cube:
     if isinstance(cube, str):
@@ -74,7 +75,16 @@ def apply_fft(
         + (f" {filter_type.upper()} {filter_freqs}" if filter_type else "")
     )
     if out_path:
-        write_cube(out_path, out, chunks={"freq_twt": 1})
+        encodings = None
+        if attrs_config is not None:
+            from ..io.ncio import apply_attrs, load_attrs_config
+
+            _, attrs_freq, encodings, _ = load_attrs_config(attrs_config)
+            named = {}
+            for k, a in attrs_freq.items():
+                named[{"data": var_new, "new_dim": "freq_twt"}.get(k, k)] = a
+            apply_attrs(out, named)
+        write_cube(out_path, out, chunks={"freq_twt": 1}, encodings=encodings)
     return out
 
 

@@ -139,3 +139,52 @@ def test_cubewriter_incremental_matches_write_cube(tmp_path):
         np.testing.assert_array_equal(
             cf.read_slab("freq_env_interp", dim="freq_twt", start=2, stop=5),
             rec[:, :, 2:5])
+
+
+def test_encodings_pack_unpack_roundtrip(tmp_path):
+    """CF-convention packed storage (reference YAML 'encodings' family,
+    cube_binning_3D.py:1476-1483): int16 + scale_factor storage reads back
+    as float within quantization, NaN survives via _FillValue."""
+    p = str(tmp_path / "packed.nc")
+    rng = np.random.default_rng(0)
+    amp = rng.normal(0, 0.5, (6, 5, 8)).astype(np.float32)
+    amp[0, 0, 0] = np.nan
+    cube = Cube(
+        coords={"iline": np.arange(6), "xline": np.arange(5), "twt": np.arange(8.0)},
+        data_vars={"amp": (("iline", "xline", "twt"), amp)},
+    )
+    write_cube(p, cube, encodings={"amp": {
+        "dtype": "int16", "scale_factor": 5.0e-05, "_FillValue": -32768}})
+    with h5py.File(p, "r") as f:
+        assert f["amp"].dtype == np.int16  # actually packed on disk
+    back = read_cube(p)["amp"]
+    assert back.dtype == np.float32
+    ok = ~np.isnan(amp)
+    np.testing.assert_allclose(back[ok], amp[ok], atol=5.1e-05)
+    assert np.isnan(back[0, 0, 0])
+
+
+def test_attrs_config_families(tmp_path):
+    """attrs_time / attrs_freq / encodings loader + application."""
+    from pseudo_3d_interpolation_tpu.io.ncio import apply_attrs, load_attrs_config
+
+    cfg = {
+        "attrs_time": {
+            "amp": {"long_name": "seismic amplitude", "units": "-"},
+            "twt": {"long_name": "two-way travel time", "units": "ms"},
+            "cube": {"description": "institutional metadata"},
+        },
+        "attrs_freq": {"data": {"long_name": "amplitude"},
+                       "new_dim": {"long_name": "frequency", "units": "kHz"}},
+        "encodings": {"amp": {"dtype": "int16", "scale_factor": 5e-5,
+                              "_FillValue": -32768}},
+        "var_aux": ["fold"],
+    }
+    at, af, enc, aux = load_attrs_config(cfg)
+    assert "amp" in at and "data" in af and "amp" in enc and aux == ["fold"]
+    cube = Cube(coords={"twt": np.arange(4.0)},
+                data_vars={"amp": (("twt",), np.zeros(4, np.float32))})
+    apply_attrs(cube, at)
+    assert cube.var_attrs["amp"]["long_name"] == "seismic amplitude"
+    assert cube.coord_attrs["twt"]["units"] == "ms"
+    assert cube.attrs["description"] == "institutional metadata"

@@ -5,6 +5,11 @@ import numpy as np
 import pytest
 
 from pseudo_3d_interpolation_tpu.ops import cplx, dft, threshold as th
+import jax.numpy as jnp
+
+from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
+from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
 from pseudo_3d_interpolation_tpu.ops.pallas import pocs_iteration_fused, pallas_supported
 
 
@@ -63,3 +68,40 @@ def test_full_solver_with_pallas_path():
     rec_p, n_p, c_p = pocs_interpolate_numpy(obs, mask, cfgp)
     assert n_p == n_x
     np.testing.assert_allclose(rec_p, rec_x, rtol=5e-3, atol=5e-3)
+
+
+def test_fused_full_solve_matches_xla_scan():
+    """The folded multi-iteration kernel (one launch per slice) must equal
+    the XLA scan bit-for-bit in interpret mode, including the final-cost
+    telemetry, for both regular and fast versions."""
+    import dataclasses
+
+    rng = np.random.default_rng(0)
+    n, b, niter = 128, 3, 10
+    yy, xx = np.mgrid[0:n, 0:n]
+    truth = np.zeros((b, n, n), np.complex64)
+    for i in range(b):
+        for (fy, fx) in ((2, 3), (5, 1)):
+            truth[i] += np.exp(2j * np.pi * (fy * yy / n + fx * xx / n))
+    mask = np.ascontiguousarray(np.broadcast_to(
+        (rng.uniform(size=n) < 0.5).astype(np.float32)[None, :], (n, n)))
+    truth[2] = 0.0  # zero-slice short-circuit covered too
+    obs = truth * mask
+    z = from_complex(obs)
+    tr = FFTTransform()
+    for version in ("regular", "fast"):
+        cfg = POCSConfig(niter=niter, thresh_op="hard",
+                         thresh_model="exponential", p_min=1e-3,
+                         version=version, alpha=0.75, eps=0.0)
+        ref = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)
+        fused_cfg = dataclasses.replace(cfg, use_pallas=True,
+                                        pallas_interpret=True)
+        out = pocs_interpolate(z, jnp.asarray(mask), tr, fused_cfg)
+        np.testing.assert_allclose(np.asarray(out.data.re),
+                                   np.asarray(ref.data.re), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.data.im),
+                                   np.asarray(ref.data.im), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.cost),
+                                   np.asarray(ref.cost), rtol=1e-4, atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(out.n_iterations),
+                                      np.asarray(ref.n_iterations))
