@@ -15,9 +15,13 @@ CPU smoke run:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -30,10 +34,20 @@ def main():
     ap.add_argument("--keep", type=float, default=0.5, help="fraction of bins kept")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--postprocess", action="store_true")
+    ap.add_argument("--precision", default="highest",
+                    choices=["highest", "high", "default"],
+                    help="matmul precision (HIGH = bf16x3 is cube-SNR "
+                         "neutral and ~1.6x faster; docs/perf.md)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the folded Pallas solve (FFT basis)")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from pseudo_3d_interpolation_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from pseudo_3d_interpolation_tpu.models import POCSConfig
     from pseudo_3d_interpolation_tpu.models.transforms import get_transform
@@ -65,10 +79,10 @@ def main():
 
     cfg = POCSConfig(niter=args.niter, thresh_op="hard", p_min="adaptive",
                      version="fast", alpha=0.75, eps=0.0,
-                     transform_kind=args.basis)
+                     transform_kind=args.basis, use_pallas=args.pallas)
     if args.basis == "WAVELET":
         cfg = POCSConfig(**{**cfg.__dict__, "p_min": 1e-3})
-    transform = get_transform(args.basis)
+    transform = get_transform(args.basis, precision=args.precision)
 
     from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
 

@@ -16,6 +16,7 @@ angle/center, bin sizes, optional TWT window, stacking method.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -133,14 +134,24 @@ def bin_cube(
     src_coords_bytes=(73, 77),
     trace_block: int = 65536,
     attrs_config=None,
+    out_of_core: bool | None = None,
+    ooc_threshold_bytes: int = 2 << 30,
     verbose: int = 0,
-) -> Cube:
+) -> Cube | str:
     """Bin all profile traces onto the (iline, xline, twt) grid.
 
     Traces stream in blocks: each block is delay-padded onto the global TWT
     axis on device, then segment-stacked into a running (sum, fold)
     accumulator (average/IDW) or collected for median/nearest. Returns (and
     optionally writes) the cube with ``amp(iline, xline, twt)`` + ``fold``.
+
+    Out-of-core: when the accumulator would exceed ``ooc_threshold_bytes``
+    (or ``out_of_core=True``), the (bins, samples) accumulator lives in a
+    disk-backed memmap next to ``out_path`` and the cube streams to
+    ``out_path`` iline-block by iline-block — survey-scale grids never
+    materialize in RAM (the reference bins per-iline netCDFs for the same
+    reason, cube_binning_3D.py:1234-1240). Requires ``out_path`` and an
+    average/mean/idw stacking method; returns ``out_path``.
     """
     files = resolve_input_files(path, fsuffix)
     if not files:
@@ -172,7 +183,25 @@ def bin_cube(
 
     method = geometry.stacking_method
     simple = method in ("average", "mean", "idw")
-    acc_num = np.zeros((n_bins, ns_out), np.float32)
+    est_bytes = n_bins * ns_out * 4
+    ooc = bool(out_of_core) if out_of_core is not None else est_bytes > ooc_threshold_bytes
+    if ooc:
+        if not out_path:
+            raise ValueError("out-of-core binning requires out_path")
+        if not simple:
+            raise ValueError("out-of-core binning supports average/mean/idw "
+                             "stacking (median/nearest must hold all traces)")
+        import tempfile
+
+        _mmfile = tempfile.NamedTemporaryFile(
+            prefix="p3d_binacc_", suffix=".mm",
+            dir=os.path.dirname(os.path.abspath(out_path)) or ".")
+        acc_num = np.memmap(_mmfile.name, dtype=np.float32, mode="w+",
+                            shape=(n_bins, ns_out))
+        xprint(f"out-of-core binning: {est_bytes / 2**30:.1f} GiB accumulator "
+               f"memmapped at {_mmfile.name}", kind="info", verbosity=verbose)
+    else:
+        acc_num = np.zeros((n_bins, ns_out), np.float32)
     acc_den = np.zeros((n_bins,), np.float64)
     fold = np.zeros((n_bins,), np.int64)
     kept_traces = [] if not simple else None
@@ -213,6 +242,64 @@ def bin_cube(
                 kept_ids.append(ids)
                 kept_dist.append(dist[sl][v])
             np.add.at(fold, ids, 1)
+
+    if ooc:
+        # normalize + stream out per iline block; nothing cube-sized in RAM
+        fold2 = fold.reshape(n_il, n_xl).astype(np.int32)
+        coverage = float((fold2 > 0).mean())
+        xprint(f"coverage: {coverage:.1%}, max fold {fold2.max()}",
+               kind="info", verbosity=verbose)
+        from ..io.ncio import CubeWriter
+        import datetime as _dt
+
+        coords = {
+            "iline": np.asarray(il_indices, np.int32),
+            "xline": np.asarray(xl_indices, np.int32),
+            "twt": (twt0 + np.arange(ns_out) * dt).astype(np.float64),
+        }
+        attrs = {
+            "long_name": "pseudo-3D cube",
+            "description": f"binned from {len(files)} profiles",
+            "bin_spacing": str(geometry.spacing),
+            "stacking_method": method,
+            "coverage": coverage,
+        }
+        entry = (f"cube_binning: {len(files)} files, {method} stack, "
+                 f"{n_il}x{n_xl}x{ns_out} (out-of-core)")
+        attrs["history"] = f"{entry};"
+        attrs["text"] = f"\n{_dt.date.today().isoformat()}: {entry}"
+        encodings = {}
+        attrs_time = {}
+        if attrs_config is not None:
+            from ..io.ncio import load_attrs_config
+
+            attrs_time, _, encodings, _ = load_attrs_config(attrs_config)
+            for k, a in attrs_time.items():
+                if k == "cube":
+                    attrs.update({kk: vv for kk, vv in a.items() if kk != "history"})
+        if encodings.get("amp"):
+            raise ValueError("packed encodings are not supported by the "
+                             "out-of-core streaming writer yet")
+        with CubeWriter(out_path, coords, attrs=attrs,
+                        coord_attrs={"twt": {"units": "s",
+                                             "long_name": "two-way traveltime"}}) as wr:
+            wr.create_var("amp", ("iline", "xline", "twt"), np.float32,
+                          chunks={"iline": 1},
+                          attrs=attrs_time.get("amp"))
+            wr.create_var("fold", ("iline", "xline"), np.int32,
+                          attrs=attrs_time.get("fold"))
+            wr.write_slab("fold", fold2)
+            il_block = max(1, (64 << 20) // max(n_xl * ns_out * 4, 1))
+            den = np.where(acc_den == 0, 1.0, acc_den).astype(np.float32)
+            for i0 in range(0, n_il, il_block):
+                i1 = min(i0 + il_block, n_il)
+                rows = slice(i0 * n_xl, i1 * n_xl)
+                blk = acc_num[rows] / den[rows, None]
+                wr.write_slab("amp", blk.reshape(i1 - i0, n_xl, ns_out),
+                              dim="iline", start=i0)
+        del acc_num
+        _mmfile.close()
+        return out_path
 
     if simple:
         amp = acc_num / np.where(acc_den == 0, 1.0, acc_den)[:, None].astype(np.float32)

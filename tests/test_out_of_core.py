@@ -93,3 +93,31 @@ def test_streaming_pocs_fits_in_budget_where_in_ram_cannot(tmp_path):
         gaps = np.abs(slab[fold == 0])
         assert gaps.size and np.median(gaps) > 0  # gaps filled, not zeros
         assert "POCS" in str(cf.attrs.get("history", ""))
+
+
+def test_out_of_core_binning_matches_in_ram(tmp_path):
+    """bin_cube(out_of_core=True) must produce a cube identical to the
+    in-RAM path, streamed through a memmap accumulator + CubeWriter."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.io.ncio import read_cube
+    from pseudo_3d_interpolation_tpu.pipeline.binning import (BinningGeometry,
+                                                              bin_cube)
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    for i in range(6):
+        make_profile(str(survey / f"line{i}_UTM.sgy"), ntr=24, ns=128,
+                     seed=i, x0=5.0 + i * 10.0, y0=5.0, heading=(0, 1),
+                     spacing=10.0,
+                     times_start=f"2023-05-01T{10 + i:02d}:00:00")
+    geom = BinningGeometry(spacing=10.0, extent=(0.0, 80.0, 0.0, 240.0))
+    ram = bin_cube(str(survey), geom)
+    out = bin_cube(str(survey), geom, out_path=str(tmp_path / "ooc.nc"),
+                   out_of_core=True)
+    assert out == str(tmp_path / "ooc.nc")
+    ooc = read_cube(out)
+    np.testing.assert_allclose(ooc["amp"], ram["amp"], rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(ooc["fold"], ram["fold"])
+    assert "out-of-core" in str(ooc.attrs["history"])
