@@ -91,22 +91,50 @@ def main():
 
     if args.basis in ("SHEARLET", "WAVELET"):
         # multiscale coefficient stacks are too large to materialize for all
-        # slices in one jit (61 subbands x all slices at 512² is terabytes);
-        # stream through the batched driver instead
-        from pseudo_3d_interpolation_tpu.parallel import interpolate_cube
+        # slices in one jit (61 subbands x all slices at 512² is terabytes),
+        # so the solve runs in per-batch jit steps — but the SPECTRUM STAYS
+        # DEVICE-RESIDENT the whole time: one h2d of the time cube, rfft on
+        # device, device-side dynamic slicing per batch, device-side
+        # concatenation, irfft on device, one d2h at the end. (Round-2 fix:
+        # the previous host-chunked driver moved ~4 GB through the tunnel
+        # per run and paid a round-trip latency per batch.)
+        from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
+
+        nslices = t // 2 + 1
+        batch = args.batch
+        npad = -(-nslices // batch) * batch
+
+        @jax.jit
+        def to_slices(x):
+            spec = dft.rfft1(x, axis=-1)
+            z = Cplx(jnp.moveaxis(spec.re, -1, 0), jnp.moveaxis(spec.im, -1, 0))
+            pad = [(0, npad - nslices), (0, 0), (0, 0)]
+            return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
+
+        @jax.jit
+        def solve_batch(zb, m):
+            return pocs_interpolate(zb, m, transform, cfg).data
+
+        @jax.jit
+        def back(parts):
+            z = Cplx(jnp.concatenate([p.re for p in parts])[:nslices],
+                     jnp.concatenate([p.im for p in parts])[:nslices])
+            zi = Cplx(jnp.moveaxis(z.re, 0, -1), jnp.moveaxis(z.im, 0, -1))
+            return dft.irfft1(zi, n=t, axis=-1)
 
         t0 = time.time()
-        spec = jax.jit(lambda x: dft.rfft1(x, axis=-1))(jnp.asarray(obs))
-        freq = (np.moveaxis(np.asarray(spec.re), -1, 0)
-                + 1j * np.moveaxis(np.asarray(spec.im), -1, 0)).astype(np.complex64)
-        rec, n_it, _ = interpolate_cube(freq, mask2d, cfg, mesh=mesh,
-                                        transform=transform, batch=args.batch)
-        z = Cplx(jnp.asarray(np.moveaxis(rec.real, 0, -1)),
-                 jnp.asarray(np.moveaxis(rec.imag, 0, -1)))
-        out = jax.jit(lambda z: dft.irfft1(z, n=t, axis=-1))(z)
+        xd = jnp.asarray(obs)          # ONE upload of the time cube
+        md = jnp.asarray(mask2d)
+        z_all = to_slices(xd)
+        parts = []
+        for s in range(0, npad, batch):
+            zb = Cplx(jax.lax.slice_in_dim(z_all.re, s, s + batch),
+                      jax.lax.slice_in_dim(z_all.im, s, s + batch))
+            parts.append(solve_batch(zb, md))  # async; stays on device
+        out = back(parts)
+        out_h = np.asarray(out)        # ONE download of the result
         wall = time.time() - t0
-        nslices = t // 2 + 1
-        print(f"solver stage (batched, incl transfers): {wall:.1f}s "
+        print(f"solver stage (device-resident, incl transfers): {wall:.1f}s "
               f"({nslices * args.niter / wall:.0f} slice-iters/s, basis={args.basis})")
         truth_d = jnp.asarray(cube)
         snr_in = float(jax.jit(metrics.snr)(truth_d, jnp.asarray(obs)))
