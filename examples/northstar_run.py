@@ -15,6 +15,7 @@ CPU smoke run:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -98,47 +99,49 @@ def main():
         # concatenation, irfft on device, one d2h at the end. (Round-2 fix:
         # the previous host-chunked driver moved ~4 GB through the tunnel
         # per run and paid a round-trip latency per batch.)
-        from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
+        from pseudo_3d_interpolation_tpu.parallel.solver import (
+            pocs_interpolate_scanned)
 
         nslices = t // 2 + 1
         batch = args.batch
         npad = -(-nslices // batch) * batch
 
+        # Three launches total (vs one per batch): forward transform, the
+        # scanned whole-cube solve (input buffer DONATED so XLA reuses its
+        # 2 GB), inverse transform. Splitting keeps per-launch HBM peaks
+        # well under the 16 GB budget — one fused program holding every
+        # stage's intermediates crashed the worker.
         @jax.jit
-        def to_slices(x):
+        def fwd(x):
             spec = dft.rfft1(x, axis=-1)
             z = Cplx(jnp.moveaxis(spec.re, -1, 0), jnp.moveaxis(spec.im, -1, 0))
             pad = [(0, npad - nslices), (0, 0), (0, 0)]
             return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
 
-        @jax.jit
-        def solve_batch(zb, m):
-            return pocs_interpolate(zb, m, transform, cfg).data
+        @functools.partial(jax.jit, donate_argnums=0)
+        def solve_all(z, m):
+            rec, _, _ = pocs_interpolate_scanned(z, m, transform, cfg, batch)
+            return rec
 
-        @jax.jit
-        def back(parts):
-            z = Cplx(jnp.concatenate([p.re for p in parts])[:nslices],
-                     jnp.concatenate([p.im for p in parts])[:nslices])
-            zi = Cplx(jnp.moveaxis(z.re, 0, -1), jnp.moveaxis(z.im, 0, -1))
+        @functools.partial(jax.jit, donate_argnums=0)
+        def inv(rec):
+            zi = Cplx(jnp.moveaxis(rec.re[:nslices], 0, -1),
+                      jnp.moveaxis(rec.im[:nslices], 0, -1))
             return dft.irfft1(zi, n=t, axis=-1)
 
         t0 = time.time()
         xd = jnp.asarray(obs)          # ONE upload of the time cube
         md = jnp.asarray(mask2d)
-        z_all = to_slices(xd)
-        parts = []
-        for s in range(0, npad, batch):
-            zb = Cplx(jax.lax.slice_in_dim(z_all.re, s, s + batch),
-                      jax.lax.slice_in_dim(z_all.im, s, s + batch))
-            parts.append(solve_batch(zb, md))  # async; stays on device
-        out = back(parts)
+        z_all = fwd(xd)
+        del xd
+        rec = solve_all(z_all, md)     # ONE launch for the whole solve
+        out = inv(rec)
         out_h = np.asarray(out)        # ONE download of the result
         wall = time.time() - t0
-        print(f"solver stage (device-resident, incl transfers): {wall:.1f}s "
+        print(f"solver stage (3-dispatch scan, incl transfers): {wall:.1f}s "
               f"({nslices * args.niter / wall:.0f} slice-iters/s, basis={args.basis})")
-        truth_d = jnp.asarray(cube)
-        snr_in = float(jax.jit(metrics.snr)(truth_d, jnp.asarray(obs)))
-        snr_out = float(jax.jit(metrics.snr)(truth_d, out))
+        snr_in = float(metrics.snr(np.abs(cube), np.abs(obs)))
+        snr_out = float(metrics.snr(np.abs(cube), np.abs(out_h)))
         print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
         return
 

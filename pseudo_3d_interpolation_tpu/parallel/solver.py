@@ -140,3 +140,44 @@ def interpolate_cube(
     if in_flight is not None:
         _collect(in_flight)
     return out, n_iters, costs
+
+
+def pocs_interpolate_scanned(
+    z: Cplx,
+    mask,
+    transform=None,
+    config: POCSConfig = POCSConfig(),
+    batch: int = 8,
+):
+    """Whole-cube solve as ONE jittable program: ``lax.scan`` over batches.
+
+    For multiscale bases (SHEARLET/WAVELET) the per-slice coefficient stack
+    is too large to materialize for all slices at once, but dispatching one
+    jit call per batch pays a host round trip per launch — expensive on
+    remote-attached devices (measured ~2-3 s/launch through the tunnel,
+    dominating the 512² production solve). Scanning over batches inside a
+    single jit keeps transients batch-sized while the entire cube solve is
+    one dispatch; inputs/outputs can stay device-resident either side.
+
+    ``z``: (F, H, W) pair with F divisible by ``batch`` (pad with zero
+    slices — they short-circuit). Returns (data, n_iterations, cost) like
+    :func:`pocs_interpolate`, but F-length.
+    """
+    if transform is None:
+        transform = get_transform(config.transform_kind)
+    f_total = z.shape[0]
+    if f_total % batch:
+        raise ValueError(f"slices {f_total} not divisible by batch {batch}; pad first")
+    nb = f_total // batch
+    h, w = z.shape[-2], z.shape[-1]
+    zr = z.re.reshape(nb, batch, h, w)
+    zi = z.im.reshape(nb, batch, h, w)
+    mask = jnp.asarray(mask, z.dtype)
+
+    def body(carry, zb):
+        res = pocs_interpolate(Cplx(zb[0], zb[1]), mask, transform, config)
+        return carry, (res.data.re, res.data.im, res.n_iterations, res.cost)
+
+    _, (rr, ri, ni, cost) = jax.lax.scan(body, None, (zr, zi))
+    return (Cplx(rr.reshape(f_total, h, w), ri.reshape(f_total, h, w)),
+            ni.reshape(f_total), cost.reshape(f_total))

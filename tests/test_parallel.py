@@ -1,7 +1,9 @@
 """Sharding tests on the 8-device virtual CPU mesh: sharded == single-device."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate_numpy
 from pseudo_3d_interpolation_tpu.ops import cplx
@@ -109,3 +111,42 @@ def test_2d_mesh_slices_by_space():
     rec = np.asarray(res.data.re) + 1j * np.asarray(res.data.im)
     rec1, _, _ = pocs_interpolate_numpy(obs, mask, cfg)
     np.testing.assert_allclose(rec, rec1, rtol=1e-3, atol=1e-4)
+
+
+def test_scanned_whole_cube_solver_matches_batched():
+    """pocs_interpolate_scanned (one dispatch, lax.scan over batches) must
+    equal per-batch dispatches — the remote-device production path where
+    per-launch latency dominates (docs/perf.md round 2)."""
+    from pseudo_3d_interpolation_tpu.parallel.solver import (
+        interpolate_cube, pocs_interpolate_scanned)
+
+    rng = np.random.default_rng(3)
+    F, n = 16, 64
+    truth = (rng.normal(size=(F, n, n)) + 1j * rng.normal(size=(F, n, n))
+             ).astype(np.complex64)
+    mask = np.ascontiguousarray(np.broadcast_to(
+        (rng.uniform(size=n) < 0.5).astype(np.float32)[None, :], (n, n)))
+    obs = truth * mask
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx, from_complex
+    from pseudo_3d_interpolation_tpu.parallel import make_mesh
+
+    cfg = POCSConfig(niter=6, p_min=1e-3, version="fast", eps=0.0)
+    tr = get_transform("FFT")
+    rec_b, ni_b, cost_b = interpolate_cube(obs, mask, cfg, transform=tr, batch=8)
+    z = from_complex(obs)
+    rec_s, ni_s, cost_s = jax.jit(
+        lambda z_, m: pocs_interpolate_scanned(z_, m, tr, cfg, batch=8)
+    )(z, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(rec_s.re), rec_b.real, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rec_s.im), rec_b.imag, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ni_s), ni_b)
+    # sharded too: the scanned program partitions the batch axis
+    mesh = make_mesh(4)
+    sh = NamedSharding(mesh, P(None))
+    zd = Cplx(jax.device_put(z.re, NamedSharding(mesh, P(None, None, None))),
+              jax.device_put(z.im, NamedSharding(mesh, P(None, None, None))))
+    rec_sh, _, _ = jax.jit(
+        lambda z_, m: pocs_interpolate_scanned(z_, m, tr, cfg, batch=8)
+    )(zd, jax.device_put(jnp.asarray(mask), NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(rec_sh.re), rec_b.real, atol=1e-5)
