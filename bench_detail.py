@@ -5,9 +5,9 @@ Two parts:
 
 1. Per-basis gate (default): measures POCS slice-iterations/sec AND
    reconstruction SNR at 512x512 for every sparse basis — FFT, DCT,
-   WAVELET, and SHEARLET (the reference's production basis,
-   cube_POCS_interpolation_3D.py:269-274) at both HIGHEST and HIGH matmul
-   precision. Emits ONE JSON line per entry so regressions in any basis
+   WAVELET, SHEARLET (the reference's production basis,
+   cube_POCS_interpolation_3D.py:269-274), and CURVELET at
+   both HIGHEST and HIGH matmul precision (DCT/WAVELET: default). Emits ONE JSON line per entry so regressions in any basis
    are visible, not just the FFT headline.
 
 2. Precision x batch x Pallas study (BENCH_STUDY=1): the round-1 table.
@@ -85,12 +85,14 @@ def run_basis_gate():
     n = int(os.environ.get("BENCH_N", 512))
     niter = int(os.environ.get("BENCH_NITER", 50))
     batch = int(os.environ.get("BENCH_BATCH", 8))
-    bases = os.environ.get("BENCH_BASES", "FFT,DCT,WAVELET,SHEARLET").split(",")
+    bases = os.environ.get("BENCH_BASES",
+                           "FFT,DCT,WAVELET,SHEARLET,CURVELET").split(",")
     truth, obs, mask = make_problem(batch, n)
 
     for kind in bases:
         kind = kind.strip().upper()
-        precisions = ["highest", "high"] if kind in ("FFT", "SHEARLET") else [None]
+        precisions = (["highest", "high"]
+                      if kind in ("FFT", "SHEARLET", "CURVELET") else [None])
         for prec in precisions:
             kw = {"precision": prec} if prec else {}
             if kind == "WAVELET":

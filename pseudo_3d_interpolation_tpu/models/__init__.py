@@ -5,6 +5,7 @@ from .transforms import (
     DCTTransform,
     WaveletTransform,
     ShearletTransform,
+    CurveletTransform,
     get_transform,
 )
 from .pocs import (
@@ -21,6 +22,9 @@ __all__ = [
     "pocs_interpolate_numpy",
     "FFTTransform",
     "DCTTransform",
+    "WaveletTransform",
+    "ShearletTransform",
+    "CurveletTransform",
     "get_transform",
     "POCSConfig",
     "POCSResult",

@@ -249,6 +249,60 @@ class ShearletTransform:
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
 
+@dataclasses.dataclass(frozen=True)
+class CurveletTransform:
+    """Fast discrete curvelet frame (reference CURVELET kind via curvelops→
+    CurveLab, cube_POCS_interpolation_3D.py:277-286, POCS.py:530-607).
+
+    Round 1 stubbed this to SHEARLET; ops/curvelet.py now provides the real
+    frame: CurveLab wrapping geometry (dyadic concentric-square coronae ×
+    parabolic angle doubling, isotropic wavelet finest ring by default) as
+    an exactly tight undecimated frame. Subbands ride axis -3 like the
+    shearlet basis; thresholds are per-wedge (the reference thresholds
+    curvelet coefficients per struct entry, POCS.py:585-607)."""
+
+    nbscales: int | None = None
+    nbangles_coarse: int = 16
+    allcurvelets: bool = False
+    precision: str = "highest"
+    kind: str = "CURVELET"
+
+    def _plan(self, h, w):
+        from ..ops import curvelet as cv
+
+        return cv.curvelet_plan(h, w, self.nbscales, self.nbangles_coarse,
+                                self.allcurvelets)
+
+    def forward(self, z: Cplx) -> Cplx:
+        from ..ops import shearlet as sh
+
+        return sh.shearlet_transform_planned(
+            z, self._plan(z.shape[-2], z.shape[-1]),
+            precision=_resolve_precision(self.precision))
+
+    def inverse(self, coeffs: Cplx) -> Cplx:
+        from ..ops import shearlet as sh
+
+        return sh.inverse_shearlet_transform_planned(
+            coeffs, self._plan(coeffs.shape[-2], coeffs.shape[-1]),
+            precision=_resolve_precision(self.precision))
+
+    def decay(self, coeffs: Cplx, model, niter, p_max, p_min, decay_kind):
+        if isinstance(p_min, str):
+            raise ValueError(
+                "p_min='adaptive' is shearlet-specific (reference "
+                "functions/POCS.py:302-324); use a numeric p_min for CURVELET"
+            )
+        return decay_ops.threshold_decay(
+            coeffs.abs(), model, niter, p_max=p_max, p_min=p_min,
+            kind=decay_kind,
+        )
+
+    def threshold(self, coeffs: Cplx, t, op: str) -> Cplx:
+        # t: (..., L) per-wedge thresholds
+        return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
+
+
 _REGISTRY = {}
 
 
@@ -270,20 +324,17 @@ register_transform(
 )
 
 
-def _curvelet_stub(**kw):
-    raise NotImplementedError(
-        "CURVELET is not available: the reference wraps CurveLab (C++/FFTW "
-        "2.1.5, Unix-only, optional there too — reference README.md:101-104). "
-        "Use SHEARLET, the directional multiscale frame with equivalent "
-        "reconstruction behavior."
-    )
-
-
-register_transform("CURVELET", _curvelet_stub)
+register_transform(
+    "CURVELET",
+    lambda nbscales=None, nbangles_coarse=16, allcurvelets=False,
+    precision="highest", **kw: CurveletTransform(
+        nbscales=nbscales, nbangles_coarse=nbangles_coarse,
+        allcurvelets=allcurvelets, precision=precision),
+)
 
 
 def get_transform(kind: str, **kwargs):
-    """Build a transform by reference kind name (FFT/DCT/WAVELET/SHEARLET)."""
+    """Build a transform by reference kind name (FFT/DCT/WAVELET/SHEARLET/CURVELET)."""
     kind = kind.upper()
     if kind not in _REGISTRY:
         raise ValueError(

@@ -138,22 +138,30 @@ def shearlet_spectra(h: int, w: int, n_scales: int | None = None) -> np.ndarray:
     psi = np.stack(psis).astype(np.float64)
     assert psi.shape[0] == n_subbands(n_scales), (psi.shape, n_subbands(n_scales))
 
-    # real-coefficient symmetrization: on even grids the self-mapped Nyquist
-    # row/col (ω = −N/2) flips the shear sign under ω -> −ω, leaving sheared
-    # subbands asymmetric there. Energy-average each band with its reflected
-    # self so Psi(ω) == Psi(−ω) exactly (FFST's realCoefficients behavior);
-    # the subsequent pointwise normalization restores exact tightness.
+    return symmetrize_and_tighten(psi, f"shearlet ({h},{w}) {n_scales} scales")
+
+
+def symmetrize_and_tighten(psi: np.ndarray, what: str) -> np.ndarray:
+    """Reflect-symmetrize + pointwise Parseval-normalize a window stack.
+
+    Real-coefficient symmetrization: on even grids the self-mapped Nyquist
+    row/col (ω = −N/2) flips the shear/angle sign under ω -> −ω, leaving
+    directional subbands asymmetric there. Energy-average each band with its
+    reflected self so Psi(ω) == Psi(−ω) exactly (FFST's realCoefficients
+    behavior); the subsequent pointwise normalization restores exact
+    tightness (Σ_l Psi_l² == 1). Shared by the shearlet and curvelet frames.
+    """
+
     def _reflect(p):
         return np.roll(np.roll(p[::-1, ::-1], 1, axis=0), 1, axis=1)
 
     psi = np.sqrt(0.5 * (psi**2 + np.stack([_reflect(p) for p in psi]) ** 2))
 
-    # tighten: pointwise Parseval normalization
     total = np.sqrt(np.sum(psi**2, axis=0))
     if total.min() <= 1e-6:
         raise RuntimeError(
-            f"shearlet system does not cover the frequency plane for shape "
-            f"({h},{w}) with {n_scales} scales (min coverage {total.min():.2e})"
+            f"{what}: window system does not cover the frequency plane "
+            f"(min coverage {total.min():.2e})"
         )
     psi = psi / total[None]
     return psi.astype(np.float32)
@@ -206,20 +214,21 @@ def _box_indices(n: int, bound: int) -> np.ndarray:
                            np.arange(n - bound, n)]).astype(np.int32)
 
 
-@functools.lru_cache(maxsize=8)
-def shearlet_plan(h: int, w: int, n_scales: int | None = None):
-    """Precompute per-scale support-cropped spectra groups (host, cached)."""
-    if n_scales is None:
-        n_scales = default_scales(h, w)
-    psi = shearlet_spectra(h, w, n_scales)
-    counts = [1 + 4] + [2 ** (j + 2) for j in range(1, n_scales)]
-    bounds = [4] + [4 ** (j + 1) for j in range(1, n_scales)]
+def build_plan(psi: np.ndarray, counts, bounds) -> tuple:
+    """Group a (L,H,W) window stack into support-cropped plan entries.
+
+    ``counts[g]`` consecutive subbands form group g, whose spectra are all
+    zero outside the centered frequency box |ω| <= ``bounds[g]`` (asserted).
+    Shared by the shearlet and curvelet frames; consumed by
+    ``shearlet_transform_planned`` / ``inverse_shearlet_transform_planned``.
+    """
+    h, w = psi.shape[-2:]
     groups = []
     l0 = 0
     for cnt, bound in zip(counts, bounds):
         sub = psi[l0 : l0 + cnt]
         l0 += cnt
-        if 2 * bound + 1 >= min(h, w):
+        if bound is None or 2 * bound + 1 >= min(h, w):
             groups.append(_ScaleGroup(None, None, sub))
             continue
         ih = _box_indices(h, bound)
@@ -232,6 +241,17 @@ def shearlet_plan(h: int, w: int, n_scales: int | None = None):
         groups.append(_ScaleGroup(ih, iw, np.ascontiguousarray(sub[:, ih][:, :, iw])))
     assert l0 == psi.shape[0]
     return tuple(groups)
+
+
+@functools.lru_cache(maxsize=8)
+def shearlet_plan(h: int, w: int, n_scales: int | None = None):
+    """Precompute per-scale support-cropped spectra groups (host, cached)."""
+    if n_scales is None:
+        n_scales = default_scales(h, w)
+    psi = shearlet_spectra(h, w, n_scales)
+    counts = [1 + 4] + [2 ** (j + 2) for j in range(1, n_scales)]
+    bounds = [4] + [4 ** (j + 1) for j in range(1, n_scales)]
+    return build_plan(psi, counts, bounds)
 
 
 def _partial_ifft2(v: Cplx, idx_h, idx_w, h: int, w: int, precision) -> Cplx:

@@ -113,9 +113,9 @@ def interpolate_checkpointed(
             mesh = mesh_lib.make_mesh()
         n_dev = mesh.devices.size
         batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
-        transform_kwargs = {k: extra[k] for k in ("wavelet", "level",
-                                                  "n_scales", "precision")
-                            if k in extra}
+        transform_kwargs = {k: extra[k] for k in (
+            "wavelet", "level", "n_scales", "precision",
+            "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
         transform = _get_transform(config.transform_kind, **transform_kwargs)
 
         n_iters = np.zeros(f_total, np.int32)
@@ -249,8 +249,9 @@ def interpolate(
     slice_dim = dims[-1]
     moved = np.moveaxis(np.asarray(data), -1, 0)
 
-    transform_kwargs = {k: extra[k] for k in ("wavelet", "level", "n_scales",
-                                               "precision") if k in extra}
+    transform_kwargs = {k: extra[k] for k in (
+        "wavelet", "level", "n_scales", "precision",
+        "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
     transform = get_transform(config.transform_kind, **transform_kwargs)
     xprint(
         f"POCS: {moved.shape[0]} slices of {moved.shape[1]}x{moved.shape[2]}, "

@@ -1,0 +1,128 @@
+"""Curvelet frame tests: tight-frame exactness, CurveLab structure laws
+(parabolic angle doubling, wavelet finest ring), plan equivalence, and
+curvelet-basis POCS reconstruction.
+
+reference parity: cube_POCS_interpolation_3D.py:277-286 / functions/
+POCS.py:530-607 drive POCS through curvelops→CurveLab FDCT; here the frame
+is the TPU-native undecimated wrapping-geometry equivalent (ops/curvelet.py).
+"""
+
+import numpy as np
+import pytest
+
+from pseudo_3d_interpolation_tpu.ops import cplx, curvelet as cv, metrics
+from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+from pseudo_3d_interpolation_tpu.models import (
+    POCSConfig,
+    CurveletTransform,
+    get_transform,
+    pocs_interpolate_numpy,
+)
+
+from test_pocs import random_mask, synthetic_slice
+
+
+def test_scale_and_angle_laws():
+    # CurveLab default scale count: ceil(log2(min shape) - 3)
+    assert cv.default_nbscales(64, 64) == 3
+    assert cv.default_nbscales(512, 512) == 6
+    # parabolic scaling: wedge count doubles every OTHER ring
+    assert cv.ring_angles(6, 16) == [16, 16, 32, 32, 0]  # 0 = wavelet finest
+    assert cv.ring_angles(6, 16, allcurvelets=True) == [16, 16, 32, 32, 64]
+    # lowpass + n/2 symmetrized wedge pairs per ring (+ isotropic finest)
+    assert cv.n_subbands(6, 16) == 1 + 8 + 8 + 16 + 16 + 1
+    with pytest.raises(ValueError):
+        cv.ring_angles(4, nbangles_coarse=6)  # must be a multiple of 4
+
+
+@pytest.mark.parametrize("shape,kw", [
+    ((64, 64), {}),
+    ((64, 32), {}),
+    ((64, 64), {"allcurvelets": True}),
+    ((128, 128), {"nbscales": 5, "nbangles_coarse": 8}),
+])
+def test_tight_frame_normalization(shape, kw):
+    psi = cv.curvelet_spectra(*shape, **kw)
+    total = np.sum(psi.astype(np.float64) ** 2, axis=0)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+
+
+def test_roundtrip_exact():
+    rng = np.random.default_rng(70)
+    shape = (64, 64)
+    x = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64)
+    z = cplx.from_complex(x)
+    tr = CurveletTransform()
+    coeffs = tr.forward(z)
+    assert coeffs.shape == (cv.n_subbands(3),) + shape
+    back = cplx.to_complex(tr.inverse(coeffs))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-4)
+
+
+def test_planned_transform_matches_full():
+    """The support-cropped plan must reproduce the full (uncropped) frame
+    transform exactly; the plan format is shared with the shearlet basis."""
+    rng = np.random.default_rng(71)
+    for shape in [(64, 64), (128, 128)]:
+        z = cplx.from_complex(
+            (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64))
+        psi = cv.curvelet_spectra(*shape)
+        plan = cv.curvelet_plan(*shape)
+        full = sh.shearlet_transform(z, psi)
+        planned = sh.shearlet_transform_planned(z, plan)
+        np.testing.assert_allclose(np.asarray(planned.re), np.asarray(full.re),
+                                   atol=1e-4)
+        mod = cplx.Cplx(planned.re * 0.7, planned.im * 0.7)
+        inv_full = sh.inverse_shearlet_transform(mod, psi)
+        inv_planned = sh.inverse_shearlet_transform_planned(mod, plan)
+        np.testing.assert_allclose(np.asarray(inv_planned.re),
+                                   np.asarray(inv_full.re), atol=1e-4)
+
+
+def test_directional_selectivity():
+    """A plane wave concentrates in few wedges of its ring (needs a shape
+    large enough for two angular rings)."""
+    h = w = 128
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.cos(2 * np.pi * 24 * y / h).astype(np.float32)
+    z = cplx.Cplx(img, np.zeros_like(img))
+    coeffs = CurveletTransform().forward(z)
+    energy = np.asarray(coeffs.abs2()).sum(axis=(-2, -1))
+    frac_top2 = np.sort(energy)[::-1][:2].sum() / energy.sum()
+    assert frac_top2 > 0.8, frac_top2
+
+
+def test_real_input_real_coefficients():
+    """ω -> −ω symmetric spectra ⇒ (nearly) real coefficients for real input
+    (the wedge pairs at θ and θ+π are merged, CurveLab real-transform)."""
+    rng = np.random.default_rng(72)
+    x = rng.normal(size=(64, 64)).astype(np.float32)
+    z = cplx.Cplx(x, np.zeros_like(x))
+    coeffs = CurveletTransform().forward(z)
+    ratio = float(np.abs(np.asarray(coeffs.im)).max()
+                  / np.abs(np.asarray(coeffs.re)).max())
+    assert ratio < 1e-2, ratio
+
+
+def test_registry_and_adaptive_rejection():
+    tr = get_transform("CURVELET", nbangles_coarse=8)
+    assert tr.nbangles_coarse == 8
+    coeffs = tr.forward(cplx.Cplx(np.zeros((64, 64), np.float32),
+                                  np.zeros((64, 64), np.float32)))
+    with pytest.raises(ValueError, match="shearlet-specific"):
+        tr.decay(coeffs, "exponential", 10, 0.99, "adaptive", "values")
+
+
+def test_curvelet_pocs_reconstruction():
+    """Curvelet-basis POCS on a 50%-decimated complex slice (reference
+    TRANSFORM_KIND='CURVELET', cube_POCS_interpolation_3D.py:277-286)."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=8)
+    obs = x * mask
+    cfg = POCSConfig(niter=30, thresh_op="hard", thresh_model="exponential",
+                     version="fast", alpha=0.75, transform_kind="CURVELET")
+    rec, n_it, _ = pocs_interpolate_numpy(obs, mask, cfg,
+                                          transform=CurveletTransform())
+    snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
+    snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert snr_out > snr_in + 5, (snr_in, snr_out)
