@@ -141,6 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attrs-yaml", default=None,
                    help="netCDF attrs/encodings YAML (reference format: "
                         "attrs_time/attrs_freq/encodings families)")
+    p.add_argument("--out-of-core", action="store_true", default=None,
+                   help="stream the cube through a disk-backed accumulator "
+                        "(auto-enabled when the grid exceeds ~2 GiB)")
 
     p = cmd("preprocess", 11, "balance/gain/filter/resample/envelope the cube")
     p.add_argument("input")
@@ -253,7 +256,8 @@ def main(argv=None) -> int:
         from .pipeline.binning import bin_cube
 
         bin_cube(args.input, _geometry_from_args(args), out_path=args.output,
-                 attrs_config=args.attrs_yaml, verbose=v)
+                 attrs_config=args.attrs_yaml, out_of_core=args.out_of_core,
+                 verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "preprocess":
         from .pipeline.preprocess import preprocess

@@ -142,16 +142,20 @@ def bin_cube(
 
     Traces stream in blocks: each block is delay-padded onto the global TWT
     axis on device, then segment-stacked into a running (sum, fold)
-    accumulator (average/IDW) or collected for median/nearest. Returns (and
-    optionally writes) the cube with ``amp(iline, xline, twt)`` + ``fold``.
+    accumulator (average/IDW), best-distance-replaced (nearest), or
+    collected for median. Returns (and optionally writes) the cube with
+    ``amp(iline, xline, twt)`` + ``fold``.
 
     Out-of-core: when the accumulator would exceed ``ooc_threshold_bytes``
     (or ``out_of_core=True``), the (bins, samples) accumulator lives in a
     disk-backed memmap next to ``out_path`` and the cube streams to
     ``out_path`` iline-block by iline-block — survey-scale grids never
     materialize in RAM (the reference bins per-iline netCDFs for the same
-    reason, cube_binning_3D.py:1234-1240). Requires ``out_path`` and an
-    average/mean/idw stacking method; returns ``out_path``.
+    reason, cube_binning_3D.py:1234-1240). Requires ``out_path``; all
+    stacking methods are supported: average/mean/idw/nearest stream into
+    the accumulator, median re-reads each iline block's traces in a second
+    pass (the reference's per-iline lazy stacking,
+    cube_binning_3D.py:1128-1166). Returns ``out_path``.
     """
     files = resolve_input_files(path, fsuffix)
     if not files:
@@ -185,12 +189,28 @@ def bin_cube(
     simple = method in ("average", "mean", "idw")
     est_bytes = n_bins * ns_out * 4
     ooc = bool(out_of_core) if out_of_core is not None else est_bytes > ooc_threshold_bytes
-    if ooc:
-        if not out_path:
-            raise ValueError("out-of-core binning requires out_path")
-        if not simple:
-            raise ValueError("out-of-core binning supports average/mean/idw "
-                             "stacking (median/nearest must hold all traces)")
+    if ooc and not out_path:
+        raise ValueError("out-of-core binning requires out_path")
+
+    # assignment pre-pass: headers only (ids, center distances, fold) — no
+    # trace data touched; this is what makes the median two-pass path cheap
+    fold = np.zeros((n_bins,), np.int64)
+    assign = []
+    for r in scrape:
+        pi, px, valid = bn.assign_bins_indexed(r["x"], r["y"], t, il_indices, xl_indices)
+        if not valid.any():
+            continue
+        ids_all = pi.astype(np.int64) * n_xl + px
+        centers = inv.transform(
+            np.column_stack([il_indices[pi], xl_indices[px]]).astype(float)
+        )
+        dist = np.hypot(r["x"] - centers[:, 0], r["y"] - centers[:, 1])
+        np.add.at(fold, ids_all[valid], 1)
+        assign.append({"r": r, "ids": ids_all, "pi": pi, "px": px,
+                       "dist": dist, "valid": valid})
+
+    median_ooc = ooc and method == "median"
+    if ooc and not median_ooc:
         import tempfile
 
         _mmfile = tempfile.NamedTemporaryFile(
@@ -200,25 +220,20 @@ def bin_cube(
                             shape=(n_bins, ns_out))
         xprint(f"out-of-core binning: {est_bytes / 2**30:.1f} GiB accumulator "
                f"memmapped at {_mmfile.name}", kind="info", verbosity=verbose)
-    else:
+    elif not median_ooc:
         acc_num = np.zeros((n_bins, ns_out), np.float32)
     acc_den = np.zeros((n_bins,), np.float64)
-    fold = np.zeros((n_bins,), np.int64)
-    kept_traces = [] if not simple else None
-    kept_ids = [] if not simple else None
-    kept_dist = [] if not simple else None
+    # nearest: streaming best-trace-per-bin update — no trace retention
+    best_dist = np.full((n_bins,), np.inf, np.float64) if method == "nearest" else None
+    keep = method == "median" and not ooc
+    kept_traces = [] if keep else None
+    kept_ids = [] if keep else None
+    kept_dist = [] if keep else None
 
-    for r in scrape:
+    for a in ([] if median_ooc else assign):
+        r, ids_all, dist, valid = a["r"], a["ids"], a["dist"], a["valid"]
         with SegyFile(r["file"]) as f:
             data = f.trace_data()
-        pi, px, valid = bn.assign_bins_indexed(r["x"], r["y"], t, il_indices, xl_indices)
-        if not valid.any():
-            continue
-        ids_all = pi.astype(np.int64) * n_xl + px
-        centers = inv.transform(
-            np.column_stack([il_indices[pi], xl_indices[px]]).astype(float)
-        )
-        dist = np.hypot(r["x"] - centers[:, 0], r["y"] - centers[:, 1])
         for s in range(0, len(ids_all), trace_block):
             sl = slice(s, s + trace_block)
             v = valid[sl]
@@ -237,11 +252,22 @@ def bin_cube(
                     w = np.ones(len(ids))
                 np.add.at(acc_num, ids, block * w[:, None].astype(np.float32))
                 np.add.at(acc_den, ids, w)
+            elif method == "nearest":
+                d = dist[sl][v]
+                order = np.lexsort((d, ids))  # by bin, then distance
+                ids_s = ids[order]
+                first = np.ones(len(ids_s), bool)
+                first[1:] = ids_s[1:] != ids_s[:-1]
+                rows = order[first]
+                ids_u = ids_s[first]
+                better = d[rows] < best_dist[ids_u]
+                acc_num[ids_u[better]] = block[rows[better]]
+                best_dist[ids_u[better]] = d[rows[better]]
+                acc_den[ids_u[better]] = 1.0
             else:
                 kept_traces.append(block)
                 kept_ids.append(ids)
                 kept_dist.append(dist[sl][v])
-            np.add.at(fold, ids, 1)
 
     if ooc:
         # normalize + stream out per iline block; nothing cube-sized in RAM
@@ -290,18 +316,47 @@ def bin_cube(
                           attrs=attrs_time.get("fold"))
             wr.write_slab("fold", fold2)
             il_block = max(1, (64 << 20) // max(n_xl * ns_out * 4, 1))
-            den = np.where(acc_den == 0, 1.0, acc_den).astype(np.float32)
-            for i0 in range(0, n_il, il_block):
-                i1 = min(i0 + il_block, n_il)
-                rows = slice(i0 * n_xl, i1 * n_xl)
-                blk = acc_num[rows] / den[rows, None]
-                wr.write_slab("amp", blk.reshape(i1 - i0, n_xl, ns_out),
-                              dim="iline", start=i0)
-        del acc_num
-        _mmfile.close()
+            if median_ooc:
+                # two-pass per-iline-block median: re-read only this block's
+                # traces from each profile (reference stacks bins lazily per
+                # iline the same way, cube_binning_3D.py:1128-1166)
+                for i0 in range(0, n_il, il_block):
+                    i1 = min(i0 + il_block, n_il)
+                    nb = (i1 - i0) * n_xl
+                    parts, part_ids = [], []
+                    for a in assign:
+                        sel = a["valid"] & (a["pi"] >= i0) & (a["pi"] < i1)
+                        if not sel.any():
+                            continue
+                        idx = np.nonzero(sel)[0]
+                        with SegyFile(a["r"]["file"]) as f:
+                            data = f.trace_data(idx)
+                        parts.append(np.asarray(bn.pad_traces_to_global_twt(
+                            data, a["r"]["delrt"][idx], twt0, dt, ns_out)))
+                        part_ids.append((a["pi"][idx] - i0) * n_xl + a["px"][idx])
+                    if parts:
+                        amp_blk = np.asarray(bn.stack_traces(
+                            np.concatenate(parts),
+                            np.concatenate(part_ids).astype(np.int64),
+                            nb, method="median"))
+                    else:
+                        amp_blk = np.zeros((nb, ns_out), np.float32)
+                    wr.write_slab("amp", amp_blk.reshape(i1 - i0, n_xl, ns_out),
+                                  dim="iline", start=i0)
+            else:
+                den = np.where(acc_den == 0, 1.0, acc_den).astype(np.float32)
+                for i0 in range(0, n_il, il_block):
+                    i1 = min(i0 + il_block, n_il)
+                    rows = slice(i0 * n_xl, i1 * n_xl)
+                    blk = acc_num[rows] / den[rows, None]
+                    wr.write_slab("amp", blk.reshape(i1 - i0, n_xl, ns_out),
+                                  dim="iline", start=i0)
+        if not median_ooc:
+            del acc_num
+            _mmfile.close()
         return out_path
 
-    if simple:
+    if simple or method == "nearest":
         amp = acc_num / np.where(acc_den == 0, 1.0, acc_den)[:, None].astype(np.float32)
     else:
         traces = np.concatenate(kept_traces)

@@ -202,3 +202,41 @@ def test_assign_bins_indexed_matches_simple():
     np.testing.assert_array_equal(v1, v2)
     np.testing.assert_array_equal(il[v1], pi[v2] + 1)
     np.testing.assert_array_equal(xl[v1], px[v2] + 1)
+
+
+def test_bin_cube_nearest_streaming_semantics(tmp_path):
+    """The streaming nearest path must keep exactly the trace closest to
+    each bin center, across files and trace blocks (it replaced the
+    hold-all-traces path; reference nearest stacking
+    cube_binning_3D.py:1128-1149)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile
+    from pseudo_3d_interpolation_tpu.pipeline.binning import (BinningGeometry,
+                                                              bin_cube)
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    # two parallel lines in the SAME iline column of the 20 m grid (bin
+    # centers at x=10): line B (x=12, 2 m off-center) always beats
+    # line A (x=4, 6 m off-center)
+    make_profile(str(survey / "lineA_UTM.sgy"), ntr=8, ns=32, seed=1,
+                 x0=4.0, y0=4.0, heading=(0, 1), spacing=5.0,
+                 times_start="2023-05-01T10:00:00")
+    make_profile(str(survey / "lineB_UTM.sgy"), ntr=8, ns=32, seed=2,
+                 x0=12.0, y0=4.0, heading=(0, 1), spacing=5.0,
+                 times_start="2023-05-01T11:00:00")
+    geom = BinningGeometry(spacing=20.0, extent=(0.0, 40.0, 0.0, 40.0),
+                           stacking_method="nearest")
+    cube = bin_cube(str(survey), geom, trace_block=3)  # force block splits
+    with SegyFile(str(survey / "lineB_UTM.sgy")) as f:
+        data_b = f.trace_data()
+    amp = np.asarray(cube["amp"])
+    fold = np.asarray(cube["fold"])
+    assert amp.shape[:2] == (2, 2)
+    assert fold[1].sum() == 0  # il column at x=30 sees no traces
+    # line B ys are 4,9,...,39; nearest to bin center y=10 is the y=9
+    # trace (index 1), nearest to y=30 is the y=29 trace (index 5)
+    np.testing.assert_allclose(amp[0, 0, :32], data_b[1], rtol=1e-5)
+    np.testing.assert_allclose(amp[0, 1, :32], data_b[5], rtol=1e-5)

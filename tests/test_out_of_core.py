@@ -9,6 +9,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -95,9 +96,13 @@ def test_streaming_pocs_fits_in_budget_where_in_ram_cannot(tmp_path):
         assert "POCS" in str(cf.attrs.get("history", ""))
 
 
-def test_out_of_core_binning_matches_in_ram(tmp_path):
+@pytest.mark.parametrize("method", ["average", "idw", "nearest", "median"])
+def test_out_of_core_binning_matches_in_ram(tmp_path, method):
     """bin_cube(out_of_core=True) must produce a cube identical to the
-    in-RAM path, streamed through a memmap accumulator + CubeWriter."""
+    in-RAM path for EVERY stacking method: average/idw/nearest stream
+    through a memmap accumulator + CubeWriter; median re-reads each iline
+    block's traces in a second pass (reference per-iline lazy stacking,
+    cube_binning_3D.py:1128-1166)."""
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from test_stage1 import make_profile
@@ -112,7 +117,8 @@ def test_out_of_core_binning_matches_in_ram(tmp_path):
                      seed=i, x0=5.0 + i * 10.0, y0=5.0, heading=(0, 1),
                      spacing=10.0,
                      times_start=f"2023-05-01T{10 + i:02d}:00:00")
-    geom = BinningGeometry(spacing=10.0, extent=(0.0, 80.0, 0.0, 240.0))
+    geom = BinningGeometry(spacing=10.0, extent=(0.0, 80.0, 0.0, 240.0),
+                           stacking_method=method)
     ram = bin_cube(str(survey), geom)
     out = bin_cube(str(survey), geom, out_path=str(tmp_path / "ooc.nc"),
                    out_of_core=True)
