@@ -157,11 +157,14 @@ def coords_to_ilxl_transform(
     n_ilines = int(np.around(dist_x / xspacing)) + 1
     n_xlines = int(np.around(dist_y / yspacing)) + 1
 
+    # index step per CRS unit; a single-line axis (dist == 0) maps every
+    # coordinate to line 1 instead of dividing by zero
+    sx = (n_ilines - 1) / np.around(dist_x) if np.around(dist_x) > 0 else 0.0
+    sy = (n_xlines - 1) / np.around(dist_y) if np.around(dist_y) > 0 else 0.0
     t = (
         Affine()
         .translation(tuple(-center_points[0]))
-        .scaling((1.0 / np.around(dist_x), 1.0 / np.around(dist_y)))
-        .scaling((n_ilines - 1, n_xlines - 1))
+        .scaling((sx, sy))
         .translation((1.0, 1.0))  # lines start at 1
     )
     if base_transform is not None:

@@ -182,11 +182,15 @@ def curvelet_spectra(h: int, w: int, nbscales: int | None = None,
 
 @functools.lru_cache(maxsize=8)
 def curvelet_plan(h: int, w: int, nbscales: int | None = None,
-                  nbangles_coarse: int = 16, allcurvelets: bool = False):
+                  nbangles_coarse: int = 16, allcurvelets: bool = False,
+                  split_threshold: int | None = None):
     """Support-cropped plan: ring-s spectra vanish outside |ω| <= 2·c_s.
 
     Consumed by ops.shearlet.shearlet_transform_planned /
     inverse_shearlet_transform_planned (the plan format is shared).
+    ``split_threshold`` can re-group large rings into per-wedge
+    exact-support groups (see ops.shearlet.build_plan) — off by default:
+    measured slower on TPU despite the flop cut (docs/perf.md).
     """
     if nbscales is None:
         nbscales = default_nbscales(h, w)
@@ -199,4 +203,4 @@ def curvelet_plan(h: int, w: int, nbscales: int | None = None,
     counts = [1 + subbands[0]] + subbands[1:]
     bounds = [int(np.ceil(2.0 * emax * 2.0 ** (s - r + 1))) for s in range(r)]
     bounds[-1] = None  # finest ring is flat-topped to the corner: full grid
-    return build_plan(psi, counts, bounds)
+    return build_plan(psi, counts, bounds, split_threshold)

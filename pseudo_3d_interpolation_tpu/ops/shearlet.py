@@ -208,27 +208,83 @@ class _ScaleGroup:
         self.psi = psi      # (Lg, sr, sc) f32
 
 
+class Plan(tuple):
+    """A tuple of _ScaleGroup plus ``perm``: planned subband order.
+
+    The planned transforms emit subbands in plan order (groups
+    concatenated); ``perm[i]`` is the canonical (FFST/curvelet) subband
+    index at planned position i. Fine-scale splitting only reorders WITHIN
+    a scale block, so scale-indexed consumers (adaptive tau_min's
+    ``j_of_band``) are unaffected; use ``perm`` to compare against the
+    unplanned transform.
+    """
+
+    def __new__(cls, groups, perm):
+        return super().__new__(cls, groups)
+
+    def __init__(self, groups, perm):
+        self.perm = np.asarray(perm, np.int64)
+
+
 def _box_indices(n: int, bound: int) -> np.ndarray:
     """fft-layout indices of frequencies |ω| <= bound (size 2·bound+1)."""
     return np.concatenate([np.arange(bound + 1),
                            np.arange(n - bound, n)]).astype(np.int32)
 
 
-def build_plan(psi: np.ndarray, counts, bounds) -> tuple:
+def build_plan(psi: np.ndarray, counts, bounds,
+               split_threshold: int | None = None) -> Plan:
     """Group a (L,H,W) window stack into support-cropped plan entries.
 
     ``counts[g]`` consecutive subbands form group g, whose spectra are all
     zero outside the centered frequency box |ω| <= ``bounds[g]`` (asserted).
     Shared by the shearlet and curvelet frames; consumed by
     ``shearlet_transform_planned`` / ``inverse_shearlet_transform_planned``.
+
+    Fine-scale splitting (``split_threshold=<box side>``; **off by
+    default**): a scale group whose box side reaches the threshold is
+    re-grouped by each subband's *exact* nonzero row/col support (subbands
+    with identical supports stay batched — the ±k shear pairs, whose
+    supports coincide after the ω→−ω symmetrization). Fine-scale
+    directional subbands are cone-localized — the k=0 horizontal shear at
+    512² lives on 450 rows × 65 cols — so this cuts the solve's matmul
+    flops to ~0.65× of the box plan's. **Measured on a TPU v5e it LOSES
+    ~2.3×** (docs/perf.md): the many small odd-shaped einsums underuse the
+    128×128 MXU tiles and the inverse pays ~17 scatter-adds into the
+    full-size spectrum accumulator (4× the box plan's inverse time), so
+    the batched box plan stays the default. The subband order is recorded
+    in ``Plan.perm`` (reordering stays within the scale block; identity
+    when splitting is off).
     """
     h, w = psi.shape[-2:]
     groups = []
+    perm = []
     l0 = 0
     for cnt, bound in zip(counts, bounds):
-        sub = psi[l0 : l0 + cnt]
+        idxs = np.arange(l0, l0 + cnt)
         l0 += cnt
-        if bound is None or 2 * bound + 1 >= min(h, w):
+        side = 2 * bound + 1 if bound is not None else min(h, w)
+        if split_threshold is not None and side >= split_threshold and cnt > 1:
+            keymap = {}
+            for l in idxs:
+                nz = np.abs(psi[l]) > 0
+                rows = np.nonzero(nz.any(axis=1))[0].astype(np.int32)
+                cols = np.nonzero(nz.any(axis=0))[0].astype(np.int32)
+                key = (rows.tobytes(), cols.tobytes())
+                if key not in keymap:
+                    keymap[key] = (rows, cols, [])
+                keymap[key][2].append(int(l))
+            for rows, cols, members in keymap.values():
+                perm.extend(members)
+                if len(rows) >= h and len(cols) >= w:
+                    groups.append(_ScaleGroup(None, None, psi[members]))
+                else:
+                    sub = np.ascontiguousarray(psi[members][:, rows][:, :, cols])
+                    groups.append(_ScaleGroup(rows, cols, sub))
+            continue
+        perm.extend(idxs.tolist())
+        sub = psi[idxs[0] : idxs[-1] + 1]
+        if bound is None or side >= min(h, w):
             groups.append(_ScaleGroup(None, None, sub))
             continue
         ih = _box_indices(h, bound)
@@ -240,18 +296,19 @@ def build_plan(psi: np.ndarray, counts, bounds) -> tuple:
         assert leak == 0.0, f"scale group leaks outside its box: {leak}"
         groups.append(_ScaleGroup(ih, iw, np.ascontiguousarray(sub[:, ih][:, :, iw])))
     assert l0 == psi.shape[0]
-    return tuple(groups)
+    return Plan(groups, perm)
 
 
 @functools.lru_cache(maxsize=8)
-def shearlet_plan(h: int, w: int, n_scales: int | None = None):
+def shearlet_plan(h: int, w: int, n_scales: int | None = None,
+                  split_threshold: int | None = None):
     """Precompute per-scale support-cropped spectra groups (host, cached)."""
     if n_scales is None:
         n_scales = default_scales(h, w)
     psi = shearlet_spectra(h, w, n_scales)
     counts = [1 + 4] + [2 ** (j + 2) for j in range(1, n_scales)]
     bounds = [4] + [4 ** (j + 1) for j in range(1, n_scales)]
-    return build_plan(psi, counts, bounds)
+    return build_plan(psi, counts, bounds, split_threshold)
 
 
 def _partial_ifft2(v: Cplx, idx_h, idx_w, h: int, w: int, precision) -> Cplx:

@@ -63,6 +63,16 @@ def test_coords_to_ilxl_axis_aligned():
     np.testing.assert_allclose(t.transform([95.0, 45.0]), [10.0, 5.0], atol=1e-9)
 
 
+def test_coords_to_ilxl_single_line_axis():
+    """A one-bin-wide extent must map every coordinate to line 1, not
+    divide by zero (a 20 m x 40 m grid at 20 m spacing has one iline)."""
+    t, n_il, n_xl = coords_to_ilxl_transform(extent=(0, 20, 0, 40), spacing=20.0)
+    assert (n_il, n_xl) == (1, 2)
+    out = t.transform(np.array([[4.0, 10.0], [12.0, 30.0]]))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, [[1.0, 1.0], [1.0, 2.0]], atol=1e-9)
+
+
 def test_coords_to_ilxl_rotated():
     angle = 30.0
     base = Affine().rotate_around(-angle, origin=(0.0, 0.0))

@@ -63,17 +63,24 @@ def test_planned_transform_matches_full():
     """The support-cropped plan must reproduce the full (uncropped) frame
     transform exactly; the plan format is shared with the shearlet basis."""
     rng = np.random.default_rng(71)
-    for shape in [(64, 64), (128, 128)]:
+    for shape in [(64, 64), (128, 128), (256, 256)]:
         z = cplx.from_complex(
             (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64))
         psi = cv.curvelet_spectra(*shape)
         plan = cv.curvelet_plan(*shape)
+        perm = plan.perm
+        assert sorted(perm.tolist()) == list(range(psi.shape[0]))
         full = sh.shearlet_transform(z, psi)
+        full_p = cplx.Cplx(np.asarray(full.re)[..., perm, :, :],
+                           np.asarray(full.im)[..., perm, :, :])
         planned = sh.shearlet_transform_planned(z, plan)
-        np.testing.assert_allclose(np.asarray(planned.re), np.asarray(full.re),
+        np.testing.assert_allclose(np.asarray(planned.re), np.asarray(full_p.re),
                                    atol=1e-4)
         mod = cplx.Cplx(planned.re * 0.7, planned.im * 0.7)
-        inv_full = sh.inverse_shearlet_transform(mod, psi)
+        inv = np.argsort(perm)
+        inv_full = sh.inverse_shearlet_transform(
+            cplx.Cplx(np.asarray(mod.re)[..., inv, :, :],
+                      np.asarray(mod.im)[..., inv, :, :]), psi)
         inv_planned = sh.inverse_shearlet_transform_planned(mod, plan)
         np.testing.assert_allclose(np.asarray(inv_planned.re),
                                    np.asarray(inv_full.re), atol=1e-4)

@@ -95,14 +95,25 @@ def test_shearlet_pocs_reconstruction():
 def test_planned_transform_matches_full():
     """The support-cropped plan must reproduce the full transform exactly
     (it is the same math with per-scale DFTs restricted to the frequency
-    boxes where each Psi is supported)."""
+    boxes/supports where each Psi lives); ``plan.perm`` maps planned
+    subband positions to canonical FFST order and must stay within each
+    scale block (adaptive tau_min indexes scales by position)."""
     rng = np.random.default_rng(5)
-    for shape in [(64, 64), (64, 32)]:
+    for shape in [(64, 64), (64, 32), (256, 256)]:
         z = cplx.from_complex(
             (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64))
         psi = sh.shearlet_spectra(*shape)
         plan = sh.shearlet_plan(*shape)
+        perm = plan.perm
+        assert sorted(perm.tolist()) == list(range(psi.shape[0]))
+        # scale blocks: [lowpass, 4, 8, 16, ...] — perm must not cross them
+        counts = [1] + [2 ** (j + 2) for j in range(sh.default_scales(*shape))]
+        edges = np.cumsum([0] + counts)
+        for a, b in zip(edges[:-1], edges[1:]):
+            assert sorted(perm[a:b].tolist()) == list(range(a, b))
         full = sh.shearlet_transform(z, psi)
+        full = cplx.Cplx(np.asarray(full.re)[..., perm, :, :],
+                         np.asarray(full.im)[..., perm, :, :])
         planned = sh.shearlet_transform_planned(z, plan)
         np.testing.assert_allclose(np.asarray(planned.re), np.asarray(full.re),
                                    atol=1e-4)
@@ -110,7 +121,9 @@ def test_planned_transform_matches_full():
                                    atol=1e-4)
         # inverse path: threshold-like modification, then both inverses agree
         mod = cplx.Cplx(planned.re * 0.7, planned.im * 0.7)
-        inv_full = sh.inverse_shearlet_transform(mod, psi)
+        inv_full = sh.inverse_shearlet_transform(
+            cplx.Cplx(np.asarray(mod.re)[..., np.argsort(perm), :, :],
+                      np.asarray(mod.im)[..., np.argsort(perm), :, :]), psi)
         inv_planned = sh.inverse_shearlet_transform_planned(mod, plan)
         np.testing.assert_allclose(np.asarray(inv_planned.re),
                                    np.asarray(inv_full.re), atol=1e-4)
