@@ -95,6 +95,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("--mode", choices=["amp", "swdep"], default="amp")
     p.add_argument("--win-samples", type=int, default=30)
+    p.add_argument("--savgol-window", type=int, default=41,
+                   help="horizon smoothing window (reference --win_sg)")
+    p.add_argument("--nsta", type=int, default=None,
+                   help="STA window, samples (reference --nsta)")
+    p.add_argument("--nlta", type=int, default=None,
+                   help="LTA window, samples (reference --nlta)")
+    p.add_argument("--win-mad", type=int, default=None,
+                   help="MAD outlier window, traces (reference --win_mad)")
+    p.add_argument("--win-median", type=int, default=11,
+                   help="median filter window, traces (reference --win_median)")
+    p.add_argument("--limit-shift", type=float, default=None, metavar="MS",
+                   help="clip statics to +/- this many ms (reference --limit_shift)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("tide", 6, "tide compensation from a tide model / table")
@@ -118,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("NSAMPLES", "NTRACES"))
     p.add_argument("--threshold", type=float, default=4.0)
     p.add_argument("--mode", choices=["median", "mean", "rms"], default="median")
+    p.add_argument("--replace", choices=["median", "zeros", "threshold"],
+                   default="median",
+                   help="spike replacement value (reference --out_amplitude)")
+    p.add_argument("--split-at-delrt", action="store_true",
+                   help="despike constant-delrt segments separately "
+                        "(reference --use_delay)")
     p.add_argument("--inplace", action="store_true")
 
     # ---- stage 2 -----------------------------------------------------------
@@ -176,7 +194,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--params", default=None, help="POCS parameter YAML (reference format)")
     p.add_argument("--niter", type=int, default=50)
     p.add_argument("--transform", default="FFT",
-                   choices=["FFT", "DCT", "WAVELET", "SHEARLET"])
+                   choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"])
     p.add_argument("--version", default="fast", choices=["regular", "fast", "adaptive"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--runtime-csv", default=None)

@@ -371,7 +371,13 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
 
 def static_correct(path, mode: str = "amp", win_samples: int = 30,
                    savgol_window: int = 41, inplace: bool = False,
-                   output_dir=None, verbose: int = 0) -> list[str]:
+                   output_dir=None, verbose: int = 0,
+                   nsta: int | None = None, nlta: int | None = None,
+                   win_mad: int | None = None, win_median: int = 11,
+                   limit_shift_ms: float | None = None) -> list[str]:
+    """Seafloor-static correction; picker knobs map to the reference's
+    ``--nsta/--nlta/--win_mad/--win_median/--limit_shift`` flags
+    (static_correction_segy.py:666-714)."""
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
@@ -383,8 +389,13 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
                 delrt = f.header("DelayRecordingTime").astype(np.float64)
                 horizon = (2.0 * depth / 1500.0 * 1e3 - delrt) / dt_ms
             else:
-                horizon = flt.detect_seafloor_reflection(data.T, win=win_samples)
+                horizon = flt.detect_seafloor_reflection(
+                    data.T, win=win_samples, nsta=nsta, nlta=nlta,
+                    win_mad=win_mad, win_median=win_median)
             static = compute_static(horizon, dt_ms, savgol_window)
+            if limit_shift_ms is not None:
+                lim = int(round(limit_shift_ms / dt_ms))
+                static = np.clip(static, -lim, lim)
             shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(static)))
             out = _output_path(p, inplace, "sta", output_dir)
             _rewrite(
@@ -898,6 +909,10 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
         delrt_pad(args.input, inplace=args.inplace, verbose=verbose)
     elif cmd == "static":
         static_correct(args.input, mode=args.mode, win_samples=args.win_samples,
+                       savgol_window=args.savgol_window, nsta=args.nsta,
+                       nlta=args.nlta, win_mad=args.win_mad,
+                       win_median=args.win_median,
+                       limit_shift_ms=args.limit_shift,
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "tide":
         tide_compensate(args.input, args.tide_file,
@@ -908,7 +923,9 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "despike":
         despike(args.input, window=tuple(args.window), threshold=args.threshold,
-                mode=args.mode, inplace=args.inplace, verbose=verbose)
+                mode=args.mode, replace=args.replace,
+                split_at_delrt=args.split_at_delrt,
+                inplace=args.inplace, verbose=verbose)
     else:
         raise SystemExit(f"unknown stage-1 command {cmd!r}")
     return 0
