@@ -31,7 +31,7 @@ def main():
                     metavar=("NIL", "NXL", "NS"))
     ap.add_argument("--niter", type=int, default=50)
     ap.add_argument("--basis", default="FFT",
-                    choices=["FFT", "DCT", "WAVELET", "SHEARLET"])
+                    choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"])
     ap.add_argument("--keep", type=float, default=0.5, help="fraction of bins kept")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--postprocess", action="store_true")

@@ -66,16 +66,39 @@ def _rewrite(src: SegyFile, out_path: str, data: np.ndarray, note: str,
 
 
 @jax.jit
-def _shift_traces(data, shifts):
+def _shift_traces_kernel(data, shifts, ns_valid):
     """Integer-sample trace shift with zero fill, batched.
 
     ``data``: (ntraces, ns); positive shift moves samples deeper (down).
+    ``ns_valid``: true sample count (samples at/after it are zero padding).
     reference: static_correction_segy.py:259-321 (compensate_static).
     """
     ns = data.shape[-1]
     idx = jnp.arange(ns, dtype=jnp.int32)[None, :] - shifts[:, None].astype(jnp.int32)
-    inside = (idx >= 0) & (idx < ns)
+    inside = (idx >= 0) & (idx < ns_valid)
     return jnp.where(inside, jnp.take_along_axis(data, jnp.clip(idx, 0, ns - 1), axis=-1), 0.0)
+
+
+def _bucket(n: int, step: int) -> int:
+    return -(-n // step) * step
+
+
+def _shift_traces(data, shifts):
+    """Shape-bucketed trace shift: pads (ntraces, ns) up to multiples of
+    (64, 128) with zeros so a survey of variably sized profiles reuses ONE
+    compiled kernel per bucket instead of one per file (zero padding is
+    exact here: out-of-range sample indices are masked against the true
+    ``ns`` either way)."""
+    data = np.asarray(data, np.float32)
+    shifts = np.asarray(shifts)
+    ntr, ns = data.shape
+    nb, sb = _bucket(ntr, 64), _bucket(ns, 128)
+    if (nb, sb) != (ntr, ns):
+        data = np.pad(data, ((0, nb - ntr), (0, sb - ns)))
+        shifts = np.pad(shifts, (0, nb - ntr))
+    out = _shift_traces_kernel(jnp.asarray(data), jnp.asarray(shifts),
+                               jnp.int32(ns))
+    return np.asarray(out)[:ntr, :ns]
 
 
 
@@ -114,30 +137,64 @@ def despike_section(data: np.ndarray, window=(9, 5), threshold: float = 4.0,
     wy, wx = int(window[0]) | 1, int(window[1]) | 1  # force odd
     data = np.asarray(data, np.float32)
     ns, ntr = data.shape
+    ry, rx = wy // 2, wx // 2
+    # amplitude floor from the WHOLE section (passed into the kernel, so
+    # results are independent of how the section is chunked/bucketed)
+    gfloor = np.float32(1e-8 + np.abs(data).mean() * 1e-3)
+    # shape bucketing on the sample axis: sections of different lengths
+    # land in one compiled kernel per 128-bucket, not one per file; the
+    # extension is exact because its first ry rows mirror the true edge
+    # exactly like the kernel's own reflect pad would
+    data, ns_b = _extend_windowed_axis(data, 0, 128, ry)
     # bound the (ns, block, wy·wx) window tensor to ~max_bytes
-    block = max(int(max_bytes / max(ns * wy * wx * 4, 1)), wx * 4)
+    block = max(int(max_bytes / max(ns_b * wy * wx * 4, 1)), wx * 4)
     if ntr <= block:
+        data, _ = _extend_windowed_axis(data, 1, 64, rx)
         cleaned, spikes = _despike_kernel(
-            jnp.asarray(data), jnp.float32(threshold), wy, wx, mode, replace)
-        return np.asarray(cleaned), np.asarray(spikes)
-    halo = wx // 2
-    cleaned = np.empty_like(data)
-    spikes = np.empty(data.shape, bool)
+            jnp.asarray(data), jnp.float32(threshold), gfloor,
+            wy, wx, mode, replace)
+        return np.asarray(cleaned)[:ns, :ntr], np.asarray(spikes)[:ns, :ntr]
+    halo = rx
+    cleaned = np.empty((ns, ntr), np.float32)
+    spikes = np.empty((ns, ntr), bool)
+    # fixed chunk width -> every chunk of every same-bucket file shares one
+    # compiled kernel; interior chunks simply overlap a little more
+    width = min(block + 2 * halo, ntr)
     for s0 in range(0, ntr, block):
         s1 = min(s0 + block, ntr)
-        lo = max(s0 - halo, 0)
-        hi = min(s1 + halo, ntr)
-        c, sp = _despike_kernel(jnp.asarray(data[:, lo:hi]),
-                                jnp.float32(threshold), wy, wx, mode, replace)
-        cleaned[:, s0:s1] = np.asarray(c)[:, s0 - lo : s0 - lo + (s1 - s0)]
-        spikes[:, s0:s1] = np.asarray(sp)[:, s0 - lo : s0 - lo + (s1 - s0)]
+        lo = min(max(s0 - halo, 0), ntr - width)
+        c, sp = _despike_kernel(jnp.asarray(data[:, lo : lo + width]),
+                                jnp.float32(threshold), gfloor,
+                                wy, wx, mode, replace)
+        cleaned[:, s0:s1] = np.asarray(c)[:ns, s0 - lo : s0 - lo + (s1 - s0)]
+        spikes[:, s0:s1] = np.asarray(sp)[:ns, s0 - lo : s0 - lo + (s1 - s0)]
     return cleaned, spikes
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _despike_kernel(x, threshold, wy, wx, mode, replace):
-    # module-level jit: one compile per (shape, window, mode) across a batch
-    # of files, not one per call
+def _extend_windowed_axis(a: np.ndarray, axis: int, step: int, r: int):
+    """Extend ``axis`` to the next ``step`` multiple so windowed kernels
+    compile once per bucket. Exact for the original indices: the first
+    ``r`` appended entries mirror the true edge (identical to the kernel's
+    reflect pad there); the rest are zeros, which no kept output's window
+    reaches. Returns (extended, new_length); skips degenerate axes."""
+    n = a.shape[axis]
+    target = -(-n // step) * step
+    if target - n < r and target != n:
+        target += step
+    if target == n or n < r + 1:
+        return a, n
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(n - 2, n - 2 - r, -1)
+    mirror = a[tuple(sl)]
+    zshape = list(a.shape)
+    zshape[axis] = target - n - r
+    return np.concatenate([a, mirror, np.zeros(zshape, a.dtype)], axis=axis), target
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _despike_kernel(x, threshold, gfloor, wy, wx, mode, replace):
+    # module-level jit: one compile per (bucket shape, window, mode) across
+    # a whole survey, not one per call
     ry, rx = wy // 2, wx // 2
     xp = jnp.pad(x, ((ry, ry), (rx, rx)), mode="reflect")
     iy = jnp.arange(x.shape[0])[:, None] + jnp.arange(wy)[None, :]
@@ -151,7 +208,7 @@ def _despike_kernel(x, threshold, wy, wx, mode, replace):
         stat = jnp.mean(aw, axis=-1)
     else:
         stat = jnp.sqrt(jnp.mean(win * win, axis=-1))
-    floor = jnp.maximum(stat, 1e-8 + 0.0 * stat + jnp.mean(jnp.abs(x)) * 1e-3)
+    floor = jnp.maximum(stat, gfloor)
     spikes = jnp.abs(x) > threshold * floor
     med = jnp.median(win, axis=-1)
     if replace == "median":

@@ -325,6 +325,32 @@ def test_despike_chunked_matches_unchunked():
     np.testing.assert_array_equal(s2, s1)
 
 
+def test_despike_shape_bucketing_is_exact():
+    """Bucketing the (samples, traces) axes up to (128, 64) multiples must
+    not change any output value: the extension's first r entries mirror
+    the true edge exactly like the kernel's own reflect pad."""
+    rng = np.random.default_rng(72)
+    base = rng.normal(0, 0.1, (256, 128)).astype(np.float32)
+    base[64, 17] = 30.0
+    base[200, 126] = -25.0  # spike near the trace edge
+    base[254, 60] = 18.0    # spike near the sample edge
+    c_ref, s_ref = stage1.despike_section(base, window=(9, 5), threshold=5.0)
+    # odd sub-shape: (250, 119) pads to (384, 128) internally
+    sub = np.ascontiguousarray(base[:250, :119])
+    c, s = stage1.despike_section(sub, window=(9, 5), threshold=5.0)
+    assert c.shape == sub.shape
+    # interior (windows never see either true edge): bucketed result of the
+    # sub-section equals the big section's values there
+    np.testing.assert_allclose(c[4:246, 2:117], c_ref[4:246, 2:117], rtol=1e-6)
+    np.testing.assert_array_equal(s[4:246, 2:117], s_ref[4:246, 2:117])
+    # edge exactness: unbucketed shapes (multiples already) vs a manually
+    # reflected-then-trimmed equivalent
+    c3, s3 = stage1.despike_section(sub, window=(9, 5), threshold=5.0,
+                                    max_bytes=250 * 9 * 5 * 4 * 40)
+    np.testing.assert_allclose(c3, c, rtol=1e-6)
+    np.testing.assert_array_equal(s3, s)
+
+
 def test_segment_intersections_chunked_matches_unchunked():
     rng = np.random.default_rng(71)
     a = np.column_stack([np.linspace(0, 100, 300),
@@ -421,3 +447,33 @@ def test_delrt_genuine_change_untouched(tmp_path):
     with SegyFile(outs[0]) as f:
         fixed = f.header("DelayRecordingTime").astype(int)
     np.testing.assert_array_equal(fixed, delrt.astype(int))
+
+
+def test_despike_bucketing_reuses_compilation():
+    """Two sections with different trace counts in the same (128, 64)
+    bucket must hit one compiled kernel (the per-file recompile fix)."""
+    rng = np.random.default_rng(73)
+    stage1._despike_kernel.clear_cache()
+    a = rng.normal(0, 0.1, (200, 50)).astype(np.float32)
+    b = rng.normal(0, 0.1, (190, 62)).astype(np.float32)
+    stage1.despike_section(a, window=(9, 5))
+    n1 = stage1._despike_kernel._cache_size()
+    stage1.despike_section(b, window=(9, 5))
+    assert stage1._despike_kernel._cache_size() == n1 == 1
+
+
+def test_shift_traces_bucketing_exact():
+    """Zero-pad shape bucketing of the shift kernel is exact incl. negative
+    shifts reaching past the true trace end."""
+    rng = np.random.default_rng(74)
+    data = rng.normal(size=(37, 130)).astype(np.float32)
+    shifts = rng.integers(-9, 9, 37)
+    out = stage1._shift_traces(data, shifts)
+    assert out.shape == data.shape
+    for i, s in enumerate(shifts):
+        expect = np.zeros(130, np.float32)
+        if s >= 0:
+            expect[s:] = data[i, : 130 - s]
+        else:
+            expect[:s] = data[i, -s:]
+        np.testing.assert_allclose(out[i], expect)
