@@ -99,18 +99,19 @@ def main():
         # concatenation, irfft on device, one d2h at the end. (Round-2 fix:
         # the previous host-chunked driver moved ~4 GB through the tunnel
         # per run and paid a round-trip latency per batch.)
-        from pseudo_3d_interpolation_tpu.parallel.solver import (
-            pocs_interpolate_scanned)
-
         nslices = t // 2 + 1
         batch = args.batch
+        # One jitted launch per batch, everything device-resident between
+        # launches. Two constraints shaped this (both measured here):
+        # (1) the remote TPU worker kills single executions beyond ~60-90 s
+        #     (a whole-cube launch at niter>=35 reproducibly crashes it), so
+        #     launches must stay short — a batch of 8 at HIGH is ~2 s;
+        # (2) wrapping the per-batch solve in a lax.scan over batches
+        #     (pocs_interpolate_scanned) compiles to a ~4x SLOWER program
+        #     for the 61-subband shearlet body (441 s vs ~110 s for the
+        #     whole cube), so per-batch dispatch beats one big scan.
         npad = -(-nslices // batch) * batch
 
-        # Three launches total (vs one per batch): forward transform, the
-        # scanned whole-cube solve (input buffer DONATED so XLA reuses its
-        # 2 GB), inverse transform. Splitting keeps per-launch HBM peaks
-        # well under the 16 GB budget — one fused program holding every
-        # stage's intermediates crashed the worker.
         @jax.jit
         def fwd(x):
             spec = dft.rfft1(x, axis=-1)
@@ -119,9 +120,13 @@ def main():
             return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def solve_all(z, m):
-            rec, _, _ = pocs_interpolate_scanned(z, m, transform, cfg, batch)
-            return rec
+        def solve_batch(rec, z, m, start):
+            zb = Cplx(jax.lax.dynamic_slice_in_dim(z.re, start, batch, 0),
+                      jax.lax.dynamic_slice_in_dim(z.im, start, batch, 0))
+            r = pocs_interpolate(zb, m, transform, cfg).data
+            return Cplx(
+                jax.lax.dynamic_update_slice_in_dim(rec.re, r.re, start, 0),
+                jax.lax.dynamic_update_slice_in_dim(rec.im, r.im, start, 0))
 
         @functools.partial(jax.jit, donate_argnums=0)
         def inv(rec):
@@ -129,17 +134,31 @@ def main():
                       jnp.moveaxis(rec.im[:nslices], 0, -1))
             return dft.irfft1(zi, n=t, axis=-1)
 
+        def _sync(a):                  # real wall time on the remote tunnel
+            return float(jnp.sum(a[..., :2, :2]))
+
         t0 = time.time()
         xd = jnp.asarray(obs)          # ONE upload of the time cube
         md = jnp.asarray(mask2d)
+        _sync(xd)
+        t_up = time.time() - t0
         z_all = fwd(xd)
         del xd
-        rec = solve_all(z_all, md)     # ONE launch for the whole solve
+        t0 = time.time()
+        rec = Cplx(jnp.zeros_like(z_all.re), jnp.zeros_like(z_all.im))
+        for s in range(0, npad, batch):
+            # rec is donated through every launch: one persistent buffer
+            rec = solve_batch(rec, z_all, md, jnp.int32(s))
         out = inv(rec)
+        _sync(out)
+        t_solve = time.time() - t0
+        t0 = time.time()
         out_h = np.asarray(out)        # ONE download of the result
-        wall = time.time() - t0
-        print(f"solver stage (3-dispatch scan, incl transfers): {wall:.1f}s "
-              f"({nslices * args.niter / wall:.0f} slice-iters/s, basis={args.basis})")
+        t_down = time.time() - t0
+        print(f"upload {obs.nbytes / 2**20:.0f} MB: {t_up:.1f}s | "
+              f"solver stage (rfft + {npad // batch} launches + irfft): "
+              f"{t_solve:.1f}s ({nslices * args.niter / t_solve:.0f} "
+              f"slice-iters/s, basis={args.basis}) | download: {t_down:.1f}s")
         snr_in = float(metrics.snr(np.abs(cube), np.abs(obs)))
         snr_out = float(metrics.snr(np.abs(cube), np.abs(out_h)))
         print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
