@@ -152,12 +152,19 @@ def pocs_interpolate_scanned(
     """Whole-cube solve as ONE jittable program: ``lax.scan`` over batches.
 
     For multiscale bases (SHEARLET/WAVELET) the per-slice coefficient stack
-    is too large to materialize for all slices at once, but dispatching one
-    jit call per batch pays a host round trip per launch — expensive on
-    remote-attached devices (measured ~2-3 s/launch through the tunnel,
-    dominating the 512² production solve). Scanning over batches inside a
-    single jit keeps transients batch-sized while the entire cube solve is
-    one dispatch; inputs/outputs can stay device-resident either side.
+    is too large to materialize for all slices at once; scanning over
+    batches inside a single jit keeps transients batch-sized while the
+    entire cube solve is one dispatch, and inputs/outputs stay
+    device-resident either side.
+
+    **Measured caveats on the v5e (docs/perf.md)**: for the 61-subband
+    shearlet body XLA compiles this scan to a ~4x SLOWER program than
+    per-batch dispatch (441 s vs 129 s for the north-star cube), and the
+    remote worker kills single executions beyond ~60-90 s — so production
+    drivers (pipeline/pocs.py, examples/northstar_run.py) dispatch one
+    short jitted launch per batch with donated output buffers instead.
+    This entry point remains for cheap bases/small cubes where one launch
+    fits the ceiling and per-launch latency dominates.
 
     ``z``: (F, H, W) pair with F divisible by ``batch`` (pad with zero
     slices — they short-circuit). Returns (data, n_iterations, cost) like
