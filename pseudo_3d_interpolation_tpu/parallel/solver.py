@@ -142,6 +142,70 @@ def interpolate_cube(
     return out, n_iters, costs
 
 
+def interpolate_cube_resident(
+    data,
+    mask,
+    config: POCSConfig = POCSConfig(),
+    transform=None,
+    batch: int = 8,
+    progress=None,
+):
+    """Device-resident cube driver: ONE upload, short per-batch launches
+    with donated buffers, ONE download.
+
+    The measured-fastest robust shape for remote-attached chips
+    (docs/perf.md): the whole spectrum and the growing result live in HBM
+    across launches, each launch solves one batch (~2 s at 512²/SHEARLET/
+    HIGH — far under the remote worker's ~60-90 s execution ceiling), and
+    host<->device traffic happens exactly twice. Single-device by design;
+    for mesh-sharded or larger-than-HBM cubes use :func:`interpolate_cube`
+    (host-chunked) or the checkpointed streaming driver.
+
+    Same signature/returns as :func:`interpolate_cube` minus ``mesh``.
+    """
+    import functools
+
+    import jax
+
+    if transform is None:
+        transform = get_transform(config.transform_kind)
+    data = np.asarray(data)
+    was_complex = np.iscomplexobj(data)
+    f_total = data.shape[0]
+    batch = min(batch, f_total)
+    npad = -(-f_total // batch) * batch
+    if npad != f_total:
+        data = np.concatenate(
+            [data, np.zeros((npad - f_total,) + data.shape[1:], data.dtype)])
+    zh = from_complex(data)
+    zd = Cplx(jnp.asarray(zh.re), jnp.asarray(zh.im))
+    md = jnp.asarray(np.asarray(mask, np.float32))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(rec, iters, cost, zall, m, start):
+        zb = Cplx(jax.lax.dynamic_slice_in_dim(zall.re, start, batch, 0),
+                  jax.lax.dynamic_slice_in_dim(zall.im, start, batch, 0))
+        res = pocs_interpolate(zb, m, transform, config)
+        rec = Cplx(
+            jax.lax.dynamic_update_slice_in_dim(rec.re, res.data.re, start, 0),
+            jax.lax.dynamic_update_slice_in_dim(rec.im, res.data.im, start, 0))
+        iters = jax.lax.dynamic_update_slice_in_dim(
+            iters, res.n_iterations.astype(jnp.int32), start, 0)
+        cost = jax.lax.dynamic_update_slice_in_dim(
+            cost, res.cost.astype(jnp.float32), start, 0)
+        return rec, iters, cost
+
+    rec = Cplx(jnp.zeros_like(zd.re), jnp.zeros_like(zd.im))
+    iters = jnp.zeros((npad,), jnp.int32)
+    cost = jnp.zeros((npad,), jnp.float32)
+    for s in range(0, npad, batch):
+        rec, iters, cost = step(rec, iters, cost, zd, md, jnp.int32(s))
+        if progress is not None:
+            progress(min(s + batch, f_total), f_total)
+    out = to_complex(rec) if was_complex else np.asarray(rec.re)
+    return out[:f_total], np.asarray(iters)[:f_total], np.asarray(cost)[:f_total]
+
+
 def pocs_interpolate_scanned(
     z: Cplx,
     mask,

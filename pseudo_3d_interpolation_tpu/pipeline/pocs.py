@@ -264,12 +264,25 @@ def interpolate(
 
     prof = (_jax.profiler.trace(profile_dir) if profile_dir
             else contextlib.nullcontext())
+    progress = (lambda done, total: xprint(f"  {done}/{total} slices",
+                                           kind="debug", verbosity=verbose))
+    # device-resident driver (one upload, short donated-buffer launches,
+    # one download — the measured-fastest robust shape, docs/perf.md) when
+    # the solve is single-device and the cube comfortably fits HBM;
+    # otherwise the mesh-sharded host-chunked driver
+    resident = (mesh is None and _jax.device_count() == 1
+                and moved.nbytes * 4 < 8 * 2**30)
     with prof:
-        rec, n_iters, cost = interpolate_cube(
-            moved, mask, config, mesh=mesh, transform=transform, batch=batch,
-            progress=(lambda done, total: xprint(f"  {done}/{total} slices",
-                                                 kind="debug", verbosity=verbose)),
-        )
+        if resident:
+            from ..parallel.solver import interpolate_cube_resident
+
+            rec, n_iters, cost = interpolate_cube_resident(
+                moved, mask, config, transform=transform,
+                batch=min(batch, 32), progress=progress)
+        else:
+            rec, n_iters, cost = interpolate_cube(
+                moved, mask, config, mesh=mesh, transform=transform,
+                batch=batch, progress=progress)
     rec = np.moveaxis(rec, 0, -1)
 
     out = Cube(

@@ -173,3 +173,24 @@ def test_sharded_curvelet_solver():
     # a solve actually happened: gaps were filled
     gaps = np.abs(rec[:, mask == 0])
     assert gaps.size and np.median(gaps) > 0
+
+
+def test_resident_driver_matches_host_chunked():
+    """interpolate_cube_resident (one upload, donated per-batch launches)
+    must produce exactly the host-chunked driver's outputs + telemetry."""
+    from pseudo_3d_interpolation_tpu.parallel.solver import (
+        interpolate_cube_resident)
+
+    rng = np.random.default_rng(11)
+    F, n = 10, 64  # non-multiple of batch: exercises padding
+    truth = (rng.normal(size=(F, n, n)) + 1j * rng.normal(size=(F, n, n))
+             ).astype(np.complex64)
+    mask = np.ascontiguousarray(np.broadcast_to(
+        (rng.uniform(size=n) < 0.5).astype(np.float32)[None, :], (n, n)))
+    obs = truth * mask
+    cfg = POCSConfig(niter=6, p_min=1e-3, version="fast", eps=0.0)
+    rec_h, it_h, c_h = interpolate_cube(obs, mask, cfg, batch=8)
+    rec_r, it_r, c_r = interpolate_cube_resident(obs, mask, cfg, batch=4)
+    np.testing.assert_allclose(rec_r, rec_h, atol=1e-5)
+    np.testing.assert_array_equal(it_r, it_h)
+    np.testing.assert_allclose(c_r, c_h, rtol=1e-5)
