@@ -28,7 +28,7 @@ Reference parity map: see SURVEY.md at the repo root; individual modules cite
 the reference behavior they re-implement as ``reference: file:line``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from . import utils  # noqa: F401
 
