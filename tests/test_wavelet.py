@@ -273,3 +273,26 @@ def test_pocs_wavelet_coif5_basis():
     snr_obs = float(metrics.snr(np.abs(truth), np.abs(obs)))
     snr_rec = float(metrics.snr(np.abs(truth), np.abs(rec)))
     assert snr_rec > snr_obs + 6.0, (snr_obs, snr_rec)
+
+
+def test_coif5_pocs_reconstruction():
+    """The reference's WAVELET production default (coif5,
+    cube_POCS_interpolation_3D.py:260-266) must work through the solver."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_pocs import random_mask, synthetic_slice
+    from pseudo_3d_interpolation_tpu.models import (POCSConfig,
+                                                    WaveletTransform,
+                                                    pocs_interpolate_numpy)
+    from pseudo_3d_interpolation_tpu.ops import metrics
+
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=8)
+    obs = x * mask
+    cfg = POCSConfig(niter=30, thresh_op="hard", version="fast", alpha=0.75,
+                     p_min=1e-3, transform_kind="WAVELET")
+    tr = WaveletTransform(wavelet="coif5").with_shape(x.shape)
+    rec, _, _ = pocs_interpolate_numpy(obs, mask, cfg, transform=tr)
+    snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
+    snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert snr_out > snr_in + 8, (snr_in, snr_out)
