@@ -25,23 +25,10 @@ def _add_common(p):
 
 def _geometry_from_args(args) -> "object":
     from .pipeline.binning import BinningGeometry
+    from .pipeline.orchestrator import geometry_from_dict
 
     if args.geometry_yaml:
-        with open(args.geometry_yaml) as f:
-            g = yaml.safe_load(f)
-        spacing = g.get("bin_size", g.get("spacing", 10.0))
-        if isinstance(spacing, dict):
-            spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
-        rot = g.get("rotation", {}) or {}
-        return BinningGeometry(
-            spacing=spacing,
-            extent=tuple(g["extent"]) if "extent" in g else None,
-            corner_points=np.asarray(g["corner_points"], float) if "corner_points" in g else None,
-            rotation_angle=rot.get("angle"),
-            rotation_center=tuple(rot.get("center", (0.0, 0.0))),
-            twt_limits=tuple(g["twt_limits"]) if g.get("twt_limits") else None,
-            stacking_method=g.get("stacking_method", "average"),
-        )
+        return geometry_from_dict({"geometry_yaml": args.geometry_yaml})
     if args.extent is None:
         raise SystemExit("either --geometry-yaml or --extent is required")
     return BinningGeometry(
@@ -239,6 +226,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--write-sidecars", action="store_true",
                    help="also write a .nav next to every profile")
 
+    p = sub.add_parser("run", help="run a whole pipeline from one YAML "
+                                    "(steps + options; see docs/workflow.md)")
+    _add_common(p)
+    p.add_argument("config", help="pipeline YAML: input, workdir, steps")
+
     sub.add_parser("version", help="print version")
     return ap
 
@@ -362,6 +354,11 @@ def main(argv=None) -> int:
                     cube["fold"], path=os.path.join(args.output_dir, f"{base}_fold.png")))
         xprint(f"wrote {len(written)} QC figures -> {args.output_dir}/",
                kind="success", verbosity=v)
+    elif cmd == "run":
+        from .pipeline.orchestrator import run_pipeline
+
+        final = run_pipeline(args.config, verbose=v)
+        xprint(f"final artifact: {final}", kind="success", verbosity=v)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation
 

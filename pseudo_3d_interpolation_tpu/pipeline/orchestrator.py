@@ -1,0 +1,211 @@
+"""One-config pipeline orchestrator: ``p3d run pipeline.yml``.
+
+Beyond-reference capability: the reference chains its 16 console scripts by
+hand (shell scripts, docs/workflow.md there); here ONE declarative YAML
+names the steps and their options, and artifacts chain automatically —
+stage-1 outputs flow to the next step through generated datalists, stage-2
+through cube paths. Every artifact lands under ``workdir``.
+
+YAML format::
+
+    input: survey/             # dir, SEG-Y file, or .txt datalist
+    workdir: out/              # all artifacts + datalists
+    steps:
+      - merge: {}
+      - despike: {window: [9, 5], threshold: 4.0}
+      - static: {mode: amp}
+      - binning: {spacing: 10.0, extent: [0, 500, 0, 500], stack: average}
+      - preprocess: {balance: rms}
+      - fft: {}
+      - pocs: {params: pocs.yml}        # or inline parameter dict
+      - ifft: {}
+      - postprocess: {agc_win: 0.05}
+      - cube2segy: {output: final.sgy}
+
+Each list entry is ``{step_name: {options}}`` (or the explicit
+``{step: name, ...options}``). Steps run in listed order; any subset in
+any order is allowed (the reference's numbered flow is a convention, not a
+constraint). Stage-2 steps accept ``output: <name>`` to control the
+artifact filename (default ``NN_<step>.nc`` under ``workdir``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import yaml
+
+from ..utils.logging import xprint
+
+STAGE1_STEPS = ("merge", "reproject", "delrt-correct", "delrt-pad",
+                "static", "tide", "mistie", "despike")
+STAGE2_STEPS = ("segy2cube", "binning", "preprocess", "fft", "pocs",
+                "ifft", "postprocess", "cube2segy")
+
+
+def geometry_from_dict(g: dict):
+    """Build a BinningGeometry from a config mapping (the geometry-YAML
+    schema of ``p3d binning --geometry-yaml``, plus flat CLI-style keys)."""
+    from .binning import BinningGeometry
+
+    if "geometry_yaml" in g:
+        with open(g["geometry_yaml"]) as f:
+            g = yaml.safe_load(f)
+    spacing = g.get("bin_size", g.get("spacing", 10.0))
+    if isinstance(spacing, dict):
+        spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
+    elif isinstance(spacing, (list, tuple)):
+        spacing = tuple(spacing) if len(spacing) == 2 else float(spacing[0])
+    rot = g.get("rotation", {}) or {}
+    return BinningGeometry(
+        spacing=spacing,
+        extent=tuple(g["extent"]) if g.get("extent") else None,
+        corner_points=(np.asarray(g["corner_points"], float)
+                       if "corner_points" in g else None),
+        rotation_angle=g.get("rotation_angle", rot.get("angle")),
+        rotation_center=tuple(g.get("rotation_center",
+                                    rot.get("center", (0.0, 0.0)))),
+        twt_limits=tuple(g["twt_limits"]) if g.get("twt_limits") else None,
+        stacking_method=g.get("stacking_method", g.get("stack", "average")),
+        idw_power=float(g.get("idw_power", 1.0)),
+        region_extent=(tuple(g["region_extent"])
+                       if g.get("region_extent") else None),
+        region_spacing=g.get("region_spacing"),
+    )
+
+
+def _normalize_steps(steps) -> list:
+    out = []
+    for entry in steps:
+        if not isinstance(entry, dict) or not entry:
+            raise ValueError(f"each step must be a mapping, got {entry!r}")
+        if "step" in entry:
+            opts = dict(entry)
+            name = opts.pop("step")
+        elif len(entry) == 1:
+            name, opts = next(iter(entry.items()))
+            opts = dict(opts or {})
+        else:
+            raise ValueError(
+                f"ambiguous step entry {entry!r}: use {{name: {{options}}}}")
+        name = str(name).replace("_", "-")
+        if name not in STAGE1_STEPS and name.replace("-", "_") not in [
+                s.replace("-", "_") for s in STAGE2_STEPS]:
+            raise ValueError(
+                f"unknown step {name!r}; stage 1: {STAGE1_STEPS}, "
+                f"stage 2: {STAGE2_STEPS}")
+        out.append((name, opts))
+    return out
+
+
+def _write_datalist(paths, workdir, idx, name) -> str:
+    lst = os.path.join(workdir, f"{idx:02d}_{name}.txt")
+    with open(lst, "w") as f:
+        f.write("\n".join(paths) + "\n")
+    return lst
+
+
+def run_pipeline(config: str | dict, verbose: int = 1) -> str:
+    """Run the configured step sequence; returns the final artifact path."""
+    if isinstance(config, str):
+        with open(config) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        cfg = dict(config)
+    if "input" not in cfg or "steps" not in cfg:
+        raise ValueError("pipeline config needs 'input' and 'steps'")
+    workdir = cfg.get("workdir", "p3d_pipeline")
+    os.makedirs(workdir, exist_ok=True)
+
+    from . import stage1
+
+    stage1_fns = {
+        "merge": stage1.merge_small_files,
+        "reproject": stage1.reproject,
+        "delrt-correct": stage1.delrt_correct,
+        "delrt-pad": stage1.delrt_pad,
+        "static": stage1.static_correct,
+        "tide": stage1.tide_compensate,
+        "mistie": stage1.mistie_correct,
+        "despike": stage1.despike,
+    }
+
+    cur = cfg["input"]
+    for idx, (name, opts) in enumerate(_normalize_steps(cfg["steps"]), 1):
+        xprint(f"[{idx:02d}] {name}: {opts or ''}", kind="info",
+               verbosity=verbose)
+        opts = {k.replace("-", "_"): v for k, v in opts.items()}
+        step_dir = os.path.join(workdir, f"{idx:02d}_{name}")
+        if name in STAGE1_STEPS:
+            os.makedirs(step_dir, exist_ok=True)
+            fn = stage1_fns[name]
+            args = []
+            if name == "reproject":
+                args = [opts.pop("src_epsg"), opts.pop("dst_epsg")]
+            elif name == "tide":
+                args = [opts.pop("tide_file")]
+            if name == "despike" and "window" in opts:
+                opts["window"] = tuple(opts["window"])
+            outs = fn(cur, *args, output_dir=step_dir, verbose=verbose, **opts)
+            if not outs:
+                raise RuntimeError(f"step {name!r} produced no outputs")
+            cur = _write_datalist(outs, workdir, idx, name)
+            continue
+        # ---- stage 2 ----
+        out_path = opts.pop("output", None)
+        if out_path is not None and not os.path.isabs(out_path):
+            out_path = os.path.join(workdir, out_path)
+        if name == "segy2cube":
+            from .segy2cube import convert
+
+            os.makedirs(step_dir, exist_ok=True)
+            convert(cur, out_dir=step_dir, verbose=verbose, **opts)
+            continue  # side artifact: binning consumes SEG-Y directly
+        if name == "binning":
+            from .binning import bin_cube
+
+            out_path = out_path or os.path.join(workdir, f"{idx:02d}_cube.nc")
+            geom_keys = ("geometry_yaml", "spacing", "bin_size", "extent",
+                         "corner_points", "rotation", "rotation_angle",
+                         "rotation_center", "twt_limits", "stacking_method",
+                         "stack", "idw_power", "region_extent",
+                         "region_spacing")
+            geom = geometry_from_dict(
+                {k: opts.pop(k) for k in list(opts) if k in geom_keys})
+            bin_cube(cur, geom, out_path=out_path, verbose=verbose, **opts)
+            cur = out_path
+            continue
+        out_path = out_path or os.path.join(workdir, f"{idx:02d}_{name}.nc")
+        if name == "preprocess":
+            from .preprocess import preprocess
+
+            preprocess(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "fft":
+            from .fft import apply_fft
+
+            apply_fft(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "pocs":
+            from .pocs import interpolate
+
+            params = opts.pop("params", None)
+            if params is not None:
+                opts["config"] = params
+            interpolate(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "ifft":
+            from .ifft import apply_ifft
+
+            apply_ifft(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "postprocess":
+            from .postprocess import postprocess
+
+            postprocess(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "cube2segy":
+            from .export import cube_to_segy
+
+            if not out_path.endswith((".sgy", ".segy")):
+                out_path = os.path.join(workdir, f"{idx:02d}_cube.sgy")
+            cube_to_segy(cur, out_path, verbose=verbose, **opts)
+        cur = out_path
+    xprint(f"pipeline done -> {cur}", kind="success", verbosity=verbose)
+    return cur

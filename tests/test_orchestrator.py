@@ -1,0 +1,112 @@
+"""One-config pipeline orchestrator (`p3d run`): declarative step chaining.
+
+Beyond-reference capability test: the reference chains 16 console scripts
+by hand; run_pipeline executes a YAML-declared subset in order, flowing
+stage-1 outputs through datalists and stage-2 through cube paths.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pseudo_3d_interpolation_tpu.pipeline.orchestrator import (
+    _normalize_steps,
+    geometry_from_dict,
+    run_pipeline,
+)
+
+
+def test_normalize_steps_forms():
+    steps = _normalize_steps([
+        {"despike": {"threshold": 5.0}},
+        {"step": "static", "mode": "amp"},
+        {"delrt_pad": None},
+    ])
+    assert steps == [("despike", {"threshold": 5.0}),
+                     ("static", {"mode": "amp"}),
+                     ("delrt-pad", {})]
+    with pytest.raises(ValueError, match="unknown step"):
+        _normalize_steps([{"frobnicate": {}}])
+
+
+def test_geometry_from_dict_flat_and_yaml(tmp_path):
+    g = geometry_from_dict({"spacing": [10.0, 20.0], "extent": [0, 100, 0, 200],
+                            "stack": "median"})
+    assert g.spacing == (10.0, 20.0) and g.stacking_method == "median"
+    y = tmp_path / "geom.yml"
+    y.write_text(yaml.safe_dump({
+        "bin_size": {"iline": 5.0, "xline": 5.0},
+        "extent": [0, 50, 0, 50],
+        "rotation": {"angle": 30.0, "center": [1.0, 2.0]},
+    }))
+    g2 = geometry_from_dict({"geometry_yaml": str(y)})
+    assert g2.spacing == (5.0, 5.0) and g2.rotation_angle == 30.0
+    assert g2.rotation_center == (1.0, 2.0)
+
+
+def test_run_pipeline_end_to_end(tmp_path):
+    """despike -> static -> delrt-pad -> binning -> preprocess -> fft ->
+    pocs -> ifft -> postprocess -> cube2segy from ONE config."""
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    for i in range(6):
+        make_profile(str(survey / f"line{i}_UTM.sgy"), ntr=24, ns=64,
+                     seed=i, x0=5.0 + i * 10.0, y0=5.0, heading=(0, 1),
+                     spacing=10.0,
+                     times_start=f"2023-05-01T{10 + i:02d}:00:00")
+    cfg = {
+        "input": str(survey),
+        "workdir": str(tmp_path / "work"),
+        "steps": [
+            {"despike": {"window": [5, 3], "threshold": 6.0}},
+            {"static": {"mode": "amp", "savgol_window": 11}},
+            {"delrt-pad": {}},
+            {"binning": {"spacing": 10.0, "extent": [0, 60, 0, 240],
+                         "stack": "average"}},
+            {"preprocess": {"balance": "rms"}},
+            {"fft": {}},
+            {"pocs": {"params": {"metadata": {
+                "transform_kind": "FFT", "version": "fast", "niter": 8,
+                "eps": 0.0, "thresh_op": "hard",
+                "thresh_model": "exponential", "p_min": 1e-3}},
+                "batch": 8}},
+            {"ifft": {}},
+            {"postprocess": {"agc_win": 0.004}},
+            {"cube2segy": {"output": "final.sgy"}},
+        ],
+    }
+    cfg_path = tmp_path / "pipeline.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    final = run_pipeline(str(cfg_path), verbose=0)
+    assert final.endswith("final.sgy") and os.path.exists(final)
+    with SegyFile(final) as f:
+        data = f.trace_data()
+        assert np.isfinite(data).all() and np.abs(data).max() > 0
+        assert f.n_traces == 6 * 24  # 6 ilines x 24 xlines
+    # intermediate artifacts and datalists exist
+    work = tmp_path / "work"
+    assert (work / "01_despike.txt").exists()
+    assert (work / "04_cube.nc").exists()
+
+
+def test_run_via_cli(tmp_path):
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.cli import main
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=8, ns=32, seed=0)
+    cfg = {"input": str(survey), "workdir": str(tmp_path / "w"),
+           "steps": [{"despike": {}}]}
+    p = tmp_path / "p.yml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert main(["run", str(p), "-V", "0"]) == 0
+    assert (tmp_path / "w" / "01_despike.txt").exists()
