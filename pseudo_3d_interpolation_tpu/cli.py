@@ -230,6 +230,8 @@ def build_parser() -> argparse.ArgumentParser:
                                     "(steps + options; see docs/workflow.md)")
     _add_common(p)
     p.add_argument("config", help="pipeline YAML: input, workdir, steps")
+    p.add_argument("--resume", action="store_true",
+                   help="skip steps whose artifacts already exist in workdir")
 
     sub.add_parser("version", help="print version")
     return ap
@@ -357,7 +359,7 @@ def main(argv=None) -> int:
     elif cmd == "run":
         from .pipeline.orchestrator import run_pipeline
 
-        final = run_pipeline(args.config, verbose=v)
+        final = run_pipeline(args.config, verbose=v, resume=args.resume)
         xprint(f"final artifact: {final}", kind="success", verbosity=v)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation

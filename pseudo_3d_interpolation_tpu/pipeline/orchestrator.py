@@ -106,8 +106,35 @@ def _write_datalist(paths, workdir, idx, name) -> str:
     return lst
 
 
-def run_pipeline(config: str | dict, verbose: int = 1) -> str:
-    """Run the configured step sequence; returns the final artifact path."""
+def _step_done(name, idx, workdir, opts) -> str | None:
+    """Existing artifact for this step, or None if it must (re)run."""
+    if name in STAGE1_STEPS:
+        lst = os.path.join(workdir, f"{idx:02d}_{name}.txt")
+        if os.path.exists(lst):
+            with open(lst) as f:
+                outs = [ln.strip() for ln in f if ln.strip()]
+            if outs and all(os.path.exists(p) for p in outs):
+                return lst
+        return None
+    out = opts.get("output")
+    if out is not None and not os.path.isabs(out):
+        out = os.path.join(workdir, out)
+    if out is None:
+        stem = "cube" if name in ("binning", "cube2segy") else name
+        ext = ".sgy" if name == "cube2segy" else ".nc"
+        out = os.path.join(workdir, f"{idx:02d}_{stem}{ext}")
+    return out if os.path.exists(out) else None
+
+
+def run_pipeline(config: str | dict, verbose: int = 1,
+                 resume: bool = False) -> str:
+    """Run the configured step sequence; returns the final artifact path.
+
+    ``resume=True`` skips any step whose chained artifact already exists
+    under ``workdir`` (stage 1: the datalist and every file it names;
+    stage 2: the output cube/SEG-Y) — the whole-pipeline analogue of the
+    POCS driver's checkpoint resume.
+    """
     if isinstance(config, str):
         with open(config) as f:
             cfg = yaml.safe_load(f)
@@ -133,9 +160,16 @@ def run_pipeline(config: str | dict, verbose: int = 1) -> str:
 
     cur = cfg["input"]
     for idx, (name, opts) in enumerate(_normalize_steps(cfg["steps"]), 1):
+        opts = {k.replace("-", "_"): v for k, v in opts.items()}
+        if resume and name != "segy2cube":
+            done = _step_done(name, idx, workdir, opts)
+            if done is not None:
+                xprint(f"[{idx:02d}] {name}: resume — using {done}",
+                       kind="info", verbosity=verbose)
+                cur = done
+                continue
         xprint(f"[{idx:02d}] {name}: {opts or ''}", kind="info",
                verbosity=verbose)
-        opts = {k.replace("-", "_"): v for k, v in opts.items()}
         step_dir = os.path.join(workdir, f"{idx:02d}_{name}")
         if name in STAGE1_STEPS:
             os.makedirs(step_dir, exist_ok=True)

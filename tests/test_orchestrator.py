@@ -110,3 +110,22 @@ def test_run_via_cli(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     assert main(["run", str(p), "-V", "0"]) == 0
     assert (tmp_path / "w" / "01_despike.txt").exists()
+
+
+def test_run_pipeline_resume(tmp_path):
+    """resume=True reuses existing artifacts and re-runs only missing ones."""
+    from test_stage1 import make_profile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=24, ns=64, seed=0)
+    cfg = {"input": str(survey), "workdir": str(tmp_path / "w"),
+           "steps": [{"despike": {}}, {"static": {"savgol_window": 11}}]}
+    run_pipeline(cfg, verbose=0)
+    lst = tmp_path / "w" / "01_despike.txt"
+    t0 = os.path.getmtime(lst)
+    # remove step 2's artifact -> resume skips step 1, re-runs step 2
+    os.remove(tmp_path / "w" / "02_static.txt")
+    run_pipeline(cfg, verbose=0, resume=True)
+    assert os.path.getmtime(lst) == t0          # step 1 not re-run
+    assert (tmp_path / "w" / "02_static.txt").exists()
