@@ -41,7 +41,7 @@ from ..utils.logging import xprint
 STAGE1_STEPS = ("merge", "reproject", "delrt-correct", "delrt-pad",
                 "static", "tide", "mistie", "despike")
 STAGE2_STEPS = ("segy2cube", "binning", "preprocess", "fft", "pocs",
-                "ifft", "postprocess", "cube2segy")
+                "ifft", "postprocess", "cube2segy", "qc")
 
 
 def geometry_from_dict(g: dict):
@@ -161,7 +161,7 @@ def run_pipeline(config: str | dict, verbose: int = 1,
     cur = cfg["input"]
     for idx, (name, opts) in enumerate(_normalize_steps(cfg["steps"]), 1):
         opts = {k.replace("-", "_"): v for k, v in opts.items()}
-        if resume and name != "segy2cube":
+        if resume and name not in ("segy2cube", "qc"):  # side steps always run
             done = _step_done(name, idx, workdir, opts)
             if done is not None:
                 xprint(f"[{idx:02d}] {name}: resume — using {done}",
@@ -220,12 +220,23 @@ def run_pipeline(config: str | dict, verbose: int = 1,
 
             apply_fft(cur, out_path=out_path, verbose=verbose, **opts)
         elif name == "pocs":
-            from .pocs import interpolate
-
             params = opts.pop("params", None)
             if params is not None:
                 opts["config"] = params
-            interpolate(cur, out_path=out_path, verbose=verbose, **opts)
+            if "checkpoint_dir" in opts:
+                # out-of-core streaming driver with per-batch resume
+                from .pocs import interpolate_checkpointed
+
+                ckdir = opts.pop("checkpoint_dir")
+                if not os.path.isabs(ckdir):
+                    ckdir = os.path.join(workdir, ckdir)
+                interpolate_checkpointed(cur, opts.pop("config"), ckdir,
+                                         out_path=out_path, verbose=verbose,
+                                         **opts)
+            else:
+                from .pocs import interpolate
+
+                interpolate(cur, out_path=out_path, verbose=verbose, **opts)
         elif name == "ifft":
             from .ifft import apply_ifft
 
@@ -234,6 +245,30 @@ def run_pipeline(config: str | dict, verbose: int = 1,
             from .postprocess import postprocess
 
             postprocess(cur, out_path=out_path, verbose=verbose, **opts)
+        elif name == "qc":
+            # side step: QC figures of the current artifact; cur unchanged
+            from ..qc import plot as qclib
+            from ..io.ncio import read_cube
+
+            qc_dir = opts.pop("output_dir", None) or step_dir
+            os.makedirs(qc_dir, exist_ok=True)
+            cube = read_cube(cur) if isinstance(cur, str) else cur
+            var = opts.pop("var", None) or next(
+                v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+            dims, data = cube.data_vars[var]
+            data = np.asarray(data)
+            if np.iscomplexobj(data):
+                data = np.abs(data)
+            i = int(opts.pop("iline", data.shape[0] // 2))
+            axis = np.asarray(cube.coords.get(
+                dims[-1], np.arange(data.shape[-1])), float)
+            qclib.plot_seismic_image(
+                data[i].T, twt=axis, title=f"{name} iline {i}",
+                path=os.path.join(qc_dir, f"qc_il{i}.png"))
+            if "fold" in cube.data_vars:
+                qclib.plot_fold_map(
+                    cube["fold"], path=os.path.join(qc_dir, "qc_fold.png"))
+            continue
         elif name == "cube2segy":
             from .export import cube_to_segy
 

@@ -129,3 +129,37 @@ def test_run_pipeline_resume(tmp_path):
     run_pipeline(cfg, verbose=0, resume=True)
     assert os.path.getmtime(lst) == t0          # step 1 not re-run
     assert (tmp_path / "w" / "02_static.txt").exists()
+
+
+def test_qc_and_checkpointed_pocs_steps(tmp_path):
+    """qc side steps write figures without breaking chaining; pocs with
+    checkpoint_dir routes to the streaming out-of-core driver."""
+    from test_stage1 import make_profile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    for i in range(4):
+        make_profile(str(survey / f"l{i}_UTM.sgy"), ntr=24, ns=64, seed=i,
+                     x0=5.0 + i * 10.0, y0=5.0, heading=(0, 1), spacing=10.0,
+                     times_start=f"2023-05-01T{10 + i:02d}:00:00")
+    cfg = {
+        "input": str(survey),
+        "workdir": str(tmp_path / "w"),
+        "steps": [
+            {"binning": {"spacing": 10.0, "extent": [0, 40, 0, 240]}},
+            {"qc": {}},
+            {"fft": {}},
+            {"pocs": {"checkpoint_dir": "ck",
+                      "params": {"metadata": {
+                          "transform_kind": "FFT", "version": "fast",
+                          "niter": 6, "eps": 0.0, "thresh_op": "hard",
+                          "thresh_model": "exponential", "p_min": 1e-3}},
+                      "batch": 8}},
+            {"ifft": {}},
+        ],
+    }
+    final = run_pipeline(cfg, verbose=0)
+    assert final.endswith("05_ifft.nc") and os.path.exists(final)
+    qc_dir = tmp_path / "w" / "02_qc"
+    assert any(p.suffix == ".png" for p in qc_dir.iterdir())
+    assert any((tmp_path / "w" / "ck").iterdir())  # checkpoints written
