@@ -157,10 +157,12 @@ def coords_to_ilxl_transform(
     n_ilines = int(np.around(dist_x / xspacing)) + 1
     n_xlines = int(np.around(dist_y / yspacing)) + 1
 
-    # index step per CRS unit; a single-line axis (dist == 0) maps every
-    # coordinate to line 1 instead of dividing by zero
-    sx = (n_ilines - 1) / np.around(dist_x) if np.around(dist_x) > 0 else 0.0
-    sy = (n_xlines - 1) / np.around(dist_y) if np.around(dist_y) > 0 else 0.0
+    # index step per CRS unit; a single-line axis (dist == 0) keeps the
+    # bin-width scale 1/spacing so coordinates within the bin round to
+    # line 1 AND the transform stays invertible (bin_cube needs inverse()
+    # for the bin centers) instead of dividing by zero
+    sx = (n_ilines - 1) / np.around(dist_x) if np.around(dist_x) > 0 else 1.0 / xspacing
+    sy = (n_xlines - 1) / np.around(dist_y) if np.around(dist_y) > 0 else 1.0 / yspacing
     t = (
         Affine()
         .translation(tuple(-center_points[0]))

@@ -49,9 +49,16 @@ def geometry_from_dict(g: dict):
     schema of ``p3d binning --geometry-yaml``, plus flat CLI-style keys)."""
     from .binning import BinningGeometry
 
+    _ALIAS = {"stack": "stacking_method", "bin_size": "spacing"}
     if "geometry_yaml" in g:
         with open(g["geometry_yaml"]) as f:
-            g = yaml.safe_load(f)
+            base = yaml.safe_load(f) or {}
+        # flat keys override the YAML's values rather than being discarded
+        # (canonicalized first so e.g. `stack:` beats the YAML's
+        # `stacking_method:`)
+        base.update({_ALIAS.get(k, k): v for k, v in g.items()
+                     if k != "geometry_yaml"})
+        g = base
     spacing = g.get("bin_size", g.get("spacing", 10.0))
     if isinstance(spacing, dict):
         spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
@@ -100,9 +107,12 @@ def _normalize_steps(steps) -> list:
 
 
 def _write_datalist(paths, workdir, idx, name) -> str:
+    # absolute paths: datalist lines are resolved relative to the datalist's
+    # own directory by resolve_input_files, which would double a relative
+    # workdir prefix
     lst = os.path.join(workdir, f"{idx:02d}_{name}.txt")
     with open(lst, "w") as f:
-        f.write("\n".join(paths) + "\n")
+        f.write("\n".join(os.path.abspath(p) for p in paths) + "\n")
     return lst
 
 
@@ -142,7 +152,7 @@ def run_pipeline(config: str | dict, verbose: int = 1,
         cfg = dict(config)
     if "input" not in cfg or "steps" not in cfg:
         raise ValueError("pipeline config needs 'input' and 'steps'")
-    workdir = cfg.get("workdir", "p3d_pipeline")
+    workdir = os.path.abspath(cfg.get("workdir", "p3d_pipeline"))
     os.makedirs(workdir, exist_ok=True)
 
     from . import stage1
@@ -210,7 +220,11 @@ def run_pipeline(config: str | dict, verbose: int = 1,
             bin_cube(cur, geom, out_path=out_path, verbose=verbose, **opts)
             cur = out_path
             continue
-        out_path = out_path or os.path.join(workdir, f"{idx:02d}_{name}.nc")
+        if out_path is None:
+            if name == "cube2segy":
+                out_path = os.path.join(workdir, f"{idx:02d}_cube.sgy")
+            else:
+                out_path = os.path.join(workdir, f"{idx:02d}_{name}.nc")
         if name == "preprocess":
             from .preprocess import preprocess
 
@@ -225,12 +239,19 @@ def run_pipeline(config: str | dict, verbose: int = 1,
                 opts["config"] = params
             if "checkpoint_dir" in opts:
                 # out-of-core streaming driver with per-batch resume
+                from ..models import POCSConfig
                 from .pocs import interpolate_checkpointed
 
                 ckdir = opts.pop("checkpoint_dir")
                 if not os.path.isabs(ckdir):
                     ckdir = os.path.join(workdir, ckdir)
-                interpolate_checkpointed(cur, opts.pop("config"), ckdir,
+                pocs_cfg = opts.pop("config", None)
+                if pocs_cfg is None:  # same default as interpolate()
+                    pocs_cfg = POCSConfig(
+                        niter=50, thresh_op="hard",
+                        thresh_model="exponential", p_min="adaptive",
+                        version="fast", alpha=0.75, eps=1e-16)
+                interpolate_checkpointed(cur, pocs_cfg, ckdir,
                                          out_path=out_path, verbose=verbose,
                                          **opts)
             else:
@@ -272,8 +293,6 @@ def run_pipeline(config: str | dict, verbose: int = 1,
         elif name == "cube2segy":
             from .export import cube_to_segy
 
-            if not out_path.endswith((".sgy", ".segy")):
-                out_path = os.path.join(workdir, f"{idx:02d}_cube.sgy")
             cube_to_segy(cur, out_path, verbose=verbose, **opts)
         cur = out_path
     xprint(f"pipeline done -> {cur}", kind="success", verbosity=verbose)

@@ -183,9 +183,10 @@ def _extend_windowed_axis(a: np.ndarray, axis: int, step: int, r: int):
         target += step
     if target == n or n < r + 1:
         return a, n
-    sl = [slice(None)] * a.ndim
-    sl[axis] = slice(n - 2, n - 2 - r, -1)
-    mirror = a[tuple(sl)]
+    # explicit indices, not slice(n-2, n-2-r, -1): for n == r+1 the slice's
+    # stop lands on -1, which numpy reads as "end" and yields an EMPTY
+    # mirror (the array comes back r short)
+    mirror = np.take(a, np.arange(n - 2, n - 2 - r, -1), axis=axis)
     zshape = list(a.shape)
     zshape[axis] = target - n - r
     return np.concatenate([a, mirror, np.zeros(zshape, a.dtype)], axis=axis), target

@@ -64,13 +64,37 @@ def test_coords_to_ilxl_axis_aligned():
 
 
 def test_coords_to_ilxl_single_line_axis():
-    """A one-bin-wide extent must map every coordinate to line 1, not
-    divide by zero (a 20 m x 40 m grid at 20 m spacing has one iline)."""
+    """A one-bin-wide extent must round every in-bin coordinate to line 1
+    (not divide by zero) AND stay invertible — bin_cube needs inverse()
+    for the bin centers (a 20 m x 40 m grid at 20 m spacing: one iline)."""
     t, n_il, n_xl = coords_to_ilxl_transform(extent=(0, 20, 0, 40), spacing=20.0)
     assert (n_il, n_xl) == (1, 2)
     out = t.transform(np.array([[4.0, 10.0], [12.0, 30.0]]))
     assert np.isfinite(out).all()
-    np.testing.assert_allclose(out, [[1.0, 1.0], [1.0, 2.0]], atol=1e-9)
+    np.testing.assert_allclose(np.round(out), [[1.0, 1.0], [1.0, 2.0]])
+    centers = t.inverse().transform(np.array([[1.0, 1.0], [1.0, 2.0]]))
+    np.testing.assert_allclose(centers, [[10.0, 10.0], [10.0, 30.0]], atol=1e-9)
+
+
+def test_bin_cube_single_iline_grid(tmp_path):
+    """End-to-end binning of a one-iline survey (the degenerate grid that
+    used to crash at t.inverse() with a singular matrix)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.pipeline.binning import (BinningGeometry,
+                                                              bin_cube)
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=8, ns=32, seed=1,
+                 x0=10.0, y0=4.0, heading=(0, 1), spacing=5.0)
+    geom = BinningGeometry(spacing=20.0, extent=(0.0, 20.0, 0.0, 40.0))
+    cube = bin_cube(str(survey), geom)
+    amp = np.asarray(cube["amp"])
+    fold = np.asarray(cube["fold"])
+    assert amp.shape[:2] == (1, 2)
+    assert fold.sum() == 8 and np.isfinite(amp).all()
 
 
 def test_coords_to_ilxl_rotated():

@@ -163,3 +163,71 @@ def test_qc_and_checkpointed_pocs_steps(tmp_path):
     qc_dir = tmp_path / "w" / "02_qc"
     assert any(p.suffix == ".png" for p in qc_dir.iterdir())
     assert any((tmp_path / "w" / "ck").iterdir())  # checkpoints written
+
+
+def test_relative_workdir_chaining(tmp_path, monkeypatch):
+    """Datalists must chain across steps when workdir is RELATIVE (lines
+    are written absolute; relative lines would be re-joined against the
+    datalist's directory, doubling the prefix)."""
+    from test_stage1 import make_profile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=24, ns=64, seed=0)
+    monkeypatch.chdir(tmp_path)
+    cfg = {"input": str(survey), "workdir": "out",
+           "steps": [{"despike": {}}, {"static": {"savgol_window": 11}}]}
+    run_pipeline(cfg, verbose=0)
+    assert (tmp_path / "out" / "02_static.txt").exists()
+
+
+def test_geometry_yaml_flat_override(tmp_path):
+    """Flat step keys override geometry_yaml values instead of being
+    silently discarded."""
+    y = tmp_path / "g.yml"
+    y.write_text(yaml.safe_dump({"spacing": 10.0, "extent": [0, 100, 0, 100],
+                                 "stacking_method": "average"}))
+    g = geometry_from_dict({"geometry_yaml": str(y), "stack": "median",
+                            "twt_limits": [0.0, 2.0]})
+    assert g.stacking_method == "median"
+    assert g.twt_limits == (0.0, 2.0)
+    assert g.extent == (0, 100, 0, 100)  # YAML value preserved
+
+
+def test_cube2segy_output_name_respected(tmp_path):
+    """A user-specified output name is honored even without a .sgy
+    extension (it used to be silently replaced by NN_cube.sgy)."""
+    from test_stage1 import make_profile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=24, ns=64, seed=0)
+    cfg = {"input": str(survey), "workdir": str(tmp_path / "w"),
+           "steps": [
+               {"binning": {"spacing": 10.0, "extent": [0, 20, 0, 240]}},
+               {"cube2segy": {"output": "final_cube"}},
+           ]}
+    final = run_pipeline(cfg, verbose=0)
+    assert final == str(tmp_path / "w" / "final_cube")
+    assert os.path.exists(final)
+
+
+def test_checkpointed_pocs_default_params(tmp_path):
+    """pocs with checkpoint_dir but NO params must use the standard default
+    config (it used to crash with a bare KeyError('config'))."""
+    from test_stage1 import make_profile
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    for i in range(3):
+        make_profile(str(survey / f"l{i}_UTM.sgy"), ntr=24, ns=16, seed=i,
+                     x0=5.0 + i * 10.0, y0=5.0, heading=(0, 1), spacing=10.0,
+                     times_start=f"2023-05-01T{10 + i:02d}:00:00")
+    cfg = {"input": str(survey), "workdir": str(tmp_path / "w"),
+           "steps": [
+               {"binning": {"spacing": 10.0, "extent": [0, 30, 0, 240]}},
+               {"fft": {}},
+               {"pocs": {"checkpoint_dir": "ck", "batch": 8}},
+           ]}
+    final = run_pipeline(cfg, verbose=0)
+    assert os.path.exists(final)

@@ -477,3 +477,20 @@ def test_shift_traces_bucketing_exact():
         else:
             expect[:s] = data[i, -s:]
         np.testing.assert_allclose(out[i], expect)
+
+
+def test_despike_tiny_section_extension_exact():
+    """_extend_windowed_axis at n == r+1 must produce a full-length array
+    with a real mirror (slice(n-2, -1, -1) used to yield an EMPTY mirror
+    and an array r short of the reported length)."""
+    a = np.arange(12, dtype=np.float32).reshape(4, 3)  # 3 traces, rx=2 edge
+    ext, n = stage1._extend_windowed_axis(a, 1, 64, 2)
+    assert ext.shape[1] == n == 64
+    np.testing.assert_array_equal(ext[:, 3], a[:, 1])  # mirror of col 1
+    np.testing.assert_array_equal(ext[:, 4], a[:, 0])  # mirror of col 0
+    # and the public path on a 3-trace section matches numpy reflect stats
+    rng = np.random.default_rng(5)
+    d = rng.normal(0, 0.1, (64, 3)).astype(np.float32)
+    d[30, 1] = 25.0
+    c, s = stage1.despike_section(d, window=(9, 5), threshold=5.0)
+    assert c.shape == d.shape and s[30, 1]
