@@ -133,3 +133,21 @@ def test_curvelet_pocs_reconstruction():
     snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
     snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
     assert snr_out > snr_in + 5, (snr_in, snr_out)
+
+
+@pytest.mark.parametrize("shape", [(96, 60), (65, 65), (48, 96)])
+def test_odd_shapes_tight_and_roundtrip(shape):
+    """Non-power-of-two and odd grids: the frame stays exactly tight and
+    the planned roundtrip reconstructs (boxes are ceil'd; the coverage
+    normalization guards any discretization hole)."""
+    rng = np.random.default_rng(2)
+    psi = cv.curvelet_spectra(*shape)
+    total = np.sum(psi.astype(np.float64) ** 2, axis=0)
+    np.testing.assert_allclose(total, 1.0, atol=1e-5)
+    plan = cv.curvelet_plan(*shape)
+    z = cplx.from_complex(
+        (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(np.complex64))
+    back = sh.inverse_shearlet_transform_planned(
+        sh.shearlet_transform_planned(z, plan), plan)
+    np.testing.assert_allclose(np.asarray(back.re), np.asarray(z.re), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(back.im), np.asarray(z.im), atol=1e-5)
