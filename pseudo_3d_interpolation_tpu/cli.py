@@ -218,6 +218,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="qc")
     p.add_argument("--iline", type=int, default=None,
                    help="cube: iline section to image (default: middle)")
+    p.add_argument("--compare", default=None, metavar="OTHER",
+                   help="second cube (.nc): adds before/after/difference "
+                        "panels of the shared iline (e.g. sparse vs "
+                        "interpolated)")
 
     p = sub.add_parser("nav", help="extract navigation from SEG-Y headers")
     _add_common(p)
@@ -354,6 +358,25 @@ def main(argv=None) -> int:
             if "fold" in cube.data_vars:
                 written.append(qclib.plot_fold_map(
                     cube["fold"], path=os.path.join(args.output_dir, f"{base}_fold.png")))
+            if args.compare:
+                other = read_cube(args.compare)
+                var2 = next(v for v in other.data_vars
+                            if v not in ("fold", "amp_ref"))
+                d2 = np.asarray(other[var2])
+                if np.iscomplexobj(d2):
+                    d2 = np.abs(d2)
+                if d2.shape != data.shape:
+                    raise SystemExit(
+                        f"--compare shapes differ: {d2.shape} vs {data.shape}")
+                base2 = os.path.splitext(os.path.basename(args.compare))[0]
+                written.append(qclib.plot_seismic_difference(
+                    data[i].T, d2[i].T, twt=twt, titles=(base, base2),
+                    path=os.path.join(args.output_dir,
+                                      f"{base}_vs_{base2}_il{i}.png")))
+                written.append(qclib.plot_seismic_wiggle_diff(
+                    data[i].T, d2[i].T, twt=twt, titles=(base, base2),
+                    path=os.path.join(args.output_dir,
+                                      f"{base}_vs_{base2}_il{i}_wiggle.png")))
         xprint(f"wrote {len(written)} QC figures -> {args.output_dir}/",
                kind="success", verbosity=v)
     elif cmd == "run":

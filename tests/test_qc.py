@@ -102,3 +102,28 @@ def test_frequency_spectrum_grids(tmp_path):
     import os
 
     assert os.path.getsize(p1) > 5000 and os.path.getsize(p2) > 5000
+
+
+def test_cli_qc_compare(tmp_path):
+    """p3d qc --compare writes before/after/difference panels for two cubes
+    (sparse vs interpolated view, reference plot.py:199ff/536ff)."""
+    import numpy as np
+    from pseudo_3d_interpolation_tpu.cli import main
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, write_cube
+
+    rng = np.random.default_rng(0)
+    coords = {"iline": np.arange(8, dtype=np.int32),
+              "xline": np.arange(10, dtype=np.int32),
+              "twt": np.arange(32, dtype=np.float64) * 1e-3}
+    a = rng.normal(size=(8, 10, 32)).astype(np.float32)
+    for name, arr in [("a", a), ("b", a * 0.5)]:
+        write_cube(str(tmp_path / f"{name}.nc"), Cube(
+            coords=dict(coords),
+            data_vars={"amp": (("iline", "xline", "twt"), arr)}))
+    out = tmp_path / "qc"
+    rc = main(["qc", str(tmp_path / "a.nc"), "--compare", str(tmp_path / "b.nc"),
+               "--output-dir", str(out), "-V", "0"])
+    assert rc == 0
+    names = [p.name for p in out.iterdir()]
+    assert any("a_vs_b_il4.png" == n for n in names), names
+    assert any("wiggle" in n for n in names), names
