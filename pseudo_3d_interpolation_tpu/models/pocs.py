@@ -128,22 +128,25 @@ def pocs_interpolate(
     mask_in = jnp.asarray(mask, z.dtype)
     use_fused = False
     fused_precision = None
+    fused_basis = "fft"
     if cfg.use_pallas:
         from ..ops.pallas import pallas_supported
-        from .transforms import FFTTransform, _resolve_precision
+        from .transforms import DCTTransform, FFTTransform, _resolve_precision
 
         # gate on the transform actually in use, not the config string —
-        # an explicitly passed non-FFT transform must never be silently
-        # replaced by the FFT kernel
+        # an explicitly passed unsupported transform must never be silently
+        # replaced by the fused kernel's basis
         use_fused = (
-            isinstance(transform, FFTTransform)
+            isinstance(transform, (FFTTransform, DCTTransform))
             and mask_in.ndim == 2
             and len(batch_shape) == 1
             and cfg.thresh_op in ("hard", "soft")
             and pallas_supported(z.shape)
         )
         if use_fused:
-            fused_precision = _resolve_precision(transform.precision)
+            fused_basis = "dct" if isinstance(transform, DCTTransform) else "fft"
+            fused_precision = _resolve_precision(
+                getattr(transform, "precision", None))
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
@@ -173,6 +176,7 @@ def pocs_interpolate(
             z, mask_in, decay_tree, alpha=cfg.alpha, thresh_op=cfg.thresh_op,
             version=cfg.version, fracs=_fpocs_fractions(cfg.niter),
             interpret=cfg.pallas_interpret, precision=fused_precision,
+            basis=fused_basis,
         )
         nonzero = jnp.sum(z.abs2(), axis=(-2, -1)) > 0
         nz = nonzero[..., None, None]

@@ -179,7 +179,7 @@ def pocs_iteration_fused(
 
 def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
-                  soft: bool, niter: int, precision):
+                  soft: bool, niter: int, precision, basis: str = "fft"):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
@@ -199,10 +199,17 @@ def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         yr_in = xr + f * (xr - xr_prev)
         yi_in = xi + f * (xi - xi_prev)
 
-        yr = dot(fr, yr_in) - dot(fi, yi_in)
-        yi = dot(fr, yi_in) + dot(fi, yr_in)
-        Xr = dot(yr, fr) - dot(yi, fi)
-        Xi = dot(yr, fi) + dot(yi, fr)
+        if basis == "dct":
+            # orthonormal DCT-II: fr holds C, fi holds C^T; re/im transform
+            # independently (the DCT is real), thresholds act on the joint
+            # magnitude — exactly models.transforms.DCTTransform
+            Xr = dot(dot(fr, yr_in), fi)
+            Xi = dot(dot(fr, yi_in), fi)
+        else:
+            yr = dot(fr, yr_in) - dot(fi, yi_in)
+            yi = dot(fr, yi_in) + dot(fi, yr_in)
+            Xr = dot(yr, fr) - dot(yi, fi)
+            Xi = dot(yr, fi) + dot(yi, fr)
 
         mag2 = Xr * Xr + Xi * Xi
         if soft:
@@ -214,11 +221,16 @@ def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         Xr = Xr * shrink
         Xi = Xi * shrink
 
-        yr = dot(fr, Xr) + dot(fi, Xi)
-        yi = dot(fr, Xi) - dot(fi, Xr)
-        rr = dot(yr, fr) + dot(yi, fi)
-        ri = dot(yi, fr) - dot(yr, fi)
-        scale = 1.0 / (n * n)
+        if basis == "dct":
+            rr = dot(dot(fi, Xr), fr)
+            ri = dot(dot(fi, Xi), fr)
+            scale = 1.0
+        else:
+            yr = dot(fr, Xr) + dot(fi, Xi)
+            yi = dot(fr, Xi) - dot(fi, Xr)
+            rr = dot(yr, fr) + dot(yi, fi)
+            ri = dot(yi, fr) - dot(yr, fi)
+            scale = 1.0 / (n * n)
         new_r = rr * scale * keep + alpha * obr
         new_i = ri * scale * keep + alpha * obi
         return xr, xi, new_r, new_i
@@ -247,21 +259,25 @@ def pocs_solve_fused(
     fracs=None,
     interpret: bool = False,
     precision=None,
+    basis: str = "fft",
 ) -> Cplx:
     """The COMPLETE POCS solve in one kernel launch per slice.
 
     ``obs``: (B, N, N) pair; ``mask``: (N, N); ``decay``: (niter, B)
     per-iteration per-slice thresholds; ``fracs``: (niter,) FPOCS momentum
-    fractions (zeros for 'regular'). Returns ``(result, final_cost)`` —
-    the final-iteration cost matches the XLA scan's telemetry; per-
-    iteration history / early stopping are intentionally not supported
-    (this is the fixed-iteration production path; use the XLA scan for
-    instrumented runs).
+    fractions (zeros for 'regular'); ``basis``: 'fft' (matmul-DFT) or
+    'dct' (orthonormal DCT-II — 4x fewer dots per iteration). Returns
+    ``(result, final_cost)`` — the final-iteration cost matches the XLA
+    scan's telemetry; per-iteration history / early stopping are
+    intentionally not supported (this is the fixed-iteration production
+    path; use the XLA scan for instrumented runs).
     """
     if thresh_op not in ("hard", "soft"):
         raise ValueError("fused kernel supports hard/soft thresholds")
     if version not in ("regular", "fast"):
         raise ValueError("fused solve supports regular/fast versions")
+    if basis not in ("fft", "dct"):
+        raise ValueError("fused solve supports fft/dct bases")
     b, n, n2 = obs.re.shape
     assert n == n2, "square slices required"
     decay = jnp.asarray(decay, jnp.float32)
@@ -270,7 +286,11 @@ def pocs_solve_fused(
         import numpy as _np
 
         fracs = _np.zeros(niter, _np.float32)
-    fr, fi = dft.dft_matrices(n)
+    if basis == "dct":
+        c = dft.dct2_matrix(n)
+        fr, fi = c, c.T.copy()
+    else:
+        fr, fi = dft.dft_matrices(n)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -297,6 +317,7 @@ def pocs_solve_fused(
             niter=int(niter),
             precision=(precision if precision is not None
                        else jax.lax.Precision.HIGHEST),
+            basis=basis,
         )
 
     outr, outi, cost = pl.pallas_call(
