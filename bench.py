@@ -36,7 +36,7 @@ def _arm_watchdog(seconds: float = 900.0):
             "value": 0.0,
             "unit": ("slice-iterations/s [NO MEASUREMENT: device tunnel "
                      "unresponsive for 15 min; last verified healthy run "
-                     "measured 5721.1 — see docs/perf.md]"),
+                     "measured 5722.8 — see docs/perf.md]"),
             "vs_baseline": 0.0,
         }), flush=True)
         os._exit(0)
