@@ -454,7 +454,7 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
             if limit_shift_ms is not None:
                 lim = int(round(limit_shift_ms / dt_ms))
                 static = np.clip(static, -lim, lim)
-            shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(static)))
+            shifted = _shift_traces(data, static)
             out = _output_path(p, inplace, "sta", output_dir)
             _rewrite(
                 f, out, shifted,
@@ -561,7 +561,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             # compensation shifts traces up (negative = shallower), matching
             # the reference's compensate_tide sign
             shift = -np.rint(2.0 * height / velocity / dt_s).astype(np.int32)
-            shifted = np.asarray(_shift_traces(jnp.asarray(data), jnp.asarray(shift)))
+            shifted = _shift_traces(data, shift)
             out = _output_path(p, inplace, "tide", output_dir)
             _rewrite(f, out, shifted, "TIDE COMPENSATION")
             write_aux(out, ".tid", pd.DataFrame({
@@ -719,9 +719,8 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
     for p, prof in profiles.items():
         dt_ms = prof["dt_ms"]
         shift_samples = int(round(shifts[p] / dt_ms))
-        shifted = np.asarray(_shift_traces(
-            jnp.asarray(prof["data"]),
-            jnp.asarray(np.full(len(prof["data"]), shift_samples, np.int32))))
+        shifted = _shift_traces(
+            prof["data"], np.full(len(prof["data"]), shift_samples, np.int32))
         out = _output_path(p, inplace, "mst", output_dir)
         text = textual.add_processing_entry(
             prof["text"], f"MISTIE CORRECTION ({shifts[p]:+.2f} ms)", prefix=TODAY)
