@@ -246,7 +246,7 @@ def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
     mag_old = jnp.sqrt(xr * xr + xi * xi)
     d = jnp.sum(mag_new - mag_old)
     s = jnp.sum(mag_new)
-    cost_ref[0] = (d * d) / jnp.where(s == 0.0, 1.0, s * s)
+    cost_ref[i] = (d * d) / jnp.where(s == 0.0, 1.0, s * s)
 
 
 def pocs_solve_fused(
@@ -305,7 +305,12 @@ def pocs_solve_fused(
         out_specs=[
             pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), lambda i, tau, fc: (i,), memory_space=pltpu.VMEM),
+            # per-slice scalar cost: Mosaic rejects rank-1 blocks smaller
+            # than the full array unless 128-multiples (interpret mode
+            # masked this; caught by an on-device lowering run), so every
+            # program sees the WHOLE (b,) vector in SMEM and writes its own
+            # cost_ref[program_id] slot
+            pl.BlockSpec((b,), lambda i, tau, fc: (0,), memory_space=pltpu.SMEM),
         ],
     )
 
