@@ -36,7 +36,7 @@ def _arm_watchdog(seconds: float = 900.0):
             "value": 0.0,
             "unit": ("slice-iterations/s [NO MEASUREMENT: device tunnel "
                      "unresponsive for 15 min; last verified healthy run "
-                     "measured 5722.8 — see docs/perf.md]"),
+                     "measured 7096.8 — see docs/perf.md]"),
             "vs_baseline": 0.0,
         }), flush=True)
         os._exit(0)
@@ -85,8 +85,13 @@ def main():
     mask = np.ascontiguousarray(np.broadcast_to(mask[None, :], (H, W)))
     obs = truth * mask
 
+    # the folded Pallas kernel is the fastest HIGHEST-precision production
+    # path (+28% over the XLA scan at batch 32 — docs/perf.md); identical
+    # math (HIGHEST dots), golden-tested against the scan. Falls back to
+    # the XLA path automatically if the kernel cannot lower here.
     cfg = POCSConfig(niter=NITER, thresh_op="hard", thresh_model="exponential",
-                     p_min="adaptive", version="fast", alpha=0.75, eps=0.0)
+                     p_min="adaptive", version="fast", alpha=0.75, eps=0.0,
+                     use_pallas=True)
     transform = FFTTransform()
 
     # NOTE: timing fetches an on-device scalar reduction, not the full cube.
@@ -103,8 +108,16 @@ def main():
     z = from_complex(obs)  # uploaded once; production batches amortize h2d
     # over all 50 iterations exactly like this
 
-    # warmup/compile
-    float(fn(z, m, jnp.float32(1.0)))
+    # warmup/compile (falls back to the XLA scan if the Pallas kernel
+    # cannot lower on this backend)
+    try:
+        float(fn(z, m, jnp.float32(1.0)))
+    except Exception:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, use_pallas=False)
+        fn = jax.jit(solve_sum)
+        float(fn(z, m, jnp.float32(1.0)))
 
     # timed: vary a scalar input each rep to defeat any result caching
     # without re-uploading the cube through the (slow) host link; dispatches

@@ -147,6 +147,11 @@ def pocs_interpolate(
             fused_basis = "dct" if isinstance(transform, DCTTransform) else "fft"
             fused_precision = _resolve_precision(
                 getattr(transform, "precision", None))
+            # Mosaic's dot lowering supports DEFAULT and HIGHEST only —
+            # Precision.HIGH (bf16x3) raises NotImplementedError on real
+            # TPUs, so HIGH-precision transforms stay on the XLA scan
+            if fused_precision == jax.lax.Precision.HIGH:
+                use_fused = False
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 

@@ -136,3 +136,26 @@ def test_fused_dct_solve_matches_xla_scan():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
                                rtol=1e-4, atol=1e-12)
+
+
+def test_high_precision_falls_back_to_xla():
+    """Mosaic cannot lower Precision.HIGH dots; use_pallas with a HIGH
+    transform must silently run the XLA scan (same results, no crash)."""
+    import dataclasses
+
+    rng = np.random.default_rng(2)
+    n, b = 128, 2
+    obs = (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))
+           ).astype(np.complex64)
+    mask = np.ascontiguousarray((rng.uniform(size=n) < 0.5).astype(np.float32)[None, :]
+                                * np.ones((n, n), np.float32))
+    z = from_complex(obs)
+    tr = FFTTransform(precision="high")
+    cfg = POCSConfig(niter=4, thresh_op="hard", p_min=1e-3, version="fast",
+                     alpha=0.75, eps=0.0)
+    ref = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)
+    out = pocs_interpolate(z, jnp.asarray(mask), tr,
+                           dataclasses.replace(cfg, use_pallas=True,
+                                               pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(out.data.re), np.asarray(ref.data.re),
+                               atol=1e-6)
