@@ -222,7 +222,9 @@ def pocs_interpolate(
         else:
             raise ValueError(f"unknown POCS version {cfg.version!r}")
 
-        if use_fused:
+        if use_fused and fused_basis == "fft":
+            # the per-iteration kernel implements DFT math only; DCT configs
+            # that miss the folded path run the XLA branch below
             from ..ops.pallas import pocs_iteration_fused
 
             x_rec = pocs_iteration_fused(

@@ -159,3 +159,31 @@ def test_high_precision_falls_back_to_xla():
                                                pallas_interpret=True))
     np.testing.assert_allclose(np.asarray(out.data.re), np.asarray(ref.data.re),
                                atol=1e-6)
+
+
+def test_dct_eps_config_stays_correct():
+    """A DCT config that misses the folded path (eps > 0) must NOT be
+    routed through the FFT-only per-iteration kernel — results must match
+    the plain XLA DCT solve."""
+    import dataclasses
+
+    from pseudo_3d_interpolation_tpu.models.transforms import DCTTransform
+
+    rng = np.random.default_rng(3)
+    n, b = 128, 2
+    obs = (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))
+           ).astype(np.complex64)
+    mask = np.ascontiguousarray((rng.uniform(size=n) < 0.5).astype(np.float32)[None, :]
+                                * np.ones((n, n), np.float32))
+    z = from_complex(obs)
+    tr = DCTTransform()
+    cfg = POCSConfig(niter=5, thresh_op="hard", p_min=1e-3, version="fast",
+                     alpha=0.75, eps=1e-12)  # eps>0: folded path disabled
+    ref = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)
+    out = pocs_interpolate(z, jnp.asarray(mask), tr,
+                           dataclasses.replace(cfg, use_pallas=True,
+                                               pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(out.data.re), np.asarray(ref.data.re),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.data.im), np.asarray(ref.data.im),
+                               atol=1e-6)
