@@ -193,8 +193,12 @@ def main():
     print(f"solver stage: {wall:.2f}s  "
           f"({nslices * args.niter / wall:.0f} slice-iters/s, basis={args.basis})")
 
-    snr_in = float(jax.jit(lambda: metrics.snr(truth_d, xd))())
-    snr_out = float(jax.jit(lambda: metrics.snr(truth_d, out))())
+    # arrays as jit ARGUMENTS, not closure constants: captured constants are
+    # embedded in the compile payload, and 2 GB of them blows the remote
+    # backend's compile-RPC size limit (HTTP 413)
+    snr_fn = jax.jit(metrics.snr)
+    snr_in = float(snr_fn(truth_d, xd))
+    snr_out = float(snr_fn(truth_d, out))
     print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
 
     if args.postprocess:
