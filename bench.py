@@ -109,12 +109,18 @@ def main():
     # over all 50 iterations exactly like this
 
     # warmup/compile (falls back to the XLA scan if the Pallas kernel
-    # cannot lower on this backend)
+    # cannot run on this backend — recorded in the emitted unit string so a
+    # fallback run is never mistaken for a Pallas measurement)
+    path_note = ""
     try:
         float(fn(z, m, jnp.float32(1.0)))
-    except Exception:
+    except Exception as e:
         import dataclasses
+        import sys
 
+        print(f"bench: Pallas warmup failed ({type(e).__name__}: {e}); "
+              f"falling back to the XLA scan", file=sys.stderr, flush=True)
+        path_note = f"; XLA-scan fallback ({type(e).__name__})"
         cfg = dataclasses.replace(cfg, use_pallas=False)
         fn = jax.jit(solve_sum)
         float(fn(z, m, jnp.float32(1.0)))
@@ -137,7 +143,7 @@ def main():
     print(json.dumps({
         "metric": "pocs_slice_iters_per_sec_per_chip_512x512",
         "value": round(slice_iters_per_sec, 1),
-        "unit": "slice-iterations/s (512x512 FPOCS, FFT basis, f32-highest)",
+        "unit": "slice-iterations/s (512x512 FPOCS, FFT basis, f32-highest" + path_note + ")",
         "vs_baseline": round(slice_iters_per_sec / northstar_per_chip, 2),
     }))
 

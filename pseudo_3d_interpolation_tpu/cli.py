@@ -241,6 +241,18 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _cube_amplitude(cube, name: str):
+    """Amplitude array of a cube's primary data variable (|.| if complex)."""
+    import numpy as np
+
+    var = next((v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask")),
+               None)
+    if var is None:
+        raise SystemExit(f"{name}: no data variable besides fold/amp_ref")
+    data = np.asarray(cube[var])
+    return np.abs(data) if np.iscomplexobj(data) else data
+
+
 def _parse_kv(pairs):
     out = {}
     for kv in pairs or []:
@@ -320,6 +332,8 @@ def main(argv=None) -> int:
         os.makedirs(args.output_dir, exist_ok=True)
         written = []
         if args.input.lower().endswith((".sgy", ".segy")):
+            if args.compare:
+                raise SystemExit("--compare works on cube (.nc) inputs")
             from .io.segy import SegyFile
 
             with SegyFile(args.input) as f:
@@ -346,10 +360,7 @@ def main(argv=None) -> int:
 
             cube = read_cube(args.input)
             base = os.path.splitext(os.path.basename(args.input))[0]
-            var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref"))
-            data = np.asarray(cube[var])
-            if np.iscomplexobj(data):
-                data = np.abs(data)
+            data = _cube_amplitude(cube, args.input)
             i = args.iline if args.iline is not None else data.shape[0] // 2
             twt = np.asarray(cube.coords.get("twt", np.arange(data.shape[-1])))
             written.append(qclib.plot_seismic_image(
@@ -360,11 +371,7 @@ def main(argv=None) -> int:
                     cube["fold"], path=os.path.join(args.output_dir, f"{base}_fold.png")))
             if args.compare:
                 other = read_cube(args.compare)
-                var2 = next(v for v in other.data_vars
-                            if v not in ("fold", "amp_ref"))
-                d2 = np.asarray(other[var2])
-                if np.iscomplexobj(d2):
-                    d2 = np.abs(d2)
+                d2 = _cube_amplitude(other, args.compare)
                 if d2.shape != data.shape:
                     raise SystemExit(
                         f"--compare shapes differ: {d2.shape} vs {data.shape}")

@@ -66,8 +66,9 @@ class POCSConfig:
     # realistic, at the price of no cost history and a per-iteration
     # all-reduce of the active flags
     global_early_stop: bool = False
-    # fused Pallas iteration (FFT basis, hard/soft threshold, square slices,
-    # shared 2D mask); falls back to the XLA path when unsupported
+    # folded Pallas solve (FFT/DCT bases, hard/soft threshold, square %128
+    # slices, shared 2D mask, DEFAULT/HIGHEST precision); falls back to the
+    # XLA path when unsupported
     use_pallas: bool = False
     pallas_interpret: bool = False  # interpret mode for CPU testing
 
@@ -163,15 +164,17 @@ def pocs_interpolate(
     if cfg.sqrt_decay:
         decay_tree = jax.tree.map(jnp.sqrt, decay_tree)
 
-    fracs = jnp.asarray(_fpocs_fractions(cfg.niter))
+    fracs_np = _fpocs_fractions(cfg.niter)
+    fracs = jnp.asarray(fracs_np)
     iters = jnp.arange(cfg.niter, dtype=jnp.int32)
 
     # --- fully fused Pallas solve: the whole fixed-iteration solve in one
     # kernel launch per slice (x and x_prev stay VMEM-resident across all
-    # iterations). Measured on v5e at 512²/DEFAULT: +29% over the XLA scan
-    # at batch 32, +7% at batch 8, and ~20x faster compiles (docs/perf.md).
-    # Requires no early stopping / history (telemetry reduces to the final
-    # cost, which the kernel reports identically to the scan's).
+    # iterations), FFT and DCT bases. Measured on v5e at 512² batch 32:
+    # 3.4x the XLA scan at FFT/DEFAULT, +28% at FFT/HIGHEST, +11% at
+    # DCT/HIGHEST, ~10x faster compiles (docs/perf.md). Requires no early
+    # stopping / history (telemetry reduces to the final cost, which the
+    # kernel reports identically to the scan's).
     if (use_fused and cfg.eps == 0.0 and not cfg.keep_cost_history
             and not cfg.global_early_stop
             and cfg.version in ("regular", "fast")):
@@ -179,7 +182,7 @@ def pocs_interpolate(
 
         result, cost = pocs_solve_fused(
             z, mask_in, decay_tree, alpha=cfg.alpha, thresh_op=cfg.thresh_op,
-            version=cfg.version, fracs=_fpocs_fractions(cfg.niter),
+            version=cfg.version, fracs=fracs_np,
             interpret=cfg.pallas_interpret, precision=fused_precision,
             basis=fused_basis,
         )

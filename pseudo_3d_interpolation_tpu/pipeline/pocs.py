@@ -310,12 +310,11 @@ def interpolate(
         }).to_csv(runtime_csv, index=False)
     if out_path:
         write_cube(out_path, out, chunks={slice_dim: 1})
-        # reproducibility: copy the exact solver parameters next to the output
+        # reproducibility: copy the exact solver parameters next to the
+        # output — EVERY config field (a hardcoded key list silently
+        # dropped later additions like use_pallas)
+        import dataclasses as _dc
+
         with open(os.path.splitext(out_path)[0] + "_parameter.yml", "w") as f:
-            yaml.safe_dump({"metadata": {
-                k: getattr(config, k) for k in (
-                    "niter", "thresh_op", "thresh_model", "eps", "alpha",
-                    "p_max", "p_min", "sqrt_decay", "decay_kind", "version",
-                    "transform_kind")
-            }}, f)
+            yaml.safe_dump({"metadata": _dc.asdict(config)}, f)
     return out

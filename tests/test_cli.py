@@ -88,6 +88,15 @@ def test_fft_pocs_ifft_via_cli(tmp_path):
     back = read_cube(p3)
     assert any(v not in ("fold",) for v in back.data_vars)
     assert os.path.exists(str(tmp_path / "i_parameter.yml"))
+    # the reproducibility dump records EVERY solver field (a hardcoded key
+    # list silently dropped later additions like use_pallas)
+    import yaml as _yaml
+
+    from pseudo_3d_interpolation_tpu.models import POCSConfig as _PC
+
+    saved = _yaml.safe_load(open(str(tmp_path / "i_parameter.yml")))["metadata"]
+    assert set(saved) == {f.name for f in _PC.__dataclass_fields__.values()}
+    assert saved["niter"] == 5 and "use_pallas" in saved
 
 
 def test_nav_and_checkpointed_pocs(tmp_path):

@@ -138,10 +138,20 @@ def test_fused_dct_solve_matches_xla_scan():
                                rtol=1e-4, atol=1e-12)
 
 
-def test_high_precision_falls_back_to_xla():
+def test_high_precision_falls_back_to_xla(monkeypatch):
     """Mosaic cannot lower Precision.HIGH dots; use_pallas with a HIGH
-    transform must silently run the XLA scan (same results, no crash)."""
+    transform must take the XLA scan — neither Pallas entry point may be
+    touched (interpret mode would happily run HIGH on CPU, so this guards
+    the gate itself, not just the numerics)."""
     import dataclasses
+
+    from pseudo_3d_interpolation_tpu.ops import pallas as pallas_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("Pallas path must not engage at HIGH precision")
+
+    monkeypatch.setattr(pallas_mod, "pocs_solve_fused", _boom)
+    monkeypatch.setattr(pallas_mod, "pocs_iteration_fused", _boom)
 
     rng = np.random.default_rng(2)
     n, b = 128, 2
