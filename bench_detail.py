@@ -44,6 +44,7 @@ def make_problem(b, n, seed=0):
 
 
 def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
+    # cfg may carry use_pallas=True: the folded-kernel production path
     import jax
     import jax.numpy as jnp
 
@@ -85,25 +86,31 @@ def run_basis_gate():
     n = int(os.environ.get("BENCH_N", 512))
     niter = int(os.environ.get("BENCH_NITER", 50))
     batch = int(os.environ.get("BENCH_BATCH", 8))
-    bases = os.environ.get("BENCH_BASES",
-                           "FFT,DCT,WAVELET,SHEARLET,CURVELET").split(",")
+    bases = os.environ.get(
+        "BENCH_BASES",
+        "FFT,FFT-PALLAS,DCT,DCT-PALLAS,WAVELET,SHEARLET,CURVELET").split(",")
     truth, obs, mask = make_problem(batch, n)
 
     for kind in bases:
         kind = kind.strip().upper()
+        pallas = kind.endswith("-PALLAS")
+        base_kind = kind[:-7] if pallas else kind
         precisions = (["highest", "high"]
-                      if kind in ("FFT", "SHEARLET", "CURVELET") else [None])
+                      if base_kind in ("FFT", "SHEARLET", "CURVELET") else [None])
+        if pallas:  # Mosaic has no HIGH dot lowering
+            precisions = ["highest"] if base_kind == "FFT" else [None]
         for prec in precisions:
             kw = {"precision": prec} if prec else {}
-            if kind == "WAVELET":
+            if base_kind == "WAVELET":
                 kw = {"wavelet": "db4"}
-            tr = get_transform(kind, **kw)
+            tr = get_transform(base_kind, **kw)
             if hasattr(tr, "with_shape"):
                 tr = tr.with_shape((n, n))
-            p_min = "adaptive" if kind in ("FFT", "DCT", "SHEARLET") else 1e-3
+            p_min = "adaptive" if base_kind in ("FFT", "DCT", "SHEARLET") else 1e-3
             cfg = POCSConfig(niter=niter, thresh_op="hard",
                              thresh_model="exponential", p_min=p_min,
-                             version="fast", alpha=0.75, eps=0.0)
+                             version="fast", alpha=0.75, eps=0.0,
+                             use_pallas=pallas)
             try:
                 rate, snr, compile_s = _timed_solve(tr, cfg, truth, obs, mask,
                                                     niter)
