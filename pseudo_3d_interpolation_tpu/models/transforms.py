@@ -76,16 +76,21 @@ class DCTTransform:
 
     Listed as a supported kind by the reference (functions/POCS.py:235). For
     complex slices the DCT acts on re/im independently (it is linear), while
-    thresholding acts on the joint magnitude.
+    thresholding acts on the joint magnitude. ``precision`` is the same
+    speed/quality lever as the FFT basis (HIGH = bf16x3 ~1.7x faster).
     """
 
+    precision: str = "highest"
     kind: str = "DCT"
 
     def forward(self, z: Cplx) -> Cplx:
-        return Cplx(dft.dct2_2d(z.re), dft.dct2_2d(z.im))
+        p = _resolve_precision(self.precision)
+        return Cplx(dft.dct2_2d(z.re, precision=p), dft.dct2_2d(z.im, precision=p))
 
     def inverse(self, coeffs: Cplx) -> Cplx:
-        return Cplx(dft.idct2_2d(coeffs.re), dft.idct2_2d(coeffs.im))
+        p = _resolve_precision(self.precision)
+        return Cplx(dft.idct2_2d(coeffs.re, precision=p),
+                    dft.idct2_2d(coeffs.im, precision=p))
 
     def decay(self, coeffs: Cplx, model, niter, p_max, p_min, decay_kind):
         return decay_ops.threshold_decay(
@@ -312,7 +317,7 @@ def register_transform(name: str, factory) -> None:
 
 
 register_transform("FFT", lambda precision="highest", **kw: FFTTransform(precision=precision))
-register_transform("DCT", lambda **kw: DCTTransform())
+register_transform("DCT", lambda precision="highest", **kw: DCTTransform(precision=precision))
 register_transform(
     "WAVELET",
     lambda wavelet="db4", level=None, **kw: WaveletTransform(wavelet=wavelet, level=level),
