@@ -96,7 +96,8 @@ def run_basis_gate():
         pallas = kind.endswith("-PALLAS")
         base_kind = kind[:-7] if pallas else kind
         precisions = (["highest", "high"]
-                      if base_kind in ("FFT", "SHEARLET", "CURVELET") else [None])
+                      if base_kind in ("FFT", "DCT", "SHEARLET", "CURVELET")
+                      else [None])
         if pallas:  # Mosaic has no HIGH dot lowering
             precisions = ["highest"] if base_kind == "FFT" else [None]
         for prec in precisions:

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--src-epsg", type=int, required=True)
     p.add_argument("--dst-epsg", type=int, required=True)
     p.add_argument("--smooth-window", type=int, default=None)
+    p.add_argument("--coords-bytes", type=int, nargs=2, default=(73, 77),
+                   metavar=("XBYTE", "YBYTE"),
+                   help="trace-header byte positions of x/y (reference "
+                        "--src_coords)")
+    p.add_argument("--scalar", type=int, default=-100,
+                   help="output SourceGroupScalar (reference --scalar_coords)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("delrt-correct", 3, "detect and fix wrong DelayRecordingTime values")
@@ -98,6 +104,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = cmd("tide", 6, "tide compensation from a tide model / table")
     p.add_argument("input")
+    p.add_argument("--velocity", type=float, default=1500.0,
+                   help="water velocity m/s for the time shift (reference "
+                        "tide_compensation_segy.py default)")
     p.add_argument("--tide-file", required=True,
                    help="CSV of UTC datetime,height_m (constant-position "
                         "series) OR a harmonic-constant atlas .nc/.h5 "

@@ -956,8 +956,10 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                           output_dir=args.output_dir, verbose=verbose)
     elif cmd == "reproject":
         reproject(args.input, args.src_epsg, args.dst_epsg,
-                  smooth_window=args.smooth_window, inplace=args.inplace,
-                  verbose=verbose)
+                  smooth_window=args.smooth_window,
+                  coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
+                  scalar=getattr(args, "scalar", -100),
+                  inplace=args.inplace, verbose=verbose)
     elif cmd == "delrt-correct":
         delrt_correct(args.input, n_neighbors=args.n_neighbors,
                       win_samples=args.win_samples, inplace=args.inplace,
@@ -973,6 +975,7 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "tide":
         tide_compensate(args.input, args.tide_file,
+                        velocity=getattr(args, "velocity", 1500.0),
                         src_epsg=getattr(args, "src_epsg", None),
                         inplace=args.inplace, verbose=verbose)
     elif cmd == "mistie":
