@@ -1,0 +1,90 @@
+"""Direct coverage for the observability utilities (logging / timing /
+persistent compile cache) — the reference's utils.py:xprint family and
+timeit/profile decorators (SURVEY.md §2.1 utils.py, §5.1/§5.5)."""
+
+import os
+import sys
+
+import pytest
+
+
+def test_xprint_verbosity_and_kinds(capsys):
+    from pseudo_3d_interpolation_tpu.utils.logging import set_verbosity, xprint
+
+    set_verbosity(1)
+    xprint("info shows", kind="info", verbosity=1)
+    xprint("debug hidden", kind="debug", verbosity=1)
+    xprint("warn shows", kind="warning", verbosity=1)
+    out = capsys.readouterr().out
+    assert "info shows" in out and "warn shows" in out
+    assert "debug hidden" not in out
+    # verbosity 0 silences info
+    xprint("quiet", kind="info", verbosity=0)
+    assert "quiet" not in capsys.readouterr().out
+
+
+def test_clean_log_file_strips_ansi(tmp_path):
+    from pseudo_3d_interpolation_tpu.utils.logging import clean_log_file
+
+    p = tmp_path / "run.log"
+    p.write_text("\x1b[32m[SUCCESS]\x1b[0m done\nplain line\n")
+    clean_log_file(str(p))
+    text = p.read_text()
+    assert "\x1b" not in text and "done" in text and "plain line" in text
+
+
+def test_redirect_stdout_to_file(tmp_path):
+    from pseudo_3d_interpolation_tpu.utils.logging import redirect_stdout_to_file
+
+    p = tmp_path / "out.log"
+    with redirect_stdout_to_file(str(p)):
+        print("captured")
+    assert "captured" in p.read_text()
+
+
+def test_timeit_and_block_timer(capsys):
+    from pseudo_3d_interpolation_tpu.utils.logging import set_verbosity
+    from pseudo_3d_interpolation_tpu.utils.timing import block_timer, timeit
+
+    set_verbosity(2)
+
+    @timeit(label="unit-test-fn", verbosity=2)
+    def f(x):
+        return x + 1
+
+    assert f(1) == 2
+    with block_timer("unit-test-block", verbose=True) as bt:
+        pass
+    assert bt.elapsed >= 0.0
+    out = capsys.readouterr().out
+    assert "unit-test-fn" in out and "unit-test-block" in out
+
+
+def test_profile_writes_stats(tmp_path, capsys):
+    from pseudo_3d_interpolation_tpu.utils.timing import profile
+
+    @profile(path=str(tmp_path / "prof.txt"), n_top=5)
+    def work():
+        return sum(i * i for i in range(1000))
+
+    assert work() == sum(i * i for i in range(1000))
+    # with a path the decorator dumps binary cProfile stats
+    import pstats
+
+    assert (tmp_path / "prof.txt").exists()
+    st = pstats.Stats(str(tmp_path / "prof.txt"))
+    assert st.total_calls > 0
+
+
+def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
+    import pseudo_3d_interpolation_tpu.utils.compcache as cc
+
+    monkeypatch.setattr(cc, "_enabled", False)
+    monkeypatch.setenv("P3D_COMPILATION_CACHE", "off")
+    assert cc.enable_persistent_cache() == ""
+    monkeypatch.delenv("P3D_COMPILATION_CACHE")
+    path = str(tmp_path / "cache")
+    assert cc.enable_persistent_cache(path) == path
+    assert os.path.isdir(path)
+    # idempotent: second call returns without reconfiguring
+    assert cc.enable_persistent_cache(path) == path
