@@ -77,7 +77,12 @@ def test_profile_writes_stats(tmp_path, capsys):
 
 
 def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
+    import jax
+
     import pseudo_3d_interpolation_tpu.utils.compcache as cc
+
+    # restore the process-global cache dir afterwards (later tests compile)
+    prev = jax.config.jax_compilation_cache_dir
 
     monkeypatch.setattr(cc, "_enabled", False)
     monkeypatch.setenv("P3D_COMPILATION_CACHE", "off")
@@ -88,3 +93,4 @@ def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
     assert os.path.isdir(path)
     # idempotent: second call returns without reconfiguring
     assert cc.enable_persistent_cache(path) == path
+    jax.config.update("jax_compilation_cache_dir", prev)
