@@ -81,7 +81,8 @@ def main():
     cfg = POCSConfig(niter=args.niter, thresh_op="hard", p_min="adaptive",
                      version="fast", alpha=0.75, eps=0.0,
                      transform_kind=args.basis, use_pallas=args.pallas)
-    if args.basis == "WAVELET":
+    if args.basis in ("WAVELET", "CURVELET"):
+        # adaptive tau_min is shearlet-specific (reference POCS.py:302-324)
         cfg = POCSConfig(**{**cfg.__dict__, "p_min": 1e-3})
     transform = get_transform(args.basis, precision=args.precision)
 
@@ -90,9 +91,9 @@ def main():
     slice_sh = slice_sharding(mesh, 3)
     repl = replicated_sharding(mesh)
 
-    if args.basis in ("SHEARLET", "WAVELET"):
+    if args.basis in ("SHEARLET", "WAVELET", "CURVELET"):
         # multiscale coefficient stacks are too large to materialize for all
-        # slices in one jit (61 subbands x all slices at 512² is terabytes),
+        # slices in one jit (50-61 subbands x all slices at 512² is terabytes),
         # so the solve runs in per-batch jit steps — but the SPECTRUM STAYS
         # DEVICE-RESIDENT the whole time: one h2d of the time cube, rfft on
         # device, device-side dynamic slicing per batch, device-side
