@@ -40,7 +40,7 @@ def main():
                     help="matmul precision (HIGH = bf16x3 is cube-SNR "
                          "neutral and ~1.6x faster; docs/perf.md)")
     ap.add_argument("--pallas", action="store_true",
-                    help="use the folded Pallas solve (FFT basis)")
+                    help="use the folded Pallas solve (FFT/DCT bases)")
     args = ap.parse_args()
 
     import jax
