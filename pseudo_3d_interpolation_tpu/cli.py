@@ -254,10 +254,10 @@ def _cube_amplitude(cube, name: str):
     """Amplitude array of a cube's primary data variable (|.| if complex)."""
     import numpy as np
 
-    var = next((v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask")),
-               None)
-    if var is None:
-        raise SystemExit(f"{name}: no data variable besides fold/amp_ref")
+    try:
+        var = cube.primary_var()
+    except ValueError as e:
+        raise SystemExit(f"{name}: {e}")
     data = np.asarray(cube[var])
     return np.abs(data) if np.iscomplexobj(data) else data
 

@@ -60,6 +60,17 @@ class Cube:
         self.attrs["history"] = self.attrs.get("history", "") + f"{entry};"
         self.attrs["text"] = self.attrs.get("text", "") + f"\n{today}: {entry}"
 
+    def primary_var(self) -> str:
+        """Name of the primary data variable (first one that is not an
+        auxiliary fold/amp_ref/mask layer); raises if none exists."""
+        var = next((v for v in self.data_vars
+                    if v not in ("fold", "amp_ref", "mask")), None)
+        if var is None:
+            raise ValueError(
+                "cube has no data variable besides fold/amp_ref/mask "
+                f"(variables: {sorted(self.data_vars)})")
+        return var
+
 
 def _sanitize_attr(v):
     if isinstance(v, (np.ndarray, list, tuple, str, bytes, int, float, np.integer, np.floating)):

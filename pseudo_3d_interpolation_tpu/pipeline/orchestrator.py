@@ -63,7 +63,14 @@ def geometry_from_dict(g: dict):
     if isinstance(spacing, dict):
         spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
     elif isinstance(spacing, (list, tuple)):
-        spacing = tuple(spacing) if len(spacing) == 2 else float(spacing[0])
+        if len(spacing) == 2:
+            spacing = tuple(spacing)
+        elif len(spacing) == 1:
+            spacing = float(spacing[0])
+        else:
+            raise ValueError(
+                f"spacing must be a scalar or an (iline, xline) pair, "
+                f"got {list(spacing)!r}")
     rot = g.get("rotation", {}) or {}
     return BinningGeometry(
         spacing=spacing,
@@ -102,6 +109,16 @@ def _normalize_steps(steps) -> list:
             raise ValueError(
                 f"unknown step {name!r}; stage 1: {STAGE1_STEPS}, "
                 f"stage 2: {STAGE2_STEPS}")
+        # required options fail at config level with the step named, not as
+        # a raw KeyError deep in the run loop
+        required = {"reproject": ("src_epsg", "dst_epsg"),
+                    "tide": ("tide_file",)}.get(name, ())
+        missing = [k for k in required
+                   if k not in opts and k.replace("_", "-") not in opts]
+        if missing:
+            raise ValueError(
+                f"step {name!r} is missing required option(s): "
+                f"{', '.join(missing)}")
         out.append((name, opts))
     return out
 
@@ -274,8 +291,7 @@ def run_pipeline(config: str | dict, verbose: int = 1,
             qc_dir = opts.pop("output_dir", None) or step_dir
             os.makedirs(qc_dir, exist_ok=True)
             cube = read_cube(cur) if isinstance(cur, str) else cur
-            var = opts.pop("var", None) or next(
-                v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+            var = opts.pop("var", None) or cube.primary_var()
             dims, data = cube.data_vars[var]
             data = np.asarray(data)
             if np.iscomplexobj(data):

@@ -31,6 +31,25 @@ from ..utils.logging import xprint
 _DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "batch_chunk")
 
 
+def _transform_subbands(transform, slice_shape) -> int:
+    """Coefficient expansion factor of a transform: how many (H, W) subband
+    slices one input slice becomes (1 for FFT/DCT; the DWT pyramid is the
+    same total size; L for the multiscale directional frames)."""
+    kind = getattr(transform, "kind", "FFT")
+    h, w = int(slice_shape[-2]), int(slice_shape[-1])
+    if kind == "SHEARLET":
+        from ..ops import shearlet as sh
+
+        return sh.n_subbands(transform.n_scales or sh.default_scales(h, w))
+    if kind == "CURVELET":
+        from ..ops import curvelet as cv
+
+        return cv.n_subbands(transform.nbscales or cv.default_nbscales(h, w),
+                             transform.nbangles_coarse,
+                             transform.allcurvelets)
+    return 1
+
+
 def config_from_yaml(path_or_dict) -> tuple[POCSConfig, dict]:
     """Load a reference-style POCS parameter YAML into a POCSConfig."""
     if isinstance(path_or_dict, (str, os.PathLike)):
@@ -238,7 +257,7 @@ def interpolate(
     if not isinstance(config, POCSConfig):
         config, extra = config_from_yaml(config)
     if var is None:
-        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+        var = cube.primary_var()
     dims, data = cube.data_vars[var]
     if "fold" not in cube.data_vars:
         raise ValueError("cube needs a 'fold' variable to derive the sampling mask")
@@ -268,10 +287,14 @@ def interpolate(
                                            kind="debug", verbosity=verbose))
     # device-resident driver (one upload, short donated-buffer launches,
     # one download — the measured-fastest robust shape, docs/perf.md) when
-    # the solve is single-device and the cube comfortably fits HBM;
-    # otherwise the mesh-sharded host-chunked driver
+    # the solve is single-device and cube + per-batch working set fit HBM;
+    # a multiscale basis expands each batch slice into L subband
+    # coefficients (~50-61 for SHEARLET/CURVELET), so the budget scales
+    # the batch term by the subband count rather than assuming L == 1
+    expansion = _transform_subbands(transform, moved.shape[-2:])
+    batch_bytes = min(batch, 32) * moved[0].nbytes * 4 * expansion
     resident = (mesh is None and _jax.device_count() == 1
-                and moved.nbytes * 4 < 8 * 2**30)
+                and moved.nbytes * 4 + batch_bytes < 8 * 2**30)
     with prof:
         if resident:
             from ..parallel.solver import interpolate_cube_resident

@@ -34,6 +34,23 @@ def test_normalize_steps_forms():
         _normalize_steps([{"frobnicate": {}}])
 
 
+def test_normalize_steps_required_options():
+    # missing required options surface as config-level errors naming the
+    # step, not as raw KeyErrors mid-run (ADVICE r2)
+    with pytest.raises(ValueError, match="reproject.*src_epsg"):
+        _normalize_steps([{"reproject": {"dst_epsg": 32632}}])
+    with pytest.raises(ValueError, match="tide.*tide_file"):
+        _normalize_steps([{"tide": {}}])
+    # both spellings accepted
+    _normalize_steps([{"reproject": {"src-epsg": 4326, "dst-epsg": 32632}}])
+    _normalize_steps([{"tide": {"tide_file": "x.nc"}}])
+
+
+def test_geometry_from_dict_bad_spacing_length():
+    with pytest.raises(ValueError, match="spacing"):
+        geometry_from_dict({"spacing": [10.0, 20.0, 30.0]})
+
+
 def test_geometry_from_dict_flat_and_yaml(tmp_path):
     g = geometry_from_dict({"spacing": [10.0, 20.0], "extent": [0, 100, 0, 200],
                             "stack": "median"})
