@@ -126,7 +126,11 @@ def test_curvelet_pocs_reconstruction():
     x = synthetic_slice()
     mask = random_mask(frac=0.5, seed=8)
     obs = x * mask
-    cfg = POCSConfig(niter=30, thresh_op="hard", thresh_model="exponential",
+    # niter=40: the adaptive-restart FPOCS trades a little mid-schedule
+    # aggressiveness for robust tail convergence, so it wants the slightly
+    # longer decay schedule to clear the same +5 dB bar (it stops itself
+    # at ~25 effective iterations)
+    cfg = POCSConfig(niter=40, thresh_op="hard", thresh_model="exponential",
                      version="fast", alpha=0.75, transform_kind="CURVELET")
     rec, n_it, _ = pocs_interpolate_numpy(obs, mask, cfg,
                                           transform=CurveletTransform())

@@ -91,3 +91,41 @@ def test_cplx_arithmetic():
     np.testing.assert_allclose(cplx.to_complex(za.conj()), a.conj(), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(za.abs()), np.abs(a), rtol=1e-5)
     np.testing.assert_allclose(cplx.to_complex(2.0 * za), 2 * a, rtol=1e-6)
+
+
+# --- fast Cooley-Tukey (N = M·R) path ---
+
+@pytest.mark.parametrize("shape", [(256, 256), (512, 512), (384, 640),
+                                   (512, 100), (100, 512), (1024, 256)])
+def test_fast_fft2_matches_numpy(shape):
+    """The radix split is the SAME DFT: fast vs numpy to f32 rounding, for
+    every supported factor (R = 2..8) and mixed fast/dense axis pairs."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    z = cplx.from_complex(x)
+    got = cplx.to_complex(dft.fft2(z))
+    ref = np.fft.fft2(x)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() / scale < 2e-6
+    back = cplx.to_complex(dft.ifft2(cplx.from_complex(ref.astype(np.complex64))))
+    assert np.abs(back - x).max() / np.abs(x).max() < 2e-6
+
+
+def test_fast_split_selection():
+    assert dft.fast_split(512) == (128, 4)
+    assert dft.fast_split(1024) == (128, 8)
+    assert dft.fast_split(256) == (128, 2)
+    assert dft.fast_split(384) == (128, 3)
+    assert dft.fast_split(128) is None   # dense single matmul is optimal
+    assert dft.fast_split(100) is None
+    assert dft.fast_split(250) is None   # 125 < 128 for R=2
+
+
+def test_fast_and_dense_paths_agree():
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((8, 256, 256))
+         + 1j * rng.standard_normal((8, 256, 256))).astype(np.complex64)
+    z = cplx.from_complex(x)
+    a = cplx.to_complex(dft.fft2(z, fast=True))
+    b = cplx.to_complex(dft.fft2(z, fast=False))
+    assert np.abs(a - b).max() / np.abs(b).max() < 2e-6
