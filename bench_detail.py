@@ -98,8 +98,9 @@ def run_basis_gate():
         precisions = (["highest", "high"]
                       if base_kind in ("FFT", "DCT", "SHEARLET", "CURVELET")
                       else [None])
-        if pallas:  # Mosaic has no HIGH dot lowering
-            precisions = ["highest"] if base_kind == "FFT" else [None]
+        if pallas:  # folded kernel: HIGHEST native; HIGH via in-kernel bf16x3
+            precisions = (["highest", "high"] if base_kind in ("FFT", "DCT")
+                          else [None])
         for prec in precisions:
             kw = {"precision": prec} if prec else {}
             if base_kind == "WAVELET":

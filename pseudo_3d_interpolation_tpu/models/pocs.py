@@ -21,6 +21,14 @@ Key departures from the reference, driven by the hardware:
   Effective per-slice iteration counts are reported exactly like the
   reference's ``niterations``.
 - **Complex as (re, im) pairs** (ops/cplx.py): TPU backends lack complex.
+- **FPOCS = true Nesterov + adaptive restart.** The reference's momentum
+  term is identically zero (POCS.py:629 re-aliases x_old every iteration);
+  here ``version='fast'`` extrapolates from the real previous iterate and
+  applies O'Donoghue & Candès (2015) adaptive restart — on a cost increase
+  the momentum is killed and the Nesterov counter reset — which keeps the
+  early acceleration AND converges to the regular fixed point (plain
+  Nesterov under a decaying threshold plateaus several dB below it; pinned
+  by tests/test_reference_parity.py).
 - **Telemetry as arrays**, not file appends: per-slice iteration counts,
   final cost, and (optionally) the full cost history are returned to the
   caller (reference appends CSV lines from inside the solver,
@@ -83,8 +91,10 @@ class POCSResult(NamedTuple):
 def _fpocs_fractions(niter: int) -> np.ndarray:
     """Nesterov-style momentum fractions of FPOCS (Yang 2013 / Gan 2015).
 
-    v_{k+1} = (1 + sqrt(1+4 v_k^2))/2, frac_k = (v_k - 1)/(v_{k+1} + 1);
-    data-independent, so precomputed on host (reference: POCS.py:566-571).
+    v_{k+1} = (1 + sqrt(1+4 v_k^2))/2, frac_k = (v_k - 1)/(v_{k+1} + 1)
+    (reference: POCS.py:566-571). Used only as the restart-free schedule
+    (e.g. for analysis); the solver computes v per-lane in-loop because the
+    adaptive restart resets it data-dependently.
     """
     fracs = np.empty((niter,), np.float32)
     v = 1.0
@@ -148,11 +158,10 @@ def pocs_interpolate(
             fused_basis = "dct" if isinstance(transform, DCTTransform) else "fft"
             fused_precision = _resolve_precision(
                 getattr(transform, "precision", None))
-            # Mosaic's dot lowering supports DEFAULT and HIGHEST only —
-            # Precision.HIGH (bf16x3) raises NotImplementedError on real
-            # TPUs, so HIGH-precision transforms stay on the XLA scan
-            if fused_precision == jax.lax.Precision.HIGH:
-                use_fused = False
+            # All three precisions run in-kernel: Mosaic lowers DEFAULT and
+            # HIGHEST natively; HIGH (bf16x3) has no Mosaic dot lowering, so
+            # the kernel implements the 3-pass error-corrected decomposition
+            # by hand (ops/pallas/pocs_iter.py::_solve_kernel).
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
@@ -164,8 +173,6 @@ def pocs_interpolate(
     if cfg.sqrt_decay:
         decay_tree = jax.tree.map(jnp.sqrt, decay_tree)
 
-    fracs_np = _fpocs_fractions(cfg.niter)
-    fracs = jnp.asarray(fracs_np)
     iters = jnp.arange(cfg.niter, dtype=jnp.int32)
 
     # --- fully fused Pallas solve: the whole fixed-iteration solve in one
@@ -182,7 +189,7 @@ def pocs_interpolate(
 
         result, cost = pocs_solve_fused(
             z, mask_in, decay_tree, alpha=cfg.alpha, thresh_op=cfg.thresh_op,
-            version=cfg.version, fracs=fracs_np,
+            version=cfg.version,
             interpret=cfg.pallas_interpret, precision=fused_precision,
             basis=fused_basis,
         )
@@ -201,13 +208,19 @@ def pocs_interpolate(
         return Cplx(x_rec.re * keep_mask_f + alpha_x.re, x_rec.im * keep_mask_f + alpha_x.im)
 
     def one_iter(carry, xs):
-        x_prev, x_curr, active, n_eff, cost_prev = carry
-        i, frac, decay_i = xs
+        x_prev, x_curr, active, n_eff, cost_prev, v = carry
+        i, decay_i = xs
+
+        # per-lane Nesterov schedule (v resets on restart, so it is carried
+        # per slice rather than precomputed)
+        v1 = (1.0 + jnp.sqrt(1.0 + 4.0 * v * v)) / 2.0
+        frac = ((v - 1.0) / (v1 + 1.0))[..., None, None]
 
         if cfg.version == "regular":
             x_input = x_curr
         elif cfg.version == "fast":
-            # Correct Nesterov/FPOCS extrapolation y_k = x_k + frac·(x_k − x_{k−1}).
+            # Correct Nesterov/FPOCS extrapolation y_k = x_k + frac·(x_k − x_{k−1})
+            # with O'Donoghue & Candès (2015) adaptive restart (see below).
             # NOTE deviation: the reference re-aliases x_old = x_inv at the end
             # of every iteration (POCS.py:629), which makes its momentum term
             # identically zero — reference "fast" degenerates to "regular".
@@ -246,27 +259,49 @@ def pocs_interpolate(
         s = jnp.sum(x_rec.abs(), axis=(-2, -1))
         cost = (d * d) / jnp.where(s == 0, 1.0, s * s)
 
+        # adaptive restart (O'Donoghue & Candès 2015): a cost increase means
+        # the momentum extrapolation overshot (the decaying-threshold
+        # objective moved) — kill it by re-aliasing x_prev to the NEW iterate
+        # and resetting the Nesterov counter. Measured: keeps FPOCS's early
+        # acceleration AND converges to the regular fixed point instead of
+        # plateauing ~6 dB below it (tests/test_reference_parity.py).
+        if cfg.version == "fast":
+            restart = cost > cost_prev
+            rs = restart[..., None, None]
+            prev_cand = Cplx(jnp.where(rs, x_rec.re, x_curr.re),
+                             jnp.where(rs, x_rec.im, x_curr.im))
+            v_next = jnp.where(restart, 1.0, v1)
+        else:
+            prev_cand = x_curr
+            v_next = v1
+
         # freeze converged lanes
         act = active[..., None, None]
         x_prev_next = Cplx(
-            jnp.where(act, x_curr.re, x_prev.re), jnp.where(act, x_curr.im, x_prev.im)
+            jnp.where(act, prev_cand.re, x_prev.re),
+            jnp.where(act, prev_cand.im, x_prev.im),
         )
         x_curr_next = Cplx(
             jnp.where(act, x_rec.re, x_curr.re), jnp.where(act, x_rec.im, x_curr.im)
         )
         n_eff = n_eff + active.astype(jnp.int32)
         cost_out = jnp.where(active, cost, cost_prev)
+        v_out = jnp.where(active, v_next, v)
         # reference breaks AFTER keeping the converged iteration (POCS.py:631)
         active_next = active & ~((i > 2) & (cost < cfg.eps))
 
-        new_carry = (x_prev_next, x_curr_next, active_next, n_eff, cost_out)
+        new_carry = (x_prev_next, x_curr_next, active_next, n_eff, cost_out, v_out)
         ys = cost_out if cfg.keep_cost_history else None
         return new_carry, ys
 
     active0 = jnp.ones(batch_shape, bool)
     n0 = jnp.zeros(batch_shape, jnp.int32)
-    c0 = jnp.zeros(batch_shape, z.dtype)
-    carry0 = (z, z, active0, n0, c0)
+    # cost carry starts at +inf so the restart test (cost > cost_prev) can
+    # never fire on the first iteration; it is overwritten by the first
+    # iteration's real cost before anything reads it
+    c0 = jnp.full(batch_shape, jnp.inf, z.dtype)
+    v0 = jnp.ones(batch_shape, z.dtype)
+    carry0 = (z, z, active0, n0, c0, v0)
 
     if cfg.global_early_stop and not cfg.keep_cost_history:
         def wl_cond(state):
@@ -276,17 +311,17 @@ def pocs_interpolate(
         def wl_body(state):
             i, carry = state
             xs_i = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(
-                a, i, axis=0, keepdims=False), (iters, fracs, decay_tree))
+                a, i, axis=0, keepdims=False), (iters, decay_tree))
             carry, _ = one_iter(carry, xs_i)
             return i + 1, carry
 
-        _, (x_prev, x_inv, active, n_eff, cost) = jax.lax.while_loop(
+        _, (x_prev, x_inv, active, n_eff, cost, _v) = jax.lax.while_loop(
             wl_cond, wl_body, (jnp.int32(0), carry0)
         )
         history = None
     else:
-        (x_prev, x_inv, active, n_eff, cost), history = jax.lax.scan(
-            one_iter, carry0, (iters, fracs, decay_tree)
+        (x_prev, x_inv, active, n_eff, cost, _v), history = jax.lax.scan(
+            one_iter, carry0, (iters, decay_tree)
         )
 
     # zero-input short-circuit (reference POCS.py:515-521)

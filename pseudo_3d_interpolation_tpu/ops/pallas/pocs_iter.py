@@ -48,6 +48,42 @@ def pallas_supported(shape) -> bool:
     return h == w and h % 128 == 0
 
 
+def _make_dot(precision, fr, fi):
+    """In-kernel dot for the requested precision.
+
+    Mosaic lowers DEFAULT (bf16) and HIGHEST (f32 6-pass) natively but has
+    no HIGH (bf16x3) lowering — for HIGH we implement the standard
+    error-corrected 3-pass decomposition by hand:
+
+        a·b ≈ hi(a)·hi(b) + hi(a)·lo(b) + lo(a)·hi(b)
+
+    with hi = bf16 round, lo = bf16(residual); the lo·lo term is below f32
+    rounding. Matches XLA's HIGH quality (quality-neutral to 0.001 dB on
+    the north-star cube, docs/perf.md) at ~2x the HIGHEST rate. The
+    constant DFT matrices ``fr``/``fi`` are split once and the splits are
+    reused for every dot that passes them by identity.
+    """
+    if precision != jax.lax.Precision.HIGH:
+        return functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                                 precision=precision)
+
+    def _split(a):
+        hi = a.astype(jnp.bfloat16)
+        return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    _raw = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    fr_s = _split(fr)
+    fi_s = _split(fi)
+
+    def dot(a, b):
+        a_s = fr_s if a is fr else (fi_s if a is fi else _split(a))
+        b_s = fr_s if b is fr else (fi_s if b is fi else _split(b))
+        return (_raw(a_s[0], b_s[0]) + _raw(a_s[0], b_s[1])
+                + _raw(a_s[1], b_s[0]))
+
+    return dot
+
+
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
             fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
             soft: bool, precision):
@@ -59,8 +95,7 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
     xr = xr_ref[...]
     xi = xi_ref[...]
 
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=precision)
+    dot = _make_dot(precision, fr, fi)
 
     # forward: Y = F @ x ; X = Y @ F^T (F symmetric -> use F directly)
     yr = dot(fr, xr) - dot(fi, xi)
@@ -177,9 +212,10 @@ def pocs_iteration_fused(
 # shared constants. Regular + fast versions, hard/soft thresholds.
 # ---------------------------------------------------------------------------
 
-def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
+def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
-                  soft: bool, niter: int, precision, basis: str = "fft"):
+                  soft: bool, niter: int, precision, fast: bool,
+                  basis: str = "fft"):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
@@ -188,14 +224,15 @@ def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
     mask = mask_ref[...]
     keep = 1.0 - alpha * mask
 
-    dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
-                            precision=precision)
+    dot = _make_dot(precision, fr, fi)  # HIGH = hand-rolled bf16x3, see above
 
     def one(j, carry):
-        xr_prev, xi_prev, xr, xi = carry
+        xr_prev, xi_prev, xr, xi, v, cost_prev = carry
         tau = tau_ref[i, j]
-        f = frac_ref[j]
-        # FPOCS extrapolation (f == 0 for 'regular' -> identity)
+        # per-slice Nesterov schedule with adaptive restart (matches the
+        # XLA scan in models/pocs.py exactly); frac == 0 for 'regular'
+        v1 = (1.0 + jnp.sqrt(1.0 + 4.0 * v * v)) / 2.0
+        f = (v - 1.0) / (v1 + 1.0) if fast else jnp.float32(0.0)
         yr_in = xr + f * (xr - xr_prev)
         yi_in = xi + f * (xi - xi_prev)
 
@@ -233,20 +270,32 @@ def _solve_kernel(tau_ref, frac_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             scale = 1.0 / (n * n)
         new_r = rr * scale * keep + alpha * obr
         new_i = ri * scale * keep + alpha * obi
-        return xr, xi, new_r, new_i
 
-    xr_prev, xi_prev, xr, xi = jax.lax.fori_loop(
-        0, niter - 1, one, (obr, obi, obr, obi))
-    _, _, xr_fin, xi_fin = one(niter - 1, (xr_prev, xi_prev, xr, xi))
+        # per-iteration cost (Gao et al. 2013), needed for the restart test
+        # and reported (final iteration) exactly like the XLA scan's
+        mag_new = jnp.sqrt(new_r * new_r + new_i * new_i)
+        mag_old = jnp.sqrt(xr * xr + xi * xi)
+        d = jnp.sum(mag_new - mag_old)
+        s = jnp.sum(mag_new)
+        cost = (d * d) / jnp.where(s == 0.0, 1.0, s * s)
+
+        if fast:
+            # adaptive restart (O'Donoghue & Candès 2015): on a cost
+            # increase, re-alias x_prev to the NEW iterate (momentum -> 0
+            # next step) and reset the Nesterov counter
+            restart = cost > cost_prev
+            pr = jnp.where(restart, new_r, xr)
+            pi = jnp.where(restart, new_i, xi)
+            v_next = jnp.where(restart, 1.0, v1)
+        else:
+            pr, pi, v_next = xr, xi, v1
+        return pr, pi, new_r, new_i, v_next, cost
+
+    init = (obr, obi, obr, obi, jnp.float32(1.0), jnp.float32(jnp.inf))
+    _, _, xr_fin, xi_fin, _, cost_fin = jax.lax.fori_loop(0, niter, one, init)
     outr_ref[...] = xr_fin
     outi_ref[...] = xi_fin
-    # final-iteration cost (Gao et al. 2013), matching the XLA scan:
-    # (sum(|x_new| - |x_prev|))^2 / (sum|x_new|)^2 per slice
-    mag_new = jnp.sqrt(xr_fin * xr_fin + xi_fin * xi_fin)
-    mag_old = jnp.sqrt(xr * xr + xi * xi)
-    d = jnp.sum(mag_new - mag_old)
-    s = jnp.sum(mag_new)
-    cost_ref[i] = (d * d) / jnp.where(s == 0.0, 1.0, s * s)
+    cost_ref[i] = cost_fin
 
 
 def pocs_solve_fused(
@@ -256,7 +305,6 @@ def pocs_solve_fused(
     alpha: float = 0.75,
     thresh_op: str = "hard",
     version: str = "fast",
-    fracs=None,
     interpret: bool = False,
     precision=None,
     basis: str = "fft",
@@ -264,13 +312,14 @@ def pocs_solve_fused(
     """The COMPLETE POCS solve in one kernel launch per slice.
 
     ``obs``: (B, N, N) pair; ``mask``: (N, N); ``decay``: (niter, B)
-    per-iteration per-slice thresholds; ``fracs``: (niter,) FPOCS momentum
-    fractions (zeros for 'regular'); ``basis``: 'fft' (matmul-DFT) or
-    'dct' (orthonormal DCT-II — 4x fewer dots per iteration). Returns
-    ``(result, final_cost)`` — the final-iteration cost matches the XLA
-    scan's telemetry; per-iteration history / early stopping are
-    intentionally not supported (this is the fixed-iteration production
-    path; use the XLA scan for instrumented runs).
+    per-iteration per-slice thresholds; ``version='fast'`` runs true
+    Nesterov momentum with adaptive restart in-kernel (identical math to
+    the XLA scan); ``basis``: 'fft' (matmul-DFT) or 'dct' (orthonormal
+    DCT-II — 4x fewer dots per iteration). Returns ``(result, final_cost)``
+    — the final-iteration cost matches the XLA scan's telemetry;
+    per-iteration history / early stopping are intentionally not supported
+    (this is the fixed-iteration production path; use the XLA scan for
+    instrumented runs).
     """
     if thresh_op not in ("hard", "soft"):
         raise ValueError("fused kernel supports hard/soft thresholds")
@@ -282,10 +331,6 @@ def pocs_solve_fused(
     assert n == n2, "square slices required"
     decay = jnp.asarray(decay, jnp.float32)
     niter = decay.shape[0]
-    if fracs is None or version == "regular":
-        import numpy as _np
-
-        fracs = _np.zeros(niter, _np.float32)
     if basis == "dct":
         c = dft.dct2_matrix(n)
         fr, fi = c, c.T.copy()
@@ -293,35 +338,36 @@ def pocs_solve_fused(
         fr, fi = dft.dft_matrices(n)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau, fc: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau, fc: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             # per-slice scalar cost: Mosaic rejects rank-1 blocks smaller
             # than the full array unless 128-multiples (interpret mode
             # masked this; caught by an on-device lowering run), so every
             # program sees the WHOLE (b,) vector in SMEM and writes its own
             # cost_ref[program_id] slot
-            pl.BlockSpec((b,), lambda i, tau, fc: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b,), lambda i, tau: (0,), memory_space=pltpu.SMEM),
         ],
     )
 
-    def kernel(tau_ref, frac_ref, xr, xi, mask_r, fr_r, fi_r, outr, outi, cost):
+    def kernel(tau_ref, xr, xi, mask_r, fr_r, fi_r, outr, outi, cost):
         _solve_kernel(
-            tau_ref, frac_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
+            tau_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0], cost,
             n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
             niter=int(niter),
             precision=(precision if precision is not None
                        else jax.lax.Precision.HIGHEST),
+            fast=(version == "fast"),
             basis=basis,
         )
 
@@ -338,7 +384,6 @@ def pocs_solve_fused(
         interpret=interpret,
     )(
         decay.T,  # (B, niter) scalar-prefetch: tau_ref[i, j]
-        jnp.asarray(fracs, jnp.float32),
         obs.re, obs.im,
         jnp.asarray(mask, jnp.float32),
         jnp.asarray(fr), jnp.asarray(fi),
