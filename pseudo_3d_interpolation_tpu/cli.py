@@ -63,8 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = cmd("reproject", 2, "reproject trace coordinates between CRSs")
     p.add_argument("input")
-    p.add_argument("--src-epsg", type=int, required=True)
-    p.add_argument("--dst-epsg", type=int, required=True)
+    p.add_argument("--src-epsg", "--src-crs", dest="src_epsg", required=True,
+                   help="source CRS: EPSG code, 'EPSG:xxxx', WKT or proj "
+                        "string, or @file containing a WKT (any pyproj-style "
+                        "spec, like the reference)")
+    p.add_argument("--dst-epsg", "--dst-crs", dest="dst_epsg", required=True,
+                   help="destination CRS (same spellings as --src-epsg)")
     p.add_argument("--smooth-window", type=int, default=None)
     p.add_argument("--coords-bytes", type=int, nargs=2, default=(73, 77),
                    metavar=("XBYTE", "YBYTE"),

@@ -747,15 +747,17 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
 # ===========================================================================
 # 02 — reproject (reference reproject_segy.py:73-169)
 # ===========================================================================
-def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = None,
+def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
               coords_bytes=(73, 77), scalar: int = -100, inplace: bool = False,
               output_dir=None, verbose: int = 0) -> list[str]:
     """Reproject trace-header coordinates between CRSs (reference
-    reproject_segy.py:73-169). Any EPSG supported by ``utils.crs`` works:
-    geographic, UTM (analytic), Lambert conformal conic, polar
-    stereographic, and Mercator codes from the registry, plus anything
-    added via ``utils.crs.register_crs`` (the pyproj-custom-CRS analogue).
+    reproject_segy.py:73-169). Either side takes any CRS spec the
+    reference hands to pyproj: an EPSG code, a WKT1/WKT2 string, a proj
+    string, or a projection instance (``utils.crs.parse_crs``); further
+    codes can be added via ``utils.crs.register_crs``.
     """
+    from ..utils.crs import crs_label
+
     def _one(p):
         with SegyFile(p) as f:
             x, y, units = scale_coordinates(f, coords_bytes)
@@ -767,7 +769,7 @@ def reproject(path, src_epsg: int, dst_epsg: int, smooth_window: int | None = No
             out = _output_path(p, inplace, "reproj", output_dir)
             _rewrite(
                 f, out, f.trace_data(),
-                f"REPROJECT EPSG:{src_epsg}->EPSG:{dst_epsg}",
+                f"REPROJECT {crs_label(src_epsg)}->{crs_label(dst_epsg)}",
                 header_updates={
                     "SourceX": xi, "SourceY": yi,
                     "CDP_X": xi, "CDP_Y": yi,
@@ -955,7 +957,15 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
         merge_small_files(args.input, min_kb=args.min_kb, max_gap_s=args.max_gap_s,
                           output_dir=args.output_dir, verbose=verbose)
     elif cmd == "reproject":
-        reproject(args.input, args.src_epsg, args.dst_epsg,
+        def _crs_arg(spec):
+            # '@file' reads a WKT (or proj string) from a file — WKTs are
+            # unwieldy on a command line
+            if isinstance(spec, str) and spec.startswith("@"):
+                with open(spec[1:]) as fh:
+                    return fh.read().strip()
+            return spec
+
+        reproject(args.input, _crs_arg(args.src_epsg), _crs_arg(args.dst_epsg),
                   smooth_window=args.smooth_window,
                   coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
                   scalar=getattr(args, "scalar", -100),

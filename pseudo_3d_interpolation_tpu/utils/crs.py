@@ -131,24 +131,23 @@ def utm_zone_params(epsg: int) -> tuple[float, float]:
     raise ValueError(f"EPSG:{epsg} is not a supported UTM code (326xx/327xx)")
 
 
-def transform(x, y, src_epsg: int, dst_epsg: int):
+def transform(x, y, src, dst):
     """Transform coordinate arrays between supported CRSs.
 
     Geographic CRS order: (x, y) = (longitude, latitude) like pyproj with
-    ``always_xy=True``. Any EPSG resolvable by :func:`get_projection`
-    (UTM analytically; LCC / polar stereographic / Mercator / custom codes
-    via the registry) works on either side.
+    ``always_xy=True``. Either side takes any :func:`parse_crs` spec — an
+    EPSG code (UTM analytically; LCC / polar stereographic / Mercator /
+    LAEA / custom codes via the registry), a WKT1/WKT2 string, a proj
+    string, or a projection instance — the same input surface the
+    reference gets from pyproj (reproject_segy.py:73-169).
     """
-    src_epsg, dst_epsg = int(src_epsg), int(dst_epsg)
-    if src_epsg == dst_epsg:
-        return np.asarray(x, np.float64), np.asarray(y, np.float64)
-    if src_epsg == 4326:
-        lon, lat = np.asarray(x, np.float64), np.asarray(y, np.float64)
-    else:
-        lat, lon = get_projection(src_epsg).inverse(x, y)
-    if dst_epsg == 4326:
-        return lon, lat
-    return get_projection(dst_epsg).forward(lat, lon)
+    if type(src) is type(dst):
+        try:
+            if src == dst:
+                return np.asarray(x, np.float64), np.asarray(y, np.float64)
+        except Exception:
+            pass
+    return transform_any(x, y, src, dst)
 
 
 def dms_to_dd(degrees, minutes=0.0, seconds=0.0):
@@ -763,6 +762,27 @@ def parse_crs(spec):
     if hasattr(spec, "forward") and hasattr(spec, "inverse"):
         return spec
     raise TypeError(f"unsupported CRS spec type {type(spec).__name__}")
+
+
+def crs_label(spec) -> str:
+    """Short human-readable label for a CRS spec (for textual-header
+    provenance notes; reference writes 'EPSG:xxxx' — header.py:250-364)."""
+    if spec is None or spec is GEOGRAPHIC:
+        return "EPSG:4326"
+    if isinstance(spec, int) or (isinstance(spec, str) and spec.strip().isdigit()):
+        return f"EPSG:{int(spec)}"
+    if isinstance(spec, str):
+        s = spec.strip()
+        if s.upper().startswith("EPSG:"):
+            return s.upper()
+        if s.startswith("+") or s.lower().startswith("proj="):
+            return s[:40]
+        if "[" in s:
+            # WKT: use the CRS name (first quoted string)
+            mm = re.search(r'"([^"]+)"', s)
+            return f"WKT:{mm.group(1)[:36]}" if mm else "WKT"
+        return s[:40]
+    return type(spec).__name__
 
 
 def transform_any(x, y, src, dst):

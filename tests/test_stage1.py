@@ -494,3 +494,49 @@ def test_despike_tiny_section_extension_exact():
     d[30, 1] = 25.0
     c, s = stage1.despike_section(d, window=(9, 5), threshold=5.0)
     assert c.shape == d.shape and s[30, 1]
+
+
+def test_reproject_accepts_wkt_and_proj_specs(tmp_path):
+    """reproject() takes any parse_crs spec (reference: any pyproj CRS,
+    reproject_segy.py:73-169) — WKT source, proj-string destination."""
+    wkt_utm32 = (
+        'PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],'
+        'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, x0=500000.0, y0=6000000.0, seed=11)
+    out = stage1.reproject(p, wkt_utm32, "+proj=longlat +datum=WGS84")[0]
+    with SegyFile(out) as f:
+        lon = f.header("SourceX") / 100.0
+        lat = f.header("SourceY") / 100.0
+        assert "WKT:WGS 84 / UTM zone 32N" in f.text
+    assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
+
+
+def test_reproject_cli_wkt_file(tmp_path):
+    """p3d reproject --src-epsg @file.wkt --dst-epsg EPSG:4326."""
+    from pseudo_3d_interpolation_tpu.cli import main as cli_main
+
+    wkt_utm32 = (
+        'PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],'
+        'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    wf = tmp_path / "src.wkt"
+    wf.write_text(wkt_utm32)
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, x0=500000.0, y0=6000000.0, seed=11)
+    rc = cli_main(["reproject", p, "--src-epsg", f"@{wf}",
+                   "--dst-epsg", "EPSG:4326"])
+    assert rc == 0
+    out = p.replace(".sgy", "_reproj.sgy")
+    with SegyFile(out) as f:
+        lon = f.header("SourceX") / 100.0
+    assert 8.9 < lon[0] < 9.1

@@ -283,3 +283,132 @@ class TestArbitraryCRS:
         assert abs(la[0] - 28.5) < 1e-9 and abs(lo[0] + 96.0) < 1e-9
         with pytest.raises(ValueError, match="register_crs"):
             crs.get_projection(99999)
+
+
+# --------------------- WKT / proj-string / parse_crs -------------------------
+WKT1_UTM33N = '''PROJCS["WGS 84 / UTM zone 33N",
+    GEOGCS["WGS 84",DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+    PROJECTION["Transverse_Mercator"],
+    PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",15],
+    PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],
+    PARAMETER["false_northing",0],UNIT["metre",1]]'''
+
+WKT2_LAEA_EUROPE = '''PROJCRS["ETRS89-extended / LAEA Europe",
+    BASEGEOGCRS["ETRS89",DATUM["European Terrestrial Reference System 1989",
+        ELLIPSOID["GRS 1980",6378137,298.257222101,LENGTHUNIT["metre",1]]]],
+    CONVERSION["Europe Equal Area 2001",
+        METHOD["Lambert Azimuthal Equal Area",ID["EPSG",9820]],
+        PARAMETER["Latitude of natural origin",52,
+            ANGLEUNIT["degree",0.0174532925199433]],
+        PARAMETER["Longitude of natural origin",10,
+            ANGLEUNIT["degree",0.0174532925199433]],
+        PARAMETER["False easting",4321000,LENGTHUNIT["metre",1]],
+        PARAMETER["False northing",3210000,LENGTHUNIT["metre",1]]],
+    CS[Cartesian,2],
+        AXIS["northing (Y)",north],AXIS["easting (X)",east],
+        LENGTHUNIT["metre",1],ID["EPSG",3035]]'''
+
+
+class TestCRSIngestion:
+    """WKT/proj-string/EPSG ingestion (reference: any pyproj CRS,
+    reproject_segy.py:73-169) against published EPSG test points."""
+
+    def test_wkt1_utm_matches_analytic_utm(self):
+        pr = crs.crs_from_wkt(WKT1_UTM33N)
+        ref = crs.get_projection(32633)
+        lat, lon = np.array([54.0, -12.5]), np.array([16.2, 13.1])
+        e1, n1 = pr.forward(lat, lon)
+        e2, n2 = ref.forward(lat, lon)
+        assert np.allclose(e1, e2, atol=1e-9) and np.allclose(n1, n2, atol=1e-9)
+
+    def test_wkt2_laea_epsg_published_point(self):
+        # EPSG Guidance Note 7-2, method 9820 worked example (ETRS89 / LAEA
+        # Europe): 50N 5E -> E 3962799.45, N 2999718.85
+        pr = crs.crs_from_wkt(WKT2_LAEA_EUROPE)
+        e, n = pr.forward(50.0, 5.0)
+        assert abs(e - 3962799.45) < 0.01 and abs(n - 2999718.85) < 0.01
+        la, lo = pr.inverse(e, n)
+        # authalic->geodetic series is truncated at sin(6*beta): ~1e-8 deg
+        assert abs(la - 50.0) < 1e-7 and abs(lo - 5.0) < 1e-7
+
+    def test_registry_3035_matches_wkt(self):
+        e, n = crs.get_projection(3035).forward(50.0, 5.0)
+        assert abs(e - 3962799.45) < 0.01 and abs(n - 2999718.85) < 0.01
+
+    def test_laea_is_equal_area(self):
+        # Jacobian determinant of forward() == ellipsoidal area element
+        pr = crs.get_projection(3035)
+        el = pr.el
+        for lat, lon in ((50.0, 5.0), (62.0, 25.0), (38.0, -8.0)):
+            d = 1e-6
+            e0, n0 = pr.forward(lat, lon)
+            e1, n1 = pr.forward(lat + d, lon)
+            e2, n2 = pr.forward(lat, lon + d)
+            det = abs((e1 - e0) * (n2 - n0) - (e2 - e0) * (n1 - n0))
+            s = np.sin(np.deg2rad(lat))
+            M = el.a * (1 - el.e2) / (1 - el.e2 * s * s) ** 1.5
+            nu = el.a / np.sqrt(1 - el.e2 * s * s)
+            truth = (np.deg2rad(d) * M) * (np.deg2rad(d) * nu
+                                           * np.cos(np.deg2rad(lat)))
+            assert abs(det / truth - 1.0) < 1e-6, (lat, lon)
+
+    def test_proj_string_utm(self):
+        pr = crs.crs_from_proj("+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs")
+        ref = crs.get_projection(32633)
+        e1, n1 = pr.forward(54.0, 16.2)
+        e2, n2 = ref.forward(54.0, 16.2)
+        assert abs(e1 - e2) < 1e-9 and abs(n1 - n2) < 1e-9
+
+    def test_proj_string_laea(self):
+        pr = crs.crs_from_proj(
+            "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+            "+ellps=GRS80 +units=m")
+        e, n = pr.forward(50.0, 5.0)
+        assert abs(e - 3962799.45) < 0.01 and abs(n - 2999718.85) < 0.01
+
+    def test_wkt1_lcc1sp_jamaica_published_point(self):
+        # EPSG Guidance Note 7-2 LCC-1SP worked example (Jamaica National
+        # Grid, Clarke 1866): 17 55'55.8"N 76 56'37.26"W -> 255966.58, 142493.51
+        wkt = '''PROJCS["Jamaica 1969 / Jamaica National Grid",
+            GEOGCS["Jamaica 1969",DATUM["Jamaica_1969",
+                SPHEROID["Clarke 1866",6378206.4,294.978698213898]],
+                PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+            PROJECTION["Lambert_Conformal_Conic_1SP"],
+            PARAMETER["latitude_of_origin",18],
+            PARAMETER["central_meridian",-77],
+            PARAMETER["scale_factor",1],
+            PARAMETER["false_easting",250000],
+            PARAMETER["false_northing",150000],UNIT["metre",1]]'''
+        pr = crs.crs_from_wkt(wkt)
+        lat = crs.dms_to_dd(17, 55, 55.80)
+        lon = -crs.dms_to_dd(76, 56, 37.26)
+        e, n = pr.forward(lat, lon)
+        assert abs(e - 255966.58) < 0.02 and abs(n - 142493.51) < 0.02
+
+    def test_parse_crs_spellings(self):
+        assert crs.parse_crs(4326) is crs.GEOGRAPHIC
+        assert crs.parse_crs("EPSG:4258") is crs.GEOGRAPHIC  # ETRS89 geographic
+        pr33 = crs.parse_crs("32633")  # UTM instances are built per call
+        e1, n1 = pr33.forward(54.0, 16.2)
+        e2, n2 = crs.get_projection(32633).forward(54.0, 16.2)
+        assert abs(e1 - e2) < 1e-9 and abs(n1 - n2) < 1e-9
+        pr = crs.get_projection(3035)
+        assert crs.parse_crs(pr) is pr
+        assert isinstance(crs.parse_crs(WKT1_UTM33N),
+                          crs.TransverseMercatorProj)
+        with pytest.raises(ValueError, match="unrecognized"):
+            crs.parse_crs("not a crs")
+
+    def test_wkt_unsupported_method_raises(self):
+        bad = WKT1_UTM33N.replace("Transverse_Mercator", "Krovak")
+        with pytest.raises(ValueError, match="register_crs"):
+            crs.crs_from_wkt(bad)
+
+    def test_transform_any_wkt_to_epsg_roundtrip(self):
+        x = np.array([500000.0, 455000.0])
+        y = np.array([5.98e6, 6.02e6])
+        ex, ny = crs.transform_any(x, y, WKT1_UTM33N, "EPSG:3035")
+        xb, yb = crs.transform_any(ex, ny, 3035, WKT1_UTM33N)
+        assert np.allclose(xb, x, atol=1e-6) and np.allclose(yb, y, atol=1e-6)
