@@ -58,6 +58,7 @@ def _arm_watchdog(seconds: float = 900.0):
 
 
 def main():
+    t_start = time.perf_counter()
     watchdog = _arm_watchdog()
 
     import jax
@@ -66,10 +67,16 @@ def main():
     from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
     from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
     from pseudo_3d_interpolation_tpu.ops.cplx import Cplx, from_complex
+    from pseudo_3d_interpolation_tpu.utils.compcache import enable_persistent_cache
 
-    H = W = 512
-    B = 32  # slices per dispatch (throughput saturates here; see docs/perf.md)
-    NITER = 50
+    enable_persistent_cache()
+
+    import os
+
+    # production gate shape; env overrides exist for CPU smoke tests only
+    H = W = int(os.environ.get("BENCH_N", 512))
+    B = int(os.environ.get("BENCH_BATCH", 32))  # throughput saturates here (docs/perf.md)
+    NITER = int(os.environ.get("BENCH_NITER", 50))
 
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:H, 0:W]
@@ -145,7 +152,71 @@ def main():
         "value": round(slice_iters_per_sec, 1),
         "unit": "slice-iterations/s (512x512 FPOCS, FFT basis, f32-highest" + path_note + ")",
         "vs_baseline": round(slice_iters_per_sec / northstar_per_chip, 2),
-    }))
+    }), flush=True)
+
+    # --- per-basis tail (VERDICT r2 #5): directional-basis regressions must
+    # be driver-visible, not only in the manual bench_detail study. One JSON
+    # line per production basis, same schema, headline stays first. Skipped
+    # when the remaining time budget is spent (cold directional compiles run
+    # 1-3 min each; with the persistent cache enabled above they are
+    # seconds) or via BENCH_HEADLINE_ONLY=1.
+    if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
+        return
+    budget_s = float(os.environ.get("BENCH_TAIL_BUDGET_S", 720.0))
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+
+    # p_min='adaptive' is shearlet-specific (reference POCS.py:302-324);
+    # CURVELET/WAVELET run the numeric-p_min branch like the north-star runner
+    tail = [("SHEARLET", {"precision": "highest"}, "adaptive"),
+            ("CURVELET", {"precision": "highest"}, 1e-5),
+            ("WAVELET", {}, 1e-5)]
+    for kind, kw, p_min in tail:
+        if time.perf_counter() - t_start > budget_s:
+            print(json.dumps({
+                "metric": f"pocs_slice_iters_per_sec_512x512_{kind.lower()}",
+                "value": 0.0,
+                "unit": "slice-iterations/s [SKIPPED: bench time budget spent"
+                        " — run bench_detail.py for the full gate]",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            continue
+        try:
+            tr = get_transform(kind, **kw)
+            tcfg = POCSConfig(niter=NITER, thresh_op="hard",
+                              thresh_model="exponential", p_min=p_min,
+                              version="fast", alpha=0.75, eps=0.0)
+
+            def tsolve(z, m, scale, tr=tr, tcfg=tcfg):
+                z = type(z)(z.re * scale, z.im * scale)
+                r = pocs_interpolate(z, m, tr, tcfg)
+                return jnp.sum(r.data.re) + jnp.sum(r.data.im)
+
+            tb = 8  # directional bases: smaller batch, same per-slice math
+            ztail = Cplx(z.re[:tb], z.im[:tb])
+            tfn = jax.jit(tsolve)
+            float(tfn(ztail, m, jnp.float32(1.0)))  # compile + warm
+            reps_t = 3
+            t0 = time.perf_counter()
+            acct = tfn(ztail, m, jnp.float32(1.0))
+            for i in range(1, reps_t):
+                acct = acct + tfn(ztail, m, jnp.float32(1.0 + 0.001 * i))
+            float(acct)
+            rate = tb * NITER / ((time.perf_counter() - t0) / reps_t)
+            print(json.dumps({
+                "metric": f"pocs_slice_iters_per_sec_512x512_{kind.lower()}",
+                "value": round(rate, 1),
+                "unit": f"slice-iterations/s (512x512 FPOCS, {kind} basis"
+                        + (", f32-highest" if kw else "") + ")",
+                "vs_baseline": round(rate / northstar_per_chip, 2),
+            }), flush=True)
+        except Exception as e:  # never let a tail basis kill the headline run
+            print(json.dumps({
+                "metric": f"pocs_slice_iters_per_sec_512x512_{kind.lower()}",
+                "value": 0.0,
+                "unit": f"slice-iterations/s [FAILED: {type(e).__name__}: "
+                        f"{str(e)[:120]}]",
+                "vs_baseline": 0.0,
+            }), flush=True)
 
 
 if __name__ == "__main__":
