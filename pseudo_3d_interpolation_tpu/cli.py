@@ -250,6 +250,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="skip steps whose artifacts already exist in workdir")
 
+    p = sub.add_parser("warmup", help="pre-compile the POCS solve into the "
+                                      "persistent cache (cold-start fix)")
+    _add_common(p)
+    p.add_argument("--params", default=None,
+                   help="POCS parameter YAML (reference format); default = "
+                        "the p3d pocs defaults for --transform")
+    p.add_argument("--transform", default="SHEARLET",
+                   choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"],
+                   help="basis when no --params YAML is given")
+    p.add_argument("--niter", type=int, default=50)
+    p.add_argument("--shape", type=int, nargs=2, default=(512, 512),
+                   metavar=("ILINES", "XLINES"),
+                   help="production slice shape, or use --like")
+    p.add_argument("--like", default=None, metavar="CUBE",
+                   help="read the slice shape from this cube (.nc) instead")
+    p.add_argument("--batch", type=int, default=64,
+                   help="slices per dispatch (match the production run)")
+
     sub.add_parser("version", help="print version")
     return ap
 
@@ -404,6 +422,26 @@ def main(argv=None) -> int:
 
         final = run_pipeline(args.config, verbose=v, resume=args.resume)
         xprint(f"final artifact: {final}", kind="success", verbosity=v)
+    elif cmd == "warmup":
+        from .models.pocs import POCSConfig
+        from .pipeline.pocs import warmup
+
+        shape = tuple(args.shape)
+        if args.like:
+            from .io.ncio import CubeFile
+
+            with CubeFile(args.like) as cf:
+                var = next(vv for vv in cf.data_vars
+                           if vv not in ("fold", "amp_ref", "mask"))
+                dims = cf.dims_of(var)
+                shape = (len(cf.coords[dims[0]]), len(cf.coords[dims[1]]))
+        cfg = args.params if args.params else POCSConfig(
+            niter=args.niter, thresh_op="hard", thresh_model="exponential",
+            p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
+            version="fast", alpha=0.75, eps=1e-16,
+            transform_kind=args.transform,
+        )
+        warmup(cfg, shape, batch=args.batch, verbose=v)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation
 

@@ -341,3 +341,67 @@ def interpolate(
         with open(os.path.splitext(out_path)[0] + "_parameter.yml", "w") as f:
             yaml.safe_dump({"metadata": _dc.asdict(config)}, f)
     return out
+
+
+def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0) -> float:
+    """Pre-compile the production solve into the persistent compilation
+    cache; returns the wall seconds spent.
+
+    Cold-start mitigation (a fresh deployment's first directional-basis
+    solve spends 1.5-3.5 min in XLA compilation — docs/perf.md): run
+    ``p3d warmup`` once after install/config changes and the first real
+    batch then starts at warm-start speed. Compiles the SAME programs the
+    drivers dispatch — the device-resident single-chip driver and/or the
+    mesh-sharded driver — by executing one tiny batch at the production
+    slice shape, so the cache keys (HLO for (batch, H, W) at the config's
+    basis/precision/version) match exactly.
+
+    The reference has no equivalent (dask workers re-import per run);
+    cache-dir override via ``P3D_COMPILATION_CACHE``.
+    """
+    import time as _time
+
+    import jax as _jax
+
+    from ..models.transforms import get_transform
+    from ..parallel import mesh as mesh_lib
+    from ..parallel.solver import interpolate_cube as _ic
+    from ..parallel.solver import interpolate_cube_resident as _icr
+    from ..utils.compcache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    extra = {}
+    if not isinstance(config, POCSConfig):
+        config, extra = config_from_yaml(config)
+    transform_kwargs = {k: extra[k] for k in (
+        "wavelet", "level", "n_scales", "precision",
+        "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
+    transform = get_transform(config.transform_kind, **transform_kwargs)
+
+    h, w = int(shape[0]), int(shape[1])
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(h, w)) < 0.5).astype(np.float32)
+
+    t0 = _time.perf_counter()
+    if mesh is None and _jax.device_count() == 1:
+        # single-chip production runs auto-engage the device-resident
+        # driver (interpolate() above); mirror its min(batch, 32) bucketing
+        b = min(batch, 32)
+        data = (rng.normal(size=(b, h, w)).astype(np.float32)
+                + 1j * rng.normal(size=(b, h, w)).astype(np.float32))
+        _icr(data.astype(np.complex64), mask, config, transform=transform,
+             batch=b)
+    else:
+        if mesh is None:
+            mesh = mesh_lib.make_mesh()
+        b = mesh_lib.pad_to_multiple(min(batch, 64), mesh.devices.size)
+        data = (rng.normal(size=(b, h, w)).astype(np.float32)
+                + 1j * rng.normal(size=(b, h, w)).astype(np.float32))
+        _ic(data.astype(np.complex64), mask, config, mesh=mesh,
+            transform=transform, batch=b)
+    dt = _time.perf_counter() - t0
+    xprint(
+        f"warmup: {config.transform_kind}/{config.version} solve for "
+        f"({b},{h},{w}) compiled+run in {dt:.1f}s (cache: {cache_dir})",
+        kind="success", verbosity=verbose)
+    return dt

@@ -34,9 +34,19 @@ def enable_persistent_cache(path: str | None = None) -> str:
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
+    # jax latches its cache object on first use; if a cache at another dir
+    # was already initialized in this process (e.g. a prior run with a
+    # different P3D_COMPILATION_CACHE), drop it so the new dir takes effect
+    try:
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
+    except Exception:
+        pass  # private API; harmless if unavailable — first-use init wins
     # cache everything that took noticeable time; tiny programs recompile
-    # faster than they deserialize
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # faster than they deserialize (threshold overridable for tests)
+    min_secs = float(os.environ.get("P3D_CACHE_MIN_COMPILE_SECS", 1.0))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
     return path
