@@ -397,6 +397,10 @@ def main(argv=None) -> int:
             written.append(qclib.plot_seismic_image(
                 data[i].T, twt=twt, title=f"{base} iline {i}",
                 path=os.path.join(args.output_dir, f"{base}_il{i}.png")))
+            if data.shape[0] > 1:
+                written.append(qclib.plot_iline_grid(
+                    data, twt=twt, title=base,
+                    path=os.path.join(args.output_dir, f"{base}_iline_grid.png")))
             if "fold" in cube.data_vars:
                 written.append(qclib.plot_fold_map(
                     cube["fold"], path=os.path.join(args.output_dir, f"{base}_fold.png")))

@@ -1,6 +1,7 @@
 """QC / observability: plotting, solver inversion panels, metrics reports."""
 
 from .plot import (
+    plot_iline_grid,
     plot_seismic_image,
     plot_seismic_difference,
     plot_seismic_wiggle,

@@ -18,8 +18,9 @@ import matplotlib.pyplot as plt  # noqa: E402
 from ..ops import signal as sig  # noqa: E402
 
 
-def _finish(fig, path):
-    fig.tight_layout()
+def _finish(fig, path, tight=True):
+    if tight:
+        fig.tight_layout()
     if path:
         fig.savefig(path, dpi=150)
         plt.close(fig)
@@ -31,63 +32,149 @@ def _clip(data, perc=99.0):
     return -v, v
 
 
-def plot_seismic_image(data, twt=None, title=None, perc=99.0, cmap="gray_r",
-                       path=None, ax=None):
-    """Variable-density section; ``data`` is (nsamples, ntraces)."""
-    data = np.asarray(data)
+def _time_axis(data, dt, twt):
+    """(t, ylabel) from dt or twt — reference accepts either
+    (plot.py:83-89); falls back to sample index when neither is given."""
+    ns = data.shape[0]
+    if twt is not None:
+        return np.asarray(twt, float), None
+    if dt is not None:
+        return np.linspace(0.0, dt * ns, ns), None
+    return np.arange(ns, dtype=float), "sample"
+
+
+def _apply_norm(data, norm):
+    """Reference norm semantics (plot.py:92-96): True/'rms' -> per-trace
+    RMS normalization, 'max'/'peak' -> global peak normalization."""
+    if norm is True or (isinstance(norm, str) and norm.lower() == "rms"):
+        return np.asarray(sig.rms_normalization(np.asarray(data, np.float32),
+                                                axis=0))
+    if isinstance(norm, str) and norm.lower() in ("max", "peak"):
+        peak = np.max(np.abs(data)) or 1.0
+        return data / peak
+    return data
+
+
+def plot_seismic_image(data, dt=None, twt=None, traces=None, title=None,
+                       perc=99.0, cmap="gray_r", gain=1.0, norm=False,
+                       env=False, reverse=False, units="s",
+                       show_colorbar=True, path=None, ax=None):
+    """Variable-density section; ``data`` is (nsamples, ntraces).
+
+    Option parity with the reference (plot.py:23-196): ``dt`` or ``twt``
+    time axis, ``traces`` x-coordinates, display ``gain``, ``norm``
+    (True/'rms'/'max'), ``env`` (sequential colormap from 0 for envelope
+    data), ``reverse`` profile orientation, time ``units`` label, and
+    colorbar toggle. ``perc`` percentile clipping is this library's
+    addition.
+    """
+    data = _apply_norm(np.asarray(data), norm)
+    if reverse:
+        data = data[:, ::-1]
     if ax is None:
         fig, ax = plt.subplots(figsize=(10, 6))
     else:
         fig = ax.figure
+    t, fallback = _time_axis(data, dt, twt)
     vmin, vmax = _clip(data, perc)
-    extent = None
-    if twt is not None:
-        extent = [0, data.shape[1], twt[-1], twt[0]]
-    im = ax.imshow(data, aspect="auto", cmap=cmap, vmin=vmin, vmax=vmax, extent=extent)
+    vmin, vmax = vmin / gain, vmax / gain
+    if env:
+        cmap = "magma" if cmap == "gray_r" else cmap
+        vmin = 0.0
+    x0, x1 = ((traces[0], traces[-1]) if traces is not None
+              else (0, data.shape[1]))
+    if reverse and traces is not None:
+        x0, x1 = x1, x0
+    im = ax.imshow(data, aspect="auto", cmap=cmap, vmin=vmin, vmax=vmax,
+                   extent=[x0, x1, t[-1], t[0]])
     ax.set_xlabel("trace")
-    ax.set_ylabel("TWT (s)" if twt is not None else "sample")
+    ax.set_ylabel(fallback or f"TWT ({units})")
     if title:
         ax.set_title(title)
-    fig.colorbar(im, ax=ax, fraction=0.05, pad=0.02)
+    if show_colorbar:
+        fig.colorbar(im, ax=ax, fraction=0.05, pad=0.02)
     return _finish(fig, path)
 
 
-def plot_seismic_difference(before, after, twt=None, titles=("before", "after"),
-                            perc=99.0, path=None):
-    """Three panels: before / after / difference (reference plot.py:199ff)."""
-    before, after = np.asarray(before), np.asarray(after)
+def plot_seismic_difference(before, after, dt=None, twt=None, traces=None,
+                            titles=("before", "after"), perc=99.0,
+                            cmap="gray_r", gain=1.0, norm=False, env=False,
+                            reverse=False, units="s", show_colorbar=True,
+                            path=None):
+    """Three panels: before / after / difference, shared color scale
+    (reference plot_seismic_image_diff, plot.py:199-388, incl. its gain/
+    norm/env/reverse/units options and mismatched-shape zero difference)."""
+    before = _apply_norm(np.asarray(before), norm)
+    after = _apply_norm(np.asarray(after), norm)
+    diff = (before - after if before.shape == after.shape
+            else np.zeros_like(before))  # reference plot.py:277-280
     fig, axes = plt.subplots(1, 3, figsize=(16, 6), sharey=True)
+    t, fallback = _time_axis(before, dt, twt)
     vmin, vmax = _clip(before, perc)
-    extent = [0, before.shape[1], twt[-1], twt[0]] if twt is not None else None
-    for ax, d, t in zip(axes, [before, after, after - before],
-                        [titles[0], titles[1], "difference"]):
-        ax.imshow(d, aspect="auto", cmap="gray_r", vmin=vmin, vmax=vmax, extent=extent)
-        ax.set_title(t)
+    vmin, vmax = vmin / gain, vmax / gain
+    if env:
+        cmap = "magma" if cmap == "gray_r" else cmap
+        vmin = 0.0
+    im = None
+    for ax, d, ttl in zip(axes, [before, after, diff],
+                          [titles[0], titles[1], "difference"]):
+        if reverse:
+            d = d[:, ::-1]
+        x0, x1 = ((traces[0], traces[-1]) if traces is not None
+                  else (0, d.shape[1]))
+        if reverse and traces is not None:
+            x0, x1 = x1, x0
+        im = ax.imshow(d, aspect="auto", cmap=cmap, vmin=vmin, vmax=vmax,
+                       extent=[x0, x1, t[-1], t[0]])
+        ax.set_title(ttl)
         ax.set_xlabel("trace")
-    axes[0].set_ylabel("TWT (s)" if twt is not None else "sample")
+    axes[0].set_ylabel(fallback or f"TWT ({units})")
+    if show_colorbar:
+        fig.colorbar(im, ax=list(axes), fraction=0.03, pad=0.02)
+        return _finish(fig, path, tight=False)  # colorbar owns the layout
     return _finish(fig, path)
 
 
-def plot_seismic_wiggle(data, twt=None, scale=1.0, max_traces=60, fill=True,
+def plot_seismic_wiggle(data, dt=None, twt=None, traces=None, add_info=None,
+                        scale=1.0, gain=None, norm=False, max_traces=60,
+                        tr_step=None, fill=True, color="k", units="s",
                         title=None, path=None, ax=None):
-    """Wiggle traces with positive-lobe fill; ``data`` (nsamples, ntraces)."""
-    data = np.asarray(data)
+    """Wiggle traces with positive-lobe fill; ``data`` (nsamples, ntraces).
+
+    Option parity with the reference (plot.py:391-533): ``dt``/``twt``,
+    ``traces`` labels with optional ``add_info`` annotations appended,
+    ``gain``, ``norm`` (True/'rms'/'max'), ``tr_step`` decimation, fill
+    ``color`` and time ``units``. ``max_traces`` auto-picks tr_step when
+    it is not given.
+    """
+    data = _apply_norm(np.asarray(data), norm)
     ns, ntr = data.shape
-    step = max(1, ntr // max_traces)
-    t = np.asarray(twt) if twt is not None else np.arange(ns)
+    if add_info is not None and traces is not None:
+        assert len(add_info) == len(traces), \
+            f"add_info must match traces length ({len(traces)})"
+    step = tr_step or max(1, ntr // max_traces)
+    t, fallback = _time_axis(data, dt, twt)
     if ax is None:
         fig, ax = plt.subplots(figsize=(10, 6))
     else:
         fig = ax.figure
-    norm = np.abs(data).max() or 1.0
+    amp = np.abs(data).max() or 1.0
+    sc = scale if gain is None else gain
     for k in range(0, ntr, step):
-        x = k + scale * step * data[:, k] / norm
-        ax.plot(x, t, "k-", lw=0.5)
+        x = k + sc * step * data[:, k] / amp
+        ax.plot(x, t, color=color, lw=0.5)
         if fill:
-            ax.fill_betweenx(t, k, x, where=x > k, color="k", lw=0)
+            ax.fill_betweenx(t, k, x, where=x > k, color=color, lw=0)
+    if traces is not None:
+        ticks = list(range(0, ntr, step))
+        labels = [str(traces[k]) for k in ticks]
+        if add_info is not None:
+            labels = [f"{lab}\n{add_info[k]}" for lab, k in zip(labels, ticks)]
+        ax.set_xticks(ticks)
+        ax.set_xticklabels(labels, fontsize=7)
     ax.set_ylim(t[-1], t[0])
     ax.set_xlabel("trace")
-    ax.set_ylabel("TWT (s)" if twt is not None else "sample")
+    ax.set_ylabel(fallback or f"TWT ({units})")
     if title:
         ax.set_title(title)
     return _finish(fig, path)
@@ -170,6 +257,46 @@ def plot_inversion_result(x_sparse, x_rec, metadata: dict | None = None,
     if title:
         fig.suptitle(title)
     return _finish(fig, path)
+
+
+def plot_iline_grid(data, ilines=None, twt=None, perc=99.0, cmap="gray_r",
+                    gain=1.0, units="s", title=None, path=None):
+    """Multi-iline subplot grid of a cube: N sections in a ceil(sqrt(N))
+    grid with one SHARED color scale and colorbar (the reference's grid-QC
+    pattern — trim_axes + subplot grids, plot.py:12-20, POCS.py:666-764).
+
+    ``data`` is (iline, xline, twt); ``ilines`` defaults to 6 sections
+    evenly spread over the cube.
+    """
+    data = np.asarray(data)
+    if ilines is None:
+        ilines = np.linspace(0, data.shape[0] - 1, min(6, data.shape[0]))
+        ilines = np.unique(ilines.astype(int))
+    n = len(ilines)
+    ncols = int(np.ceil(np.sqrt(n)))
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows),
+                             sharex=True, sharey=True, squeeze=False)
+    sections = [data[int(i)].T for i in ilines]
+    vmin, vmax = _clip(np.stack(sections), perc)
+    vmin, vmax = vmin / gain, vmax / gain
+    t = np.asarray(twt) if twt is not None else np.arange(data.shape[-1])
+    flat = axes.ravel()
+    im = None
+    for k, (i, sec) in enumerate(zip(ilines, sections)):
+        im = flat[k].imshow(sec, aspect="auto", cmap=cmap, vmin=vmin,
+                            vmax=vmax, extent=[0, sec.shape[1], t[-1], t[0]])
+        flat[k].set_title(f"iline {int(i)}", fontsize=9)
+    for j in range(n, len(flat)):
+        flat[j].axis("off")
+    for ax in axes[:, 0]:
+        ax.set_ylabel(f"TWT ({units})" if twt is not None else "sample")
+    for ax in axes[-1]:
+        ax.set_xlabel("xline")
+    fig.colorbar(im, ax=axes.ravel().tolist(), fraction=0.03, pad=0.02)
+    if title:
+        fig.suptitle(title)
+    return _finish(fig, path, tight=False)
 
 
 def plot_fold_map(fold, title=None, path=None):

@@ -127,3 +127,40 @@ def test_cli_qc_compare(tmp_path):
     names = [p.name for p in out.iterdir()]
     assert any("a_vs_b_il4.png" == n for n in names), names
     assert any("wiggle" in n for n in names), names
+
+
+def test_plot_option_parity(tmp_path):
+    """Reference option surface (plot.py:23-533): dt-or-twt axis, gain,
+    norm='rms'/'max', env, reverse, traces/add_info labels, tr_step."""
+    from pseudo_3d_interpolation_tpu import qc
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(64, 24)).astype(np.float32)
+    f = qc.plot_seismic_image(data, dt=0.001, gain=2.0, norm="rms", env=True,
+                              reverse=True, units="ms", show_colorbar=False,
+                              path=str(tmp_path / "img.png"))
+    assert (tmp_path / "img.png").exists()
+    f = qc.plot_seismic_difference(
+        data, data[:, :20], dt=0.001, norm="max",  # mismatched shapes -> zero diff
+        path=str(tmp_path / "diff.png"))
+    assert (tmp_path / "diff.png").exists()
+    traces = np.arange(100, 100 + 24)
+    info = [f"d{k}" for k in range(24)]
+    qc.plot_seismic_wiggle(data, dt=0.001, traces=traces, add_info=info,
+                           gain=1.5, norm=True, tr_step=4, color="b",
+                           path=str(tmp_path / "wig.png"))
+    assert (tmp_path / "wig.png").exists()
+
+
+def test_plot_iline_grid(tmp_path):
+    from pseudo_3d_interpolation_tpu import qc
+
+    rng = np.random.default_rng(1)
+    cube = rng.normal(size=(10, 16, 32)).astype(np.float32)
+    qc.plot_iline_grid(cube, twt=np.linspace(0, 0.5, 32),
+                       path=str(tmp_path / "grid.png"))
+    assert (tmp_path / "grid.png").exists()
+    # explicit iline selection
+    qc.plot_iline_grid(cube, ilines=[0, 4, 9],
+                       path=str(tmp_path / "grid3.png"))
+    assert (tmp_path / "grid3.png").exists()
