@@ -248,6 +248,13 @@ def pocs_interpolate(
                 thresh_op=cfg.thresh_op, interpret=cfg.pallas_interpret,
                 precision=fused_precision,
             )
+        elif hasattr(transform, "apply_threshold"):
+            # spectral-stack bases (SHEARLET/CURVELET): fused streamed
+            # update — identical numerics to forward/threshold/inverse but
+            # never materializes the (B, L, H, W) coefficient stack in HBM
+            # (the directional solve measures memory-bound otherwise)
+            x_rec = reinsert(
+                transform.apply_threshold(x_input, decay_i, cfg.thresh_op))
         else:
             coeffs = transform.forward(x_input)
             coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)

@@ -253,6 +253,16 @@ class ShearletTransform:
         # t: (..., L) per-subband thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
+    def apply_threshold(self, z: Cplx, t, op: str) -> Cplx:
+        """Fused inverse(threshold(forward(z))) with streamed subbands —
+        same numerics, no (..., L, H, W) HBM materialization (the POCS hot
+        path uses this; ops/shearlet.py::pocs_subband_apply)."""
+        from ..ops import shearlet as sh
+
+        return sh.pocs_subband_apply(
+            z, self._plan(z.shape[-2], z.shape[-1]), t, op,
+            precision=_resolve_precision(self.precision))
+
 
 @dataclasses.dataclass(frozen=True)
 class CurveletTransform:
@@ -306,6 +316,15 @@ class CurveletTransform:
     def threshold(self, coeffs: Cplx, t, op: str) -> Cplx:
         # t: (..., L) per-wedge thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
+
+    def apply_threshold(self, z: Cplx, t, op: str) -> Cplx:
+        """Fused inverse(threshold(forward(z))) with streamed subbands —
+        same numerics, no (..., L, H, W) HBM materialization."""
+        from ..ops import shearlet as sh
+
+        return sh.pocs_subband_apply(
+            z, self._plan(z.shape[-2], z.shape[-1]), t, op,
+            precision=_resolve_precision(self.precision))
 
 
 _REGISTRY = {}

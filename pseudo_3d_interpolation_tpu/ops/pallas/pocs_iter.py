@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import dft
 from ..cplx import Cplx
@@ -202,6 +203,116 @@ def pocs_iteration_fused(
 
 
 # ---------------------------------------------------------------------------
+# In-kernel Cooley-Tukey split (round 3)
+#
+# Same N = M·R (M >= 128) decimation-in-frequency split as ops/dft.py, done
+# on VMEM-resident slices: the dense N-deep DFT dots become R M-deep dots
+# per axis (4x fewer MXU MACs at 512²) plus VPU butterflies/twiddles. The
+# kernel keeps the spectrum in PERMUTED order (per axis, R s-blocks of
+# X[R·p+s]) — legal because the only spectral op is the elementwise
+# threshold; the inverse is the exact mirror (DIT) consuming the permuted
+# layout and emitting natural order. Everything is static slicing +
+# elementwise + M-deep matmuls: no reshapes/transposes for Mosaic to choke
+# on. Exactness is pinned against the dense kernel and the XLA scan in
+# tests/test_pallas_kernel.py.
+# ---------------------------------------------------------------------------
+
+
+def _fast_fwd_left(xr, xi, dot, fmr, fmi, twl, w_r, m, r):
+    """Forward DFT along rows via the split; output rows permuted."""
+    outs_r, outs_i = [], []
+    for s in range(r):
+        acc = (None, None)
+        for t in range(r):
+            acc = dft._cmac(acc, complex(w_r[s, t]),
+                            xr[t * m:(t + 1) * m, :], xi[t * m:(t + 1) * m, :])
+        ur, ui = acc
+        cr = twl[:, s:s + 1]          # (m, 1) twiddle cos
+        ci = twl[:, 8 + s:9 + s]      # (m, 1) twiddle sin
+        vr = ur * cr - ui * ci
+        vi = ur * ci + ui * cr
+        outs_r.append(dot(fmr, vr) - dot(fmi, vi))
+        outs_i.append(dot(fmr, vi) + dot(fmi, vr))
+    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+
+
+def _fast_inv_left(Xr, Xi, dot, fmr, fmi, twl, w_r, m, r):
+    """Unnormalized (N x) inverse along rows from the permuted layout."""
+    ds = []
+    for s in range(r):
+        Xr_s = Xr[s * m:(s + 1) * m, :]
+        Xi_s = Xi[s * m:(s + 1) * m, :]
+        cr_ = dot(fmr, Xr_s) + dot(fmi, Xi_s)
+        ci_ = dot(fmr, Xi_s) - dot(fmi, Xr_s)
+        tr = twl[:, s:s + 1]
+        ti = twl[:, 8 + s:9 + s]
+        ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))  # conj(tw)·c
+    outs_r, outs_i = [], []
+    for t in range(r):
+        acc = (None, None)
+        for s in range(r):
+            acc = dft._cmac(acc, complex(w_r[s, t]).conjugate(),
+                            ds[s][0], ds[s][1])
+        outs_r.append(acc[0])
+        outs_i.append(acc[1])
+    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+
+
+def _fast_fwd_right(xr, xi, dot, fmr, fmi, twr, w_r, m, r):
+    """Forward DFT along columns via the split; output columns permuted."""
+    outs_r, outs_i = [], []
+    for s in range(r):
+        acc = (None, None)
+        for t in range(r):
+            acc = dft._cmac(acc, complex(w_r[s, t]),
+                            xr[:, t * m:(t + 1) * m], xi[:, t * m:(t + 1) * m])
+        ur, ui = acc
+        cr = twr[s:s + 1, :]          # (1, m)
+        ci = twr[8 + s:9 + s, :]
+        vr = ur * cr - ui * ci
+        vi = ur * ci + ui * cr
+        outs_r.append(dot(vr, fmr) - dot(vi, fmi))
+        outs_i.append(dot(vi, fmr) + dot(vr, fmi))
+    return jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1)
+
+
+def _fast_inv_right(Xr, Xi, dot, fmr, fmi, twr, w_r, m, r):
+    """Unnormalized (N x) inverse along columns from the permuted layout."""
+    ds = []
+    for s in range(r):
+        Xr_s = Xr[:, s * m:(s + 1) * m]
+        Xi_s = Xi[:, s * m:(s + 1) * m]
+        cr_ = dot(Xr_s, fmr) + dot(Xi_s, fmi)
+        ci_ = dot(Xi_s, fmr) - dot(Xr_s, fmi)
+        tr = twr[s:s + 1, :]
+        ti = twr[8 + s:9 + s, :]
+        ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))
+    outs_r, outs_i = [], []
+    for t in range(r):
+        acc = (None, None)
+        for s in range(r):
+            acc = dft._cmac(acc, complex(w_r[s, t]).conjugate(),
+                            ds[s][0], ds[s][1])
+        outs_r.append(acc[0])
+        outs_i.append(acc[1])
+    return jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1)
+
+
+def _radix_kernel_constants(n: int):
+    """Twiddle/packing for the in-kernel split: (m, r, w_r, F_M pair,
+    twl (m,16) [cols 0:r cos, 8:8+r sin], twr (16,m) [rows likewise])."""
+    m, r, w_r, twr_np, twi_np, fmr, fmi = dft._radix_constants(n)
+    assert r <= 8, "split radix must fit the 16-row twiddle packing"
+    twl = np.zeros((m, 16), np.float32)
+    twl[:, :r] = twr_np.T
+    twl[:, 8:8 + r] = twi_np.T
+    twr_pack = np.zeros((16, m), np.float32)
+    twr_pack[:r] = twr_np
+    twr_pack[8:8 + r] = twi_np
+    return m, r, w_r, fmr, fmi, twl, twr_pack
+
+
+# ---------------------------------------------------------------------------
 # Folded multi-iteration kernel (round 2)
 #
 # The one-iteration kernel above pays an HBM round trip of the slice pair
@@ -215,7 +326,7 @@ def pocs_iteration_fused(
 def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
                   soft: bool, niter: int, precision, fast: bool,
-                  basis: str = "fft"):
+                  basis: str = "fft", split=None, twl_ref=None, twr_ref=None):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
@@ -223,6 +334,10 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
     obi = xi_ref[...]
     mask = mask_ref[...]
     keep = 1.0 - alpha * mask
+    if split is not None:
+        m_, r_, w_r = split
+        twl = twl_ref[...]
+        twr_ = twr_ref[...]
 
     dot = _make_dot(precision, fr, fi)  # HIGH = hand-rolled bf16x3, see above
 
@@ -242,6 +357,10 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             # magnitude — exactly models.transforms.DCTTransform
             Xr = dot(dot(fr, yr_in), fi)
             Xi = dot(dot(fr, yi_in), fi)
+        elif split is not None:
+            # Cooley-Tukey split: R M-deep dots per axis, permuted spectrum
+            ar, ai = _fast_fwd_left(yr_in, yi_in, dot, fr, fi, twl, w_r, m_, r_)
+            Xr, Xi = _fast_fwd_right(ar, ai, dot, fr, fi, twr_, w_r, m_, r_)
         else:
             yr = dot(fr, yr_in) - dot(fi, yi_in)
             yi = dot(fr, yi_in) + dot(fi, yr_in)
@@ -262,6 +381,10 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             rr = dot(dot(fi, Xr), fr)
             ri = dot(dot(fi, Xi), fr)
             scale = 1.0
+        elif split is not None:
+            br, bi = _fast_inv_right(Xr, Xi, dot, fr, fi, twr_, w_r, m_, r_)
+            rr, ri = _fast_inv_left(br, bi, dot, fr, fi, twl, w_r, m_, r_)
+            scale = 1.0 / (n * n)
         else:
             yr = dot(fr, Xr) + dot(fi, Xi)
             yi = dot(fr, Xi) - dot(fi, Xr)
@@ -308,6 +431,7 @@ def pocs_solve_fused(
     interpret: bool = False,
     precision=None,
     basis: str = "fft",
+    use_split: bool = True,
 ) -> Cplx:
     """The COMPLETE POCS solve in one kernel launch per slice.
 
@@ -319,7 +443,9 @@ def pocs_solve_fused(
     — the final-iteration cost matches the XLA scan's telemetry;
     per-iteration history / early stopping are intentionally not supported
     (this is the fixed-iteration production path; use the XLA scan for
-    instrumented runs).
+    instrumented runs). ``use_split`` enables the in-kernel Cooley-Tukey
+    split for the FFT basis when N factors as M·R with M >= 128 (4x fewer
+    MXU MACs at 512²; exact — see the round-3 section above).
     """
     if thresh_op not in ("hard", "soft"):
         raise ValueError("fused kernel supports hard/soft thresholds")
@@ -331,11 +457,25 @@ def pocs_solve_fused(
     assert n == n2, "square slices required"
     decay = jnp.asarray(decay, jnp.float32)
     niter = decay.shape[0]
+    split = None
+    extra_inputs = []
+    extra_specs = []
     if basis == "dct":
         c = dft.dct2_matrix(n)
         fr, fi = c, c.T.copy()
+    elif use_split and dft.fast_split(n):
+        # Cooley-Tukey split path: fr/fi hold the M-point DFT matrices and
+        # two packed twiddle tables ride along (see _radix_kernel_constants)
+        m_, r_, w_r, fr, fi, twl, twr_pack = _radix_kernel_constants(n)
+        split = (m_, r_, w_r)
+        extra_inputs = [jnp.asarray(twl), jnp.asarray(twr_pack)]
+        extra_specs = [
+            pl.BlockSpec((m_, 16), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, m_), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ]
     else:
         fr, fi = dft.dft_matrices(n)
+    fshape = fr.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -344,9 +484,9 @@ def pocs_solve_fused(
             pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec(fshape, lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fshape, lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ] + extra_specs,
         out_specs=[
             pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -359,7 +499,8 @@ def pocs_solve_fused(
         ],
     )
 
-    def kernel(tau_ref, xr, xi, mask_r, fr_r, fi_r, outr, outi, cost):
+    def kernel(tau_ref, xr, xi, mask_r, fr_r, fi_r, *rest):
+        *tw_refs, outr, outi, cost = rest
         _solve_kernel(
             tau_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0], cost,
@@ -369,6 +510,9 @@ def pocs_solve_fused(
                        else jax.lax.Precision.HIGHEST),
             fast=(version == "fast"),
             basis=basis,
+            split=split,
+            twl_ref=tw_refs[0] if tw_refs else None,
+            twr_ref=tw_refs[1] if tw_refs else None,
         )
 
     outr, outi, cost = pl.pallas_call(
@@ -387,5 +531,6 @@ def pocs_solve_fused(
         obs.re, obs.im,
         jnp.asarray(mask, jnp.float32),
         jnp.asarray(fr), jnp.asarray(fi),
+        *extra_inputs,
     )
     return Cplx(outr, outi), cost

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -371,6 +372,102 @@ def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -
             outs.append(_partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision))
     return Cplx(jnp.concatenate([o.re for o in outs], axis=-3),
                 jnp.concatenate([o.im for o in outs], axis=-3))
+
+
+def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
+                       precision=dft.Precision.HIGHEST,
+                       stream_min_side: int = 192) -> Cplx:
+    """inverse(threshold(forward(z))) with large subband groups STREAMED.
+
+    The planned transform pair materializes the full (..., L, H, W)
+    coefficient stack in HBM several times per POCS iteration — at 512²
+    batch 8 that is ~1 GB per pass, and the directional solve measures
+    memory-bound (HIGH ≈ HIGHEST rate, round-3 bench). This fused
+    apply computes the same math with the per-iteration peak at one
+    (..., H, W) subband: groups whose frequency box side reaches
+    ``stream_min_side`` run through a ``lax.scan`` over their subbands
+    (carrying only the spectrum accumulator); small groups keep the batched
+    einsum path (their stacks are tiny and their matmuls need the batching
+    to fill the MXU). Numerics are identical to
+    ``inverse_shearlet_transform_planned(threshold(shearlet_transform_planned(z)))``
+    — pinned by tests/test_shearlet.py.
+
+    ``tau``: (..., L) per-subband thresholds in plan order (exactly what
+    the transform's ``decay`` emits per iteration).
+    """
+    from . import threshold as threshold_ops
+
+    h, w = z.shape[-2], z.shape[-1]
+    batch = z.shape[:-2]
+    zf = dft.fft2(z, precision=precision)
+    acc_re = jnp.zeros(batch + (h, w), z.re.dtype)
+    acc_im = jnp.zeros(batch + (h, w), z.re.dtype)
+    l0 = 0
+    for g in plan:
+        lg = g.psi.shape[0]
+        tau_g = tau[..., l0:l0 + lg]
+        l0 += lg
+        side = min(h, w) if g.idx_h is None else len(g.idx_h)
+        p_stack = jnp.asarray(g.psi)
+        if side < stream_min_side:
+            # small group: batched einsum path (as the planned pair does)
+            if g.idx_h is None:
+                prod = Cplx(zf.re[..., None, :, :] * p_stack,
+                            zf.im[..., None, :, :] * p_stack)
+                c = dft.ifft2(prod, precision=precision)
+                c = threshold_ops.threshold_pair(
+                    c, tau_g[..., None, None], kind=thresh_op)
+                cf = dft.fft2(c, precision=precision)
+                acc_re = acc_re + jnp.sum(cf.re * p_stack, axis=-3)
+                acc_im = acc_im + jnp.sum(cf.im * p_stack, axis=-3)
+            else:
+                box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
+                prod = Cplx(box.re[..., None, :, :] * p_stack,
+                            box.im[..., None, :, :] * p_stack)
+                c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+                c = threshold_ops.threshold_pair(
+                    c, tau_g[..., None, None], kind=thresh_op)
+                v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+                sr = jnp.sum(v.re * p_stack, axis=-3)
+                si = jnp.sum(v.im * p_stack, axis=-3)
+                acc_re = acc_re.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(sr)
+                acc_im = acc_im.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(si)
+            continue
+
+        # large group: scan over subbands, (..., H, W) working set only
+        tau_s = jnp.moveaxis(tau_g, -1, 0)  # (lg, ...) scan-leading
+
+        if g.idx_h is None:
+            def step_full(carry, xs):
+                a_re, a_im = carry
+                p, t = xs
+                c = dft.ifft2(Cplx(zf.re * p, zf.im * p), precision=precision)
+                c = threshold_ops.threshold_pair(
+                    c, t[..., None, None], kind=thresh_op)
+                cf = dft.fft2(c, precision=precision)
+                return (a_re + cf.re * p, a_im + cf.im * p), None
+
+            (acc_re, acc_im), _ = jax.lax.scan(
+                step_full, (acc_re, acc_im), (p_stack, tau_s))
+        else:
+            box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
+            sr0 = jnp.zeros(batch + (len(g.idx_h), len(g.idx_w)), z.re.dtype)
+
+            def step_box(carry, xs):
+                a_re, a_im = carry
+                p, t = xs
+                c = _partial_ifft2(Cplx(box.re * p, box.im * p),
+                                   g.idx_h, g.idx_w, h, w, precision)
+                c = threshold_ops.threshold_pair(
+                    c, t[..., None, None], kind=thresh_op)
+                v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+                return (a_re + v.re * p, a_im + v.im * p), None
+
+            (gr, gi), _ = jax.lax.scan(step_box, (sr0, sr0), (p_stack, tau_s))
+            acc_re = acc_re.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(gr)
+            acc_im = acc_im.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(gi)
+
+    return dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
 
 
 def inverse_shearlet_transform_planned(coeffs: Cplx, plan,

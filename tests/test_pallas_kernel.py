@@ -213,3 +213,53 @@ def test_dct_eps_config_stays_correct():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.data.im), np.asarray(ref.data.im),
                                atol=1e-6)
+
+
+class TestInKernelRadixSplit:
+    """The folded kernel's Cooley-Tukey split (N = M·R, permuted spectrum)
+    must match the dense in-kernel DFT path exactly — the permutation is
+    invisible because the only spectral op is the elementwise threshold."""
+
+    def _solve(self, n, b, niter, use_split, precision=None, version="fast",
+               thresh="hard", seed=0):
+        from pseudo_3d_interpolation_tpu.ops.pallas.pocs_iter import (
+            pocs_solve_fused,
+        )
+
+        rng = np.random.default_rng(seed)
+        obs = from_complex(
+            (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))
+             ).astype(np.complex64))
+        mask = ((rng.uniform(size=n) < 0.5).astype(np.float32)[None, :]
+                * np.ones((n, n), np.float32))
+        decay = np.linspace(2.0, 0.05, niter)[:, None].repeat(b, 1)
+        return pocs_solve_fused(obs, mask, decay.astype(np.float32),
+                                version=version, thresh_op=thresh,
+                                interpret=True, use_split=use_split,
+                                precision=precision)
+
+    def test_split_matches_dense_r2(self):
+        r1, c1 = self._solve(256, 2, 5, use_split=False)
+        r2, c2 = self._solve(256, 2, 5, use_split=True)
+        scale = float(jnp.max(jnp.abs(r1.re)))
+        np.testing.assert_allclose(np.asarray(r2.re), np.asarray(r1.re),
+                                   atol=3e-5 * scale)
+        np.testing.assert_allclose(np.asarray(r2.im), np.asarray(r1.im),
+                                   atol=3e-5 * scale)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c1), atol=1e-7)
+
+    def test_split_matches_dense_soft_regular(self):
+        r1, _ = self._solve(256, 1, 4, use_split=False, version="regular",
+                            thresh="soft", seed=3)
+        r2, _ = self._solve(256, 1, 4, use_split=True, version="regular",
+                            thresh="soft", seed=3)
+        scale = float(jnp.max(jnp.abs(r1.re)))
+        np.testing.assert_allclose(np.asarray(r2.re), np.asarray(r1.re),
+                                   atol=3e-5 * scale)
+
+    def test_split_engages_only_when_divisible(self):
+        from pseudo_3d_interpolation_tpu.ops import dft
+
+        assert dft.fast_split(512) == (128, 4)
+        assert dft.fast_split(256) == (128, 2)
+        assert dft.fast_split(128) is None  # dense path at the minimum size

@@ -1,6 +1,7 @@
 """Shearlet system tests: tight-frame exactness, subband structure,
 shearlet-basis POCS reconstruction."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -142,3 +143,86 @@ def test_planned_roundtrip_tight_frame():
         sh.shearlet_transform_planned(z, plan), plan)
     np.testing.assert_allclose(np.asarray(back.re), np.asarray(z.re), atol=2e-5)
     np.testing.assert_allclose(np.asarray(back.im), np.asarray(z.im), atol=2e-5)
+
+
+class TestStreamedSubbandApply:
+    """pocs_subband_apply == inverse(threshold(forward(z))) exactly — the
+    streamed POCS hot path (no (B,L,H,W) HBM stack) must be numerically
+    interchangeable with the planned transform pair."""
+
+    def _check(self, plan_fn, n, seed=0, tol=2e-6):
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+        from pseudo_3d_interpolation_tpu.ops import threshold as th
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(seed)
+        z = Cplx(jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)),
+                 jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)))
+        plan = plan_fn(n)
+        c = sh.shearlet_transform_planned(z, plan)
+        L = c.shape[-3]
+        tau = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, L)).astype(np.float32))
+        for op in ("hard", "soft", "garrote"):
+            a = sh.inverse_shearlet_transform_planned(
+                th.threshold_pair(c, tau[..., None, None], kind=op), plan)
+            # stream_min_side=1 forces the lax.scan branch for EVERY group
+            b = sh.pocs_subband_apply(z, plan, tau, op, stream_min_side=1)
+            scale = float(jnp.max(jnp.abs(a.re))) or 1.0
+            d = float(jnp.max(jnp.abs(a.re - b.re))
+                      + jnp.max(jnp.abs(a.im - b.im)))
+            assert d / scale < tol, (op, d, scale)
+            # default threshold: mixed batched/streamed routing
+            b2 = sh.pocs_subband_apply(z, plan, tau, op)
+            d2 = float(jnp.max(jnp.abs(a.re - b2.re))
+                       + jnp.max(jnp.abs(a.im - b2.im)))
+            assert d2 / scale < tol, (op, d2, scale)
+
+    def test_shearlet_streamed_matches_phased(self):
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+
+        self._check(lambda n: sh.shearlet_plan(n, n), 64)
+
+    def test_curvelet_streamed_matches_phased(self):
+        from pseudo_3d_interpolation_tpu.ops import curvelet as cv
+
+        self._check(lambda n: cv.curvelet_plan(n, n), 96, seed=1)
+
+    def test_solver_uses_streamed_update_same_result(self):
+        """pocs_interpolate with SHEARLET: streamed branch vs forcing the
+        generic forward/threshold/inverse branch gives the same solve."""
+        from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+        from pseudo_3d_interpolation_tpu.models.transforms import ShearletTransform
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(2)
+        n = 32
+        truth = rng.normal(size=(2, n, n)).astype(np.float32)
+        mask = (rng.uniform(size=(n, n)) < 0.6).astype(np.float32)
+        z = Cplx(jnp.asarray(truth * mask), jnp.zeros((2, n, n), jnp.float32))
+        cfg = POCSConfig(niter=8, p_min=1e-3, version="fast", eps=0.0)
+        tr = ShearletTransform()
+
+        class _Phased:
+            """Delegates everything but hides apply_threshold so the solver
+            takes the generic forward/threshold/inverse branch."""
+
+            def __init__(self, inner):
+                self._t = inner
+                self.kind = inner.kind
+
+            def forward(self, z):
+                return self._t.forward(z)
+
+            def inverse(self, c):
+                return self._t.inverse(c)
+
+            def decay(self, *a, **k):
+                return self._t.decay(*a, **k)
+
+            def threshold(self, c, t, op):
+                return self._t.threshold(c, t, op)
+
+        r1 = pocs_interpolate(z, mask, tr, cfg)
+        r2 = pocs_interpolate(z, mask, _Phased(ShearletTransform()), cfg)
+        np.testing.assert_allclose(np.asarray(r1.data.re),
+                                   np.asarray(r2.data.re), atol=2e-5)
