@@ -184,7 +184,8 @@ def main():
             tr = get_transform(kind, **kw)
             tcfg = POCSConfig(niter=NITER, thresh_op="hard",
                               thresh_model="exponential", p_min=p_min,
-                              version="fast", alpha=0.75, eps=0.0)
+                              version="fast", alpha=0.75, eps=0.0,
+                              use_pallas=True)  # fused subband kernel
 
             def tsolve(z, m, scale, tr=tr, tcfg=tcfg):
                 z = type(z)(z.re * scale, z.im * scale)

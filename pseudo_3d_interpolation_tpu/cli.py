@@ -202,6 +202,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write per-batch slice files here and resume from them")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax profiler trace (TensorBoard/XProf)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable the fused Pallas kernels (XLA solve only)")
 
     p = cmd("ifft", 14, "inverse FFT back to the time domain")
     p.add_argument("input")
@@ -343,6 +345,10 @@ def main(argv=None) -> int:
             p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
             version=args.version, alpha=0.75, eps=1e-16,
             transform_kind=args.transform,
+            # fastest verified production path on TPU; falls back to the
+            # XLA solve automatically when the kernels don't support the
+            # shape/threshold (models/pocs.py gating)
+            use_pallas=not getattr(args, "no_pallas", False),
         )
         if args.checkpoint_dir:
             interpolate_checkpointed(args.input, cfg, args.checkpoint_dir,

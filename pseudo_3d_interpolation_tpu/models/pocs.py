@@ -252,9 +252,14 @@ def pocs_interpolate(
             # spectral-stack bases (SHEARLET/CURVELET): fused streamed
             # update — identical numerics to forward/threshold/inverse but
             # never materializes the (B, L, H, W) coefficient stack in HBM
-            # (the directional solve measures memory-bound otherwise)
+            # (the directional solve measures memory-bound otherwise).
+            # cfg.use_pallas additionally routes full-size subbands through
+            # the VMEM-resident kernel (ops/pallas/subband.py)
             x_rec = reinsert(
-                transform.apply_threshold(x_input, decay_i, cfg.thresh_op))
+                transform.apply_threshold(
+                    x_input, decay_i, cfg.thresh_op,
+                    use_pallas=cfg.use_pallas,
+                    pallas_interpret=cfg.pallas_interpret))
         else:
             coeffs = transform.forward(x_input)
             coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)

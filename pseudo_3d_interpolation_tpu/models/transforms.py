@@ -253,15 +253,18 @@ class ShearletTransform:
         # t: (..., L) per-subband thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
-    def apply_threshold(self, z: Cplx, t, op: str) -> Cplx:
+    def apply_threshold(self, z: Cplx, t, op: str, use_pallas: bool = False,
+                        pallas_interpret: bool = False) -> Cplx:
         """Fused inverse(threshold(forward(z))) with streamed subbands —
         same numerics, no (..., L, H, W) HBM materialization (the POCS hot
-        path uses this; ops/shearlet.py::pocs_subband_apply)."""
+        path uses this; ops/shearlet.py::pocs_subband_apply).
+        ``use_pallas`` engages the fused VMEM-resident subband kernel."""
         from ..ops import shearlet as sh
 
         return sh.pocs_subband_apply(
             z, self._plan(z.shape[-2], z.shape[-1]), t, op,
-            precision=_resolve_precision(self.precision))
+            precision=_resolve_precision(self.precision),
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -317,14 +320,17 @@ class CurveletTransform:
         # t: (..., L) per-wedge thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
-    def apply_threshold(self, z: Cplx, t, op: str) -> Cplx:
+    def apply_threshold(self, z: Cplx, t, op: str, use_pallas: bool = False,
+                        pallas_interpret: bool = False) -> Cplx:
         """Fused inverse(threshold(forward(z))) with streamed subbands —
-        same numerics, no (..., L, H, W) HBM materialization."""
+        same numerics, no (..., L, H, W) HBM materialization.
+        ``use_pallas`` engages the fused VMEM-resident subband kernel."""
         from ..ops import shearlet as sh
 
         return sh.pocs_subband_apply(
             z, self._plan(z.shape[-2], z.shape[-1]), t, op,
-            precision=_resolve_precision(self.precision))
+            precision=_resolve_precision(self.precision),
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
 
 _REGISTRY = {}

@@ -153,8 +153,126 @@ def _cmac(acc, c: complex, xr, xi):
     return ar, ai
 
 
-def _fft1_fast_axis(z: Cplx, axis: int, precision) -> Cplx:
-    """Forward DFT along ``axis`` (-1 or -2) via the N = M·R split."""
+def radix_perm(n: int) -> np.ndarray:
+    """σ: permuted position -> natural frequency index under the fast
+    split's s-block layout (identity when no split applies).
+
+    The split's natural output order X[R·p+s] requires an interleave; the
+    PERMUTED layout keeps the R s-blocks contiguous — position s·M+p holds
+    frequency R·p+s. Elementwise spectral ops (thresholds, window
+    multiplies with equally-permuted windows) are layout-invariant, so hot
+    paths can stay permuted and skip the interleave entirely
+    (ops/pallas/subband.py does).
+    """
+    sp = fast_split(n)
+    if sp is None:
+        return np.arange(n, dtype=np.int64)
+    m, r = sp
+    s, p = np.divmod(np.arange(n, dtype=np.int64), m)
+    return r * p + s
+
+
+def radix_perm_inv(n: int) -> np.ndarray:
+    """Position of natural frequency k in the permuted layout."""
+    perm = radix_perm(n)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n, dtype=np.int64)
+    return inv
+
+
+def _ifft1_fast_axis_from_perm(z: Cplx, axis: int, precision) -> Cplx:
+    """Inverse DFT along ``axis`` consuming the PERMUTED layout (DIT mirror
+    of the DIF forward); emits natural order, scaled 1/N."""
+    n = z.shape[axis]
+    m, r, w_r, twr, twi, fr, fi = _radix_constants(n)
+    last = axis == -1 or axis == z.re.ndim - 1
+    fr = jnp.asarray(fr)
+    fi = jnp.asarray(fi)  # conj(F_M) = (fr, -fi)
+
+    def blk(a, s):
+        return a[..., s * m:(s + 1) * m] if last else a[..., s * m:(s + 1) * m, :]
+
+    ds = []
+    for s in range(r):
+        zr_s, zi_s = blk(z.re, s), blk(z.im, s)
+        if last:
+            cr_ = (jnp.einsum("...p,mp->...m", zr_s, fr, precision=precision)
+                   + jnp.einsum("...p,mp->...m", zi_s, fi, precision=precision))
+            ci_ = (jnp.einsum("...p,mp->...m", zi_s, fr, precision=precision)
+                   - jnp.einsum("...p,mp->...m", zr_s, fi, precision=precision))
+            tr_, ti_ = jnp.asarray(twr[s]), jnp.asarray(twi[s])
+        else:
+            cr_ = (jnp.einsum("mp,...pw->...mw", fr, zr_s, precision=precision)
+                   + jnp.einsum("mp,...pw->...mw", fi, zi_s, precision=precision))
+            ci_ = (jnp.einsum("mp,...pw->...mw", fr, zi_s, precision=precision)
+                   - jnp.einsum("mp,...pw->...mw", fi, zr_s, precision=precision))
+            tr_, ti_ = jnp.asarray(twr[s])[:, None], jnp.asarray(twi[s])[:, None]
+        # multiply by conj(twiddle) = (tr, -ti)
+        ds.append((cr_ * tr_ + ci_ * ti_, ci_ * tr_ - cr_ * ti_))
+
+    outs_r, outs_i = [], []
+    for t in range(r):
+        acc = (None, None)
+        for s in range(r):
+            acc = _cmac(acc, complex(w_r[s, t]).conjugate(), ds[s][0], ds[s][1])
+        outs_r.append(acc[0])
+        outs_i.append(acc[1])
+    ax = -1 if last else -2
+    scale = 1.0 / n
+    return Cplx(jnp.concatenate(outs_r, ax) * scale,
+                jnp.concatenate(outs_i, ax) * scale)
+
+
+def fft2_permuted(z: Cplx, precision=Precision.HIGHEST) -> Cplx:
+    """2D DFT with each qualifying axis left in the split's PERMUTED layout
+    (``radix_perm``); axes without a split come out natural. Cheaper than
+    :func:`fft2` (skips the interleave) and the layout elementwise ops
+    don't care about; invert with :func:`ifft2_from_permuted`."""
+    h, w = z.shape[-2], z.shape[-1]
+    out = z
+    if fast_split(w):
+        out = _fft1_fast_axis(out, -1, precision, permuted=True)
+    else:
+        fwr, fwi = (jnp.asarray(mm) for mm in dft_matrices(w))
+        outr = _mm_right(out.re, fwr, precision) - _mm_right(out.im, fwi, precision)
+        outi = _mm_right(out.re, fwi, precision) + _mm_right(out.im, fwr, precision)
+        out = Cplx(outr, outi)
+    if fast_split(h):
+        out = _fft1_fast_axis(out, -2, precision, permuted=True)
+    else:
+        fhr, fhi = (jnp.asarray(mm) for mm in dft_matrices(h))
+        outr = _mm_left(fhr, out.re, precision) - _mm_left(fhi, out.im, precision)
+        outi = _mm_left(fhr, out.im, precision) + _mm_left(fhi, out.re, precision)
+        out = Cplx(outr, outi)
+    return out
+
+
+def ifft2_from_permuted(z: Cplx, precision=Precision.HIGHEST) -> Cplx:
+    """Inverse of :func:`fft2_permuted`; scaled by 1/(H·W)."""
+    h, w = z.shape[-2], z.shape[-1]
+    out = z
+    if fast_split(h):
+        out = _ifft1_fast_axis_from_perm(out, -2, precision)
+    else:
+        fhr, fhi = (jnp.asarray(mm) for mm in dft_matrices(h))
+        outr = (_mm_left(fhr, out.re, precision) + _mm_left(fhi, out.im, precision))
+        outi = (_mm_left(fhr, out.im, precision) - _mm_left(fhi, out.re, precision))
+        out = Cplx(outr / h, outi / h)
+    if fast_split(w):
+        out = _ifft1_fast_axis_from_perm(out, -1, precision)
+    else:
+        fwr, fwi = (jnp.asarray(mm) for mm in dft_matrices(w))
+        outr = (_mm_right(out.re, fwr, precision) + _mm_right(out.im, fwi, precision))
+        outi = (_mm_right(out.im, fwr, precision) - _mm_right(out.re, fwi, precision))
+        out = Cplx(outr / w, outi / w)
+    return out
+
+
+def _fft1_fast_axis(z: Cplx, axis: int, precision, permuted: bool = False) -> Cplx:
+    """Forward DFT along ``axis`` (-1 or -2) via the N = M·R split.
+
+    ``permuted=True`` skips the output interleave and returns the s-block
+    layout (see :func:`radix_perm`)."""
     n = z.shape[axis]
     m, r, w_r, twr, twi, fr, fi = _radix_constants(n)
     shape = z.shape
@@ -201,6 +319,11 @@ def _fft1_fast_axis(z: Cplx, axis: int, precision) -> Cplx:
                   + jnp.einsum("pm,...mw->...pw", fi, vr, precision=precision))
         outs_r.append(yr)
         outs_i.append(yi)
+
+    if permuted:
+        # s-block layout: position s·M+p holds X[R·p+s] (radix_perm)
+        ax = -1 if last else -2
+        return Cplx(jnp.concatenate(outs_r, ax), jnp.concatenate(outs_i, ax))
 
     # interleave: X[R·p + s] = y_s[p] -> stack s last, flatten (p, s)
     if last:

@@ -374,9 +374,78 @@ def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -
                 jnp.concatenate([o.im for o in outs], axis=-3))
 
 
+def _plan_pallas_pack(plan, h: int, w: int):
+    """Cached permuted-layout packing of a plan for the fused subband
+    kernel: (psi of full-size groups gathered into radix_perm layout,
+    plan-order indices of those bands, [(l0, lg, pos_h, pos_w, group)]
+    for box groups with their positions in the permuted spectrum)."""
+    pack = getattr(plan, "_pallas_pack", None)
+    if pack is not None:
+        return pack
+    perm_h, perm_w = dft.radix_perm(h), dft.radix_perm(w)
+    inv_h, inv_w = dft.radix_perm_inv(h), dft.radix_perm_inv(w)
+    full_psi, full_idx, boxes = [], [], []
+    l0 = 0
+    for g in plan:
+        lg = g.psi.shape[0]
+        if g.idx_h is None:
+            full_psi.append(np.ascontiguousarray(
+                g.psi[:, perm_h][:, :, perm_w]))
+            full_idx.extend(range(l0, l0 + lg))
+        else:
+            boxes.append((l0, lg, inv_h[g.idx_h].astype(np.int32),
+                          inv_w[g.idx_w].astype(np.int32), g))
+        l0 += lg
+    pack = (np.concatenate(full_psi) if full_psi else None,
+            np.asarray(full_idx, np.int64), boxes)
+    plan._pallas_pack = pack
+    return pack
+
+
+def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
+                               precision, interpret: bool) -> Cplx:
+    """Permuted-layout pipeline with the fused Pallas kernel for full-size
+    subbands (ops/pallas/subband.py); box groups keep the batched einsum
+    path, gathered at their permuted positions. Numerics == the XLA
+    streamed path (pinned in tests/test_shearlet.py)."""
+    from . import threshold as threshold_ops
+    from .pallas.subband import subband_update_fused
+
+    h, w = z.shape[-2], z.shape[-1]
+    psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w)
+    zf = dft.fft2_permuted(z, precision=precision)
+    tau2 = jnp.asarray(tau)
+    if tau2.ndim == 1:
+        tau2 = tau2[None]
+
+    acc = subband_update_fused(
+        zf, psi_full, tau2[..., jnp.asarray(full_idx)], thresh_op=thresh_op,
+        precision=precision, interpret=interpret)
+    acc_re, acc_im = acc.re, acc.im
+
+    for l0, lg, pos_h, pos_w, g in boxes:
+        tau_g = tau2[..., l0:l0 + lg]
+        p_stack = jnp.asarray(g.psi)
+        box = zf[..., pos_h[:, None], pos_w[None, :]]
+        prod = Cplx(box.re[..., None, :, :] * p_stack,
+                    box.im[..., None, :, :] * p_stack)
+        c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+        c = threshold_ops.threshold_pair(
+            c, tau_g[..., None, None], kind=thresh_op)
+        v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+        sr = jnp.sum(v.re * p_stack, axis=-3)
+        si = jnp.sum(v.im * p_stack, axis=-3)
+        acc_re = acc_re.at[..., pos_h[:, None], pos_w[None, :]].add(sr)
+        acc_im = acc_im.at[..., pos_h[:, None], pos_w[None, :]].add(si)
+
+    return dft.ifft2_from_permuted(Cplx(acc_re, acc_im), precision=precision)
+
+
 def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
                        precision=dft.Precision.HIGHEST,
-                       stream_min_side: int = 192) -> Cplx:
+                       stream_min_side: int = 192,
+                       use_pallas: bool = False,
+                       pallas_interpret: bool = False) -> Cplx:
     """inverse(threshold(forward(z))) with large subband groups STREAMED.
 
     The planned transform pair materializes the full (..., L, H, W)
@@ -393,11 +462,20 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     — pinned by tests/test_shearlet.py.
 
     ``tau``: (..., L) per-subband thresholds in plan order (exactly what
-    the transform's ``decay`` emits per iteration).
+    the transform's ``decay`` emits per iteration). ``use_pallas`` routes
+    full-size subbands through the fused VMEM-resident kernel
+    (ops/pallas/subband.py) when the shape/threshold support it.
     """
     from . import threshold as threshold_ops
 
     h, w = z.shape[-2], z.shape[-1]
+    if use_pallas and z.re.ndim == 3:
+        from .pallas.subband import subband_supported
+
+        if (subband_supported(z.shape, thresh_op)
+                and _plan_pallas_pack(plan, h, w)[0] is not None):
+            return _pocs_subband_apply_pallas(
+                z, plan, tau, thresh_op, precision, pallas_interpret)
     batch = z.shape[:-2]
     zf = dft.fft2(z, precision=precision)
     acc_re = jnp.zeros(batch + (h, w), z.re.dtype)

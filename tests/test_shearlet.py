@@ -226,3 +226,68 @@ class TestStreamedSubbandApply:
         r2 = pocs_interpolate(z, mask, _Phased(ShearletTransform()), cfg)
         np.testing.assert_allclose(np.asarray(r1.data.re),
                                    np.asarray(r2.data.re), atol=2e-5)
+
+
+class TestPallasSubbandKernel:
+    """The fused subband kernel (ops/pallas/subband.py, permuted spectral
+    layout) must match the XLA streamed path exactly (interpret mode)."""
+
+    def test_permuted_fft_roundtrip_and_gather(self):
+        from pseudo_3d_interpolation_tpu.ops import dft
+        from pseudo_3d_interpolation_tpu.ops.cplx import from_complex, to_complex
+
+        rng = np.random.default_rng(0)
+        for h, w in ((256, 256), (256, 100)):
+            z = from_complex((rng.normal(size=(2, h, w))
+                              + 1j * rng.normal(size=(2, h, w))
+                              ).astype(np.complex64))
+            Xp = dft.fft2_permuted(z)
+            X = to_complex(dft.fft2(z))
+            gathered = X[:, dft.radix_perm(h)][:, :, dft.radix_perm(w)]
+            np.testing.assert_array_equal(np.asarray(to_complex(Xp)), gathered)
+            back = to_complex(dft.ifft2_from_permuted(Xp))
+            np.testing.assert_allclose(np.asarray(back),
+                                       np.asarray(to_complex(z)), atol=1e-5)
+
+    @pytest.mark.parametrize("op", ["hard", "soft"])
+    def test_kernel_matches_streamed(self, op):
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(1)
+        n = 256
+        z = Cplx(jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)),
+                 jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)))
+        plan = sh.shearlet_plan(n, n)
+        L = sh.n_subbands(sh.default_scales(n, n))
+        tau = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, L)).astype(np.float32))
+        a = sh.pocs_subband_apply(z, plan, tau, op)
+        b = sh.pocs_subband_apply(z, plan, tau, op, use_pallas=True,
+                                  pallas_interpret=True)
+        scale = float(jnp.max(jnp.abs(a.re))) or 1.0
+        d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
+        assert d / scale < 3e-6, d
+
+    def test_solver_pallas_flag_matches_xla(self):
+        """pocs_interpolate(SHEARLET, use_pallas=True) == use_pallas=False."""
+        import dataclasses
+
+        from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+        from pseudo_3d_interpolation_tpu.models.transforms import ShearletTransform
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(2)
+        n = 256
+        truth = rng.normal(size=(1, n, n)).astype(np.float32)
+        mask = (rng.uniform(size=(n, n)) < 0.6).astype(np.float32)
+        z = Cplx(jnp.asarray(truth * mask), jnp.zeros((1, n, n), jnp.float32))
+        cfg = POCSConfig(niter=4, p_min=1e-3, version="fast", eps=0.0)
+        tr = ShearletTransform()
+        r1 = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)
+        r2 = pocs_interpolate(z, jnp.asarray(mask), tr,
+                              dataclasses.replace(cfg, use_pallas=True,
+                                                  pallas_interpret=True))
+        # hard-threshold flips near tau amplify f32 rounding over the
+        # iterations; agreement is elementwise-tight otherwise
+        np.testing.assert_allclose(np.asarray(r1.data.re),
+                                   np.asarray(r2.data.re), atol=3e-4)
