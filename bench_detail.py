@@ -88,7 +88,8 @@ def run_basis_gate():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     bases = os.environ.get(
         "BENCH_BASES",
-        "FFT,FFT-PALLAS,DCT,DCT-PALLAS,WAVELET,SHEARLET,CURVELET").split(",")
+        "FFT,FFT-PALLAS,DCT,DCT-PALLAS,WAVELET,SHEARLET,SHEARLET-PALLAS,"
+        "CURVELET,CURVELET-PALLAS").split(",")
     truth, obs, mask = make_problem(batch, n)
 
     for kind in bases:
@@ -98,8 +99,12 @@ def run_basis_gate():
         precisions = (["highest", "high"]
                       if base_kind in ("FFT", "DCT", "SHEARLET", "CURVELET")
                       else [None])
-        if pallas:  # folded kernel: HIGHEST native; HIGH via in-kernel bf16x3
-            precisions = (["highest", "high"] if base_kind in ("FFT", "DCT")
+        if pallas:
+            # FFT/DCT: folded whole-solve kernel (in-kernel bf16x3 for
+            # HIGH); SHEARLET/CURVELET: fused VMEM-resident subband kernel
+            precisions = (["highest", "high"]
+                          if base_kind in ("FFT", "DCT", "SHEARLET",
+                                           "CURVELET")
                           else [None])
         for prec in precisions:
             kw = {"precision": prec} if prec else {}

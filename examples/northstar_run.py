@@ -40,7 +40,15 @@ def main():
                     help="matmul precision (HIGH = bf16x3 is cube-SNR "
                          "neutral and ~1.6x faster; docs/perf.md)")
     ap.add_argument("--pallas", action="store_true",
-                    help="use the folded Pallas solve (FFT/DCT bases)")
+                    help="use the fused Pallas kernels (folded solve for "
+                         "FFT/DCT; VMEM-resident subband kernel for "
+                         "SHEARLET/CURVELET)")
+    ap.add_argument("--batches-per-launch", type=int, default=8,
+                    help="directional bases: fori_loop this many batches "
+                         "inside ONE launch — each dispatch RPC over the "
+                         "remote tunnel costs ~0.5 s, so 65 per-batch "
+                         "launches waste ~30 s; keep each launch under the "
+                         "remote worker's ~60-90 s execution ceiling")
     args = ap.parse_args()
 
     import jax
@@ -111,7 +119,10 @@ def main():
         #     (pocs_interpolate_scanned) compiles to a ~4x SLOWER program
         #     for the 61-subband shearlet body (441 s vs ~110 s for the
         #     whole cube), so per-batch dispatch beats one big scan.
-        npad = -(-nslices // batch) * batch
+        # chunk k batches into one launch: zero-padded tail batches
+        # short-circuit cheaply vs ~0.5 s of tunnel dispatch per launch
+        k = max(1, args.batches_per_launch)
+        npad = -(-nslices // (batch * k)) * (batch * k)
 
         @jax.jit
         def fwd(x):
@@ -121,13 +132,17 @@ def main():
             return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
 
         @functools.partial(jax.jit, donate_argnums=0)
-        def solve_batch(rec, z, m, start):
-            zb = Cplx(jax.lax.dynamic_slice_in_dim(z.re, start, batch, 0),
-                      jax.lax.dynamic_slice_in_dim(z.im, start, batch, 0))
-            r = pocs_interpolate(zb, m, transform, cfg).data
-            return Cplx(
-                jax.lax.dynamic_update_slice_in_dim(rec.re, r.re, start, 0),
-                jax.lax.dynamic_update_slice_in_dim(rec.im, r.im, start, 0))
+        def solve_chunk(rec, z, m, start0):
+            def body(i, rc):
+                s = start0 + i * batch
+                zb = Cplx(jax.lax.dynamic_slice_in_dim(z.re, s, batch, 0),
+                          jax.lax.dynamic_slice_in_dim(z.im, s, batch, 0))
+                r = pocs_interpolate(zb, m, transform, cfg).data
+                return Cplx(
+                    jax.lax.dynamic_update_slice_in_dim(rc.re, r.re, s, 0),
+                    jax.lax.dynamic_update_slice_in_dim(rc.im, r.im, s, 0))
+
+            return jax.lax.fori_loop(0, k, body, rec)
 
         @functools.partial(jax.jit, donate_argnums=0)
         def inv(rec):
@@ -147,9 +162,9 @@ def main():
         del xd
         t0 = time.time()
         rec = Cplx(jnp.zeros_like(z_all.re), jnp.zeros_like(z_all.im))
-        for s in range(0, npad, batch):
+        for s in range(0, npad, batch * k):
             # rec is donated through every launch: one persistent buffer
-            rec = solve_batch(rec, z_all, md, jnp.int32(s))
+            rec = solve_chunk(rec, z_all, md, jnp.int32(s))
         out = inv(rec)
         _sync(out)
         t_solve = time.time() - t0
@@ -157,7 +172,8 @@ def main():
         out_h = np.asarray(out)        # ONE download of the result
         t_down = time.time() - t0
         print(f"upload {obs.nbytes / 2**20:.0f} MB: {t_up:.1f}s | "
-              f"solver stage (rfft + {npad // batch} launches + irfft): "
+              f"solver stage (rfft + {npad // (batch * k)} launches of "
+              f"{k}x{batch} slices + irfft): "
               f"{t_solve:.1f}s ({nslices * args.niter / t_solve:.0f} "
               f"slice-iters/s, basis={args.basis}) | download: {t_down:.1f}s")
         snr_in = float(metrics.snr(np.abs(cube), np.abs(obs)))

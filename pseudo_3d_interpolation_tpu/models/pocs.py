@@ -165,11 +165,19 @@ def pocs_interpolate(
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
-    # --- one-time decay schedule from the initial forward transform ---
-    coeffs0 = transform.forward(z)
-    decay_tree = transform.decay(
-        coeffs0, cfg.thresh_model, cfg.niter, cfg.p_max, cfg.p_min, cfg.decay_kind
-    )
+    # --- one-time decay schedule from the initial forward transform;
+    # spectral-stack bases derive it via streamed reductions instead of a
+    # materialized (B, L, H, W) forward (same numbers, far less HBM) ---
+    if hasattr(transform, "decay_from_input"):
+        decay_tree = transform.decay_from_input(
+            z, cfg.thresh_model, cfg.niter, cfg.p_max, cfg.p_min,
+            cfg.decay_kind)
+    else:
+        coeffs0 = transform.forward(z)
+        decay_tree = transform.decay(
+            coeffs0, cfg.thresh_model, cfg.niter, cfg.p_max, cfg.p_min,
+            cfg.decay_kind
+        )
     if cfg.sqrt_decay:
         decay_tree = jax.tree.map(jnp.sqrt, decay_tree)
 

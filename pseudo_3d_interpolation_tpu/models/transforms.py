@@ -266,6 +266,34 @@ class ShearletTransform:
             precision=_resolve_precision(self.precision),
             use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
+    def decay_from_input(self, z: Cplx, model, niter, p_max, p_min,
+                         decay_kind):
+        """Decay schedule straight from the input slice — streamed
+        per-subband (max, Σ|c|²) reductions instead of a materialized
+        forward transform (same numbers; the full-stack forward costs
+        more HBM traffic than a whole POCS iteration per batch)."""
+        if model == "data-driven" or decay_kind != "values" or "inverse" in model:
+            return self.decay(self.forward(z), model, niter, p_max, p_min,
+                              decay_kind)
+        from ..ops import shearlet as sh
+
+        h, w = z.shape[-2], z.shape[-1]
+        amax, sumsq = sh.subband_stats(
+            z, self._plan(h, w), precision=_resolve_precision(self.precision))
+        tau_max = p_max * amax
+        if isinstance(p_min, str):
+            if p_min != "adaptive":
+                raise ValueError(f"unknown p_min {p_min!r}")
+            n_scales = self.n_scales or sh.default_scales(h, w)
+            size = amax.shape[-1] * h * w
+            norms = jnp.sqrt(sumsq / size)
+            tau_min = decay_ops.shearlet_adaptive_tau_min_from_norms(
+                norms, n_scales)[..., None]
+            tau_min = jnp.broadcast_to(tau_min, tau_max.shape)
+        else:
+            tau_min = p_min * amax
+        return decay_ops.schedule(model, niter, tau_max, tau_min)
+
 
 @dataclasses.dataclass(frozen=True)
 class CurveletTransform:
@@ -331,6 +359,25 @@ class CurveletTransform:
             z, self._plan(z.shape[-2], z.shape[-1]), t, op,
             precision=_resolve_precision(self.precision),
             use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+
+    def decay_from_input(self, z: Cplx, model, niter, p_max, p_min,
+                         decay_kind):
+        """Streamed decay derivation (see ShearletTransform); per-wedge
+        numeric p_min only — 'adaptive' raises like :meth:`decay`."""
+        if isinstance(p_min, str):
+            raise ValueError(
+                "p_min='adaptive' is shearlet-specific (reference "
+                "functions/POCS.py:302-324); use a numeric p_min for CURVELET"
+            )
+        if model == "data-driven" or decay_kind != "values" or "inverse" in model:
+            return self.decay(self.forward(z), model, niter, p_max, p_min,
+                              decay_kind)
+        from ..ops import shearlet as sh
+
+        amax, _ = sh.subband_stats(
+            z, self._plan(z.shape[-2], z.shape[-1]),
+            precision=_resolve_precision(self.precision))
+        return decay_ops.schedule(model, niter, p_max * amax, p_min * amax)
 
 
 _REGISTRY = {}

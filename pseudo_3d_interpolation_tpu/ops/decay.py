@@ -198,21 +198,29 @@ def threshold_decay(
     return schedule(model, niter, tau_max, tau_min)
 
 
-def shearlet_adaptive_tau_min(coeff_abs, n_scales: int):
-    """Zhao et al. (2021) adaptive minimum for the multi-scale shearlet stack.
+def shearlet_adaptive_tau_min_from_norms(norm_per_band, n_scales: int):
+    """Zhao et al. (2021) adaptive minimum from per-subband norms.
 
-    ``coeff_abs`` has shape ``(..., L, H, W)`` with L subbands ordered
-    [lowpass, scale1 x 4, scale2 x 8, ...]; per reference
-    (functions/POCS.py:302-320) the per-subband norms are combined through a
-    median into one scalar ``tau_min`` per slice.
-    """
+    ``norm_per_band``: (..., L) = sqrt(Σ|c_l|² / (L·H·W)) in subband order
+    [lowpass, scale1 x 4, scale2 x 8, ...]; reference POCS.py:302-320
+    combines them through a median into one scalar per slice."""
     counts = [1] + [2 ** (j + 2) for j in range(n_scales)]
     j_of_band = jnp.asarray(
         sum(([float(j)] * c for j, c in enumerate(counts)), []), dtype=jnp.float32
     )
+    return (1.0 / 3.0) * jnp.median(jnp.log10(j_of_band + 1.0) * norm_per_band, axis=-1)
+
+
+def shearlet_adaptive_tau_min(coeff_abs, n_scales: int):
+    """Zhao et al. (2021) adaptive minimum for the multi-scale shearlet stack.
+
+    ``coeff_abs`` has shape ``(..., L, H, W)``; see
+    :func:`shearlet_adaptive_tau_min_from_norms` (the streamed decay path
+    computes the norms without materializing the stack).
+    """
     size = coeff_abs.shape[-3] * coeff_abs.shape[-2] * coeff_abs.shape[-1]
     norm_per_band = jnp.sqrt(jnp.sum(coeff_abs**2, axis=(-2, -1)) / size)  # (..., L)
-    return (1.0 / 3.0) * jnp.median(jnp.log10(j_of_band + 1.0) * norm_per_band, axis=-1)
+    return shearlet_adaptive_tau_min_from_norms(norm_per_band, n_scales)
 
 
 def n_shearlet_scales(shape) -> int:

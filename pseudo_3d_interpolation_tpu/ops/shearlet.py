@@ -548,6 +548,61 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     return dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
 
 
+def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
+                  stream_min_side: int = 192):
+    """Per-subband (max |c|, Σ|c|²) of the transform of ``z``, STREAMED.
+
+    The decay schedule (exponential/linear + adaptive tau_min) needs only
+    these two reductions of the coefficient stack — computing them through
+    the planned forward transform materializes (..., L, H, W) in HBM,
+    which costs more than a whole POCS iteration per batch at 512². This
+    streams the same per-subband reductions at an (..., H, W) working set.
+    Returns two ``(..., L)`` arrays in plan order.
+    """
+    h, w = z.shape[-2], z.shape[-1]
+    zf = dft.fft2(z, precision=precision)
+    maxes, sumsqs = [], []
+    for g in plan:
+        p_stack = jnp.asarray(g.psi)
+        side = min(h, w) if g.idx_h is None else len(g.idx_h)
+
+        if g.idx_h is None:
+            def coeff_of(p):
+                return dft.ifft2(Cplx(zf.re * p, zf.im * p),
+                                 precision=precision)
+        else:
+            box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
+
+            def coeff_of(p, box=box, g=g):
+                return _partial_ifft2(Cplx(box.re * p, box.im * p),
+                                      g.idx_h, g.idx_w, h, w, precision)
+
+        if side < stream_min_side:
+            # small group: batched, (..., Lg, H, W) stack is tiny
+            if g.idx_h is None:
+                prod = Cplx(zf.re[..., None, :, :] * p_stack,
+                            zf.im[..., None, :, :] * p_stack)
+                c = dft.ifft2(prod, precision=precision)
+            else:
+                prod = Cplx(box.re[..., None, :, :] * p_stack,
+                            box.im[..., None, :, :] * p_stack)
+                c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+            a2 = c.abs2()
+            maxes.append(jnp.sqrt(jnp.max(a2, axis=(-2, -1))))
+            sumsqs.append(jnp.sum(a2, axis=(-2, -1)))
+        else:
+            def step(carry, p):
+                c = coeff_of(p)
+                a2 = c.abs2()
+                return carry, (jnp.sqrt(jnp.max(a2, axis=(-2, -1))),
+                               jnp.sum(a2, axis=(-2, -1)))
+
+            _, (mx, ss) = jax.lax.scan(step, None, p_stack)
+            maxes.append(jnp.moveaxis(mx, 0, -1))
+            sumsqs.append(jnp.moveaxis(ss, 0, -1))
+    return jnp.concatenate(maxes, -1), jnp.concatenate(sumsqs, -1)
+
+
 def inverse_shearlet_transform_planned(coeffs: Cplx, plan,
                                        precision=dft.Precision.HIGHEST) -> Cplx:
     """Inverse transform via the support-cropped plan (== full, cheaper)."""

@@ -102,3 +102,39 @@ def test_shearlet_scales():
     assert decay.n_shearlet_scales((512, 512)) == 4
     assert decay.n_shearlet_scales((64, 64)) == 3
     assert decay.n_shearlet_scales((2, 2)) == 1
+
+
+class TestStreamedDecayFromInput:
+    """decay_from_input (streamed per-subband max/Σ|c|² reductions) must
+    reproduce decay(forward(z)) bit-for-bit for the closed-form models —
+    it replaces a full (B, L, H, W) forward materialization per batch in
+    the production drivers."""
+
+    def _check(self, tr, n, pmins):
+        import jax.numpy as jnp
+
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(0)
+        z = Cplx(jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)),
+                 jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)))
+        for model in ("exponential", "linear", "exponential-2"):
+            for p_min in pmins:
+                a = np.asarray(tr.decay(tr.forward(z), model, 10, 0.99,
+                                        p_min, "values"))
+                b = np.asarray(tr.decay_from_input(z, model, 10, 0.99,
+                                                   p_min, "values"))
+                np.testing.assert_allclose(b, a, rtol=1e-6)
+        # fallback models route through the materialized forward
+        c = tr.decay_from_input(z, "data-driven", 5, 0.99, pmins[-1], "values")
+        assert c.shape[0] == 5
+
+    def test_shearlet(self):
+        from pseudo_3d_interpolation_tpu.models.transforms import ShearletTransform
+
+        self._check(ShearletTransform(), 64, ["adaptive", 1e-3])
+
+    def test_curvelet(self):
+        from pseudo_3d_interpolation_tpu.models.transforms import CurveletTransform
+
+        self._check(CurveletTransform(), 96, [1e-3])
