@@ -43,12 +43,17 @@ def main():
                     help="use the fused Pallas kernels (folded solve for "
                          "FFT/DCT; VMEM-resident subband kernel for "
                          "SHEARLET/CURVELET)")
-    ap.add_argument("--batches-per-launch", type=int, default=8,
+    ap.add_argument("--batches-per-launch", type=int, default=16,
                     help="directional bases: fori_loop this many batches "
                          "inside ONE launch — each dispatch RPC over the "
                          "remote tunnel costs ~0.5 s, so 65 per-batch "
                          "launches waste ~30 s; keep each launch under the "
                          "remote worker's ~60-90 s execution ceiling")
+    ap.add_argument("--sweep-k", type=int, nargs="+", default=None,
+                    help="directional bases: run the solver stage once per "
+                         "batches-per-launch value on the SAME uploaded "
+                         "cube (in-session comparison; tunnel timing "
+                         "varies too much across runs)")
     args = ap.parse_args()
 
     import jax
@@ -119,10 +124,24 @@ def main():
         #     (pocs_interpolate_scanned) compiles to a ~4x SLOWER program
         #     for the 61-subband shearlet body (441 s vs ~110 s for the
         #     whole cube), so per-batch dispatch beats one big scan.
-        # chunk k batches into one launch: zero-padded tail batches
-        # short-circuit cheaply vs ~0.5 s of tunnel dispatch per launch
-        k = max(1, args.batches_per_launch)
-        npad = -(-nslices // (batch * k)) * (batch * k)
+        # chunk k batches into one launch (~0.5 s of tunnel dispatch per
+        # launch saved), with a separate smaller remainder launch instead
+        # of padding the whole axis to a k*batch multiple: padded slices
+        # run the full solve (eps=0, no early exit), so at 513 slices a
+        # single 8x8 chunking wastes 63 slice-solves (~5 s at HIGH) where
+        # full-chunks + a one-batch remainder waste only 7
+        ks = args.sweep_k or [max(1, args.batches_per_launch)]
+
+        def plan_chunks(kk):
+            nfull = nslices // (batch * kk)     # whole kk*batch launches
+            rem = nslices - nfull * batch * kk
+            k_rem = -(-rem // batch) if rem else 0
+            return nfull, k_rem, nfull * batch * kk + k_rem * batch
+
+        # pad once to the largest chunking's extent so every sweep entry
+        # reuses the SAME resident spectrum (tunnel timing varies run to
+        # run; in-upload sweeps are the only fair comparison)
+        npad = max(plan_chunks(kk)[2] for kk in ks)
 
         @jax.jit
         def fwd(x):
@@ -131,18 +150,21 @@ def main():
             pad = [(0, npad - nslices), (0, 0), (0, 0)]
             return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def solve_chunk(rec, z, m, start0):
-            def body(i, rc):
-                s = start0 + i * batch
-                zb = Cplx(jax.lax.dynamic_slice_in_dim(z.re, s, batch, 0),
-                          jax.lax.dynamic_slice_in_dim(z.im, s, batch, 0))
-                r = pocs_interpolate(zb, m, transform, cfg).data
-                return Cplx(
-                    jax.lax.dynamic_update_slice_in_dim(rc.re, r.re, s, 0),
-                    jax.lax.dynamic_update_slice_in_dim(rc.im, r.im, s, 0))
+        def make_solver(kk):
+            @functools.partial(jax.jit, donate_argnums=0)
+            def solve_chunk(rec, z, m, start0):
+                def body(i, rc):
+                    s = start0 + i * batch
+                    zb = Cplx(jax.lax.dynamic_slice_in_dim(z.re, s, batch, 0),
+                              jax.lax.dynamic_slice_in_dim(z.im, s, batch, 0))
+                    r = pocs_interpolate(zb, m, transform, cfg).data
+                    return Cplx(
+                        jax.lax.dynamic_update_slice_in_dim(rc.re, r.re, s, 0),
+                        jax.lax.dynamic_update_slice_in_dim(rc.im, r.im, s, 0))
 
-            return jax.lax.fori_loop(0, k, body, rec)
+                return jax.lax.fori_loop(0, kk, body, rec)
+
+            return solve_chunk
 
         @functools.partial(jax.jit, donate_argnums=0)
         def inv(rec):
@@ -160,22 +182,31 @@ def main():
         t_up = time.time() - t0
         z_all = fwd(xd)
         del xd
-        t0 = time.time()
-        rec = Cplx(jnp.zeros_like(z_all.re), jnp.zeros_like(z_all.im))
-        for s in range(0, npad, batch * k):
-            # rec is donated through every launch: one persistent buffer
-            rec = solve_chunk(rec, z_all, md, jnp.int32(s))
-        out = inv(rec)
-        _sync(out)
-        t_solve = time.time() - t0
+        out = None
+        for kk in ks:
+            nfull, k_rem, npad_k = plan_chunks(kk)
+            solve_chunk = make_solver(kk)
+            solve_rem = make_solver(k_rem) if k_rem else None
+            t0 = time.time()
+            rec = Cplx(jnp.zeros_like(z_all.re), jnp.zeros_like(z_all.im))
+            for s in range(0, nfull * batch * kk, batch * kk):
+                # rec is donated through every launch: one persistent buffer
+                rec = solve_chunk(rec, z_all, md, jnp.int32(s))
+            if solve_rem is not None:
+                rec = solve_rem(rec, z_all, md, jnp.int32(nfull * batch * kk))
+            out = inv(rec)
+            _sync(out)
+            t_solve = time.time() - t0
+            nlaunch = nfull + (1 if k_rem else 0)
+            print(f"solver stage (rfft + {nlaunch} launches of <={kk}x{batch} "
+                  f"slices + irfft): "
+                  f"{t_solve:.1f}s ({nslices * args.niter / t_solve:.0f} "
+                  f"slice-iters/s, basis={args.basis})", flush=True)
         t0 = time.time()
         out_h = np.asarray(out)        # ONE download of the result
         t_down = time.time() - t0
         print(f"upload {obs.nbytes / 2**20:.0f} MB: {t_up:.1f}s | "
-              f"solver stage (rfft + {npad // (batch * k)} launches of "
-              f"{k}x{batch} slices + irfft): "
-              f"{t_solve:.1f}s ({nslices * args.niter / t_solve:.0f} "
-              f"slice-iters/s, basis={args.basis}) | download: {t_down:.1f}s")
+              f"download: {t_down:.1f}s")
         snr_in = float(metrics.snr(np.abs(cube), np.abs(obs)))
         snr_out = float(metrics.snr(np.abs(cube), np.abs(out_h)))
         print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
