@@ -269,6 +269,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read the slice shape from this cube (.nc) instead")
     p.add_argument("--batch", type=int, default=64,
                    help="slices per dispatch (match the production run)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="match a production run that disables the fused "
+                        "Pallas kernels (the cache keys on the exact HLO)")
 
     sub.add_parser("version", help="print version")
     return ap
@@ -441,15 +444,18 @@ def main(argv=None) -> int:
             from .io.ncio import CubeFile
 
             with CubeFile(args.like) as cf:
-                var = next(vv for vv in cf.data_vars
-                           if vv not in ("fold", "amp_ref", "mask"))
-                dims = cf.dims_of(var)
+                dims = cf.dims_of(cf.primary_var())
                 shape = (len(cf.coords[dims[0]]), len(cf.coords[dims[1]]))
+        # MUST build the same config `p3d pocs` dispatches (incl.
+        # use_pallas) — the cache keys on the exact HLO, so a config drift
+        # here would pre-compile the wrong program and the production run
+        # would still pay the cold compile
         cfg = args.params if args.params else POCSConfig(
             niter=args.niter, thresh_op="hard", thresh_model="exponential",
             p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
             version="fast", alpha=0.75, eps=1e-16,
             transform_kind=args.transform,
+            use_pallas=not getattr(args, "no_pallas", False),
         )
         warmup(cfg, shape, batch=args.batch, verbose=v)
     elif cmd == "nav":

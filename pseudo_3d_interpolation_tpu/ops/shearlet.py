@@ -417,6 +417,9 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     tau2 = jnp.asarray(tau)
     if tau2.ndim == 1:
         tau2 = tau2[None]
+    # the kernel reads tau_ref[b, l] for every slice b — a shared (1, L)
+    # tau must be materialized to (B, L) or b >= 1 reads out of bounds
+    tau2 = jnp.broadcast_to(tau2, (z.re.shape[0], tau2.shape[-1]))
 
     acc = subband_update_fused(
         zf, psi_full, tau2[..., jnp.asarray(full_idx)], thresh_op=thresh_op,

@@ -32,11 +32,22 @@ _DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "b
 
 
 def _transform_subbands(transform, slice_shape) -> int:
-    """Coefficient expansion factor of a transform: how many (H, W) subband
-    slices one input slice becomes (1 for FFT/DCT; the DWT pyramid is the
-    same total size; L for the multiscale directional frames)."""
+    """Per-batch working-set expansion factor of a transform: how many
+    (H, W)-slice-sized buffers one input slice costs during an iteration.
+
+    FFT/DCT and the same-total-size DWT pyramid: 1. Directional frames
+    with a streamed ``apply_threshold`` (SHEARLET/CURVELET since round 3)
+    never materialize the (B, L, H, W) stack — their working set is a
+    constant few full-size buffers (spectrum, accumulator, one subband in
+    flight, the small-group stacks), NOT L-proportional; budgeting L
+    (~50-61) here would permanently disable the device-resident driver
+    for directional production runs. A multiscale transform WITHOUT the
+    streamed update takes the generic forward/threshold/inverse branch
+    and really does cost L slices."""
     kind = getattr(transform, "kind", "FFT")
     h, w = int(slice_shape[-2]), int(slice_shape[-1])
+    if kind in ("SHEARLET", "CURVELET") and hasattr(transform, "apply_threshold"):
+        return 8
     if kind == "SHEARLET":
         from ..ops import shearlet as sh
 

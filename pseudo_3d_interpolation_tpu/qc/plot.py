@@ -39,7 +39,7 @@ def _time_axis(data, dt, twt):
     if twt is not None:
         return np.asarray(twt, float), None
     if dt is not None:
-        return np.linspace(0.0, dt * ns, ns), None
+        return np.arange(ns, dtype=float) * dt, None
     return np.arange(ns, dtype=float), "sample"
 
 

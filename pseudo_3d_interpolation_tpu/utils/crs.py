@@ -181,6 +181,8 @@ WGS84 = Ellipsoid(6378137.0, 298.257223563)
 GRS80 = Ellipsoid(6378137.0, 298.257222101)
 CLARKE_1866 = Ellipsoid(6378206.4, 294.978698214)
 INTL_1924 = Ellipsoid(6378388.0, 297.0)
+BESSEL_1841 = Ellipsoid(6377397.155, 299.1528128)
+AIRY_1830 = Ellipsoid(6377563.396, 299.3249646)
 
 
 def _iso_t(phi, e):
@@ -348,12 +350,23 @@ class WebMercator:
 
 class TransverseMercatorProj:
     """General transverse Mercator wrapping the Krüger-series core (any
-    central meridian / scale / false origin / ellipsoid)."""
+    central meridian / latitude of origin / scale / false origin /
+    ellipsoid). ``N = FN + k0·(M(φ) − M(lat0))`` — the natural-origin
+    meridian arc is subtracted exactly like EPSG method 9807 (e.g.
+    EPSG:27700 OSGB with lat0 = 49°N)."""
 
     def __init__(self, lon0: float, k0: float = 0.9996, fe: float = 500000.0,
-                 fn: float = 0.0, ellipsoid: Ellipsoid = WGS84):
+                 fn: float = 0.0, ellipsoid: Ellipsoid = WGS84,
+                 lat0: float = 0.0):
         self.lon0, self.k0, self.fe, self.fn = lon0, k0, fe, fn
+        self.lat0 = lat0
         self.el = ellipsoid
+        # meridian arc of the natural origin in core (UTM-k0) units
+        self._n0 = 0.0
+        if lat0 != 0.0:
+            _, n0 = geographic_to_tm(lat0, lon0, lon0, 0.0,
+                                     a=ellipsoid.a, inv_f=1.0 / ellipsoid.f)
+            self._n0 = float(n0)
 
     def forward(self, lat_deg, lon_deg):
         el = self.el
@@ -361,12 +374,12 @@ class TransverseMercatorProj:
                                 a=el.a, inv_f=1.0 / el.f)
         # core uses UTM constants; rebase to this projection's parameters
         return (self.fe + (e - _FE) * (self.k0 / _K0),
-                self.fn + n * (self.k0 / _K0))
+                self.fn + (n - self._n0) * (self.k0 / _K0))
 
     def inverse(self, e, n):
         el = self.el
         e0 = _FE + (np.asarray(e, np.float64) - self.fe) * (_K0 / self.k0)
-        n0 = (np.asarray(n, np.float64) - self.fn) * (_K0 / self.k0)
+        n0 = self._n0 + (np.asarray(n, np.float64) - self.fn) * (_K0 / self.k0)
         return tm_to_geographic(e0, n0, self.lon0, 0.0,
                                 a=el.a, inv_f=1.0 / el.f)
 
@@ -433,6 +446,102 @@ class LambertAzimuthalEqualArea:
         return np.rad2deg(phi), np.rad2deg(lam) + self.lon0
 
 
+class ObliqueStereographic:
+    """Oblique (double) stereographic, EPSG method 9809 — ellipsoid →
+    conformal sphere → plane (e.g. EPSG:28992 Amersfoort / RD New; proj
+    calls it ``sterea``). The reference reaches it through pyproj
+    (reproject_segy.py:73-169). Validated against the published EPSG
+    worked example in tests/test_tide_crs.py."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 fe: float = 0.0, fn: float = 0.0,
+                 ellipsoid: Ellipsoid = WGS84):
+        el = self.el = ellipsoid
+        self.lon0, self.k0, self.fe, self.fn = lon0, k0, fe, fn
+        e, e2 = el.e, el.e2
+        p0 = np.deg2rad(lat0)
+        s0 = np.sin(p0)
+        rho0 = el.a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+        nu0 = el.a / np.sqrt(1.0 - e2 * s0 * s0)
+        self._R = np.sqrt(rho0 * nu0)
+        n = self._n = np.sqrt(1.0 + e2 * np.cos(p0) ** 4 / (1.0 - e2))
+        s1 = (1.0 + s0) / (1.0 - s0)
+        s2 = (1.0 - e * s0) / (1.0 + e * s0)
+        w1 = (s1 * s2**e) ** n
+        sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+        self._c = ((n + s0) * (1.0 - sin_chi0)) / ((n - s0) * (1.0 + sin_chi0))
+        w2 = self._c * w1
+        self._chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+        self._lam0 = np.deg2rad(lon0)
+
+    def _chi_lam(self, lat_deg, lon_deg):
+        el = self.el
+        phi = np.deg2rad(np.asarray(lat_deg, np.float64))
+        lam = np.deg2rad(np.asarray(lon_deg, np.float64))
+        s = np.sin(phi)
+        sa = (1.0 + s) / (1.0 - s)
+        sb = (1.0 - el.e * s) / (1.0 + el.e * s)
+        w = self._c * (sa * sb**el.e) ** self._n
+        chi = np.arcsin((w - 1.0) / (w + 1.0))
+        big_lam = self._n * (lam - self._lam0) + self._lam0
+        return chi, big_lam
+
+    def forward(self, lat_deg, lon_deg):
+        chi, lam = self._chi_lam(lat_deg, lon_deg)
+        chi0, lam0 = self._chi0, self._lam0
+        b = 1.0 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(lam - lam0)
+        f = 2.0 * self._R * self.k0 / b
+        e_out = self.fe + f * np.cos(chi) * np.sin(lam - lam0)
+        n_out = self.fn + f * (np.sin(chi) * np.cos(chi0)
+                               - np.cos(chi) * np.sin(chi0) * np.cos(lam - lam0))
+        return e_out, n_out
+
+    def inverse(self, e, n):
+        el = self.el
+        de = np.asarray(e, np.float64) - self.fe
+        dn = np.asarray(n, np.float64) - self.fn
+        rk = 2.0 * self._R * self.k0
+        g = rk * np.tan(np.pi / 4.0 - self._chi0 / 2.0)
+        h = 2.0 * rk * np.tan(self._chi0) + g
+        i = np.arctan2(de, h + dn)
+        j = np.arctan2(de, g - dn) - i
+        chi = self._chi0 + 2.0 * np.arctan2(dn - de * np.tan(j / 2.0), rk)
+        big_lam = j + 2.0 * i + self._lam0
+        lam = (big_lam - self._lam0) / self._n + self._lam0
+        # conformal-sphere latitude -> ellipsoidal latitude (iterate the
+        # isometric latitude, EPSG guidance note 7-2)
+        psi = 0.5 * np.log((1.0 + np.sin(chi)) / (self._c * (1.0 - np.sin(chi)))) / self._n
+        phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+        for _ in range(12):
+            s = el.e * np.sin(phi)
+            psi_i = (np.log(np.tan(phi / 2.0 + np.pi / 4.0))
+                     - el.e / 2.0 * np.log((1.0 + s) / (1.0 - s)))
+            # Newton step with dψ/dφ = (1−e²)/((1−e² sin²φ)·cosφ)
+            phi = phi - ((psi_i - psi) * np.cos(phi)
+                         * (1.0 - el.e2 * np.sin(phi) ** 2) / (1.0 - el.e2))
+        return np.rad2deg(phi), np.rad2deg(lam)
+
+
+class UnitScaled:
+    """Projected CRS whose axis unit is not the metre: the analytic engine
+    computes in metres; coordinates exchanged with the caller are in CRS
+    units × ``to_meter`` == metres (pyproj returns CRS units — e.g. US
+    survey foot state-plane zones — so this preserves header parity)."""
+
+    def __init__(self, proj, to_meter: float):
+        self.proj, self.to_meter = proj, float(to_meter)
+        self.el = getattr(proj, "el", None)
+
+    def forward(self, lat_deg, lon_deg):
+        e, n = self.proj.forward(lat_deg, lon_deg)
+        return e / self.to_meter, n / self.to_meter
+
+    def inverse(self, e, n):
+        return self.proj.inverse(
+            np.asarray(e, np.float64) * self.to_meter,
+            np.asarray(n, np.float64) * self.to_meter)
+
+
 # EPSG registry: code -> projection instance (datum shifts between the
 # WGS84-family datums — WGS84/ETRS89/NAD83 — are below survey bin size and
 # treated as identity, like common marine-survey practice)
@@ -451,6 +560,12 @@ _EPSG: dict[int, object] = {
     5041: PolarStereographic(90.0, 0.0, 2000000.0, 2000000.0, WGS84, k0=0.994),
     # ETRS89-extended / LAEA Europe (non-conformal; equal-area)
     3035: LambertAzimuthalEqualArea(52.0, 10.0, 4321000.0, 3210000.0, GRS80),
+    # NL: Amersfoort / RD New (oblique/double stereographic, EPSG 9809)
+    28992: ObliqueStereographic(dms_to_dd(52, 9, 22.178), dms_to_dd(5, 23, 15.5),
+                                0.9999079, 155000.0, 463000.0, BESSEL_1841),
+    # GB: OSGB36 / British National Grid (TM with a non-equator lat0)
+    27700: TransverseMercatorProj(-2.0, 0.9996012717, 400000.0, -100000.0,
+                                  AIRY_1830, lat0=49.0),
 }
 
 
@@ -492,6 +607,8 @@ _ELLPS_BY_NAME = {
     "grs80": GRS80, "grs1980": GRS80,
     "intl": INTL_1924, "international1924": INTL_1924, "hayford": INTL_1924,
     "clrk66": CLARKE_1866, "clarke1866": CLARKE_1866,
+    "bessel": BESSEL_1841, "bessel1841": BESSEL_1841,
+    "airy": AIRY_1830, "airy1830": AIRY_1830,
 }
 
 
@@ -599,6 +716,8 @@ _METHOD_ALIASES = {
     "polarstereographic": "stere", "polarstereographicvariantа": "stere",
     "polarstereographicvarianta": "stere", "polarstereographicvariantb": "stere",
     "stere": "stere", "ups": "stere",
+    "obliquestereographic": "sterea", "doublestereographic": "sterea",
+    "sterea": "sterea",
     "mercator1sp": "merc", "mercator2sp": "merc", "mercator": "merc",
     "mercatorvarianta": "merc", "mercatorvariantb": "merc", "merc": "merc",
     "popularvisualisationpseudomercator": "webmerc", "webmerc": "webmerc",
@@ -614,7 +733,8 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
     fe = p.get("fe", 0.0)
     fn = p.get("fn", 0.0)
     if method == "tmerc":
-        return TransverseMercatorProj(lon0, p.get("k0", 1.0), fe, fn, el)
+        return TransverseMercatorProj(lon0, p.get("k0", 1.0), fe, fn, el,
+                                      lat0=lat0)
     if method == "utm":
         zone = int(p["zone"])
         south = bool(p.get("south", False))
@@ -628,7 +748,17 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
     if method == "lcc1":
         return LambertConformalConic(lat0, lat0, lat0, lon0, fe, fn, el,
                                      p.get("k0", 1.0))
+    if method == "sterea":
+        return ObliqueStereographic(lat0, lon0, p.get("k0", 1.0), fe, fn, el)
     if method == "stere":
+        # a non-polar natural origin is NOT a polar-variant CRS; EPSG 9809
+        # double stereographic (sterea) covers the oblique cases in use —
+        # refuse rather than silently snapping lat0 to a pole
+        if abs(lat0) < 90.0 - 1e-6 and "lat1" not in p and lat0 != 0.0:
+            raise ValueError(
+                f"non-polar stereographic with lat0={lat0} — use the "
+                "oblique (double) stereographic method (+proj=sterea / "
+                "WKT 'Oblique_Stereographic', EPSG 9809) or register_crs()")
         if "k0" in p and "lat1" not in p:
             return PolarStereographic(90.0 if lat0 >= 0 else -90.0, lon0,
                                       fe, fn, el, k0=p["k0"])
@@ -643,6 +773,33 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
     if method == "laea":
         return LambertAzimuthalEqualArea(lat0, lon0, fe, fn, el)
     raise ValueError(f"unsupported projection method {method!r}")
+
+
+def _projected_unit(root) -> float:
+    """Linear-unit conversion factor (CRS unit -> metres) of a projected
+    WKT CS. WKT1 puts one ``UNIT["name", to_meter]`` after PROJECTION in
+    the PROJCS; WKT2 nests ``LENGTHUNIT`` under the CS AXIS nodes. The
+    geographic base subtree is skipped so its angular UNIT (degree,
+    0.0174...) is never mistaken for the linear unit."""
+    pruned = [v for v in root if not (
+        isinstance(v, list) and v and isinstance(v[0], str)
+        and v[0] in ("GEOGCS", "GEOGCRS", "BASEGEOGCRS", "BASEGEODCRS",
+                     "GEODCRS", "VERT_CS", "VERTCRS"))]
+    unit = None
+    for ax in _wkt_find_all(pruned, "AXIS"):
+        unit = _wkt_find(ax, "LENGTHUNIT", "UNIT")
+        if unit is not None:
+            break
+    if unit is None:
+        # WKT1: a direct UNIT child of the PROJCS (not inside PARAMETER)
+        for v in pruned[1:]:
+            if isinstance(v, list) and v and v[0] in ("UNIT", "LENGTHUNIT"):
+                unit = v
+                break
+    if unit is None:
+        return 1.0
+    nums = [v for v in unit[1:] if isinstance(v, float)]
+    return float(nums[0]) if nums else 1.0
 
 
 def crs_from_wkt(wkt: str):
@@ -673,11 +830,12 @@ def crs_from_wkt(wkt: str):
     if method is None:
         raise ValueError(
             f"unsupported WKT projection {meth_name!r} — supported methods: "
-            "transverse Mercator, Lambert conformal conic (1/2SP), polar "
-            "stereographic, Mercator, web Mercator, Lambert azimuthal "
-            "equal-area; register_crs() covers anything else")
+            "transverse Mercator, Lambert conformal conic (1/2SP), polar & "
+            "oblique (double) stereographic, Mercator, web Mercator, Lambert "
+            "azimuthal equal-area; register_crs() covers anything else")
 
     params: dict[str, float] = {}
+    explicit_m: set[str] = set()  # fe/fn whose WKT2 node carries its own unit
     for pn in _wkt_find_all(root, "PARAMETER"):
         strs = [v for v in pn[1:] if isinstance(v, str)]
         nums = [v for v in pn[1:] if isinstance(v, float)]
@@ -686,6 +844,22 @@ def crs_from_wkt(wkt: str):
         key = _PARAM_ALIASES.get(_norm_key(strs[0]))
         if key and key not in params:  # WKT2 BOUNDCRS may repeat; first wins
             params[key] = nums[0]
+            if key in ("fe", "fn"):
+                pu = _wkt_find(pn, "LENGTHUNIT")
+                fac = [v for v in pu[1:] if isinstance(v, float)] if pu else []
+                if fac:  # WKT2 per-parameter unit is authoritative
+                    params[key] = nums[0] * fac[0]
+                    explicit_m.add(key)
+
+    # projected-CS linear unit (pyproj returns CRS units — US survey foot
+    # state-plane zones etc.): WKT1 false easting/northing PARAMETERs are
+    # expressed in that unit, and so are the exchanged coordinates
+    u = _projected_unit(root)
+    if u != 1.0:
+        for k in ("fe", "fn"):
+            if k in params and k not in explicit_m:
+                params[k] *= u
+        return UnitScaled(_build_projection(method, params, el), u)
     return _build_projection(method, params, el)
 
 

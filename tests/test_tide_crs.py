@@ -412,3 +412,108 @@ class TestCRSIngestion:
         ex, ny = crs.transform_any(x, y, WKT1_UTM33N, "EPSG:3035")
         xb, yb = crs.transform_any(ex, ny, 3035, WKT1_UTM33N)
         assert np.allclose(xb, x, atol=1e-6) and np.allclose(yb, y, atol=1e-6)
+
+
+class TestRound3CRSAdditions:
+    """Oblique stereographic (EPSG 9809), non-equator TM origins (9807),
+    and non-metre projected units — the tail of the reference's
+    "any pyproj CRS" surface (reproject_segy.py:73-169)."""
+
+    def test_oblique_stereographic_epsg_worked_example(self):
+        # EPSG guidance note 7-2, Amersfoort / RD New (EPSG:28992):
+        # 53°N 6°E -> E 196105.283, N 557057.739
+        pr = crs.get_projection(28992)
+        e, n = pr.forward(53.0, 6.0)
+        assert abs(e - 196105.283) < 1e-3 and abs(n - 557057.739) < 1e-3
+        lat, lon = pr.inverse(196105.283, 557057.739)
+        assert abs(lat - 53.0) < 1e-7 and abs(lon - 6.0) < 1e-7
+
+    def test_osgb_tm_lat0_epsg_worked_example(self):
+        # EPSG guidance note 7-2, OSGB36 / British National Grid
+        # (EPSG:27700): 50°30'N 0°30'E -> E 577274.99, N 69740.50
+        pr = crs.get_projection(27700)
+        e, n = pr.forward(crs.dms_to_dd(50, 30), crs.dms_to_dd(0, 30))
+        assert abs(e - 577274.99) < 0.01 and abs(n - 69740.50) < 0.01
+        lat, lon = pr.inverse(577274.99, 69740.50)
+        assert abs(lat - 50.5) < 1e-6 and abs(lon - 0.5) < 1e-6
+
+    def test_sterea_proj_string_matches_registry(self):
+        pr = crs.parse_crs(
+            "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+            "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+        e, n = pr.forward(53.0, 6.0)
+        e2, n2 = crs.get_projection(28992).forward(53.0, 6.0)
+        assert abs(e - e2) < 1e-6 and abs(n - n2) < 1e-6
+
+    def test_oblique_stereographic_wkt(self):
+        wkt = ('PROJCS["Amersfoort / RD New",GEOGCS["Amersfoort",'
+               'DATUM["Amersfoort",SPHEROID["Bessel 1841",'
+               '6377397.155,299.1528128]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Oblique_Stereographic"],'
+               'PARAMETER["latitude_of_origin",52.1561605555556],'
+               'PARAMETER["central_meridian",5.38763888888889],'
+               'PARAMETER["scale_factor",0.9999079],'
+               'PARAMETER["false_easting",155000],'
+               'PARAMETER["false_northing",463000],UNIT["metre",1]]')
+        pr = crs.parse_crs(wkt)
+        e, n = pr.forward(53.0, 6.0)
+        assert abs(e - 196105.283) < 2e-3 and abs(n - 557057.739) < 2e-3
+
+    def test_nonpolar_plain_stereographic_refused(self):
+        with pytest.raises(ValueError, match="sterea"):
+            crs.crs_from_proj("+proj=stere +lat_0=52.15 +lon_0=5.39 "
+                              "+k=0.9999 +ellps=bessel")
+
+    def test_wkt1_unit_feet_coordinates_in_crs_units(self):
+        wkt = ('PROJCS["NAD83 / Texas South Central (ftUS)",GEOGCS["NAD83",'
+               'DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",'
+               '6378137,298.257222101]],PRIMEM["Greenwich",0],'
+               'UNIT["degree",0.0174532925199433]],'
+               'PROJECTION["Transverse_Mercator"],'
+               'PARAMETER["latitude_of_origin",0],'
+               'PARAMETER["central_meridian",-99],'
+               'PARAMETER["scale_factor",0.9999],'
+               'PARAMETER["false_easting",1968500],'
+               'PARAMETER["false_northing",0],'
+               'UNIT["US survey foot",0.304800609601219]]')
+        pr = crs.parse_crs(wkt)
+        assert isinstance(pr, crs.UnitScaled)
+        # on the central meridian the easting equals FE, in CRS units (feet)
+        e, n = pr.forward(29.0, -99.0)
+        assert abs(e - 1968500.0) < 1e-6
+        lat, lon = pr.inverse(e, n)
+        assert abs(lat - 29.0) < 1e-9 and abs(lon + 99.0) < 1e-9
+
+    def test_wkt2_per_parameter_unit_overrides_axis_unit(self):
+        # fe/fn declared in metres while the CS axes are in feet: the
+        # parameter's own LENGTHUNIT wins (coords still exchanged in feet)
+        ft = 0.304800609601219
+        wkt = ('PROJCRS["test",BASEGEOGCRS["NAD83",DATUM["NAD83",'
+               'ELLIPSOID["GRS 1980",6378137,298.257222101,'
+               'LENGTHUNIT["metre",1]]]],CONVERSION["tm",'
+               'METHOD["Transverse Mercator"],'
+               'PARAMETER["Latitude of natural origin",0,'
+               'ANGLEUNIT["degree",0.0174532925199433]],'
+               'PARAMETER["Longitude of natural origin",-99,'
+               'ANGLEUNIT["degree",0.0174532925199433]],'
+               'PARAMETER["Scale factor at natural origin",0.9999,'
+               'SCALEUNIT["unity",1]],'
+               'PARAMETER["False easting",600000,LENGTHUNIT["metre",1]],'
+               'PARAMETER["False northing",0,LENGTHUNIT["metre",1]]],'
+               'CS[Cartesian,2],'
+               'AXIS["easting (X)",east,LENGTHUNIT["US survey foot",'
+               '0.304800609601219]],'
+               'AXIS["northing (Y)",north,LENGTHUNIT["US survey foot",'
+               '0.304800609601219]]]')
+        pr = crs.parse_crs(wkt)
+        e, n = pr.forward(29.0, -99.0)
+        assert abs(e - 600000.0 / ft) < 1e-6  # FE is 600000 METRES -> feet
+
+    def test_tm_lat0_zero_unchanged(self):
+        # lat0=0 must reduce exactly to the previous behavior (UTM core)
+        a = crs.TransverseMercatorProj(15.0, 0.9996, 500000.0, 0.0)
+        b = crs.get_projection(32633)
+        e1, n1 = a.forward(54.0, 16.2)
+        e2, n2 = b.forward(54.0, 16.2)
+        assert abs(e1 - e2) < 1e-9 and abs(n1 - n2) < 1e-9
