@@ -151,7 +151,7 @@ def pocs_interpolate(
             isinstance(transform, (FFTTransform, DCTTransform))
             and mask_in.ndim == 2
             and len(batch_shape) == 1
-            and cfg.thresh_op in ("hard", "soft")
+            and cfg.thresh_op in ("hard", "soft", "garrote")
             and pallas_supported(z.shape)
         )
         if use_fused:

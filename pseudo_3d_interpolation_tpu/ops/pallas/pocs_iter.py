@@ -3,7 +3,7 @@
 One iteration of the FFT-basis POCS update for a batch of square slices:
 
     X   = F @ x @ F^T            (2D DFT, complex as (re, im) pairs)
-    X̂   = threshold(X, tau)      (hard or soft, magnitude-based)
+    X̂   = threshold(X, tau)      (hard/soft/garrote, magnitude-based)
     x'  = conj(F) @ X̂ @ conj(F)^T / N²
     out = x'·(1 − α·mask) + α·x_obs
 
@@ -15,7 +15,7 @@ which is the difference between memory- and compute-bound in the fast
 
 Constraints (fall back to the XLA path otherwise — models/pocs.py):
   - square slices (one shared DFT matrix), H == W, multiples of 128
-  - FFT transform, hard or soft threshold
+  - FFT transform, hard/soft/garrote threshold
 
 The kernel grid runs one program per slice; per-slice thresholds arrive as
 a scalar-prefetch vector.
@@ -47,6 +47,23 @@ def pallas_supported(shape) -> bool:
         return False
     h, w = shape[-2], shape[-1]
     return h == w and h % 128 == 0
+
+
+_KERNEL_THRESH_OPS = ("hard", "soft", "garrote")
+
+
+def _shrink(mag2, tau, op: str):
+    """Magnitude-shrink factor for the in-kernel threshold — identical
+    numerics to ops/threshold.py (hard keeps >= tau; soft shrinks the
+    magnitude by tau; non-negative garrote scales by (1 - tau²/|c|²)+)."""
+    if op == "soft":
+        mag = jnp.sqrt(mag2)
+        denom = jnp.where(mag == 0.0, 1.0, mag)
+        return jnp.maximum(1.0 - tau / denom, 0.0)
+    if op == "garrote":
+        denom = jnp.where(mag2 == 0.0, 1.0, mag2)
+        return jnp.maximum(1.0 - (tau * tau) / denom, 0.0)
+    return (mag2 >= tau * tau).astype(jnp.float32)
 
 
 def _make_dot(precision, fr, fi):
@@ -87,7 +104,7 @@ def _make_dot(precision, fr, fi):
 
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
             fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
-            soft: bool, precision):
+            op: str, precision):
     i = pl.program_id(0)
     tau = tau_ref[i]
 
@@ -105,13 +122,7 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
     Xi = dot(yr, fi) + dot(yi, fr)
 
     # magnitude threshold (phase preserving)
-    mag2 = Xr * Xr + Xi * Xi
-    if soft:
-        mag = jnp.sqrt(mag2)
-        denom = jnp.where(mag == 0.0, 1.0, mag)
-        shrink = jnp.maximum(1.0 - tau / denom, 0.0)
-    else:
-        shrink = (mag2 >= tau * tau).astype(jnp.float32)
+    shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
     Xr = Xr * shrink
     Xi = Xi * shrink
 
@@ -145,8 +156,8 @@ def pocs_iteration_fused(
     ``x``/``obs``: (B, N, N) pairs; ``mask``: (N, N); ``tau``: (B,) per-slice
     thresholds. Returns the updated (B, N, N) pair.
     """
-    if thresh_op not in ("hard", "soft"):
-        raise ValueError("fused kernel supports hard/soft thresholds")
+    if thresh_op not in _KERNEL_THRESH_OPS:
+        raise ValueError("fused kernel supports hard/soft/garrote thresholds")
     b, n, n2 = x.re.shape
     assert n == n2, "square slices required"
     fr, fi = dft.dft_matrices(n)
@@ -175,7 +186,7 @@ def pocs_iteration_fused(
             xr.at[0], xi.at[0], obr.at[0], obi.at[0],
             mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0],
-            n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
+            n=n, alpha=float(alpha), op=thresh_op,
             precision=(precision if precision is not None
                        else jax.lax.Precision.HIGHEST),
         )
@@ -320,12 +331,12 @@ def _radix_kernel_constants(n: int):
 # XLA at saturating batch (docs/perf.md round 1). Folding the WHOLE solve
 # into one launch keeps x (and the FPOCS x_prev) VMEM-resident across all
 # iterations — HBM is touched once per slice for in/out and once for the
-# shared constants. Regular + fast versions, hard/soft thresholds.
+# shared constants. Regular + fast versions, hard/soft/garrote thresholds.
 # ---------------------------------------------------------------------------
 
 def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
-                  soft: bool, niter: int, precision, fast: bool,
+                  op: str, niter: int, precision, fast: bool,
                   basis: str = "fft", split=None, twl_ref=None, twr_ref=None):
     i = pl.program_id(0)
     fr = fr_ref[...]
@@ -367,13 +378,7 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             Xr = dot(yr, fr) - dot(yi, fi)
             Xi = dot(yr, fi) + dot(yi, fr)
 
-        mag2 = Xr * Xr + Xi * Xi
-        if soft:
-            mag = jnp.sqrt(mag2)
-            denom = jnp.where(mag == 0.0, 1.0, mag)
-            shrink = jnp.maximum(1.0 - tau / denom, 0.0)
-        else:
-            shrink = (mag2 >= tau * tau).astype(jnp.float32)
+        shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
         Xr = Xr * shrink
         Xi = Xi * shrink
 
@@ -447,8 +452,8 @@ def pocs_solve_fused(
     split for the FFT basis when N factors as M·R with M >= 128 (4x fewer
     MXU MACs at 512²; exact — see the round-3 section above).
     """
-    if thresh_op not in ("hard", "soft"):
-        raise ValueError("fused kernel supports hard/soft thresholds")
+    if thresh_op not in _KERNEL_THRESH_OPS:
+        raise ValueError("fused kernel supports hard/soft/garrote thresholds")
     if version not in ("regular", "fast"):
         raise ValueError("fused solve supports regular/fast versions")
     if basis not in ("fft", "dct"):
@@ -504,7 +509,7 @@ def pocs_solve_fused(
         _solve_kernel(
             tau_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0], cost,
-            n=n, alpha=float(alpha), soft=(thresh_op == "soft"),
+            n=n, alpha=float(alpha), op=thresh_op,
             niter=int(niter),
             precision=(precision if precision is not None
                        else jax.lax.Precision.HIGHEST),

@@ -12,7 +12,7 @@ round trip VMEM-resident:
     for each (slice b, subband l) grid step:
         prod = X_b · psi_l                      (elementwise, spectral)
         c    = ifft2(prod)                      (radix split, in-VMEM)
-        ĉ    = threshold(c, tau[b, l])          (hard / soft)
+        ĉ    = threshold(c, tau[b, l])          (hard / soft / garrote)
         acc_b += fft2(ĉ) · psi_l                (radix split, in-VMEM)
 
 Spectra live in the radix-PERMUTED layout (ops/dft.py::radix_perm): the
@@ -34,9 +34,9 @@ import jax.numpy as jnp
 
 from .. import dft
 from ..cplx import Cplx
-from .pocs_iter import (_PALLAS_OK, _fast_fwd_left, _fast_fwd_right,
-                        _fast_inv_left, _fast_inv_right, _make_dot,
-                        _radix_kernel_constants)
+from .pocs_iter import (_KERNEL_THRESH_OPS, _PALLAS_OK, _fast_fwd_left,
+                        _fast_fwd_right, _fast_inv_left, _fast_inv_right,
+                        _make_dot, _radix_kernel_constants, _shrink)
 
 if _PALLAS_OK:  # pragma: no branch
     from jax.experimental import pallas as pl
@@ -45,7 +45,7 @@ if _PALLAS_OK:  # pragma: no branch
 
 def subband_supported(shape, thresh_op: str) -> bool:
     """Whether the fused subband kernel supports this configuration."""
-    if not _PALLAS_OK or thresh_op not in ("hard", "soft"):
+    if not _PALLAS_OK or thresh_op not in _KERNEL_THRESH_OPS:
         return False
     h, w = shape[-2], shape[-1]
     return h == w and h % 128 == 0 and dft.fast_split(h) is not None
@@ -53,7 +53,7 @@ def subband_supported(shape, thresh_op: str) -> bool:
 
 def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
             twr_ref, accr_ref, acci_ref, *, n: int, m: int, r: int, w_r,
-            soft: bool, precision):
+            op: str, precision):
     b = pl.program_id(0)
     l = pl.program_id(1)
     tau = tau_ref[b, l]
@@ -73,13 +73,7 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
     cr = cr * scale
     ci = ci * scale
 
-    mag2 = cr * cr + ci * ci
-    if soft:
-        mag = jnp.sqrt(mag2)
-        denom = jnp.where(mag == 0.0, 1.0, mag)
-        shrink = jnp.maximum(1.0 - tau / denom, 0.0)
-    else:
-        shrink = (mag2 >= tau * tau).astype(jnp.float32)
+    shrink = _shrink(cr * cr + ci * ci, tau, op)
     cr = cr * shrink
     ci = ci * shrink
 
@@ -139,7 +133,7 @@ def subband_update_fused(
     def kernel(tau_ref, xr, xi, psi, fmr_r, fmi_r, twl_r, twr_r, accr, acci):
         _kernel(tau_ref, xr.at[0], xi.at[0], psi.at[0], fmr_r, fmi_r,
                 twl_r, twr_r, accr.at[0], acci.at[0],
-                n=n, m=m, r=r, w_r=w_r, soft=(thresh_op == "soft"),
+                n=n, m=m, r=r, w_r=w_r, op=thresh_op,
                 precision=(precision if precision is not None
                            else jax.lax.Precision.HIGHEST))
 

@@ -21,7 +21,7 @@ def reference_iteration(x, obs, mask, tau, alpha, op):
     return cplx.Cplx(rec.re * keep + alpha * obs.re, rec.im * keep + alpha * obs.im)
 
 
-@pytest.mark.parametrize("op", ["hard", "soft"])
+@pytest.mark.parametrize("op", ["hard", "soft", "garrote"])
 def test_fused_iteration_matches_reference(op):
     rng = np.random.default_rng(110)
     b, n = 3, 128
@@ -89,8 +89,9 @@ def test_fused_full_solve_matches_xla_scan():
     obs = truth * mask
     z = from_complex(obs)
     tr = FFTTransform()
-    for version in ("regular", "fast"):
-        cfg = POCSConfig(niter=niter, thresh_op="hard",
+    for version, op in (("regular", "hard"), ("fast", "hard"),
+                        ("fast", "garrote")):
+        cfg = POCSConfig(niter=niter, thresh_op=op,
                          thresh_model="exponential", p_min=1e-3,
                          version=version, alpha=0.75, eps=0.0)
         ref = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)

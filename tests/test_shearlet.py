@@ -249,7 +249,7 @@ class TestPallasSubbandKernel:
             np.testing.assert_allclose(np.asarray(back),
                                        np.asarray(to_complex(z)), atol=1e-5)
 
-    @pytest.mark.parametrize("op", ["hard", "soft"])
+    @pytest.mark.parametrize("op", ["hard", "soft", "garrote"])
     def test_kernel_matches_streamed(self, op):
         from pseudo_3d_interpolation_tpu.ops import shearlet as sh
         from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
