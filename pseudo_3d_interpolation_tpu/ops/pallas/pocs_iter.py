@@ -14,7 +14,9 @@ which is the difference between memory- and compute-bound in the fast
 (bf16-matmul) regime on v5e/v5p.
 
 Constraints (fall back to the XLA path otherwise — models/pocs.py):
-  - square slices (one shared DFT matrix), H == W, multiples of 128
+  - H and W multiples of 128 (square slices share one DFT matrix and get
+    the in-kernel Cooley-Tukey split; rectangular slices run the dense
+    path with a per-axis matrix pair)
   - FFT transform, hard/soft/garrote threshold
 
 The kernel grid runs one program per slice; per-slice thresholds arrive as
@@ -42,11 +44,14 @@ except Exception:  # pragma: no cover
 
 
 def pallas_supported(shape) -> bool:
-    """Whether the fused kernel supports slices of this shape."""
+    """Whether the fused kernel supports slices of this shape (each spatial
+    side a multiple of 128 — the MXU/VREG tile; rectangular slices run the
+    dense per-axis-matrix path, square ones additionally get the
+    Cooley-Tukey split)."""
     if not _PALLAS_OK:
         return False
     h, w = shape[-2], shape[-1]
-    return h == w and h % 128 == 0
+    return h % 128 == 0 and w % 128 == 0
 
 
 _KERNEL_THRESH_OPS = ("hard", "soft", "garrote")
@@ -66,7 +71,7 @@ def _shrink(mag2, tau, op: str):
     return (mag2 >= tau * tau).astype(jnp.float32)
 
 
-def _make_dot(precision, fr, fi):
+def _make_dot(precision, fr, fi, *extra_consts):
     """In-kernel dot for the requested precision.
 
     Mosaic lowers DEFAULT (bf16) and HIGHEST (f32 6-pass) natively but has
@@ -90,12 +95,17 @@ def _make_dot(precision, fr, fi):
         return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     _raw = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    fr_s = _split(fr)
-    fi_s = _split(fi)
+    cache = [(c, _split(c)) for c in (fr, fi, *extra_consts)]
+
+    def _lookup(a):
+        for c, s in cache:
+            if a is c:
+                return s
+        return _split(a)
 
     def dot(a, b):
-        a_s = fr_s if a is fr else (fi_s if a is fi else _split(a))
-        b_s = fr_s if b is fr else (fi_s if b is fi else _split(b))
+        a_s = _lookup(a)
+        b_s = _lookup(b)
         return (_raw(a_s[0], b_s[0]) + _raw(a_s[0], b_s[1])
                 + _raw(a_s[1], b_s[0]))
 
@@ -104,7 +114,7 @@ def _make_dot(precision, fr, fi):
 
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
             fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
-            op: str, precision):
+            op: str, precision, rect_refs=None, hw=None):
     i = pl.program_id(0)
     tau = tau_ref[i]
 
@@ -112,26 +122,32 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
     fi = fi_ref[...]
     xr = xr_ref[...]
     xi = xi_ref[...]
+    if rect_refs is not None:  # rectangular: separate (W, W) DFT pair
+        e0 = rect_refs[0][...]
+        e1 = rect_refs[1][...]
+    else:
+        e0, e1 = fr, fi
+    n_scale = float(hw[0] * hw[1]) if hw is not None else float(n * n)
 
-    dot = _make_dot(precision, fr, fi)
+    dot = _make_dot(precision, fr, fi, e0, e1)
 
-    # forward: Y = F @ x ; X = Y @ F^T (F symmetric -> use F directly)
+    # forward: Y = F_h @ x ; X = Y @ F_w (F symmetric -> use F directly)
     yr = dot(fr, xr) - dot(fi, xi)
     yi = dot(fr, xi) + dot(fi, xr)
-    Xr = dot(yr, fr) - dot(yi, fi)
-    Xi = dot(yr, fi) + dot(yi, fr)
+    Xr = dot(yr, e0) - dot(yi, e1)
+    Xi = dot(yr, e1) + dot(yi, e0)
 
     # magnitude threshold (phase preserving)
     shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
     Xr = Xr * shrink
     Xi = Xi * shrink
 
-    # inverse: conj(F) @ X̂ @ conj(F)^T / n², conj(F) = (fr, −fi)
+    # inverse: conj(F_h) @ X̂ @ conj(F_w) / (H·W), conj(F) = (fr, −fi)
     yr = dot(fr, Xr) + dot(fi, Xi)
     yi = dot(fr, Xi) - dot(fi, Xr)
-    rr = dot(yr, fr) + dot(yi, fi)
-    ri = dot(yi, fr) - dot(yr, fi)
-    scale = 1.0 / (n * n)
+    rr = dot(yr, e0) + dot(yi, e1)
+    ri = dot(yi, e0) - dot(yr, e1)
+    scale = 1.0 / n_scale
     rr = rr * scale
     ri = ri * scale
 
@@ -151,36 +167,48 @@ def pocs_iteration_fused(
     interpret: bool = False,
     precision=None,
 ) -> Cplx:
-    """One fused POCS iteration over a batch of square slices.
+    """One fused POCS iteration over a batch of slices.
 
-    ``x``/``obs``: (B, N, N) pairs; ``mask``: (N, N); ``tau``: (B,) per-slice
-    thresholds. Returns the updated (B, N, N) pair.
+    ``x``/``obs``: (B, H, W) pairs (H, W multiples of 128); ``mask``:
+    (H, W); ``tau``: (B,) per-slice thresholds. Returns the updated
+    (B, H, W) pair.
     """
     if thresh_op not in _KERNEL_THRESH_OPS:
         raise ValueError("fused kernel supports hard/soft/garrote thresholds")
-    b, n, n2 = x.re.shape
-    assert n == n2, "square slices required"
-    fr, fi = dft.dft_matrices(n)
+    b, h, w = x.re.shape
+    n = h
+    rect = h != w
+    fr, fi = dft.dft_matrices(h)
+    extra_inputs = []
+    extra_specs = []
+    if rect:
+        wr_, wi_ = dft.dft_matrices(w)
+        extra_inputs = [jnp.asarray(wr_), jnp.asarray(wi_)]
+        extra_specs = [
+            pl.BlockSpec((w, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ] + extra_specs,
         out_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
 
-    def kernel(tau_ref, xr, xi, obr, obi, mask_r, fr_r, fi_r, outr, outi):
+    def kernel(tau_ref, xr, xi, obr, obi, mask_r, fr_r, fi_r, *rest):
+        *ex_refs, outr, outi = rest
         _kernel(
             tau_ref,
             xr.at[0], xi.at[0], obr.at[0], obi.at[0],
@@ -189,14 +217,16 @@ def pocs_iteration_fused(
             n=n, alpha=float(alpha), op=thresh_op,
             precision=(precision if precision is not None
                        else jax.lax.Precision.HIGHEST),
+            rect_refs=ex_refs if rect else None,
+            hw=(h, w) if rect else None,
         )
 
     outr, outi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         ],
         # 512² slices need ~18 MB of scoped VMEM (slice pairs + DFT matrices
         # + matmul temporaries); raise the Mosaic limit above its 16 MB
@@ -209,6 +239,7 @@ def pocs_iteration_fused(
         x.re, x.im, obs.re, obs.im,
         jnp.asarray(mask, jnp.float32),
         jnp.asarray(fr), jnp.asarray(fi),
+        *extra_inputs,
     )
     return Cplx(outr, outi)
 
@@ -337,10 +368,22 @@ def _radix_kernel_constants(n: int):
 def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
                   op: str, niter: int, precision, fast: bool,
-                  basis: str = "fft", split=None, twl_ref=None, twr_ref=None):
+                  basis: str = "fft", split=None, twl_ref=None, twr_ref=None,
+                  rect_refs=None, hw=None):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
+    # right-hand transform matrices: for square slices the (symmetric) DFT
+    # matrix / the DCT pair serves both sides; rectangular slices carry a
+    # separate (W, W) pair (e0 = right-forward, e1 = right-inverse partner —
+    # FFT: F_w.(re, im); DCT: (C_w^T, C_w), mirroring the square (fr, fi)
+    # convention below)
+    if rect_refs is not None:
+        e0 = rect_refs[0][...]
+        e1 = rect_refs[1][...]
+    else:
+        e0, e1 = (fi, fr) if basis == "dct" else (fr, fi)
+    n_scale = float(hw[0] * hw[1]) if hw is not None else float(n * n)
     obr = xr_ref[...]  # the observed slice doubles as the initial iterate
     obi = xi_ref[...]
     mask = mask_ref[...]
@@ -350,7 +393,7 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         twl = twl_ref[...]
         twr_ = twr_ref[...]
 
-    dot = _make_dot(precision, fr, fi)  # HIGH = hand-rolled bf16x3, see above
+    dot = _make_dot(precision, fr, fi, e0, e1)  # HIGH = bf16x3, see above
 
     def one(j, carry):
         xr_prev, xi_prev, xr, xi, v, cost_prev = carry
@@ -363,11 +406,12 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         yi_in = xi + f * (xi - xi_prev)
 
         if basis == "dct":
-            # orthonormal DCT-II: fr holds C, fi holds C^T; re/im transform
-            # independently (the DCT is real), thresholds act on the joint
-            # magnitude — exactly models.transforms.DCTTransform
-            Xr = dot(dot(fr, yr_in), fi)
-            Xi = dot(dot(fr, yi_in), fi)
+            # orthonormal DCT-II: fr holds C_h, fi holds C_h^T (e0/e1 the
+            # W-side pair); re/im transform independently (the DCT is
+            # real), thresholds act on the joint magnitude — exactly
+            # models.transforms.DCTTransform
+            Xr = dot(dot(fr, yr_in), e0)
+            Xi = dot(dot(fr, yi_in), e0)
         elif split is not None:
             # Cooley-Tukey split: R M-deep dots per axis, permuted spectrum
             ar, ai = _fast_fwd_left(yr_in, yi_in, dot, fr, fi, twl, w_r, m_, r_)
@@ -375,27 +419,27 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         else:
             yr = dot(fr, yr_in) - dot(fi, yi_in)
             yi = dot(fr, yi_in) + dot(fi, yr_in)
-            Xr = dot(yr, fr) - dot(yi, fi)
-            Xi = dot(yr, fi) + dot(yi, fr)
+            Xr = dot(yr, e0) - dot(yi, e1)
+            Xi = dot(yr, e1) + dot(yi, e0)
 
         shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
         Xr = Xr * shrink
         Xi = Xi * shrink
 
         if basis == "dct":
-            rr = dot(dot(fi, Xr), fr)
-            ri = dot(dot(fi, Xi), fr)
+            rr = dot(dot(fi, Xr), e1)
+            ri = dot(dot(fi, Xi), e1)
             scale = 1.0
         elif split is not None:
             br, bi = _fast_inv_right(Xr, Xi, dot, fr, fi, twr_, w_r, m_, r_)
             rr, ri = _fast_inv_left(br, bi, dot, fr, fi, twl, w_r, m_, r_)
-            scale = 1.0 / (n * n)
+            scale = 1.0 / n_scale
         else:
             yr = dot(fr, Xr) + dot(fi, Xi)
             yi = dot(fr, Xi) - dot(fi, Xr)
-            rr = dot(yr, fr) + dot(yi, fi)
-            ri = dot(yi, fr) - dot(yr, fi)
-            scale = 1.0 / (n * n)
+            rr = dot(yr, e0) + dot(yi, e1)
+            ri = dot(yi, e0) - dot(yr, e1)
+            scale = 1.0 / n_scale
         new_r = rr * scale * keep + alpha * obr
         new_i = ri * scale * keep + alpha * obi
 
@@ -440,17 +484,19 @@ def pocs_solve_fused(
 ) -> Cplx:
     """The COMPLETE POCS solve in one kernel launch per slice.
 
-    ``obs``: (B, N, N) pair; ``mask``: (N, N); ``decay``: (niter, B)
-    per-iteration per-slice thresholds; ``version='fast'`` runs true
-    Nesterov momentum with adaptive restart in-kernel (identical math to
-    the XLA scan); ``basis``: 'fft' (matmul-DFT) or 'dct' (orthonormal
-    DCT-II — 4x fewer dots per iteration). Returns ``(result, final_cost)``
-    — the final-iteration cost matches the XLA scan's telemetry;
-    per-iteration history / early stopping are intentionally not supported
-    (this is the fixed-iteration production path; use the XLA scan for
-    instrumented runs). ``use_split`` enables the in-kernel Cooley-Tukey
-    split for the FFT basis when N factors as M·R with M >= 128 (4x fewer
-    MXU MACs at 512²; exact — see the round-3 section above).
+    ``obs``: (B, H, W) pair (H, W multiples of 128); ``mask``: (H, W);
+    ``decay``: (niter, B) per-iteration per-slice thresholds;
+    ``version='fast'`` runs true Nesterov momentum with adaptive restart
+    in-kernel (identical math to the XLA scan); ``basis``: 'fft'
+    (matmul-DFT) or 'dct' (orthonormal DCT-II — 4x fewer dots per
+    iteration). Returns ``(result, final_cost)`` — the final-iteration cost
+    matches the XLA scan's telemetry; per-iteration history / early
+    stopping are intentionally not supported (this is the fixed-iteration
+    production path; use the XLA scan for instrumented runs). ``use_split``
+    enables the in-kernel Cooley-Tukey split for the FFT basis on SQUARE
+    slices when N factors as M·R with M >= 128 (4x fewer MXU MACs at 512²;
+    exact — see the round-3 section above); rectangular slices run the
+    dense path with a per-axis matrix pair.
     """
     if thresh_op not in _KERNEL_THRESH_OPS:
         raise ValueError("fused kernel supports hard/soft/garrote thresholds")
@@ -458,17 +504,21 @@ def pocs_solve_fused(
         raise ValueError("fused solve supports regular/fast versions")
     if basis not in ("fft", "dct"):
         raise ValueError("fused solve supports fft/dct bases")
-    b, n, n2 = obs.re.shape
-    assert n == n2, "square slices required"
+    b, h, w = obs.re.shape
+    n = h
     decay = jnp.asarray(decay, jnp.float32)
     niter = decay.shape[0]
     split = None
+    rect = h != w
     extra_inputs = []
     extra_specs = []
     if basis == "dct":
-        c = dft.dct2_matrix(n)
+        c = dft.dct2_matrix(h)
         fr, fi = c, c.T.copy()
-    elif use_split and dft.fast_split(n):
+        if rect:
+            cw = dft.dct2_matrix(w)
+            extra_inputs = [jnp.asarray(cw.T.copy()), jnp.asarray(cw)]
+    elif not rect and use_split and dft.fast_split(n):
         # Cooley-Tukey split path: fr/fi hold the M-point DFT matrices and
         # two packed twiddle tables ride along (see _radix_kernel_constants)
         m_, r_, w_r, fr, fi, twl, twr_pack = _radix_kernel_constants(n)
@@ -479,22 +529,30 @@ def pocs_solve_fused(
             pl.BlockSpec((16, m_), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
         ]
     else:
-        fr, fi = dft.dft_matrices(n)
+        fr, fi = dft.dft_matrices(h)
+        if rect:
+            wr_, wi_ = dft.dft_matrices(w)
+            extra_inputs = [jnp.asarray(wr_), jnp.asarray(wi_)]
+    if rect:
+        extra_specs = [
+            pl.BlockSpec((w, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+        ]
     fshape = fr.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, w), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fshape, lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(fshape, lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
         ] + extra_specs,
         out_specs=[
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             # per-slice scalar cost: Mosaic rejects rank-1 blocks smaller
             # than the full array unless 128-multiples (interpret mode
             # masked this; caught by an on-device lowering run), so every
@@ -505,7 +563,7 @@ def pocs_solve_fused(
     )
 
     def kernel(tau_ref, xr, xi, mask_r, fr_r, fi_r, *rest):
-        *tw_refs, outr, outi, cost = rest
+        *ex_refs, outr, outi, cost = rest
         _solve_kernel(
             tau_ref, xr.at[0], xi.at[0], mask_r, fr_r, fi_r,
             outr.at[0], outi.at[0], cost,
@@ -516,16 +574,18 @@ def pocs_solve_fused(
             fast=(version == "fast"),
             basis=basis,
             split=split,
-            twl_ref=tw_refs[0] if tw_refs else None,
-            twr_ref=tw_refs[1] if tw_refs else None,
+            twl_ref=ex_refs[0] if split else None,
+            twr_ref=ex_refs[1] if split else None,
+            rect_refs=ex_refs if rect else None,
+            hw=(h, w) if rect else None,
         )
 
     outr, outi, cost = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
             jax.ShapeDtypeStruct((b,), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)

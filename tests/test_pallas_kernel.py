@@ -46,8 +46,47 @@ def test_fused_iteration_matches_reference(op):
 def test_supported_shapes():
     assert pallas_supported((4, 128, 128))
     assert pallas_supported((512, 512))
-    assert not pallas_supported((4, 128, 256))
+    assert pallas_supported((4, 128, 256))  # rectangular since round 3
     assert not pallas_supported((100, 100))
+    assert not pallas_supported((4, 128, 200))
+
+
+@pytest.mark.parametrize("basis", ["FFT", "DCT"])
+@pytest.mark.parametrize("version", ["regular", "fast"])
+def test_fused_rectangular_matches_xla_scan(basis, version):
+    """Rectangular (H != W) slices run the dense per-axis-matrix kernel
+    path; numerics must match the XLA scan (both the folded solve and,
+    via eps > 0, the per-iteration kernel)."""
+    import dataclasses
+
+    from pseudo_3d_interpolation_tpu.models.transforms import DCTTransform
+
+    rng = np.random.default_rng(7)
+    h, w, b, niter = 128, 256, 2, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    truth = np.zeros((b, h, w), np.complex64)
+    for i in range(b):
+        for (fy, fx) in ((2, 3), (5, 1)):
+            truth[i] += np.exp(2j * np.pi * (fy * yy / h + fx * xx / w))
+    mask = np.ascontiguousarray(np.broadcast_to(
+        (rng.uniform(size=w) < 0.5).astype(np.float32)[None, :], (h, w)))
+    z = from_complex(truth * mask)
+    tr = DCTTransform() if basis == "DCT" else FFTTransform()
+    eps = 1e-12 if (basis == "FFT" and version == "regular") else 0.0
+    cfg = POCSConfig(niter=niter, thresh_op="hard",
+                     thresh_model="exponential", p_min=1e-3,
+                     version=version, alpha=0.75, eps=eps,
+                     transform_kind=basis)
+    ref = pocs_interpolate(z, jnp.asarray(mask), tr, cfg)
+    out = pocs_interpolate(z, jnp.asarray(mask), tr,
+                           dataclasses.replace(cfg, use_pallas=True,
+                                               pallas_interpret=True))
+    np.testing.assert_allclose(np.asarray(out.data.re),
+                               np.asarray(ref.data.re), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.data.im),
+                               np.asarray(ref.data.im), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
+                               rtol=1e-4, atol=1e-10)
 
 
 def test_full_solver_with_pallas_path():
