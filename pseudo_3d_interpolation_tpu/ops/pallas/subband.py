@@ -48,7 +48,18 @@ def subband_supported(shape, thresh_op: str) -> bool:
     if not _PALLAS_OK or thresh_op not in _KERNEL_THRESH_OPS:
         return False
     h, w = shape[-2], shape[-1]
-    return h == w and h % 128 == 0 and dft.fast_split(h) is not None
+    return h % 128 == 0 and w % 128 == 0
+
+
+def subband_layout(shape) -> str:
+    """Spectral layout the kernel will use for this shape: ``'permuted'``
+    (square with a fast Cooley-Tukey split — in-kernel radix transforms on
+    the permuted spectrum) or ``'natural'`` (dense per-axis DFT matrices;
+    rectangular slices and squares without a fast split)."""
+    h, w = shape[-2], shape[-1]
+    if h == w and dft.fast_split(h) is not None:
+        return "permuted"
+    return "natural"
 
 
 def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
@@ -91,58 +102,137 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
         acci_ref[...] = acci_ref[...] + vi * p
 
 
+def _kernel_dense(tau_ref, xr_ref, xi_ref, psi_ref, fhr_ref, fhi_ref,
+                  fwr_ref, fwi_ref, accr_ref, acci_ref, *, h: int, w: int,
+                  op: str, precision):
+    """Natural-order variant: dense (H, H)/(W, W) DFT matrix pairs instead
+    of the radix split — rectangular slices and non-split squares."""
+    b = pl.program_id(0)
+    l = pl.program_id(1)
+    tau = tau_ref[b, l]
+    fhr = fhr_ref[...]
+    fhi = fhi_ref[...]
+    fwr = fwr_ref[...]
+    fwi = fwi_ref[...]
+    p = psi_ref[...]
+    dot = _make_dot(precision, fhr, fhi, fwr, fwi)
+
+    xr = xr_ref[...] * p
+    xi = xi_ref[...] * p
+    # ifft2: conj(F_h) @ X @ conj(F_w) / (H·W)
+    yr = dot(fhr, xr) + dot(fhi, xi)
+    yi = dot(fhr, xi) - dot(fhi, xr)
+    cr = dot(yr, fwr) + dot(yi, fwi)
+    ci = dot(yi, fwr) - dot(yr, fwi)
+    scale = 1.0 / (h * w)
+    cr = cr * scale
+    ci = ci * scale
+
+    shrink = _shrink(cr * cr + ci * ci, tau, op)
+    cr = cr * shrink
+    ci = ci * shrink
+
+    # fft2: F_h @ ĉ @ F_w
+    yr = dot(fhr, cr) - dot(fhi, ci)
+    yi = dot(fhr, ci) + dot(fhi, cr)
+    vr = dot(yr, fwr) - dot(yi, fwi)
+    vi = dot(yr, fwi) + dot(yi, fwr)
+
+    @pl.when(l == 0)
+    def _init():
+        accr_ref[...] = vr * p
+        acci_ref[...] = vi * p
+
+    @pl.when(l > 0)
+    def _accum():
+        accr_ref[...] = accr_ref[...] + vr * p
+        acci_ref[...] = acci_ref[...] + vi * p
+
+
 def subband_update_fused(
-    x_perm: Cplx,
-    psi_perm,
+    x_spec: Cplx,
+    psi,
     tau,
     thresh_op: str = "hard",
     precision=None,
     interpret: bool = False,
+    layout: str = "permuted",
 ) -> Cplx:
     """Fused Σ_l fft2(threshold(ifft2(X·psi_l)))·psi_l over full-size
     subbands.
 
-    ``x_perm``: (B, N, N) radix-permuted spectrum pair; ``psi_perm``:
-    (L, N, N) equally permuted real window stack; ``tau``: (B, L)
-    per-slice per-subband thresholds. Returns the (B, N, N) permuted
-    spectrum accumulator.
+    ``layout='permuted'`` (square slices with a fast split): ``x_spec`` is
+    the (B, N, N) radix-permuted spectrum pair from ``dft.fft2_permuted``
+    and ``psi`` the equally permuted (L, N, N) real window stack; the
+    returned accumulator inverts with ``dft.ifft2_from_permuted``.
+    ``layout='natural'`` (rectangular slices / non-split squares):
+    ``x_spec`` is the plain ``dft.fft2`` (B, H, W) spectrum, ``psi`` the
+    natural-order stack, and the result inverts with ``dft.ifft2``.
+    ``tau``: (B, L) per-slice per-subband thresholds.
     """
-    b, n, n2 = x_perm.re.shape
-    assert n == n2, "square slices required"
-    lcount = psi_perm.shape[0]
-    m, r, w_r, fmr, fmi, twl, twr_pack = _radix_kernel_constants(n)
+    b, h, w = x_spec.re.shape
+    lcount = psi.shape[0]
+    prec = precision if precision is not None else jax.lax.Precision.HIGHEST
+
+    if layout == "permuted":
+        assert h == w, "permuted layout requires square slices"
+        n = h
+        m, r, w_r, fmr, fmi, twl, twr_pack = _radix_kernel_constants(n)
+        const_inputs = [jnp.asarray(fmr), jnp.asarray(fmi),
+                        jnp.asarray(twl), jnp.asarray(twr_pack)]
+        const_specs = [
+            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 16), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+        def kernel(tau_ref, xr, xi, psi_r, fmr_r, fmi_r, twl_r, twr_r,
+                   accr, acci):
+            _kernel(tau_ref, xr.at[0], xi.at[0], psi_r.at[0], fmr_r, fmi_r,
+                    twl_r, twr_r, accr.at[0], acci.at[0],
+                    n=n, m=m, r=r, w_r=w_r, op=thresh_op, precision=prec)
+    elif layout == "natural":
+        fhr, fhi = dft.dft_matrices(h)
+        fwr, fwi = (fhr, fhi) if w == h else dft.dft_matrices(w)
+        const_inputs = [jnp.asarray(fhr), jnp.asarray(fhi),
+                        jnp.asarray(fwr), jnp.asarray(fwi)]
+        const_specs = [
+            pl.BlockSpec((h, h), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, h), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+        def kernel(tau_ref, xr, xi, psi_r, fhr_r, fhi_r, fwr_r, fwi_r,
+                   accr, acci):
+            _kernel_dense(tau_ref, xr.at[0], xi.at[0], psi_r.at[0],
+                          fhr_r, fhi_r, fwr_r, fwi_r,
+                          accr.at[0], acci.at[0],
+                          h=h, w=w, op=thresh_op, precision=prec)
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, lcount),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, j, tau: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 16), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j, tau: (j, 0, 0), memory_space=pltpu.VMEM),
+        ] + const_specs,
         out_specs=[
-            pl.BlockSpec((1, n, n), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
     )
-
-    def kernel(tau_ref, xr, xi, psi, fmr_r, fmi_r, twl_r, twr_r, accr, acci):
-        _kernel(tau_ref, xr.at[0], xi.at[0], psi.at[0], fmr_r, fmi_r,
-                twl_r, twr_r, accr.at[0], acci.at[0],
-                n=n, m=m, r=r, w_r=w_r, op=thresh_op,
-                precision=(precision if precision is not None
-                           else jax.lax.Precision.HIGHEST))
 
     accr, acci = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
-            jax.ShapeDtypeStruct((b, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -150,9 +240,8 @@ def subband_update_fused(
         interpret=interpret,
     )(
         jnp.asarray(tau, jnp.float32),
-        x_perm.re, x_perm.im,
-        jnp.asarray(psi_perm, jnp.float32),
-        jnp.asarray(fmr), jnp.asarray(fmi),
-        jnp.asarray(twl), jnp.asarray(twr_pack),
+        x_spec.re, x_spec.im,
+        jnp.asarray(psi, jnp.float32),
+        *const_inputs,
     )
     return Cplx(accr, acci)

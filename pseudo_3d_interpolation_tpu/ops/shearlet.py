@@ -374,46 +374,57 @@ def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -
                 jnp.concatenate([o.im for o in outs], axis=-3))
 
 
-def _plan_pallas_pack(plan, h: int, w: int):
-    """Cached permuted-layout packing of a plan for the fused subband
-    kernel: (psi of full-size groups gathered into radix_perm layout,
-    plan-order indices of those bands, [(l0, lg, pos_h, pos_w, group)]
-    for box groups with their positions in the permuted spectrum)."""
-    pack = getattr(plan, "_pallas_pack", None)
+def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
+    """Cached packing of a plan for the fused subband kernel:
+    (psi of full-size groups, plan-order indices of those bands,
+    [(l0, lg, pos_h, pos_w, group)] for box groups with their gather
+    positions in the kernel's spectral layout). ``layout='permuted'``
+    stores psi/positions in the radix_perm layout (square fast-split
+    slices); ``'natural'`` keeps plan order (rectangular slices)."""
+    attr = f"_pallas_pack_{layout}"
+    pack = getattr(plan, attr, None)
     if pack is not None:
         return pack
-    perm_h, perm_w = dft.radix_perm(h), dft.radix_perm(w)
-    inv_h, inv_w = dft.radix_perm_inv(h), dft.radix_perm_inv(w)
+    if layout == "permuted":
+        perm_h, perm_w = dft.radix_perm(h), dft.radix_perm(w)
+        inv_h, inv_w = dft.radix_perm_inv(h), dft.radix_perm_inv(w)
     full_psi, full_idx, boxes = [], [], []
     l0 = 0
     for g in plan:
         lg = g.psi.shape[0]
         if g.idx_h is None:
-            full_psi.append(np.ascontiguousarray(
-                g.psi[:, perm_h][:, :, perm_w]))
+            p = (g.psi if layout == "natural"
+                 else g.psi[:, perm_h][:, :, perm_w])
+            full_psi.append(np.ascontiguousarray(p))
             full_idx.extend(range(l0, l0 + lg))
+        elif layout == "natural":
+            boxes.append((l0, lg, g.idx_h.astype(np.int32),
+                          g.idx_w.astype(np.int32), g))
         else:
             boxes.append((l0, lg, inv_h[g.idx_h].astype(np.int32),
                           inv_w[g.idx_w].astype(np.int32), g))
         l0 += lg
     pack = (np.concatenate(full_psi) if full_psi else None,
             np.asarray(full_idx, np.int64), boxes)
-    plan._pallas_pack = pack
+    setattr(plan, attr, pack)
     return pack
 
 
 def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
                                precision, interpret: bool) -> Cplx:
-    """Permuted-layout pipeline with the fused Pallas kernel for full-size
-    subbands (ops/pallas/subband.py); box groups keep the batched einsum
-    path, gathered at their permuted positions. Numerics == the XLA
+    """Fused-Pallas pipeline for full-size subbands (ops/pallas/subband.py);
+    box groups keep the batched einsum path, gathered at their positions in
+    the kernel's spectral layout (radix-permuted for square fast-split
+    slices, natural order for rectangular ones). Numerics == the XLA
     streamed path (pinned in tests/test_shearlet.py)."""
     from . import threshold as threshold_ops
-    from .pallas.subband import subband_update_fused
+    from .pallas.subband import subband_layout, subband_update_fused
 
     h, w = z.shape[-2], z.shape[-1]
-    psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w)
-    zf = dft.fft2_permuted(z, precision=precision)
+    layout = subband_layout(z.shape)
+    psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w, layout)
+    zf = (dft.fft2_permuted(z, precision=precision) if layout == "permuted"
+          else dft.fft2(z, precision=precision))
     tau2 = jnp.asarray(tau)
     if tau2.ndim == 1:
         tau2 = tau2[None]
@@ -423,7 +434,7 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
 
     acc = subband_update_fused(
         zf, psi_full, tau2[..., jnp.asarray(full_idx)], thresh_op=thresh_op,
-        precision=precision, interpret=interpret)
+        precision=precision, interpret=interpret, layout=layout)
     acc_re, acc_im = acc.re, acc.im
 
     for l0, lg, pos_h, pos_w, g in boxes:
@@ -441,7 +452,8 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
         acc_re = acc_re.at[..., pos_h[:, None], pos_w[None, :]].add(sr)
         acc_im = acc_im.at[..., pos_h[:, None], pos_w[None, :]].add(si)
 
-    return dft.ifft2_from_permuted(Cplx(acc_re, acc_im), precision=precision)
+    inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
+    return inv(Cplx(acc_re, acc_im), precision=precision)
 
 
 def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
@@ -473,10 +485,11 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
 
     h, w = z.shape[-2], z.shape[-1]
     if use_pallas and z.re.ndim == 3:
-        from .pallas.subband import subband_supported
+        from .pallas.subband import subband_layout, subband_supported
 
         if (subband_supported(z.shape, thresh_op)
-                and _plan_pallas_pack(plan, h, w)[0] is not None):
+                and _plan_pallas_pack(plan, h, w,
+                                      subband_layout(z.shape))[0] is not None):
             return _pocs_subband_apply_pallas(
                 z, plan, tau, thresh_op, precision, pallas_interpret)
     batch = z.shape[:-2]

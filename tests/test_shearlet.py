@@ -249,6 +249,32 @@ class TestPallasSubbandKernel:
             np.testing.assert_allclose(np.asarray(back),
                                        np.asarray(to_complex(z)), atol=1e-5)
 
+    @pytest.mark.parametrize("shape", [(128, 256), (128, 128)])
+    def test_kernel_natural_layout_matches_streamed(self, shape):
+        """Rectangular slices (and squares without a fast split) run the
+        dense natural-order kernel variant — same numerics as the XLA
+        streamed path."""
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+        from pseudo_3d_interpolation_tpu.ops.pallas.subband import (
+            subband_layout,
+        )
+
+        assert subband_layout(shape) == "natural"
+        rng = np.random.default_rng(3)
+        h, w = shape
+        z = Cplx(jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32)),
+                 jnp.asarray(rng.normal(size=(2, h, w)).astype(np.float32)))
+        plan = sh.shearlet_plan(h, w)
+        L = sh.n_subbands(sh.default_scales(h, w))
+        tau = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, L)).astype(np.float32))
+        a = sh.pocs_subband_apply(z, plan, tau, "hard")
+        b = sh.pocs_subband_apply(z, plan, tau, "hard", use_pallas=True,
+                                  pallas_interpret=True)
+        scale = float(jnp.max(jnp.abs(a.re))) or 1.0
+        d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
+        assert d / scale < 3e-6, d
+
     @pytest.mark.parametrize("op", ["hard", "soft", "garrote"])
     def test_kernel_matches_streamed(self, op):
         from pseudo_3d_interpolation_tpu.ops import shearlet as sh
