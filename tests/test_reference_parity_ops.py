@@ -502,6 +502,71 @@ class TestFilterParity:
 
 
 # ===========================================================================
+# header.py (coordinate scalars; pure functions, segyio stubbed for import)
+# ===========================================================================
+class TestHeaderParity:
+    @pytest.fixture(scope="class")
+    def ref_hdr(self, request):
+        if "segyio" not in sys.modules:
+            sys.modules["segyio"] = types.ModuleType("segyio")
+            request.addfinalizer(lambda: sys.modules.pop("segyio", None))
+        sys.path.insert(0, REF_ROOT)
+        try:
+            from pseudo_3D_interpolation.functions import header as rh
+        finally:
+            sys.path.remove(REF_ROOT)
+        return rh
+
+    def test_unscale_coordinates(self, ref_hdr):
+        from pseudo_3d_interpolation_tpu.io.headers import unscale_coordinates
+
+        x = _rng(50).uniform(400_000, 700_000, size=40)
+        y = _rng(51).uniform(6_000_000, 7_000_000, size=40)
+        # scalars kept where scaled values fit the 4-byte header field (the
+        # reference's int64 cast hides write-time overflow; repo is int32)
+        for units, sf in [(1, -100), (1, -10), (1, 100), (1, 0),
+                          (2, -100)]:
+            if units == 2:
+                xs, ys = x / 3.6e6 * 100, y / 3.6e6 * 100  # plausible degrees
+            else:
+                xs, ys = x, y
+            want = ref_hdr.unscale_coordinates(xs, ys, coords_units=units,
+                                               scale_factor=sf)
+            got = unscale_coordinates(xs, ys, coords_units=units,
+                                      scale_factor=sf)
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+
+    def test_check_coordinate_scalar(self, ref_hdr):
+        from pseudo_3d_interpolation_tpu.io.headers import (
+            apply_coordinate_scalar, check_coordinate_scalar)
+
+        vals = np.array([123456.78, 654321.99])
+        for s in (-1000, -100, -10, 10, 100, 1000, 0, None):
+            want_s, want_mult = ref_hdr.check_coordinate_scalar(s)
+            got = check_coordinate_scalar(0 if s is None else s)
+            assert got == want_s
+            # the reference's multiplier is what unscaling applies; the
+            # repo folds it into apply_coordinate_scalar's read direction
+            if want_s:
+                read = apply_coordinate_scalar(vals * want_mult, want_s)
+                np.testing.assert_allclose(read, vals, rtol=1e-12)
+
+    def test_check_coordinate_scalar_auto(self, ref_hdr):
+        """'auto' on UTM-magnitude coordinates resolves to -100 (cm
+        precision) in the reference's digit heuristic — the repo's fixed
+        'auto' choice (io/headers.py:69-73)."""
+        from pseudo_3d_interpolation_tpu.io.headers import (
+            check_coordinate_scalar)
+
+        x = np.array([512345.67])
+        y = np.array([6543210.12])
+        want_s, want_mult = ref_hdr.check_coordinate_scalar("auto", x, y)
+        assert (want_s, want_mult) == (-100, 100)
+        assert check_coordinate_scalar("auto") == want_s
+
+
+# ===========================================================================
 # transform.py (Affine)
 # ===========================================================================
 class TestAffineParity:
