@@ -155,3 +155,26 @@ def test_odd_shapes_tight_and_roundtrip(shape):
         sh.shearlet_transform_planned(z, plan), plan)
     np.testing.assert_allclose(np.asarray(back.re), np.asarray(z.re), atol=1e-5)
     np.testing.assert_allclose(np.asarray(back.im), np.asarray(z.im), atol=1e-5)
+
+
+@pytest.mark.parametrize("op", ["hard", "soft", "garrote"])
+def test_fused_kernel_matches_streamed_on_curvelet_plan(op):
+    """The fused Pallas subband kernel (ops/pallas/subband.py) consumes
+    curvelet plans through the shared plan format — numerics must equal the
+    XLA streamed path for the curvelet group/box structure too."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n = 256
+    z = cplx.Cplx(
+        jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)))
+    plan = cv.curvelet_plan(n, n)
+    L = sum(g.psi.shape[0] for g in plan)
+    tau = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, L)).astype(np.float32))
+    a = sh.pocs_subband_apply(z, plan, tau, op)
+    b = sh.pocs_subband_apply(z, plan, tau, op, use_pallas=True,
+                              pallas_interpret=True)
+    scale = float(jnp.max(jnp.abs(a.re))) or 1.0
+    d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
+    assert d / scale < 3e-6, d
