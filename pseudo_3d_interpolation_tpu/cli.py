@@ -117,6 +117,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(per-trace lat/lon/time spatial prediction)")
     p.add_argument("--src-epsg", type=int, default=None,
                    help="EPSG of projected trace coordinates (atlas mode)")
+    p.add_argument("--constituents", "-c", nargs="+", default=None,
+                   metavar="NAME",
+                   help="restrict atlas synthesis to these constituents "
+                        "(reference --constituents; e.g. m2 s2 n2 k2 k1 o1 "
+                        "p1 q1)")
+    p.add_argument("--correct-minor", action="store_true",
+                   help="infer the 16 minor constituents from the majors "
+                        "by admittance (reference --correct_minor)")
+    p.add_argument("--coords-bytes", type=int, nargs=2, default=(73, 77),
+                   metavar=("XBYTE", "YBYTE"),
+                   help="header byte pair for positions: 73/77 source, "
+                        "181/185 CDP, 81/85 group (reference --src_coords)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("mistie", 7, "network mistie correction across line intersections")

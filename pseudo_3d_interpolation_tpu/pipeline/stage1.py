@@ -493,6 +493,9 @@ def trace_datetimes(f: SegyFile) -> np.ndarray:
 
 def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
                     src_epsg: int | None = None,
+                    constituents: list[str] | None = None,
+                    correct_minor: bool = False,
+                    coords_bytes=(73, 77),
                     inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
     """Shift traces by the predicted tide at their recording time/position.
 
@@ -510,6 +513,12 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
     ``src_epsg``: EPSG of projected trace coordinates, for conversion to
     lat/lon when using an atlas (unnecessary when headers already carry
     geographic coordinates).
+
+    ``constituents`` restricts the atlas synthesis to the named subset and
+    ``correct_minor`` adds the sixteen admittance-inferred minors — the
+    reference's ``--constituents`` / ``--correct_minor``
+    (tide_compensation_segy.py:242-252). ``coords_bytes`` selects the
+    header coordinate pair (reference ``--src_coords``).
     """
     atlas = None
     if tide_file.lower().endswith((".nc", ".h5", ".hdf5", ".atlas")):
@@ -529,7 +538,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
         from ..io.headers import scale_coordinates
         from ..utils import crs as crs_lib
 
-        x, y, units = scale_coordinates(f)
+        x, y, units = scale_coordinates(f, coords_bytes)
         if units == 2:  # already geographic (converted to decimal degrees)
             return y, x
         if src_epsg in (None, 4326):
@@ -550,7 +559,9 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             times = times64.astype("int64")
             if atlas is not None:
                 lat, lon = _trace_latlon(f)
-                height = atlas.predict(times64, lat, lon)
+                height = atlas.predict(times64, lat, lon,
+                                       constituents=constituents,
+                                       correct_minor=correct_minor)
             else:
                 if times.min() < t_ref[0] or times.max() > t_ref[-1]:
                     xprint(f"{p}: trace times extend beyond the tide table — "
@@ -987,6 +998,9 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
         tide_compensate(args.input, args.tide_file,
                         velocity=getattr(args, "velocity", 1500.0),
                         src_epsg=getattr(args, "src_epsg", None),
+                        constituents=getattr(args, "constituents", None),
+                        correct_minor=getattr(args, "correct_minor", False),
+                        coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
                         inplace=args.inplace, verbose=verbose)
     elif cmd == "mistie":
         mistie_correct(args.input, min_correlation=args.min_correlation,

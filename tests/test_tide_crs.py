@@ -517,3 +517,95 @@ class TestRound3CRSAdditions:
         e1, n1 = a.forward(54.0, 16.2)
         e2, n2 = b.forward(54.0, 16.2)
         assert abs(e1 - e2) < 1e-9 and abs(n1 - n2) < 1e-9
+
+
+class TestMinorConstituents:
+    """Round-3 option depth: --constituents subsetting and --correct_minor
+    admittance inference (reference tide_compensation_segy.py:242-252,
+    tpxo-tide-prediction options)."""
+
+    # published speeds (deg per mean solar hour; Schureman / IHO tables)
+    SPEEDS = {
+        "M2": 28.9841042, "S2": 30.0, "N2": 28.4397295, "2N2": 27.8953548,
+        "K2": 30.0821373, "K1": 15.0410686, "O1": 13.9430356,
+        "P1": 14.9589314, "Q1": 13.3986609, "Mf": 1.0980331,
+        "Mm": 0.5443747, "M4": 57.9682084, "MS4": 58.9841042,
+        "MN4": 57.4238337,
+    }
+
+    RATES = {  # deg/hour of the mean longitudes
+        "s": 481267.88123421 / 36525.0 / 24.0,
+        "h": 36000.76983 / 36525.0 / 24.0,
+        "p": 4069.0137287 / 36525.0 / 24.0,
+        "ps": 1.71946 / 36525.0 / 24.0,
+    }
+
+    def _speed(self, coeffs):
+        if len(coeffs) == 5:
+            nT, ns, nh, np_, _ = coeffs
+            nps = 0
+        else:
+            nT, ns, nh, np_, nps, _ = coeffs
+        return (nT * 15.0 + ns * self.RATES["s"] + nh * self.RATES["h"]
+                + np_ * self.RATES["p"] + nps * self.RATES["ps"])
+
+    def test_major_argument_speeds(self):
+        from pseudo_3d_interpolation_tpu.utils.tide import _CONSTITUENTS
+
+        for name, (speed, coeffs, _) in _CONSTITUENTS.items():
+            assert abs(self._speed(coeffs) - speed) < 1e-6, name
+            assert abs(speed - self.SPEEDS[name]) < 1e-6, name
+
+    def test_minor_argument_speeds(self):
+        """Every minor's Doodson-style argument reproduces its published
+        speed — pins the (n_T, n_s, n_h, n_p, n_ps) table exactly."""
+        from pseudo_3d_interpolation_tpu.utils.tide import _MINOR_CONSTITUENTS
+
+        for name, (speed, coeffs, _) in _MINOR_CONSTITUENTS.items():
+            assert abs(self._speed(coeffs) - speed) < 1e-6, name
+
+    def test_minor_correction_magnitude(self):
+        """With the standard eight majors, the inferred minor signal is a
+        small but non-trivial fraction of the total (typically 3-10%)."""
+        from pseudo_3d_interpolation_tpu.utils.tide import predict_tide
+
+        cons = {"M2": (1.0, 30.0), "S2": (0.4, 60.0), "N2": (0.2, 10.0),
+                "K2": (0.11, 70.0), "K1": (0.3, 120.0), "O1": (0.25, 100.0),
+                "P1": (0.1, 115.0), "Q1": (0.05, 95.0)}
+        t = pd.date_range("2023-03-01", periods=24 * 30, freq="1h")
+        base = predict_tide(t, cons)
+        full = predict_tide(t, cons, correct_minor=True)
+        minor = full - base
+        r = np.sqrt(np.mean(minor**2)) / np.sqrt(np.mean(base**2))
+        assert 0.01 < r < 0.15, r
+
+    def test_minor_skipped_when_major_supplied(self):
+        """2N2 supplied explicitly is NOT double-counted by inference."""
+        from pseudo_3d_interpolation_tpu.utils.tide import (
+            _minor_heights, _mean_longitudes)
+
+        t_days = np.linspace(0.0, 30.0, 200)
+        s, h, p, N, ps = _mean_longitudes(t_days)
+        tau = 15.0 * ((t_days % 1) * 24.0 + 12.0)
+        z = {"M2": 1.0 + 0j, "S2": 0.5 + 0j, "N2": 0.2 + 0j}
+        with_2n2 = _minor_heights(z, tau, s, h, p, ps, N)
+        z["2N2"] = 0.05 + 0j
+        without_2n2 = _minor_heights(z, tau, s, h, p, ps, N)
+        assert np.abs(with_2n2 - without_2n2).max() > 0  # 2N2 term dropped
+
+    def test_atlas_constituent_subset(self):
+        from pseudo_3d_interpolation_tpu.utils.tide import TideAtlas, predict_tide
+
+        lat = np.linspace(54, 56, 3)
+        lon = np.linspace(8, 10, 3)
+        g = lambda v: np.full((3, 3), v)  # noqa: E731
+        a = TideAtlas(lat, lon, {"M2": (g(1.0), g(30.0)),
+                                 "S2": (g(0.5), g(120.0))})
+        t = pd.date_range("2023-05-01", periods=12, freq="1h")
+        only_m2 = a.predict(t, np.full(12, 55.0), np.full(12, 9.0),
+                            constituents=["m2"])
+        np.testing.assert_allclose(
+            only_m2, predict_tide(t, {"M2": (1.0, 30.0)}), atol=1e-12)
+        with pytest.raises(ValueError, match="not in atlas"):
+            a.predict(t, np.full(12, 55.0), np.full(12, 9.0),
+                      constituents=["m2", "k1"])
