@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--src_coords)")
     p.add_argument("--scalar", type=int, default=-100,
                    help="output SourceGroupScalar (reference --scalar_coords)")
+    p.add_argument("--dst-coords", choices=["source", "CDP", "group"],
+                   default=None,
+                   help="header pair to write (reference --dst_coords; "
+                        "default writes source AND CDP)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("delrt-correct", 3, "detect and fix wrong DelayRecordingTime values")
@@ -104,6 +108,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="median filter window, traces (reference --win_median)")
     p.add_argument("--limit-shift", type=float, default=None, metavar="MS",
                    help="clip statics to +/- this many ms (reference --limit_shift)")
+    p.add_argument("--n-amp-samples", type=int, default=5,
+                   help="n largest amplitudes per seafloor search window "
+                        "(reference --n_amp_samples)")
+    p.add_argument("--limit-depressions", type=int, nargs=3, default=None,
+                   metavar=("NPAD", "MAX_EDGES", "MAX_CENTER"),
+                   help="relaxed shift clamp across seafloor depressions "
+                        "(reference --limit_depressions, e.g. 10 10 5)")
+    p.add_argument("--write-seafloor2trace", action="store_true",
+                   help="store picked seafloor TWT in the trace header "
+                        "(bytes 237/233; reference --write_seafloor2trace)")
+    p.add_argument("--no-aux", action="store_true",
+                   help="skip the .sta sidecar (reference --write_aux "
+                        "default off; this repo writes it by default)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("tide", 6, "tide compensation from a tide model / table")
@@ -133,16 +150,33 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = cmd("mistie", 7, "network mistie correction across line intersections")
     p.add_argument("input")
-    p.add_argument("--min-correlation", type=float, default=0.8)
+    p.add_argument("--min-correlation", "--quality-threshold",
+                   dest="min_correlation", type=float, default=0.8,
+                   help="cross-correlation quality cut-off "
+                        "(reference --quality_threshold)")
+    p.add_argument("--win-cc", type=float, nargs=2, default=None,
+                   metavar=("UPPER_MS", "LOWER_MS"),
+                   help="absolute-TWT limits of the correlation window "
+                        "(reference --win_cc)")
+    p.add_argument("--no-aux", action="store_true",
+                   help="skip .mst sidecars (reference --write_aux default "
+                        "off; this repo writes them by default)")
+    p.add_argument("--no-qc", action="store_true",
+                   help="skip the intersections QC layer "
+                        "(reference --write_QC)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("despike", 8, "remove noise bursts from single traces")
     p.add_argument("input")
     p.add_argument("--window", type=int, nargs=2, default=(9, 5),
                    metavar=("NSAMPLES", "NTRACES"))
+    p.add_argument("--window-time", type=float, default=None, metavar="MS",
+                   help="sample-axis window in TWT ms, overrides the window "
+                        "sample count per file (reference --window_time)")
     p.add_argument("--threshold", type=float, default=4.0)
     p.add_argument("--mode", choices=["median", "mean", "rms"], default="median")
-    p.add_argument("--replace", choices=["median", "zeros", "threshold"],
+    p.add_argument("--replace",
+                   choices=["median", "zeros", "threshold", "scaled", "mode"],
                    default="median",
                    help="spike replacement value (reference --out_amplitude)")
     p.add_argument("--split-at-delrt", action="store_true",
@@ -184,7 +218,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--filter", dest="filter_type",
                    choices=["lowpass", "highpass", "bandpass"], default=None)
     p.add_argument("--filter-freqs", type=float, nargs="+", default=None)
-    p.add_argument("--resample-to", type=int, default=None)
+    p.add_argument("--resample-to", type=int, default=None,
+                   help="output sample count")
+    p.add_argument("--resample-interval", type=float, default=None,
+                   metavar="MS", help="output sampling interval in ms "
+                   "(reference --resampling_interval)")
+    p.add_argument("--resample-frequency", type=float, default=None,
+                   metavar="HZ", help="output sampling rate in Hz "
+                   "(reference --resampling_frequency)")
+    p.add_argument("--resample-factor", type=float, default=None,
+                   help="<1 upsamples, >1 downsamples "
+                        "(reference --resampling_factor)")
+    p.add_argument("--resample-function", default="fft",
+                   choices=["fft", "poly"],
+                   help="device FFT resampling or scipy polyphase "
+                        "(reference --resampling_function "
+                        "resample/resample_poly)")
+    p.add_argument("--no-store-ref-amp", action="store_true",
+                   help="skip the amp_ref balance variable "
+                        "(reference --store_ref_amp default off; this repo "
+                        "stores it by default)")
     p.add_argument("--envelope", action="store_true")
 
     p = cmd("fft", 12, "forward FFT along the time axis")
@@ -228,16 +281,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--upsample-iline", type=int, default=1)
     p.add_argument("--upsample-xline", type=int, default=1)
-    p.add_argument("--footprint-sigma", type=int, default=None)
+    p.add_argument("--upsample-method", default="linear",
+                   choices=["linear", "nearest", "slinear", "cubic",
+                            "polynomial"],
+                   help="interpolation for the refined grid "
+                        "(reference --upsample)")
+    p.add_argument("--remove-footprint", action="store_true",
+                   help="kx-ky acquisition-footprint notch "
+                        "(reference --remove-footprint)")
+    p.add_argument("--footprint-sigma", type=int, default=None,
+                   help="Gaussian sigma of the footprint filter; implies "
+                        "--remove-footprint (reference --footprint-sigma 7)")
+    p.add_argument("--footprint-direction", default="both",
+                   choices=["both", "iline", "xline"],
+                   help="notch direction (reference --direction)")
+    p.add_argument("--buffer-center", type=float, default=0.20,
+                   help="kx-ky center buffer fraction "
+                        "(reference --buffer-center)")
+    p.add_argument("--buffer-filter", type=int, default=3,
+                   help="notch half-width in grid cells "
+                        "(reference --buffer-filter)")
     p.add_argument("--smooth", choices=["gaussian", "median"], default=None)
     p.add_argument("--smooth-sigma", type=float, default=1.0)
+    p.add_argument("--smooth-size", type=int, default=3,
+                   help="median kernel size (reference --smooth-size)")
+    p.add_argument("--rescale", type=float, nargs="*", default=None,
+                   metavar="PERC",
+                   help="percentile range for post-smooth rescale; bare "
+                        "flag = 0.01 99.99 (reference --rescale)")
     p.add_argument("--agc-win", type=float, default=None)
+    p.add_argument("--agc-kind", default="rms",
+                   choices=["rms", "mean", "median"],
+                   help="AGC statistic (reference --agc-kind)")
+    p.add_argument("--agc-sqrt", action="store_true",
+                   help="squared AGC, enhances strong amplitudes "
+                        "(reference --agc-sqrt)")
 
     p = cmd("cube2segy", 16, "export the cube to SEG-Y")
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--var", default=None)
     p.add_argument("--format", type=int, default=5, choices=[1, 5])
+    p.add_argument("--scalar-coords", type=int, default=-100,
+                   help="SourceGroupScalar for exported coordinates "
+                        "(reference --scalar_coords)")
 
     p = sub.add_parser("qc", help="write QC figures for a SEG-Y profile or cube")
     _add_common(p)
@@ -338,9 +425,28 @@ def main(argv=None) -> int:
     elif cmd == "preprocess":
         from .pipeline.preprocess import preprocess
 
-        preprocess(args.input, balance=args.balance, gain_args=_parse_kv(args.gain) or None,
+        resample_to = args.resample_to
+        if resample_to is None and (args.resample_interval or
+                                    args.resample_frequency or
+                                    args.resample_factor):
+            from .io.ncio import CubeFile
+
+            with CubeFile(args.input) as cf:
+                twt = cf.coords["twt"]
+                n_in, dt_in = len(twt), float(twt[1] - twt[0])
+            if args.resample_interval:
+                resample_to = int(round(n_in * dt_in / (args.resample_interval / 1e3)))
+            elif args.resample_frequency:
+                resample_to = int(round(n_in * dt_in * args.resample_frequency))
+            else:
+                resample_to = int(round(n_in / args.resample_factor))
+        preprocess(args.input, balance=args.balance,
+                   balance_store_ref=not args.no_store_ref_amp,
+                   gain_args=_parse_kv(args.gain) or None,
                    filter_type=args.filter_type, filter_freqs=args.filter_freqs,
-                   resample_to=args.resample_to, envelope=args.envelope,
+                   resample_to=resample_to,
+                   resample_method="poly" if args.resample_function == "poly" else "fft",
+                   envelope=args.envelope,
                    out_path=args.output, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "fft":
@@ -486,20 +592,38 @@ def main(argv=None) -> int:
         from .pipeline.postprocess import postprocess
 
         up = {"iline": args.upsample_iline, "xline": args.upsample_xline}
+        footprint = None
+        if args.remove_footprint or args.footprint_sigma is not None:
+            footprint = {"sigma": args.footprint_sigma or 7,
+                         "direction": args.footprint_direction,
+                         "buffer_center": args.buffer_center,
+                         "buffer_filter": args.buffer_filter}
+        rescale_p = args.rescale
+        if rescale_p is not None and len(rescale_p) == 0:
+            rescale_p = [0.01, 99.99]  # reference bare-flag default
+        smoothing = None
+        if args.smooth == "gaussian":
+            smoothing = {"kind": "gaussian", "sigma": args.smooth_sigma,
+                         "rescale_percentiles": rescale_p}
+        elif args.smooth:
+            smoothing = {"kind": "median", "size": args.smooth_size,
+                         "rescale_percentiles": rescale_p}
         postprocess(
             args.input,
             upsample_factors=up if max(up.values()) > 1 else None,
-            footprint={"sigma": args.footprint_sigma} if args.footprint_sigma else None,
-            smoothing={"kind": args.smooth, "sigma": args.smooth_sigma}
-            if args.smooth == "gaussian" else ({"kind": "median"} if args.smooth else None),
-            agc_win=args.agc_win,
+            upsample_method=args.upsample_method,
+            footprint=footprint,
+            smoothing=smoothing,
+            agc_win=args.agc_win, agc_kind=args.agc_kind,
+            agc_sqrt=args.agc_sqrt,
             out_path=args.output, verbose=v,
         )
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "cube2segy":
         from .pipeline.export import cube_to_segy
 
-        cube_to_segy(args.input, args.output, var=args.var, fmt=args.format, verbose=v)
+        cube_to_segy(args.input, args.output, var=args.var, fmt=args.format,
+                     coordinate_scalar=args.scalar_coords, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd in ("merge", "reproject", "delrt-correct", "delrt-pad", "static",
                  "tide", "mistie", "despike"):

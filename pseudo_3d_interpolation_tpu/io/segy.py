@@ -109,6 +109,10 @@ TRACE_HEADER_FIELDS = {
     "ShotPoint": (197, "i4"),
     "ShotPointScalar": (201, "i2"),
     "TraceValueMeasurementUnit": (203, "i2"),
+    # rev-1 unassigned area; the reference parks a custom static scalar and
+    # the picked seafloor TWT here (static_correction_segy.py:505-536)
+    "UnassignedInt1": (233, "i4"),
+    "UnassignedInt2": (237, "i4"),
 }
 
 _FORMAT_INFO = {1: 4, 2: 4, 3: 2, 5: 4, 8: 1}

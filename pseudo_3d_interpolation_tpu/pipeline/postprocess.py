@@ -108,14 +108,32 @@ def apply_kxky_filter(slices: np.ndarray, ffilter: np.ndarray) -> np.ndarray:
     return np.asarray(_kxky_apply(jnp.asarray(slices, jnp.float32), filt))
 
 
-def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int) -> np.ndarray:
-    """Separable linear interpolation of (..., ny, nx) slices onto a grid
+def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int,
+                           method: str = "linear") -> np.ndarray:
+    """Separable interpolation of (..., ny, nx) slices onto a grid
     ``factor`` times finer (the reference's ``interp_like`` refinement,
-    :350-488): new coords span the same extent with n*f points."""
+    :350-488): new coords span the same extent with n*f points. ``method``
+    matches the reference's ``--upsample`` choices (linear/nearest/slinear/
+    cubic/polynomial); linear runs on device, the scipy families host-side
+    (a once-per-cube boundary op)."""
     out = np.asarray(slices, np.float32)
 
-    def interp_axis(a, f):
-        return np.asarray(_interp_last(jnp.asarray(a), int(f)))
+    if method == "linear":
+        def interp_axis(a, f):
+            return np.asarray(_interp_last(jnp.asarray(a), int(f)))
+    else:
+        import scipy.interpolate
+
+        kind = {"nearest": "nearest", "slinear": "slinear",
+                "cubic": "cubic", "polynomial": 3}.get(method)
+        if kind is None:
+            raise ValueError(f"unknown upsample method {method!r}")
+
+        def interp_axis(a, f):
+            n = a.shape[-1]
+            new = np.linspace(0.0, n - 1.0, n * int(f))
+            fn = scipy.interpolate.interp1d(np.arange(n), a, kind=kind, axis=-1)
+            return fn(new).astype(np.float32)
 
     if factor_x > 1:
         out = interp_axis(out, factor_x)
@@ -172,9 +190,9 @@ def smooth_slices(slices: np.ndarray, kind: str = "gaussian", sigma: float = 1.0
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _agc_kernel(x, win, kind):
-    return sig.agc(x, win, kind=kind)
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _agc_kernel(x, win, kind, squared):
+    return sig.agc(x, win, kind=kind, squared=squared)
 
 
 # ---------------------------------------------------------------------------
@@ -184,11 +202,13 @@ def postprocess(
     cube: Cube | str,
     var: str | None = None,
     upsample_factors: dict | None = None,  # {'iline': f, 'xline': f}
+    upsample_method: str = "linear",  # reference --upsample choices
     antialias: bool = True,
     footprint: dict | None = None,  # kwargs for footprint_filter
     smoothing: dict | None = None,  # kwargs for smooth_slices
     agc_win: float | None = None,  # seconds
     agc_kind: str = "rms",
+    agc_sqrt: bool = False,  # reference --agc-sqrt
     out_path: str | None = None,
     verbose: int = 0,
 ) -> Cube:
@@ -205,7 +225,7 @@ def postprocess(
     if upsample_factors:
         fy = int(upsample_factors.get("iline", 1))
         fx = int(upsample_factors.get("xline", 1))
-        slices = upsample_slices_linear(slices, fy, fx)
+        slices = upsample_slices_linear(slices, fy, fx, method=upsample_method)
         for dim, f in (("iline", fy), ("xline", fx)):
             if f > 1:
                 c = np.asarray(cube.coords[dim], np.float64)
@@ -237,8 +257,9 @@ def postprocess(
         twt = np.asarray(cube.coords[dims[-1]], np.float64)
         dt = float(np.mean(np.diff(twt)))
         win = sig.agc_window_samples(agc_win, dt)
-        data = np.asarray(_agc_kernel(jnp.asarray(data), win, agc_kind)).astype(np.float32)
-        cube.append_history(f"AGC({agc_win}s,{agc_kind})")
+        data = np.asarray(_agc_kernel(jnp.asarray(data), win, agc_kind,
+                                      agc_sqrt)).astype(np.float32)
+        cube.append_history(f"AGC({agc_win}s,{agc_kind}{',sqrt' if agc_sqrt else ''})")
         xprint(f"applied AGC ({agc_win}s {agc_kind})", kind="info", verbosity=verbose)
 
     cube.data_vars[var] = (dims, data)

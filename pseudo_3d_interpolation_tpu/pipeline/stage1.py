@@ -216,6 +216,21 @@ def _despike_kernel(x, threshold, gfloor, wy, wx, mode, replace):
         repl = med
     elif replace == "zeros":
         repl = jnp.zeros_like(x)
+    elif replace == "mode":
+        # signed window statistic (reference out='mode': func over the
+        # signed neighborhood, despiking_2D_segy.py:369-371)
+        if mode == "median":
+            repl = med
+        elif mode == "mean":
+            repl = jnp.mean(win, axis=-1)
+        else:
+            repl = jnp.sqrt(jnp.mean(win * win, axis=-1))
+    elif replace == "scaled":
+        # scale the spike down to the background amplitude (the per-sample
+        # form of the reference's out='scaled' window rescale, :358-366 —
+        # this kernel replaces samples, not whole trace windows, so the
+        # Blackman taper over the window does not apply)
+        repl = jnp.sign(x) * floor
     else:  # 'threshold': clip to the local threshold amplitude
         repl = jnp.sign(x) * threshold * floor
     return jnp.where(spikes, repl, x), spikes
@@ -223,10 +238,18 @@ def _despike_kernel(x, threshold, gfloor, wy, wx, mode, replace):
 
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             replace: str = "median", split_at_delrt: bool = False,
+            window_time_ms: float | None = None,
             inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+    """``window_time_ms`` sets the sample-axis window in TWT milliseconds
+    per file (reference --window_time), overriding ``window[0]``."""
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
+            win = window
+            if window_time_ms is not None:
+                dt_ms = f.dt_us / 1000.0
+                win = (max(int(round(window_time_ms / dt_ms)) | 1, 3),
+                       window[1])
             if split_at_delrt:
                 # process segments of constant DelayRecordingTime separately
                 # so window statistics never mix differently-delayed traces
@@ -236,12 +259,12 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
                 n_spikes = 0
                 edges = np.r_[0, np.nonzero(np.diff(delrt))[0] + 1, len(delrt)]
                 for a, b in zip(edges[:-1], edges[1:]):
-                    c, s = despike_section(data[a:b].T, window, threshold, mode, replace)
+                    c, s = despike_section(data[a:b].T, win, threshold, mode, replace)
                     cleaned[a:b] = c.T
                     n_spikes += int(s.sum())
                 cleaned = cleaned.T
             else:
-                cleaned, spikes = despike_section(data.T, window, threshold, mode, replace)
+                cleaned, spikes = despike_section(data.T, win, threshold, mode, replace)
                 n_spikes = int(spikes.sum())
             out = _output_path(p, inplace, "despk", output_dir)
             _rewrite(f, out, cleaned.T, f"DESPIKE ({n_spikes} samples)")
@@ -389,18 +412,59 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
 # ===========================================================================
 # 05 — static correction (reference static_correction_segy.py:93-545)
 # ===========================================================================
+def _limit_depression_shifts(static: np.ndarray, horizon_smooth: np.ndarray,
+                             limits) -> np.ndarray:
+    """Relax the static clamp over seafloor depressions (pockmarks).
+
+    reference static_correction_segy.py:182-238: depressions are detected
+    as negative double-MAD outliers of the polynomial-detrended lowpassed
+    horizon; across each depression (runs >= 3 traces) the shift is clipped
+    to a trapezoid limit profile — ``limits = (npad, max_edges,
+    max_center)`` ramps from ``max_edges`` at the transition-zone boundary
+    down to ``max_center`` over the depression itself.
+    """
+    npad, limit_outer, limit_center = (int(v) for v in limits)
+    detrend = -np.asarray(flt.polynomial_filter(horizon_smooth, order=11))
+    try:
+        idx = flt.mad_filter(detrend, threshold=3, mad_mode="double")
+    except ValueError:  # a zero one-sided MAD (flat detrend): no depressions
+        return static
+    idx = idx[detrend[idx] < 0]
+    if idx.size == 0:
+        return static
+    runs = [r for r in np.split(idx, np.nonzero(np.diff(idx) > 1)[0] + 1)
+            if r.size >= 3]
+    if not runs:
+        return static
+    pos = np.concatenate(
+        [np.arange(r[0] - npad, r[-1] + npad + 1) for r in runs])
+    lim = np.concatenate(
+        [np.concatenate((np.linspace(limit_outer, limit_center + 1, npad),
+                         np.full(r.size, limit_center, float),
+                         np.linspace(limit_center + 1, limit_outer, npad)))
+         for r in runs]).astype(int)
+    ok = (pos >= 0) & (pos < static.size)
+    pos, lim = pos[ok], lim[ok]
+    static[pos] = np.where(np.abs(static[pos]) > lim,
+                           lim * np.sign(static[pos]), static[pos])
+    return static
+
+
 def compute_static(horizon_samples: np.ndarray, dt_ms: float,
                    savgol_window: int = 41, savgol_order: int = 3,
                    clip_samples: int | None = 10,
                    clip_percentile: float | None = 99.0,
-                   clip_mad: float | None = None) -> np.ndarray:
+                   clip_mad: float | None = None,
+                   limit_depressions=None) -> np.ndarray:
     """static (samples) = lowpassed(horizon) − filtered horizon
     (reference :93-256).
 
     The static is measured against the MAD-repaired horizon — a mispicked
     trace must not inherit its full pick error as a shift. Clipping limits
     default to the reference's (99th percentile + ±10 samples,
-    static_correction_segy.py:166-174); ``clip_mad`` adds a k·MAD bound.
+    static_correction_segy.py:166-174); ``clip_mad`` adds a k·MAD bound and
+    ``limit_depressions=(npad, max_edges, max_center)`` the reference's
+    pockmark-aware trapezoid clamp (applied first, like the reference).
     """
     import scipy.signal as ss
 
@@ -414,6 +478,8 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
     else:
         smooth = ss.savgol_filter(h_f, win, savgol_order)
     static = smooth - h_f
+    if limit_depressions is not None:
+        static = _limit_depression_shifts(static, smooth, limit_depressions)
     if clip_percentile is not None:
         bound = np.percentile(np.abs(static), clip_percentile)
         static = np.clip(static, -bound, bound)
@@ -432,41 +498,57 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
                    output_dir=None, verbose: int = 0,
                    nsta: int | None = None, nlta: int | None = None,
                    win_mad: int | None = None, win_median: int = 11,
-                   limit_shift_ms: float | None = None) -> list[str]:
+                   limit_shift_ms: float | None = None,
+                   n_amp_samples: int = 5,
+                   limit_depressions=None,
+                   write_aux_file: bool = True,
+                   write_seafloor2trace: bool = False) -> list[str]:
     """Seafloor-static correction; picker knobs map to the reference's
-    ``--nsta/--nlta/--win_mad/--win_median/--limit_shift`` flags
-    (static_correction_segy.py:666-714)."""
+    ``--nsta/--nlta/--win_mad/--win_median/--limit_shift/--n_amp_samples/
+    --limit_depressions/--write_aux/--write_seafloor2trace`` flags
+    (static_correction_segy.py:666-714). ``write_seafloor2trace`` stores the
+    picked seafloor TWT (ms x 1000) in UnassignedInt2 (byte 237) with the
+    -1000 scalar in UnassignedInt1 (byte 233), the reference's convention
+    (:505-536)."""
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             dt_ms = f.dt_us / 1000.0
+            delrt = f.header("DelayRecordingTime").astype(np.float64)
             if mode == "swdep":
                 swdep = f.header("SourceWaterDepth").astype(np.float64)
                 scal = int(f.header("ElevationScalar")[0]) or 1
                 depth = swdep / abs(scal) if scal < 0 else swdep * scal
-                delrt = f.header("DelayRecordingTime").astype(np.float64)
                 horizon = (2.0 * depth / 1500.0 * 1e3 - delrt) / dt_ms
             else:
                 horizon = flt.detect_seafloor_reflection(
                     data.T, win=win_samples, nsta=nsta, nlta=nlta,
-                    win_mad=win_mad, win_median=win_median)
-            static = compute_static(horizon, dt_ms, savgol_window)
+                    win_mad=win_mad, win_median=win_median, n=n_amp_samples)
+            static = compute_static(horizon, dt_ms, savgol_window,
+                                    limit_depressions=limit_depressions)
             if limit_shift_ms is not None:
                 lim = int(round(limit_shift_ms / dt_ms))
                 static = np.clip(static, -lim, lim)
             shifted = _shift_traces(data, static)
             out = _output_path(p, inplace, "sta", output_dir)
-            _rewrite(
-                f, out, shifted,
-                f"STATIC CORRECTION ({mode}, sg{savgol_window})",
-                header_updates={"TotalStaticApplied": (static * dt_ms).astype(np.int64)},
-            )
-            write_aux(out, ".sta", pd.DataFrame({
-                "tracl": np.arange(1, len(static) + 1),
-                "horizon_sample": horizon.astype(int),
-                "static_samples": static,
-                "static_ms": static * dt_ms,
-            }))
+            header_updates = {
+                "TotalStaticApplied": (static * dt_ms).astype(np.int64)}
+            note = f"STATIC CORRECTION ({mode}, sg{savgol_window})"
+            if write_seafloor2trace and mode == "amp":
+                twt_seafloor_ms = delrt + horizon.astype(np.float64) * dt_ms
+                header_updates["UnassignedInt2"] = np.rint(
+                    twt_seafloor_ms * 1000.0).astype(np.int64)
+                header_updates["UnassignedInt1"] = np.full(
+                    len(static), -1000, np.int64)
+                note += " -> SEAFLOOR (byte:237, scalar byte:233)"
+            _rewrite(f, out, shifted, note, header_updates=header_updates)
+            if write_aux_file:
+                write_aux(out, ".sta", pd.DataFrame({
+                    "tracl": np.arange(1, len(static) + 1),
+                    "horizon_sample": horizon.astype(int),
+                    "static_samples": static,
+                    "static_ms": static * dt_ms,
+                }))
         xprint(f"{p}: static range [{static.min()}, {static.max()}] samples -> {out}",
                kind="info", verbosity=verbose)
         return out
@@ -629,11 +711,14 @@ def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray,
 
 
 def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
-                    min_correlation: float = 0.8, verbose: int = 0):
+                    min_correlation: float = 0.8,
+                    win_cc_ms=None, verbose: int = 0):
     """Cross-correlate envelope traces at every line intersection.
 
     ``profiles``: {line_name: dict(nav=(n,2), data=(ntr,ns), delrt=(ntr,),
-    dt_ms=float)}. Returns (pairs DataFrame, lines list).
+    dt_ms=float)}. ``win_cc_ms=(upper, lower)`` restricts the correlation
+    window to an absolute-TWT range (reference ``--win_cc``). Returns
+    (pairs DataFrame, lines list).
     reference: mistie_correction_segy.py:325-543.
     """
     names = list(profiles)
@@ -652,6 +737,9 @@ def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
                 # overlapping absolute-TWT window
                 t0 = max(a["delrt"][tr_a], b["delrt"][tr_b])
                 t1 = min(a["delrt"][tr_a] + len(ea) * dt, b["delrt"][tr_b] + len(eb) * dt)
+                if win_cc_ms is not None:
+                    t0 = max(t0, float(min(win_cc_ms)))
+                    t1 = min(t1, float(max(win_cc_ms)))
                 if t1 - t0 < twt_window_ms:
                     continue
                 sa = int(round((t0 - a["delrt"][tr_a]) / dt))
@@ -700,7 +788,13 @@ def solve_mistie_network(df: pd.DataFrame, lines: list[str]) -> dict[str, float]
 
 
 def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
+                   win_cc_ms=None, write_aux_file: bool = True,
+                   write_qc: bool = True,
                    output_dir=None, verbose: int = 0) -> list[str]:
+    """``min_correlation`` is the reference's ``--quality_threshold``;
+    ``win_cc_ms`` its ``--win_cc`` correlation-window TWT limits;
+    ``write_aux_file``/``write_qc`` gate the .mst sidecars and the
+    intersection QC layer (reference --write_aux/--write_QC)."""
     files = resolve_input_files(path)
     profiles = {}
     for p in files:
@@ -724,7 +818,7 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
     if not profiles:
         raise FileNotFoundError(f"no readable SEG-Y profiles under {path!r}")
     df, lines = compute_misties(profiles, min_correlation=min_correlation,
-                                verbose=verbose)
+                                win_cc_ms=win_cc_ms, verbose=verbose)
     shifts = solve_mistie_network(df, lines)
     outs = []
     for p, prof in profiles.items():
@@ -738,11 +832,12 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
         write_segy(out, shifted, raw_trace_headers=prof["raw_headers"],
                    bin_updates={"Interval": prof["dt_us"]}, text=text, fmt=5,
                    dt_us=prof["dt_us"])
-        write_aux(out, ".mst", pd.DataFrame({"line": [p], "shift_ms": [shifts[p]]}))
+        if write_aux_file:
+            write_aux(out, ".mst", pd.DataFrame({"line": [p], "shift_ms": [shifts[p]]}))
         outs.append(out)
         xprint(f"{p}: mistie shift {shifts[p]:+.2f} ms -> {out}",
                kind="info", verbosity=verbose)
-    if len(df):
+    if len(df) and write_qc:
         base = os.path.dirname(files[0])
         df.to_csv(os.path.join(base, "misties.csv"), index=False)
         # intersection QC layer (reference writes a GeoPackage,
@@ -759,7 +854,8 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
 # 02 — reproject (reference reproject_segy.py:73-169)
 # ===========================================================================
 def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
-              coords_bytes=(73, 77), scalar: int = -100, inplace: bool = False,
+              coords_bytes=(73, 77), scalar: int = -100,
+              dst_coords: str | None = None, inplace: bool = False,
               output_dir=None, verbose: int = 0) -> list[str]:
     """Reproject trace-header coordinates between CRSs (reference
     reproject_segy.py:73-169). Either side takes any CRS spec the
@@ -778,14 +874,20 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
                 yt = flt.smooth(yt, smooth_window)
             xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
             out = _output_path(p, inplace, "reproj", output_dir)
+            # destination field pair (reference --dst_coords); None keeps
+            # the historic source+CDP double write
+            pairs = {"source": [("SourceX", "SourceY")],
+                     "CDP": [("CDP_X", "CDP_Y")],
+                     "group": [("GroupX", "GroupY")],
+                     None: [("SourceX", "SourceY"), ("CDP_X", "CDP_Y")]}
+            updates = {"SourceGroupScalar": scalar, "CoordinateUnits": 1}
+            for xf, yf in pairs[dst_coords]:
+                updates[xf] = xi
+                updates[yf] = yi
             _rewrite(
                 f, out, f.trace_data(),
                 f"REPROJECT {crs_label(src_epsg)}->{crs_label(dst_epsg)}",
-                header_updates={
-                    "SourceX": xi, "SourceY": yi,
-                    "CDP_X": xi, "CDP_Y": yi,
-                    "SourceGroupScalar": scalar, "CoordinateUnits": 1,
-                },
+                header_updates=updates,
             )
         xprint(f"reprojected {p} -> {out}", kind="info", verbosity=verbose)
         return out
@@ -980,6 +1082,7 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                   smooth_window=args.smooth_window,
                   coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
                   scalar=getattr(args, "scalar", -100),
+                  dst_coords=getattr(args, "dst_coords", None),
                   inplace=args.inplace, verbose=verbose)
     elif cmd == "delrt-correct":
         delrt_correct(args.input, n_neighbors=args.n_neighbors,
@@ -993,6 +1096,10 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        nlta=args.nlta, win_mad=args.win_mad,
                        win_median=args.win_median,
                        limit_shift_ms=args.limit_shift,
+                       n_amp_samples=getattr(args, "n_amp_samples", 5),
+                       limit_depressions=getattr(args, "limit_depressions", None),
+                       write_aux_file=not getattr(args, "no_aux", False),
+                       write_seafloor2trace=getattr(args, "write_seafloor2trace", False),
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "tide":
         tide_compensate(args.input, args.tide_file,
@@ -1004,11 +1111,15 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                         inplace=args.inplace, verbose=verbose)
     elif cmd == "mistie":
         mistie_correct(args.input, min_correlation=args.min_correlation,
+                       win_cc_ms=getattr(args, "win_cc", None),
+                       write_aux_file=not getattr(args, "no_aux", False),
+                       write_qc=not getattr(args, "no_qc", False),
                        inplace=args.inplace, verbose=verbose)
     elif cmd == "despike":
         despike(args.input, window=tuple(args.window), threshold=args.threshold,
                 mode=args.mode, replace=args.replace,
                 split_at_delrt=args.split_at_delrt,
+                window_time_ms=getattr(args, "window_time", None),
                 inplace=args.inplace, verbose=verbose)
     else:
         raise SystemExit(f"unknown stage-1 command {cmd!r}")

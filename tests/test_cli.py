@@ -199,3 +199,68 @@ def test_warmup_seeds_cache(tmp_path, monkeypatch):
     assert rc == 0
     entries = [f for f in os.listdir(cache)] if cache.exists() else []
     assert entries, "warmup wrote no cache entries"
+
+
+def test_postprocess_option_depth_via_cli(tmp_path):
+    """Round-3 flag parity: footprint direction/buffers, median smoothing
+    with percentile rescale, squared median AGC, cubic upsampling
+    (reference cube_postprocessing_3D.py option set)."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+    rng = np.random.default_rng(161)
+    amp = rng.normal(size=(16, 16, 32)).astype(np.float32)
+    c = Cube(
+        coords={"iline": np.arange(1, 17), "xline": np.arange(1, 17),
+                "twt": np.arange(32) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"), amp)},
+    )
+    p0 = str(tmp_path / "c.nc")
+    write_cube(p0, c)
+    p1 = str(tmp_path / "post.nc")
+    assert main(["postprocess", p0, p1,
+                 "--remove-footprint", "--footprint-direction", "iline",
+                 "--buffer-center", "0.3", "--buffer-filter", "2",
+                 "--smooth", "median", "--smooth-size", "3", "--rescale",
+                 "--agc-win", "0.002", "--agc-kind", "median",
+                 "--agc-sqrt"]) == 0
+    out = read_cube(p1)
+    hist = out.attrs.get("history", "")
+    assert "FOOTPRINT_REMOVAL" in hist and "SMOOTH(median)" in hist
+    assert "AGC(0.002s,median,sqrt)" in hist
+    # cubic upsampling doubles both lateral axes
+    p2 = str(tmp_path / "up.nc")
+    assert main(["postprocess", p0, p2, "--upsample-iline", "2",
+                 "--upsample-xline", "2", "--upsample-method", "cubic"]) == 0
+    up = read_cube(p2)
+    assert up["amp"].shape[:2] == (32, 32)
+
+
+def test_preprocess_resample_variants_via_cli(tmp_path):
+    """--resample-interval/-frequency/-factor compute the output sample
+    count like the reference's resampling flag family."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+    rng = np.random.default_rng(162)
+    amp = rng.normal(size=(4, 4, 64)).astype(np.float32)
+    c = Cube(
+        coords={"iline": np.arange(1, 5), "xline": np.arange(1, 5),
+                "twt": np.arange(64) * 0.25e-3},  # dt 0.25 ms -> 4 kHz
+        data_vars={"amp": (("iline", "xline", "twt"), amp)},
+    )
+    p0 = str(tmp_path / "c.nc")
+    write_cube(p0, c)
+    # halve the rate three equivalent ways
+    for i, flags in enumerate((["--resample-interval", "0.5"],
+                               ["--resample-frequency", "2000"],
+                               ["--resample-factor", "2"])):
+        out = str(tmp_path / f"r{i}.nc")
+        assert main(["preprocess", p0, out] + flags) == 0
+        assert read_cube(out)["amp"].shape[-1] == 32
+    # polyphase path + no-store-ref-amp
+    out = str(tmp_path / "poly.nc")
+    assert main(["preprocess", p0, out, "--balance", "rms",
+                 "--no-store-ref-amp", "--resample-factor", "2",
+                 "--resample-function", "poly"]) == 0
+    cube = read_cube(out)
+    assert cube["amp"].shape[-1] == 32
+    assert "amp_ref" not in cube.data_vars

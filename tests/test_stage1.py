@@ -540,3 +540,112 @@ def test_reproject_cli_wkt_file(tmp_path):
     with SegyFile(out) as f:
         lon = f.header("SourceX") / 100.0
     assert 8.9 < lon[0] < 9.1
+
+
+# ---------------------------------------------------------------------------
+# round-3 option depth (reference flag parity)
+# ---------------------------------------------------------------------------
+def test_despike_replace_scaled_and_mode():
+    rng = np.random.default_rng(9)
+    data = rng.normal(0, 0.1, (300, 40)).astype(np.float32)
+    data[100, 10] = 30.0
+    for replace in ("scaled", "mode"):
+        cleaned, spikes = stage1.despike_section(data, window=(9, 5),
+                                                 threshold=5.0, mode="median",
+                                                 replace=replace)
+        assert spikes[100, 10]
+        # spike pulled down to background magnitude, sign logic per mode
+        assert abs(cleaned[100, 10]) < 1.0
+        # non-spikes untouched
+        keep = ~spikes
+        np.testing.assert_array_equal(cleaned[keep], data[keep])
+
+
+def test_despike_window_time_overrides_samples(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, seed=11)
+    with SegyFile(p) as f:
+        d = f.trace_data()
+    d[10, 100] = 50.0
+    write_segy(p, d, raw_trace_headers=SegyFile(p).trace_headers_raw(),
+               fmt=5, dt_us=250)
+    # 2.5 ms at dt=0.25 ms -> 11-sample window (odd-forced)
+    outs = stage1.despike(p, window=(9, 5), threshold=5.0, window_time_ms=2.5)
+    with SegyFile(outs[0]) as f:
+        assert abs(f.trace_data()[10, 100]) < 50.0
+
+
+def test_static_limit_depressions():
+    ntr = 400
+    x = np.linspace(0, 1, ntr)
+    horizon = 100 + 20 * x  # gentle trend
+    # a pockmark: 15-sample-deep depression across traces 190-210, narrower
+    # than the savgol window so the smooth bridges it (a shift the clamp
+    # must prevent from flattening real topography)
+    pm = slice(190, 211)
+    horizon = horizon.copy()
+    horizon[pm] += 15 * np.hanning(21)
+    static_plain = stage1.compute_static(horizon, 0.25, savgol_window=101,
+                                         clip_samples=None,
+                                         clip_percentile=None)
+    static_lim = stage1.compute_static(horizon, 0.25, savgol_window=101,
+                                       clip_samples=None, clip_percentile=None,
+                                       limit_depressions=(10, 10, 3))
+    # without the clamp, the savgol smooth tries to fill the depression
+    assert np.abs(static_plain[pm]).max() >= 10
+    # with it, shifts over the depression are held to the center limit
+    assert np.abs(static_lim[pm]).max() <= 3
+    # far-field statics unaffected
+    np.testing.assert_array_equal(static_lim[:100], static_plain[:100])
+
+
+def test_static_write_seafloor2trace(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    ntr = 80
+    make_profile(p, ntr=ntr, seafloor_ms=np.full(ntr, 40.0), seed=13)
+    # explicit picker windows: the 400-sample traces put the seafloor
+    # inside the default nlta..2nlta threshold window
+    outs = stage1.static_correct(p, mode="amp", write_seafloor2trace=True,
+                                 write_aux_file=False, nsta=4, nlta=30)
+    with SegyFile(outs[0]) as f:
+        twt_ns = f.header("UnassignedInt2").astype(np.int64)
+        scal = f.header("UnassignedInt1").astype(np.int64)
+        assert "SEAFLOOR (byte:237" in f.text
+    assert (scal == -1000).all()
+    # picked seafloor TWT should be ~40 ms (stored as ms x 1000)
+    assert np.abs(twt_ns / 1000.0 - 40.0).max() < 3.0
+    import os
+    assert not os.path.exists(outs[0].replace(".sgy", ".sta"))
+
+
+def test_mistie_win_cc_and_toggles(tmp_path):
+    # two crossing lines (as in test_mistie_network) with win_cc covering
+    # the seafloor; results equal the unwindowed solve on this clean data
+    pa = str(tmp_path / "a_UTM.sgy")
+    pb = str(tmp_path / "b_UTM.sgy")
+    make_profile(pa, ntr=60, x0=0, y0=100, heading=(1, 0), seed=21,
+                 seafloor_ms=np.full(60, 42.0))
+    make_profile(pb, ntr=60, x0=150, y0=0, heading=(0, 1), seed=22,
+                 seafloor_ms=np.full(60, 44.0))
+    outs = stage1.mistie_correct(str(tmp_path), win_cc_ms=(20.0, 80.0),
+                                 write_aux_file=False, write_qc=False)
+    assert len(outs) == 2
+    import os
+    for o in outs:
+        assert not os.path.exists(o.replace(".sgy", ".mst"))
+    assert not os.path.exists(str(tmp_path / "misties.geojson"))
+
+
+def test_reproject_dst_coords_group(tmp_path):
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, seed=31, x0=500000, y0=6000000)
+    with SegyFile(p) as f:
+        src_before = f.header("SourceX").copy()
+    outs = stage1.reproject(p, 32632, 4326, dst_coords="group")
+    with SegyFile(outs[0]) as f:
+        # group pair written (degrees in arc-seconds-free length units is
+        # wrong physically, but field routing is what's under test)
+        gx = f.header("GroupX")
+        sx = f.header("SourceX")
+    assert (gx != 0).any()
+    np.testing.assert_array_equal(sx, src_before)  # source untouched
