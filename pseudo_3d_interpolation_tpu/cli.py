@@ -51,6 +51,23 @@ def build_parser() -> argparse.ArgumentParser:
     def cmd(name, num, help_):
         p = sub.add_parser(name, aliases=[f"{num:02d}-{name}"], help=help_)
         _add_common(p)
+        if 1 <= num <= 8:
+            # shared stage-1 batch conventions (reference flags --suffix /
+            # --filename_suffix / --txt_suffix / --output_dir on every
+            # per-profile script)
+            p.add_argument("--suffix", "-s", default="sgy",
+                           help="file extension filter for directory inputs "
+                                "(reference --suffix)")
+            p.add_argument("--filename-suffix", "-fns", default=None,
+                           help="basename-suffix filter for guided selection,"
+                                " e.g. 'despk' (reference --filename_suffix)")
+            if name != "merge":
+                p.add_argument("--txt-suffix", default=None,
+                               help="output filename suffix override "
+                                    "(reference --txt_suffix)")
+                p.add_argument("--output-dir", "-o", default=None,
+                               help="directory for processed files "
+                                    "(reference --output_dir)")
         return p
 
     # ---- stage 1 -----------------------------------------------------------
@@ -164,6 +181,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-qc", action="store_true",
                    help="skip the intersections QC layer "
                         "(reference --write_QC)")
+    p.add_argument("--coords-origin", choices=["header", "aux"],
+                   default="header",
+                   help="navigation from trace headers or sidecar CSVs "
+                        "(reference --coords_origin)")
+    p.add_argument("--coords-path", default=None,
+                   help="directory of navigation sidecars for "
+                        "--coords-origin aux (reference --coords_path)")
+    p.add_argument("--coords-fsuffix", default=None,
+                   help="sidecar extension, default 'nav' "
+                        "(reference --coords_fsuffix)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("despike", 8, "remove noise bursts from single traces")
@@ -238,6 +265,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip the amp_ref balance variable "
                         "(reference --store_ref_amp default off; this repo "
                         "stores it by default)")
+    p.add_argument("--use-samples", action="store_true",
+                   help="gain over sample index instead of TWT "
+                        "(reference --use_samples)")
+    p.add_argument("--window-resample", default="hann",
+                   help="polyphase FIR window for --resample-function poly "
+                        "(reference --window_resample)")
+    p.add_argument("--attrs-yaml", default=None,
+                   help="netCDF attrs/encodings YAML, attrs_time family "
+                        "(reference --params_netcdf)")
     p.add_argument("--envelope", action="store_true")
 
     p = cmd("fft", 12, "forward FFT along the time axis")
@@ -275,6 +311,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--var", default=None)
     p.add_argument("--envelope-clip", action="store_true")
+    p.add_argument("--rescale-envelope", action="store_true",
+                   help="clip negatives and rescale to [0, 1] "
+                        "(reference --rescale-envelope)")
+    p.add_argument("--attrs-yaml", default=None,
+                   help="netCDF attrs/encodings YAML, attrs_time family "
+                        "(reference --params_netcdf)")
 
     p = cmd("postprocess", 15, "upsample/footprint-removal/smoothing/AGC")
     p.add_argument("input")
@@ -286,6 +328,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "polynomial"],
                    help="interpolation for the refined grid "
                         "(reference --upsample)")
+    p.add_argument("--no-spatial-dealiasing", action="store_true",
+                   help="skip the kx-ky anti-alias filter after uneven "
+                        "upsampling (reference --spatial-dealiasing, "
+                        "applied automatically here)")
     p.add_argument("--remove-footprint", action="store_true",
                    help="kx-ky acquisition-footprint notch "
                         "(reference --remove-footprint)")
@@ -443,10 +489,12 @@ def main(argv=None) -> int:
         preprocess(args.input, balance=args.balance,
                    balance_store_ref=not args.no_store_ref_amp,
                    gain_args=_parse_kv(args.gain) or None,
+                   gain_use_samples=args.use_samples,
                    filter_type=args.filter_type, filter_freqs=args.filter_freqs,
                    resample_to=resample_to,
                    resample_method="poly" if args.resample_function == "poly" else "fft",
-                   envelope=args.envelope,
+                   resample_window=args.window_resample,
+                   envelope=args.envelope, attrs_config=args.attrs_yaml,
                    out_path=args.output, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "fft":
@@ -585,7 +633,10 @@ def main(argv=None) -> int:
     elif cmd == "ifft":
         from .pipeline.ifft import apply_ifft
 
-        apply_ifft(args.input, var=args.var, envelope_clip=args.envelope_clip,
+        apply_ifft(args.input, var=args.var,
+                   envelope_clip=args.envelope_clip or args.rescale_envelope,
+                   rescale_minmax=(0.0, 1.0) if args.rescale_envelope else None,
+                   attrs_config=args.attrs_yaml,
                    out_path=args.output, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "postprocess":
@@ -612,6 +663,7 @@ def main(argv=None) -> int:
             args.input,
             upsample_factors=up if max(up.values()) > 1 else None,
             upsample_method=args.upsample_method,
+            antialias=not args.no_spatial_dealiasing,
             footprint=footprint,
             smoothing=smoothing,
             agc_win=args.agc_win, agc_kind=args.agc_kind,

@@ -22,6 +22,7 @@ def apply_ifft(
     var: str | None = None,
     envelope_clip: bool = False,
     rescale_minmax: tuple[float, float] | None = None,
+    attrs_config=None,
     out_path: str | None = None,
     verbose: int = 0,
 ) -> Cube:
@@ -56,6 +57,11 @@ def apply_ifft(
     if "fold" in cube.data_vars:
         out.data_vars["fold"] = cube.data_vars["fold"]
     out.append_history(f"IFFT({var})")
+    if attrs_config is not None:
+        from ..io.ncio import apply_attrs, load_attrs_config
+
+        attrs_time, _, _, _ = load_attrs_config(attrs_config)
+        apply_attrs(out, attrs_time)
     if out_path:
         write_cube(out_path, out)
     return out

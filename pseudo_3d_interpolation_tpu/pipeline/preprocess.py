@@ -34,11 +34,14 @@ def preprocess(
     balance: str | None = None,  # 'rms' | 'max' (reference :171-194)
     balance_store_ref: bool = True,
     gain_args: dict | None = None,  # sugain kwargs (reference :196-239)
+    gain_use_samples: bool = False,  # gain over sample index (ref --use_samples)
     filter_type: str | None = None,  # lowpass/highpass/bandpass (:241-272)
     filter_freqs=None,
     resample_to: int | None = None,  # new sample count (:274-336)
     resample_method: str = "fft",  # 'fft' (device) | 'poly' (host polyphase)
+    resample_window: str = "hann",  # polyphase FIR window (ref --window_resample)
     envelope: bool = False,  # Hilbert envelope -> 'env' (:340-360)
+    attrs_config=None,  # attrs_time family (ref --params_netcdf)
     out_path: str | None = None,
     verbose: int = 0,
 ) -> Cube:
@@ -61,10 +64,12 @@ def preprocess(
         xprint(f"balanced traces ({balance})", kind="info", verbosity=verbose)
 
     if gain_args:
+        gain_axis = np.arange(data.shape[-1], dtype=np.float64) \
+            if gain_use_samples else twt
         # closure, not functools.partial: jit unwraps partials and traces
         # their bound arguments, but twt (and dict-valued PGC specs) must
         # stay concrete host values
-        gain_fn = jax.jit(lambda d: sig.gain(d, twt, **gain_args))
+        gain_fn = jax.jit(lambda d: sig.gain(d, gain_axis, **gain_args))
         data = np.asarray(gain_fn(data))
         history.append("GAIN(" + ",".join(f"{k}={v}" for k, v in gain_args.items()) + ")")
         xprint(f"applied gain {gain_args}", kind="info", verbosity=verbose)
@@ -89,7 +94,10 @@ def preprocess(
 
             g = gcd(int(resample_to), n_old)
             data = ss.resample_poly(data, int(resample_to) // g, n_old // g,
-                                    axis=-1).astype(np.float32)
+                                    axis=-1,
+                                    window=(resample_window, 0.5)
+                                    if resample_window == "kaiser"
+                                    else resample_window).astype(np.float32)
         else:
             data = np.asarray(_resample(data, n_out=int(resample_to))).astype(np.float32)
         twt = sig.resampled_twt(twt, int(resample_to), n_old)
@@ -107,6 +115,11 @@ def preprocess(
 
     for h in history:
         cube.append_history(h)
+    if attrs_config is not None:
+        from ..io.ncio import apply_attrs, load_attrs_config
+
+        attrs_time, _, _, _ = load_attrs_config(attrs_config)
+        apply_attrs(cube, attrs_time)
     if out_path:
         write_cube(out_path, cube)
     return cube

@@ -239,7 +239,7 @@ def _despike_kernel(x, threshold, gfloor, wy, wx, mode, replace):
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             replace: str = "median", split_at_delrt: bool = False,
             window_time_ms: float | None = None,
-            inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+            inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """``window_time_ms`` sets the sample-axis window in TWT milliseconds
     per file (reference --window_time), overriding ``window[0]``."""
     def _one(p):
@@ -266,7 +266,7 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             else:
                 cleaned, spikes = despike_section(data.T, win, threshold, mode, replace)
                 n_spikes = int(spikes.sum())
-            out = _output_path(p, inplace, "despk", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "despk", output_dir)
             _rewrite(f, out, cleaned.T, f"DESPIKE ({n_spikes} samples)")
         xprint(f"{p}: removed {n_spikes} spike samples -> {out}",
                kind="info", verbosity=verbose)
@@ -278,7 +278,7 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
 # ===========================================================================
 # 04 — delrt padding (reference delrt_padding_segy.py:47-251)
 # ===========================================================================
-def delrt_pad(path, inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """Zero-pad all traces of all files onto one global TWT axis spanning
     the min..max recorded window; updates Samples + per-trace delrt."""
     files = resolve_input_files(path)
@@ -309,7 +309,7 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, verbose: int = 0) ->
                 sel = off == o
                 end = min(o + ns, ns_out)
                 padded[sel, o:end] = data[sel, : end - o]
-            out = _output_path(p, inplace, "pad", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "pad", output_dir)
             _rewrite(
                 f, out, padded,
                 f"DELRT PAD ({delrt_min} ms, {ns_out} samples)",
@@ -328,7 +328,7 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, verbose: int = 0) ->
 # 03 — delrt correction (reference delrt_correction_segy.py:82-430)
 # ===========================================================================
 def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
-                  inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+                  inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """Fix wrong DelayRecordingTime values.
 
     Detection: the first-break TWT (peak |amplitude| within a window) should
@@ -397,7 +397,7 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
                             and abs(other + peak[j] * dt_ms - med) <= tol):
                         new_delrt[j] = other
             n_fix = int((new_delrt != delrt).sum())
-            out = _output_path(p, inplace, "delrt", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "delrt", output_dir)
             _rewrite(
                 f, out, data, f"DELRT CORRECTION ({n_fix} traces)",
                 header_updates={"DelayRecordingTime": np.rint(new_delrt).astype(np.int64)},
@@ -495,7 +495,7 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
 
 def static_correct(path, mode: str = "amp", win_samples: int = 30,
                    savgol_window: int = 41, inplace: bool = False,
-                   output_dir=None, verbose: int = 0,
+                   output_dir=None, txt_suffix: str | None = None, verbose: int = 0,
                    nsta: int | None = None, nlta: int | None = None,
                    win_mad: int | None = None, win_median: int = 11,
                    limit_shift_ms: float | None = None,
@@ -530,7 +530,7 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
                 lim = int(round(limit_shift_ms / dt_ms))
                 static = np.clip(static, -lim, lim)
             shifted = _shift_traces(data, static)
-            out = _output_path(p, inplace, "sta", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "sta", output_dir)
             header_updates = {
                 "TotalStaticApplied": (static * dt_ms).astype(np.int64)}
             note = f"STATIC CORRECTION ({mode}, sg{savgol_window})"
@@ -578,7 +578,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
                     constituents: list[str] | None = None,
                     correct_minor: bool = False,
                     coords_bytes=(73, 77),
-                    inplace: bool = False, output_dir=None, verbose: int = 0) -> list[str]:
+                    inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """Shift traces by the predicted tide at their recording time/position.
 
     ``tide_file`` is either
@@ -655,7 +655,7 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
             # the reference's compensate_tide sign
             shift = -np.rint(2.0 * height / velocity / dt_s).astype(np.int32)
             shifted = _shift_traces(data, shift)
-            out = _output_path(p, inplace, "tide", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "tide", output_dir)
             _rewrite(f, out, shifted, "TIDE COMPENSATION")
             write_aux(out, ".tid", pd.DataFrame({
                 "tracl": np.arange(1, len(shift) + 1),
@@ -790,21 +790,57 @@ def solve_mistie_network(df: pd.DataFrame, lines: list[str]) -> dict[str, float]
 def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
                    win_cc_ms=None, write_aux_file: bool = True,
                    write_qc: bool = True,
-                   output_dir=None, verbose: int = 0) -> list[str]:
+                   coords_origin: str = "header", coords_path=None,
+                   coords_fsuffix: str | None = None,
+                   output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """``min_correlation`` is the reference's ``--quality_threshold``;
     ``win_cc_ms`` its ``--win_cc`` correlation-window TWT limits;
     ``write_aux_file``/``write_qc`` gate the .mst sidecars and the
-    intersection QC layer (reference --write_aux/--write_QC)."""
+    intersection QC layer (reference --write_aux/--write_QC).
+
+    ``coords_origin='aux'`` reads navigation from sidecar CSVs (x/y per
+    tracl, e.g. ``.nav`` from ``p3d nav``) under ``coords_path`` instead of
+    the trace headers, matched by line name — the reference's
+    ``--coords_origin/--coords_path/--coords_fsuffix``
+    (mistie_correction_segy.py:329-390)."""
+    from ..io.auxiliary import line_name, read_auxiliary_files
+
     files = resolve_input_files(path)
+    nav_df = None
+    if coords_origin == "aux":
+        if coords_path is None:
+            raise ValueError("coords_origin='aux' requires coords_path")
+        nav_df = read_auxiliary_files(coords_path, coords_fsuffix or "nav")
+        if nav_df is None:
+            raise FileNotFoundError(
+                f"no {coords_fsuffix or 'nav'} sidecars under {coords_path!r}")
+    elif coords_origin != "header":
+        raise ValueError("coords_origin must be 'header' or 'aux'")
+
+    def _nav_for(p, f):
+        if nav_df is None:
+            x, y, _ = scale_coordinates(f)
+            return np.column_stack([x, y])
+        ln = line_name(p)
+        try:
+            grp = nav_df.xs(ln, level="line")
+        except KeyError:
+            raise KeyError(f"{p}: no navigation for line {ln!r} in "
+                           f"{coords_path!r}") from None
+        grp = grp.sort_index()  # tracl order
+        if len(grp) != f.n_traces:
+            raise ValueError(f"{p}: nav rows ({len(grp)}) != traces "
+                             f"({f.n_traces})")
+        return np.column_stack([grp["x"].to_numpy(), grp["y"].to_numpy()])
+
     profiles = {}
     for p in files:
         try:
             # read everything needed up front; no handle kept open across
             # the global solve
             with SegyFile(p) as f:
-                x, y, _ = scale_coordinates(f)
                 profiles[p] = dict(
-                    nav=np.column_stack([x, y]),
+                    nav=_nav_for(p, f),
                     data=f.trace_data(),
                     delrt=f.header("DelayRecordingTime").astype(np.float64),
                     dt_ms=f.dt_us / 1000.0,
@@ -826,7 +862,7 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
         shift_samples = int(round(shifts[p] / dt_ms))
         shifted = _shift_traces(
             prof["data"], np.full(len(prof["data"]), shift_samples, np.int32))
-        out = _output_path(p, inplace, "mst", output_dir)
+        out = _output_path(p, inplace, txt_suffix or "mst", output_dir)
         text = textual.add_processing_entry(
             prof["text"], f"MISTIE CORRECTION ({shifts[p]:+.2f} ms)", prefix=TODAY)
         write_segy(out, shifted, raw_trace_headers=prof["raw_headers"],
@@ -856,7 +892,7 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
 def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
               coords_bytes=(73, 77), scalar: int = -100,
               dst_coords: str | None = None, inplace: bool = False,
-              output_dir=None, verbose: int = 0) -> list[str]:
+              output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """Reproject trace-header coordinates between CRSs (reference
     reproject_segy.py:73-169). Either side takes any CRS spec the
     reference hands to pyproj: an EPSG code, a WKT1/WKT2 string, a proj
@@ -873,7 +909,7 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
                 xt = flt.smooth(xt, smooth_window)
                 yt = flt.smooth(yt, smooth_window)
             xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
-            out = _output_path(p, inplace, "reproj", output_dir)
+            out = _output_path(p, inplace, txt_suffix or "reproj", output_dir)
             # destination field pair (reference --dst_coords); None keeps
             # the historic source+CDP double write
             pairs = {"source": [("SourceX", "SourceY")],
@@ -1066,8 +1102,18 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
 # CLI dispatch
 # ===========================================================================
 def run_cli(cmd: str, args, verbose: int = 0) -> int:
+    # shared batch-selection conventions: resolve directory inputs through
+    # the --suffix / --filename-suffix filters up front (the step functions
+    # accept pre-resolved lists), and thread --txt-suffix / --output-dir
+    inp = args.input
+    fsuffix = getattr(args, "suffix", None) or "sgy"
+    fnsuffix = getattr(args, "filename_suffix", None)
+    if os.path.isdir(str(inp)) and (fsuffix != "sgy" or fnsuffix):
+        inp = resolve_input_files(inp, fsuffix=fsuffix, fnsuffix=fnsuffix)
+    io_kw = dict(txt_suffix=getattr(args, "txt_suffix", None),
+                 output_dir=getattr(args, "output_dir", None))
     if cmd == "merge":
-        merge_small_files(args.input, min_kb=args.min_kb, max_gap_s=args.max_gap_s,
+        merge_small_files(inp, min_kb=args.min_kb, max_gap_s=args.max_gap_s,
                           output_dir=args.output_dir, verbose=verbose)
     elif cmd == "reproject":
         def _crs_arg(spec):
@@ -1078,20 +1124,20 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                     return fh.read().strip()
             return spec
 
-        reproject(args.input, _crs_arg(args.src_epsg), _crs_arg(args.dst_epsg),
+        reproject(inp, _crs_arg(args.src_epsg), _crs_arg(args.dst_epsg),
                   smooth_window=args.smooth_window,
                   coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
                   scalar=getattr(args, "scalar", -100),
                   dst_coords=getattr(args, "dst_coords", None),
-                  inplace=args.inplace, verbose=verbose)
+                  inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "delrt-correct":
-        delrt_correct(args.input, n_neighbors=args.n_neighbors,
+        delrt_correct(inp, n_neighbors=args.n_neighbors,
                       win_samples=args.win_samples, inplace=args.inplace,
-                      verbose=verbose)
+                      verbose=verbose, **io_kw)
     elif cmd == "delrt-pad":
-        delrt_pad(args.input, inplace=args.inplace, verbose=verbose)
+        delrt_pad(inp, inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "static":
-        static_correct(args.input, mode=args.mode, win_samples=args.win_samples,
+        static_correct(inp, mode=args.mode, win_samples=args.win_samples,
                        savgol_window=args.savgol_window, nsta=args.nsta,
                        nlta=args.nlta, win_mad=args.win_mad,
                        win_median=args.win_median,
@@ -1100,27 +1146,30 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        limit_depressions=getattr(args, "limit_depressions", None),
                        write_aux_file=not getattr(args, "no_aux", False),
                        write_seafloor2trace=getattr(args, "write_seafloor2trace", False),
-                       inplace=args.inplace, verbose=verbose)
+                       inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "tide":
-        tide_compensate(args.input, args.tide_file,
+        tide_compensate(inp, args.tide_file,
                         velocity=getattr(args, "velocity", 1500.0),
                         src_epsg=getattr(args, "src_epsg", None),
                         constituents=getattr(args, "constituents", None),
                         correct_minor=getattr(args, "correct_minor", False),
                         coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
-                        inplace=args.inplace, verbose=verbose)
+                        inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "mistie":
-        mistie_correct(args.input, min_correlation=args.min_correlation,
+        mistie_correct(inp, min_correlation=args.min_correlation,
                        win_cc_ms=getattr(args, "win_cc", None),
                        write_aux_file=not getattr(args, "no_aux", False),
                        write_qc=not getattr(args, "no_qc", False),
-                       inplace=args.inplace, verbose=verbose)
+                       coords_origin=getattr(args, "coords_origin", "header"),
+                       coords_path=getattr(args, "coords_path", None),
+                       coords_fsuffix=getattr(args, "coords_fsuffix", None),
+                       inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "despike":
-        despike(args.input, window=tuple(args.window), threshold=args.threshold,
+        despike(inp, window=tuple(args.window), threshold=args.threshold,
                 mode=args.mode, replace=args.replace,
                 split_at_delrt=args.split_at_delrt,
                 window_time_ms=getattr(args, "window_time", None),
-                inplace=args.inplace, verbose=verbose)
+                inplace=args.inplace, verbose=verbose, **io_kw)
     else:
         raise SystemExit(f"unknown stage-1 command {cmd!r}")
     return 0

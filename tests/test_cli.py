@@ -264,3 +264,56 @@ def test_preprocess_resample_variants_via_cli(tmp_path):
     cube = read_cube(out)
     assert cube["amp"].shape[-1] == 32
     assert "amp_ref" not in cube.data_vars
+
+
+def test_stage1_batch_selection_flags(tmp_path):
+    """--suffix/--filename-suffix/--txt-suffix/--output-dir on stage-1
+    steps (the reference's shared batch conventions)."""
+    import os
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "l0_UTM.sgy"), ntr=20, ns=64, seed=1)
+    make_profile(str(survey / "l1_UTM_env.sgy"), ntr=20, ns=64, seed=2)
+    outdir = str(tmp_path / "out")
+    # only the _env-suffixed file is selected; output suffix overridden
+    assert main(["despike", str(survey), "--filename-suffix", "env",
+                 "--txt-suffix", "clean", "--output-dir", outdir,
+                 "--threshold", "6"]) == 0
+    outs = os.listdir(outdir)
+    assert outs == ["l1_UTM_env_clean.sgy"]
+
+
+def test_mistie_aux_coords(tmp_path):
+    """--coords-origin aux: navigation from .nav sidecars instead of
+    headers (reference --coords_origin/--coords_path)."""
+    import os
+
+    import pandas as pd
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    pa = str(survey / "A_UTM.sgy")
+    pb = str(survey / "B_UTM.sgy")
+    # profiles WITHOUT usable header coordinates (all zero -> identical)
+    make_profile(pa, ntr=60, seafloor_ms=np.full(60, 42.0), seed=41,
+                 x0=0, y0=0, heading=(0, 0), spacing=0)
+    make_profile(pb, ntr=60, seafloor_ms=np.full(60, 44.0), seed=42,
+                 x0=0, y0=0, heading=(0, 0), spacing=0,
+                 times_start="2023-05-01T12:00:00")
+    # crossing nav comes from sidecars
+    nav = tmp_path / "nav"
+    nav.mkdir()
+    pd.DataFrame({"tracl": np.arange(1, 61),
+                  "x": np.linspace(0, 295, 60), "y": np.full(60, 100.0)}
+                 ).to_csv(nav / "A_UTM.nav", index=False)
+    pd.DataFrame({"tracl": np.arange(1, 61),
+                  "x": np.full(60, 150.0), "y": np.linspace(0, 295, 60)}
+                 ).to_csv(nav / "B_UTM.nav", index=False)
+    from pseudo_3d_interpolation_tpu.pipeline import stage1
+
+    outs = stage1.mistie_correct(str(survey), min_correlation=0.3,
+                                 coords_origin="aux", coords_path=str(nav))
+    assert len(outs) == 2
+    mst = pd.read_csv(os.path.join(str(survey), "misties.csv"))
+    assert len(mst) >= 1  # intersection found via aux nav only
