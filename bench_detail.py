@@ -88,8 +88,8 @@ def run_basis_gate():
     batch = int(os.environ.get("BENCH_BATCH", 8))
     bases = os.environ.get(
         "BENCH_BASES",
-        "FFT,FFT-PALLAS,DCT,DCT-PALLAS,WAVELET,SHEARLET,SHEARLET-PALLAS,"
-        "CURVELET,CURVELET-PALLAS").split(",")
+        "FFT,FFT-PALLAS,DCT,DCT-PALLAS,WAVELET,WAVELET-PALLAS,"
+        "SHEARLET,SHEARLET-PALLAS,CURVELET,CURVELET-PALLAS").split(",")
     truth, obs, mask = make_problem(batch, n)
 
     for kind in bases:
@@ -100,16 +100,17 @@ def run_basis_gate():
                       if base_kind in ("FFT", "DCT", "SHEARLET", "CURVELET")
                       else [None])
         if pallas:
-            # FFT/DCT: folded whole-solve kernel (in-kernel bf16x3 for
-            # HIGH); SHEARLET/CURVELET: fused VMEM-resident subband kernel
+            # FFT/DCT/WAVELET: folded whole-solve kernel (in-kernel bf16x3
+            # for HIGH; WAVELET = matmul-form Mallat cascade);
+            # SHEARLET/CURVELET: fused VMEM-resident subband kernel
             precisions = (["highest", "high"]
-                          if base_kind in ("FFT", "DCT", "SHEARLET",
-                                           "CURVELET")
+                          if base_kind in ("FFT", "DCT", "WAVELET",
+                                           "SHEARLET", "CURVELET")
                           else [None])
         for prec in precisions:
             kw = {"precision": prec} if prec else {}
             if base_kind == "WAVELET":
-                kw = {"wavelet": "db4"}
+                kw = {"wavelet": "db4", **kw}
             tr = get_transform(base_kind, **kw)
             if hasattr(tr, "with_shape"):
                 tr = tr.with_shape((n, n))

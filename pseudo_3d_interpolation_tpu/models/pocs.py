@@ -138,11 +138,13 @@ def pocs_interpolate(
     batch_shape = z.shape[:-2]
     mask_in = jnp.asarray(mask, z.dtype)
     use_fused = False
+    use_fused_wavelet = False
     fused_precision = None
     fused_basis = "fft"
     if cfg.use_pallas:
         from ..ops.pallas import pallas_supported
-        from .transforms import DCTTransform, FFTTransform, _resolve_precision
+        from .transforms import (DCTTransform, FFTTransform, WaveletTransform,
+                                 _resolve_precision)
 
         # gate on the transform actually in use, not the config string —
         # an explicitly passed unsupported transform must never be silently
@@ -162,6 +164,24 @@ def pocs_interpolate(
             # HIGHEST natively; HIGH (bf16x3) has no Mosaic dot lowering, so
             # the kernel implements the 3-pass error-corrected decomposition
             # by hand (ops/pallas/pocs_iter.py::_solve_kernel).
+        # WAVELET rides the folded kernel in matmul form (Mallat cascade of
+        # orthogonal periodized analysis matrices) when the slice is square,
+        # unpadded, and the deepest-level matrix still fills an MXU tile
+        # (interpret mode lifts the tile floor for CPU tests)
+        use_fused_wavelet = (
+            isinstance(transform, WaveletTransform)
+            and transform.target is None
+            and mask_in.ndim == 2
+            and len(batch_shape) == 1
+            and cfg.thresh_op in ("hard", "soft", "garrote")
+            and pallas_supported(z.shape)
+            and z.shape[-2] == z.shape[-1]
+            and (z.shape[-1] >> (transform.level - 1))
+            >= (8 if cfg.pallas_interpret else 128)
+        )
+        if use_fused_wavelet:
+            fused_precision = _resolve_precision(
+                getattr(transform, "precision", None))
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
@@ -190,17 +210,36 @@ def pocs_interpolate(
     # DCT/HIGHEST, ~10x faster compiles (docs/perf.md). Requires no early
     # stopping / history (telemetry reduces to the final cost, which the
     # kernel reports identically to the scan's).
-    if (use_fused and cfg.eps == 0.0 and not cfg.keep_cost_history
+    if ((use_fused or use_fused_wavelet) and cfg.eps == 0.0
+            and not cfg.keep_cost_history
             and not cfg.global_early_stop
             and cfg.version in ("regular", "fast")):
         from ..ops.pallas import pocs_solve_fused
 
-        result, cost = pocs_solve_fused(
-            z, mask_in, decay_tree, alpha=cfg.alpha, thresh_op=cfg.thresh_op,
-            version=cfg.version,
-            interpret=cfg.pallas_interpret, precision=fused_precision,
-            basis=fused_basis,
-        )
+        if use_fused_wavelet:
+            from ..ops import wavelet as wv
+
+            n = z.shape[-1]
+            mats = [wv.dwt_matrix(n >> j, transform.wavelet)
+                    for j in range(transform.level)]
+            # flatten the decay tree [zero, det_L, ..., det_1] with leaves
+            # (niter, B) into (niter, B, 3·level) deepest-first (cH, cV, cD)
+            # — the layout pocs_solve_fused's wavelet basis consumes
+            flat_decay = jnp.stack(
+                [leaf for det in decay_tree[1:] for leaf in det], axis=-1)
+            result, cost = pocs_solve_fused(
+                z, mask_in, flat_decay, alpha=cfg.alpha,
+                thresh_op=cfg.thresh_op, version=cfg.version,
+                interpret=cfg.pallas_interpret, precision=fused_precision,
+                basis="wavelet", wavelet_mats=mats,
+            )
+        else:
+            result, cost = pocs_solve_fused(
+                z, mask_in, decay_tree, alpha=cfg.alpha,
+                thresh_op=cfg.thresh_op, version=cfg.version,
+                interpret=cfg.pallas_interpret, precision=fused_precision,
+                basis=fused_basis,
+            )
         nonzero = jnp.sum(z.abs2(), axis=(-2, -1)) > 0
         nz = nonzero[..., None, None]
         x_out = Cplx(jnp.where(nz, result.re, z.re),

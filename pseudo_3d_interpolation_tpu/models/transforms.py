@@ -21,6 +21,7 @@ as ``static_argnums`` to jit.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import jax.numpy as jnp
 
@@ -116,6 +117,9 @@ class WaveletTransform:
     # automatically via with_shape() (the solver calls it)
     crop: tuple | None = None
     target: tuple | None = None
+    # matmul precision of the folded Pallas path (the XLA conv path ignores
+    # it); None = HIGHEST
+    precision: Any = None
 
     def with_shape(self, shape):
         """Bind to a slice shape: resolves the level and records the padded

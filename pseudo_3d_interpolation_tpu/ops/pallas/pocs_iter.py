@@ -369,7 +369,7 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
                   op: str, niter: int, precision, fast: bool,
                   basis: str = "fft", split=None, twl_ref=None, twr_ref=None,
-                  rect_refs=None, hw=None):
+                  rect_refs=None, hw=None, wv_level: int = 0):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
@@ -378,6 +378,21 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
     # separate (W, W) pair (e0 = right-forward, e1 = right-inverse partner —
     # FFT: F_w.(re, im); DCT: (C_w^T, C_w), mirroring the square (fr, fi)
     # convention below)
+    wv_a = wv_at = None
+    if basis == "wavelet":
+        # fr/fi carry the level-1 (full-size) analysis matrix and its
+        # transpose; deeper levels ride in rect_refs as (A_j, A_j^T) pairs.
+        # Every slice/concat boundary in the cascade is n >> j with
+        # n >> (level-1) >= 128 enforced by the caller, so all lane splits
+        # are 128-aligned for Mosaic.
+        wv_a = [fr] + [rect_refs[2 * j][...] for j in range(wv_level - 1)]
+        wv_at = [fi] + [rect_refs[2 * j + 1][...] for j in range(wv_level - 1)]
+        rect_refs = None
+        # per-subband threshold map (block-constant over quadrants) is
+        # assembled by 2D-iota range tests — elementwise, no concatenation
+        # of non-aligned blocks
+        row_ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        col_ix = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     if rect_refs is not None:
         e0 = rect_refs[0][...]
         e1 = rect_refs[1][...]
@@ -393,11 +408,31 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         twl = twl_ref[...]
         twr_ = twr_ref[...]
 
-    dot = _make_dot(precision, fr, fi, e0, e1)  # HIGH = bf16x3, see above
+    dot = _make_dot(precision, fr, fi, e0, e1,
+                    *(wv_a[1:] + wv_at[1:] if basis == "wavelet" else ()))
 
     def one(j, carry):
         xr_prev, xi_prev, xr, xi, v, cost_prev = carry
-        tau = tau_ref[i, j]
+        if basis == "wavelet":
+            # block-constant tau over the Mallat quadrant layout: approx
+            # block keeps tau = 0 (pass-through for hard/soft/garrote);
+            # level d counts deepest-first to match the flattened decay
+            # tree [det_L, ..., det_1] with bands (cH, cV, cD)
+            tau = jnp.zeros((n, n), jnp.float32)
+            for d in range(wv_level):
+                s = n >> (wv_level - d)
+                in_lo_r = row_ix < s
+                in_hi_r = (row_ix >= s) & (row_ix < 2 * s)
+                in_lo_c = col_ix < s
+                in_hi_c = (col_ix >= s) & (col_ix < 2 * s)
+                t_ch = tau_ref[i, j, 3 * d + 0]
+                t_cv = tau_ref[i, j, 3 * d + 1]
+                t_cd = tau_ref[i, j, 3 * d + 2]
+                tau = jnp.where(in_hi_r & in_lo_c, t_ch, tau)  # cH: high rows
+                tau = jnp.where(in_lo_r & in_hi_c, t_cv, tau)  # cV: high cols
+                tau = jnp.where(in_hi_r & in_hi_c, t_cd, tau)  # cD: both
+        else:
+            tau = tau_ref[i, j]
         # per-slice Nesterov schedule with adaptive restart (matches the
         # XLA scan in models/pocs.py exactly); frac == 0 for 'regular'
         v1 = (1.0 + jnp.sqrt(1.0 + 4.0 * v * v)) / 2.0
@@ -405,7 +440,39 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         yr_in = xr + f * (xr - xr_prev)
         yi_in = xi + f * (xi - xi_prev)
 
-        if basis == "dct":
+        if basis == "wavelet":
+            # Mallat cascade as MXU matmuls: level j is A_j @ LL @ A_j^T on
+            # the shrinking top-left block (A orthogonal -> inverse is the
+            # transpose cascade, scale 1). The wavelet is real, so re/im
+            # transform independently; the threshold acts on the joint
+            # magnitude exactly like models.transforms.WaveletTransform.
+            def _wv_fwd(xx):
+                for lv in range(wv_level):
+                    nj = n >> lv
+                    if lv == 0:
+                        xx = dot(dot(wv_a[0], xx), wv_at[0])
+                    else:
+                        sub = dot(dot(wv_a[lv], xx[:nj, :nj]), wv_at[lv])
+                        xx = jnp.concatenate(
+                            [jnp.concatenate([sub, xx[:nj, nj:]], 1),
+                             xx[nj:, :]], 0)
+                return xx
+
+            def _wv_inv(xx):
+                for lv in range(wv_level - 1, -1, -1):
+                    nj = n >> lv
+                    if lv == 0:
+                        xx = dot(dot(wv_at[0], xx), wv_a[0])
+                    else:
+                        sub = dot(dot(wv_at[lv], xx[:nj, :nj]), wv_a[lv])
+                        xx = jnp.concatenate(
+                            [jnp.concatenate([sub, xx[:nj, nj:]], 1),
+                             xx[nj:, :]], 0)
+                return xx
+
+            Xr = _wv_fwd(yr_in)
+            Xi = _wv_fwd(yi_in)
+        elif basis == "dct":
             # orthonormal DCT-II: fr holds C_h, fi holds C_h^T (e0/e1 the
             # W-side pair); re/im transform independently (the DCT is
             # real), thresholds act on the joint magnitude — exactly
@@ -426,7 +493,11 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         Xr = Xr * shrink
         Xi = Xi * shrink
 
-        if basis == "dct":
+        if basis == "wavelet":
+            rr = _wv_inv(Xr)
+            ri = _wv_inv(Xi)
+            scale = 1.0
+        elif basis == "dct":
             rr = dot(dot(fi, Xr), e1)
             ri = dot(dot(fi, Xi), e1)
             scale = 1.0
@@ -481,6 +552,7 @@ def pocs_solve_fused(
     precision=None,
     basis: str = "fft",
     use_split: bool = True,
+    wavelet_mats=None,
 ) -> Cplx:
     """The COMPLETE POCS solve in one kernel launch per slice.
 
@@ -496,14 +568,21 @@ def pocs_solve_fused(
     enables the in-kernel Cooley-Tukey split for the FFT basis on SQUARE
     slices when N factors as M·R with M >= 128 (4x fewer MXU MACs at 512²;
     exact — see the round-3 section above); rectangular slices run the
-    dense path with a per-axis matrix pair.
+    dense path with a per-axis matrix pair. ``basis='wavelet'`` runs the
+    Mallat cascade in matmul form (one level = A @ LL @ A^T on the
+    shrinking top-left block, A the orthogonal periodized analysis matrix —
+    ops/wavelet.py::dwt_matrix): pass the per-level matrices finest-first
+    via ``wavelet_mats`` and a PER-SUBBAND ``decay`` of shape
+    ``(niter, B, 3·level)`` ordered deepest-level-first (cH, cV, cD) —
+    exactly the flattened WaveletTransform decay tree; square slices with
+    ``n >> (level-1) >= 128`` keep every matmul and lane split 128-aligned.
     """
     if thresh_op not in _KERNEL_THRESH_OPS:
         raise ValueError("fused kernel supports hard/soft/garrote thresholds")
     if version not in ("regular", "fast"):
         raise ValueError("fused solve supports regular/fast versions")
-    if basis not in ("fft", "dct"):
-        raise ValueError("fused solve supports fft/dct bases")
+    if basis not in ("fft", "dct", "wavelet"):
+        raise ValueError("fused solve supports fft/dct/wavelet bases")
     b, h, w = obs.re.shape
     n = h
     decay = jnp.asarray(decay, jnp.float32)
@@ -512,7 +591,24 @@ def pocs_solve_fused(
     rect = h != w
     extra_inputs = []
     extra_specs = []
-    if basis == "dct":
+    wv_level = 0
+    if basis == "wavelet":
+        if rect:
+            raise ValueError("fused wavelet solve requires square slices")
+        wv_level = len(wavelet_mats)
+        assert decay.ndim == 3 and decay.shape[2] == 3 * wv_level
+        fr = np.asarray(wavelet_mats[0], np.float32)
+        fi = fr.T.copy()
+        for mat in wavelet_mats[1:]:
+            a = np.asarray(mat, np.float32)
+            extra_inputs += [jnp.asarray(a), jnp.asarray(a.T.copy())]
+            extra_specs += [
+                pl.BlockSpec(a.shape, lambda i, tau: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(a.shape, lambda i, tau: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+    elif basis == "dct":
         c = dft.dct2_matrix(h)
         fr, fi = c, c.T.copy()
         if rect:
@@ -576,8 +672,9 @@ def pocs_solve_fused(
             split=split,
             twl_ref=ex_refs[0] if split else None,
             twr_ref=ex_refs[1] if split else None,
-            rect_refs=ex_refs if rect else None,
+            rect_refs=ex_refs if (rect or wv_level > 1) else None,
             hw=(h, w) if rect else None,
+            wv_level=wv_level,
         )
 
     outr, outi, cost = pl.pallas_call(
@@ -592,7 +689,9 @@ def pocs_solve_fused(
         if _PALLAS_OK and not interpret else None,
         interpret=interpret,
     )(
-        decay.T,  # (B, niter) scalar-prefetch: tau_ref[i, j]
+        # scalar-prefetch thresholds: (B, niter) tau_ref[i, j], or
+        # (B, niter, 3·level) tau_ref[i, j, k] for the wavelet basis
+        jnp.transpose(decay, (1, 0, 2)) if basis == "wavelet" else decay.T,
         obs.re, obs.im,
         jnp.asarray(mask, jnp.float32),
         jnp.asarray(fr), jnp.asarray(fi),

@@ -249,6 +249,29 @@ def max_level(n: int, name: str) -> int:
     return lvl
 
 
+@functools.lru_cache(maxsize=64)
+def dwt_matrix(n: int, name: str = "db4") -> np.ndarray:
+    """One-level periodized analysis as an orthogonal (n, n) matrix.
+
+    Rows ``[0, n/2)`` are the lowpass analysis ``A_low[i, (2i+k) % n] = h[k]``
+    and rows ``[n/2, n)`` the highpass — exactly :func:`_analysis_last`'s
+    circular-correlation convention, so ``M @ x == dwt`` along the leading
+    axis and ``M.T`` is the synthesis (the periodized DWT of an orthogonal
+    wavelet is an orthogonal matrix). This is the matmul form the folded
+    Pallas solve runs on the MXU (ops/pallas/pocs_iter.py): a 2D level is
+    ``M @ x @ M.T`` with subbands landing as ll | cV / cH | cD quadrants.
+    """
+    h, g, _, _ = wavelet_filters(name)
+    L = h.size
+    if n < L or n % 2:
+        raise ValueError(f"axis length {n} too short/odd for wavelet {name!r}")
+    m = np.zeros((n, n), np.float32)
+    cols = (2 * np.arange(n // 2)[:, None] + np.arange(L)[None, :]) % n
+    np.put_along_axis(m[: n // 2], cols, np.broadcast_to(h, cols.shape), axis=1)
+    np.put_along_axis(m[n // 2:], cols, np.broadcast_to(g, cols.shape), axis=1)
+    return m
+
+
 # ---------------------------------------------------------------------------
 # 1D periodized analysis / synthesis along the last axis
 # ---------------------------------------------------------------------------
@@ -263,6 +286,10 @@ def _analysis_last(x, filt):
         window_strides=(2,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        # TPU convs default to bf16, which measurably perturbs the POCS
+        # fixed point (1.6e-2 relative after 5 iters at 512²); the filter
+        # cascade is cheap next to the solve, so pin full f32
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out.reshape(x.shape[:-1] + (x.shape[-1] // 2,))
 
@@ -280,6 +307,7 @@ def _synthesis_last(a, filt, n: int):
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,  # see _analysis_last
     )
     return out.reshape(a.shape[:-1] + (n,))
 

@@ -303,3 +303,84 @@ class TestInKernelRadixSplit:
         assert dft.fast_split(512) == (128, 4)
         assert dft.fast_split(256) == (128, 2)
         assert dft.fast_split(128) is None  # dense path at the minimum size
+
+
+class TestFusedWavelet:
+    """Matmul-form Mallat cascade in the folded kernel (basis='wavelet')
+    vs the XLA conv-cascade WAVELET path — identical solver numerics."""
+
+    @staticmethod
+    def _pair(cfg_extra, n=128, b=3, name="db4", seed=7, **cfg_kw):
+        import jax.numpy as jnp
+
+        from pseudo_3d_interpolation_tpu.models.transforms import (
+            WaveletTransform,
+        )
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((b, n, n)).astype(np.float32)
+        mask = (rng.random((n, n)) < 0.5).astype(np.float32)
+        z = Cplx(jnp.asarray(x * mask), jnp.zeros((b, n, n), jnp.float32))
+        tr = WaveletTransform(wavelet=name).with_shape(z.shape)
+        base = dict(niter=10, eps=0.0, alpha=0.75, p_min=1e-4,
+                    transform_kind="WAVELET")
+        base.update(cfg_kw)
+        ref = pocs_interpolate(z, jnp.asarray(mask), tr, POCSConfig(**base))
+        fused = pocs_interpolate(
+            z, jnp.asarray(mask), tr,
+            POCSConfig(**base, use_pallas=True, pallas_interpret=True,
+                       **cfg_extra))
+        return ref, fused
+
+    def test_dwt_matrix_matches_conv_analysis(self):
+        import jax.numpy as jnp
+
+        from pseudo_3d_interpolation_tpu.ops import wavelet as wv
+
+        rng = np.random.default_rng(0)
+        for name in ("db4", "coif5", "sym6"):
+            m = wv.dwt_matrix(128, name)
+            # periodized orthogonal wavelet -> orthogonal matrix
+            np.testing.assert_allclose(m @ m.T, np.eye(128), atol=2e-5)
+            x = rng.standard_normal(128).astype(np.float32)
+            h, g, _, _ = wv.wavelet_filters(name)
+            lo = np.asarray(wv._analysis_last(jnp.asarray(x[None]),
+                                              jnp.asarray(h)))[0]
+            hi = np.asarray(wv._analysis_last(jnp.asarray(x[None]),
+                                              jnp.asarray(g)))[0]
+            np.testing.assert_allclose(m[:64] @ x, lo, atol=1e-5)
+            np.testing.assert_allclose(m[64:] @ x, hi, atol=1e-5)
+
+    @pytest.mark.parametrize("op", ["soft", "garrote"])
+    @pytest.mark.parametrize("name", ["db4", "coif5"])
+    def test_fused_matches_xla_continuous_ops(self, op, name):
+        ref, fused = self._pair({}, name=name, thresh_op=op,
+                                version="regular")
+        scale = float(np.abs(np.asarray(ref.data.re)).max())
+        np.testing.assert_allclose(np.asarray(fused.data.re),
+                                   np.asarray(ref.data.re),
+                                   atol=5e-6 * scale)
+        np.testing.assert_allclose(np.asarray(fused.cost),
+                                   np.asarray(ref.cost), rtol=1e-4,
+                                   atol=1e-12)
+        assert np.all(np.asarray(fused.n_iterations) == 10)
+
+    @pytest.mark.parametrize("version", ["regular", "fast"])
+    def test_fused_matches_xla_hard(self, version):
+        # the hard threshold's knife-edge keep/kill decisions amplify f32
+        # op-reordering between the conv and matmul forms; 'fast' momentum
+        # compounds a flipped coefficient, hence the looser bound
+        ref, fused = self._pair({}, thresh_op="hard", version=version)
+        scale = float(np.abs(np.asarray(ref.data.re)).max())
+        tol = 5e-3 if version == "fast" else 5e-4
+        np.testing.assert_allclose(np.asarray(fused.data.re),
+                                   np.asarray(ref.data.re),
+                                   atol=tol * scale)
+
+    def test_padded_or_rectangular_falls_back(self):
+        # 120 is not %128: gate must keep the XLA path (still correct)
+        ref, fused = self._pair({}, n=120, thresh_op="soft",
+                                version="regular")
+        np.testing.assert_allclose(np.asarray(fused.data.re),
+                                   np.asarray(ref.data.re), atol=1e-6)
