@@ -134,7 +134,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference --limit_depressions, e.g. 10 10 5)")
     p.add_argument("--write-seafloor2trace", action="store_true",
                    help="store picked seafloor TWT in the trace header "
-                        "(bytes 237/233; reference --write_seafloor2trace)")
+                        "(bytes 237/233; amp mode only, like the reference "
+                        "--write_seafloor2trace)")
     p.add_argument("--no-aux", action="store_true",
                    help="skip the .sta sidecar (reference --write_aux "
                         "default off; this repo writes it by default)")
@@ -341,6 +342,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--footprint-direction", default="both",
                    choices=["both", "iline", "xline"],
                    help="notch direction (reference --direction)")
+    # the reference's CLI default (0.20) intentionally differs from its
+    # library default (0.25) — cube_postprocessing_3D.py:57 vs :183; both
+    # are mirrored here (pipeline/postprocess.py keeps 0.25)
     p.add_argument("--buffer-center", type=float, default=0.20,
                    help="kx-ky center buffer fraction "
                         "(reference --buffer-center)")
@@ -471,27 +475,15 @@ def main(argv=None) -> int:
     elif cmd == "preprocess":
         from .pipeline.preprocess import preprocess
 
-        resample_to = args.resample_to
-        if resample_to is None and (args.resample_interval or
-                                    args.resample_frequency or
-                                    args.resample_factor):
-            from .io.ncio import CubeFile
-
-            with CubeFile(args.input) as cf:
-                twt = cf.coords["twt"]
-                n_in, dt_in = len(twt), float(twt[1] - twt[0])
-            if args.resample_interval:
-                resample_to = int(round(n_in * dt_in / (args.resample_interval / 1e3)))
-            elif args.resample_frequency:
-                resample_to = int(round(n_in * dt_in * args.resample_frequency))
-            else:
-                resample_to = int(round(n_in / args.resample_factor))
         preprocess(args.input, balance=args.balance,
                    balance_store_ref=not args.no_store_ref_amp,
                    gain_args=_parse_kv(args.gain) or None,
                    gain_use_samples=args.use_samples,
                    filter_type=args.filter_type, filter_freqs=args.filter_freqs,
-                   resample_to=resample_to,
+                   resample_to=args.resample_to,
+                   resample_interval_ms=args.resample_interval,
+                   resample_frequency_hz=args.resample_frequency,
+                   resample_factor=args.resample_factor,
                    resample_method="poly" if args.resample_function == "poly" else "fft",
                    resample_window=args.window_resample,
                    envelope=args.envelope, attrs_config=args.attrs_yaml,
@@ -652,6 +644,13 @@ def main(argv=None) -> int:
         rescale_p = args.rescale
         if rescale_p is not None and len(rescale_p) == 0:
             rescale_p = [0.01, 99.99]  # reference bare-flag default
+        if rescale_p is not None and not args.smooth:
+            # same coupling as the reference (its rescale lives inside the
+            # `if args.smooth:` block, cube_postprocessing_3D.py:631-642) —
+            # but warn instead of silently ignoring the flag
+            xprint("--rescale only applies together with --smooth "
+                   "(reference behavior); ignoring it", kind="warning",
+                   verbosity=v)
         smoothing = None
         if args.smooth == "gaussian":
             smoothing = {"kind": "gaussian", "sigma": args.smooth_sigma,

@@ -414,3 +414,11 @@ def apply_attrs(cube: "Cube", attrs: dict) -> None:
             cube.var_attrs.setdefault(name, {}).update(a)
         elif name in cube.coords:
             cube.coord_attrs.setdefault(name, {}).update(a)
+
+
+def apply_time_attrs(cube: "Cube", attrs_config) -> None:
+    """Apply the ``attrs_time`` family of a reference-format attrs YAML
+    (path or dict) to a time-domain cube — the shared post-step pattern of
+    the preprocess/ifft pipeline steps."""
+    attrs_time, _, _, _ = load_attrs_config(attrs_config)
+    apply_attrs(cube, attrs_time)

@@ -105,6 +105,19 @@ def _fpocs_fractions(niter: int) -> np.ndarray:
     return fracs
 
 
+def _wavelet_cascade_aligned(n: int, level: int, interpret: bool) -> bool:
+    """Whether the fused wavelet kernel's Mallat cascade is legal at this
+    size: every in-kernel slice/concat boundary is n >> lv =
+    (n >> (level-1)) << (level-1-lv), so the deepest block must both fill an
+    MXU tile and be a 128-lane multiple — which aligns all shallower
+    boundaries too. 640² at level 3 gives 160: >= 128 but NOT
+    Mosaic-alignable, so it must fall back to the XLA path. Interpret mode
+    (CPU tests) lifts the tile floor to the 8-sublane granule."""
+    align = 8 if interpret else 128
+    deepest = n >> (level - 1)
+    return deepest > 0 and deepest % align == 0
+
+
 def pocs_interpolate(
     z: Cplx,
     mask: jnp.ndarray,
@@ -176,8 +189,8 @@ def pocs_interpolate(
             and cfg.thresh_op in ("hard", "soft", "garrote")
             and pallas_supported(z.shape)
             and z.shape[-2] == z.shape[-1]
-            and (z.shape[-1] >> (transform.level - 1))
-            >= (8 if cfg.pallas_interpret else 128)
+            and _wavelet_cascade_aligned(z.shape[-1], transform.level,
+                                         cfg.pallas_interpret)
         )
         if use_fused_wavelet:
             fused_precision = _resolve_precision(

@@ -58,10 +58,9 @@ def apply_ifft(
         out.data_vars["fold"] = cube.data_vars["fold"]
     out.append_history(f"IFFT({var})")
     if attrs_config is not None:
-        from ..io.ncio import apply_attrs, load_attrs_config
+        from ..io.ncio import apply_time_attrs
 
-        attrs_time, _, _, _ = load_attrs_config(attrs_config)
-        apply_attrs(out, attrs_time)
+        apply_time_attrs(out, attrs_config)
     if out_path:
         write_cube(out_path, out)
     return out

@@ -38,6 +38,13 @@ def preprocess(
     filter_type: str | None = None,  # lowpass/highpass/bandpass (:241-272)
     filter_freqs=None,
     resample_to: int | None = None,  # new sample count (:274-336)
+    # alternative target specs, mirroring the reference's mutually exclusive
+    # --resampling_interval (ms) / --resampling_frequency (Hz) /
+    # --resampling_factor flags (cube_preprocessing_3D.py:86-91); resolved
+    # against the cube's twt axis when resample_to is not given
+    resample_interval_ms: float | None = None,
+    resample_frequency_hz: float | None = None,
+    resample_factor: float | None = None,
     resample_method: str = "fft",  # 'fft' (device) | 'poly' (host polyphase)
     resample_window: str = "hann",  # polyphase FIR window (ref --window_resample)
     envelope: bool = False,  # Hilbert envelope -> 'env' (:340-360)
@@ -54,6 +61,19 @@ def preprocess(
     twt = np.asarray(cube.coords["twt"], np.float64)
     dt = float(np.mean(np.diff(twt)))
     history = []
+
+    if resample_to is None and (resample_interval_ms or resample_frequency_hz
+                                or resample_factor):
+        if len(twt) < 2:
+            raise ValueError("cannot derive a resample target from a "
+                             "single-sample twt axis; pass resample_to")
+        n_in, dt_in = len(twt), float(twt[1] - twt[0])  # twt in seconds
+        if resample_interval_ms:
+            resample_to = int(round(n_in * dt_in / (resample_interval_ms / 1e3)))
+        elif resample_frequency_hz:
+            resample_to = int(round(n_in * dt_in * resample_frequency_hz))
+        else:
+            resample_to = int(round(n_in / resample_factor))
 
     if balance:
         ref = np.asarray(_balance_ref(data, axis=-1, scale=balance))
@@ -95,7 +115,11 @@ def preprocess(
             g = gcd(int(resample_to), n_old)
             data = ss.resample_poly(data, int(resample_to) // g, n_old // g,
                                     axis=-1,
-                                    window=(resample_window, 0.5)
+                                    # bare 'kaiser' needs a beta; scipy's
+                                    # resample_poly default is ('kaiser', 5.0)
+                                    # (the reference passes the string through
+                                    # and would crash on it)
+                                    window=(resample_window, 5.0)
                                     if resample_window == "kaiser"
                                     else resample_window).astype(np.float32)
         else:
@@ -116,10 +140,9 @@ def preprocess(
     for h in history:
         cube.append_history(h)
     if attrs_config is not None:
-        from ..io.ncio import apply_attrs, load_attrs_config
+        from ..io.ncio import apply_time_attrs
 
-        attrs_time, _, _, _ = load_attrs_config(attrs_config)
-        apply_attrs(cube, attrs_time)
+        apply_time_attrs(cube, attrs_config)
     if out_path:
         write_cube(out_path, cube)
     return cube

@@ -384,3 +384,22 @@ class TestFusedWavelet:
                                 version="regular")
         np.testing.assert_allclose(np.asarray(fused.data.re),
                                    np.asarray(ref.data.re), atol=1e-6)
+
+    def test_cascade_alignment_gate(self):
+        # every in-kernel lane split is (n >> (level-1)) << k, so the gate
+        # lives entirely in the deepest block: 640^2 level-3 gives 160 —
+        # pallas_supported-shaped (640 % 128 == 0) and >= 128, yet NOT a
+        # 128-multiple, so a fused launch would fail Mosaic lowering on TPU
+        from pseudo_3d_interpolation_tpu.models.pocs import (
+            _wavelet_cascade_aligned,
+        )
+
+        assert _wavelet_cascade_aligned(512, 3, interpret=False)   # 128
+        assert _wavelet_cascade_aligned(512, 2, interpret=False)   # 256
+        assert not _wavelet_cascade_aligned(640, 3, interpret=False)  # 160
+        assert not _wavelet_cascade_aligned(512, 4, interpret=False)  # 64
+        assert not _wavelet_cascade_aligned(128, 8, interpret=False)  # 0
+        # interpret mode lifts the floor to the 8-sublane granule
+        assert _wavelet_cascade_aligned(640, 3, interpret=True)
+        assert _wavelet_cascade_aligned(128, 3, interpret=True)
+        assert not _wavelet_cascade_aligned(20, 2, interpret=True)  # 10
