@@ -131,6 +131,8 @@ def main():
         # single 8x8 chunking wastes 63 slice-solves (~5 s at HIGH) where
         # full-chunks + a one-batch remainder waste only 7
         ks = args.sweep_k or [max(1, args.batches_per_launch)]
+        if any(kk < 1 for kk in ks):
+            raise SystemExit(f"--sweep-k entries must be >= 1, got {ks}")
 
         def plan_chunks(kk):
             nfull = nslices // (batch * kk)     # whole kk*batch launches
@@ -186,7 +188,10 @@ def main():
         for kk in ks:
             nfull, k_rem, npad_k = plan_chunks(kk)
             solve_chunk = make_solver(kk)
-            solve_rem = make_solver(k_rem) if k_rem else None
+            # k_rem == kk would re-jit an identical program inside the timed
+            # region — reuse the chunk solver
+            solve_rem = (solve_chunk if k_rem == kk
+                         else make_solver(k_rem)) if k_rem else None
             t0 = time.time()
             rec = Cplx(jnp.zeros_like(z_all.re), jnp.zeros_like(z_all.im))
             for s in range(0, nfull * batch * kk, batch * kk):

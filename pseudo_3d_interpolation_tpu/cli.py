@@ -411,6 +411,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"],
                    help="basis when no --params YAML is given")
     p.add_argument("--niter", type=int, default=50)
+    p.add_argument("--version", dest="pocs_version", default="fast",
+                   choices=["regular", "fast", "adaptive"],
+                   help="solver version to pre-compile (match the "
+                        "production run; the cache keys on the exact HLO)")
     p.add_argument("--shape", type=int, nargs=2, default=(512, 512),
                    metavar=("ILINES", "XLINES"),
                    help="production slice shape, or use --like")
@@ -611,7 +615,7 @@ def main(argv=None) -> int:
         cfg = args.params if args.params else POCSConfig(
             niter=args.niter, thresh_op="hard", thresh_model="exponential",
             p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-            version="fast", alpha=0.75, eps=1e-16,
+            version=args.pocs_version, alpha=0.75, eps=1e-16,
             transform_kind=args.transform,
             use_pallas=not getattr(args, "no_pallas", False),
         )

@@ -46,7 +46,13 @@ def _transform_subbands(transform, slice_shape) -> int:
     and really does cost L slices."""
     kind = getattr(transform, "kind", "FFT")
     h, w = int(slice_shape[-2]), int(slice_shape[-1])
-    if kind in ("SHEARLET", "CURVELET") and hasattr(transform, "apply_threshold"):
+    # the constant budget needs BOTH streamed pieces: apply_threshold for
+    # the iteration AND decay_from_input for the schedule derivation —
+    # without the latter, models/pocs.py materializes the full (B, L, H, W)
+    # forward once (coeffs0) and the peak really is L-proportional
+    if (kind in ("SHEARLET", "CURVELET")
+            and hasattr(transform, "apply_threshold")
+            and hasattr(transform, "decay_from_input")):
         return 8
     if kind == "SHEARLET":
         from ..ops import shearlet as sh

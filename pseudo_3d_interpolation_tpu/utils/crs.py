@@ -754,7 +754,7 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
         # a non-polar natural origin is NOT a polar-variant CRS; EPSG 9809
         # double stereographic (sterea) covers the oblique cases in use —
         # refuse rather than silently snapping lat0 to a pole
-        if abs(lat0) < 90.0 - 1e-6 and "lat1" not in p and lat0 != 0.0:
+        if abs(lat0) < 90.0 - 1e-6 and "lat1" not in p:
             raise ValueError(
                 f"non-polar stereographic with lat0={lat0} — use the "
                 "oblique (double) stereographic method (+proj=sterea / "
