@@ -36,7 +36,7 @@ def _arm_watchdog(seconds: float = 900.0):
             "value": 0.0,
             "unit": ("slice-iterations/s [NO MEASUREMENT: device tunnel "
                      "unresponsive for 15 min; last verified healthy run "
-                     "measured 7096.8 — see docs/perf.md]"),
+                     "measured 13476 — see docs/perf.md]"),
             "vs_baseline": 0.0,
         }), flush=True)
         os._exit(0)
@@ -163,6 +163,27 @@ def main():
     if os.environ.get("BENCH_HEADLINE_ONLY") == "1":
         return
     budget_s = float(os.environ.get("BENCH_TAIL_BUDGET_S", 720.0))
+    # the headline watchdog was canceled after its line printed; the tail
+    # compiles/runs go through the same hangable tunnel, so arm a fresh one
+    # that emits an explicit skip line instead of wedging the driver gate
+    # (the budget_s check only runs BETWEEN bases)
+    if jax.devices()[0].platform != "cpu":
+        import threading
+
+        def _tail_fire():
+            print(json.dumps({
+                "metric": "pocs_slice_iters_per_sec_512x512_tail",
+                "value": 0.0,
+                "unit": "slice-iterations/s [TAIL SKIPPED: device tunnel "
+                        "unresponsive mid-tail; headline above is valid — "
+                        "run bench_detail.py for the full per-basis gate]",
+                "vs_baseline": 0.0,
+            }), flush=True)
+            os._exit(0)
+
+        tail_watchdog = threading.Timer(budget_s + 300.0, _tail_fire)
+        tail_watchdog.daemon = True
+        tail_watchdog.start()
     from pseudo_3d_interpolation_tpu.models.transforms import get_transform
 
     # p_min='adaptive' is shearlet-specific (reference POCS.py:302-324);
@@ -192,7 +213,7 @@ def main():
                 r = pocs_interpolate(z, m, tr, tcfg)
                 return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-            tb = 8  # directional bases: smaller batch, same per-slice math
+            tb = min(8, B)  # directional bases: smaller batch, same per-slice
             ztail = Cplx(z.re[:tb], z.im[:tb])
             tfn = jax.jit(tsolve)
             float(tfn(ztail, m, jnp.float32(1.0)))  # compile + warm

@@ -204,8 +204,27 @@ class WaveletTransform:
         return out
 
 
+class _SpectralStackMixin:
+    """Shared streamed-update surface of the spectral-stack bases
+    (SHEARLET/CURVELET): both delegate to the same plan-driven machinery in
+    ops/shearlet.py, so the fused POCS update lives here once."""
+
+    def apply_threshold(self, z: Cplx, t, op: str, use_pallas: bool = False,
+                        pallas_interpret: bool = False) -> Cplx:
+        """Fused inverse(threshold(forward(z))) with streamed subbands —
+        same numerics, no (..., L, H, W) HBM materialization (the POCS hot
+        path uses this; ops/shearlet.py::pocs_subband_apply).
+        ``use_pallas`` engages the fused VMEM-resident subband kernel."""
+        from ..ops import shearlet as sh
+
+        return sh.pocs_subband_apply(
+            z, self._plan(z.shape[-2], z.shape[-1]), t, op,
+            precision=_resolve_precision(self.precision),
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+
+
 @dataclasses.dataclass(frozen=True)
-class ShearletTransform:
+class ShearletTransform(_SpectralStackMixin):
     """Cone-adapted Meyer shearlet basis (reference SHEARLET kind via FFST).
 
     Psi spectra are precomputed per slice shape (ops/shearlet.py) and enter
@@ -257,19 +276,6 @@ class ShearletTransform:
         # t: (..., L) per-subband thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
 
-    def apply_threshold(self, z: Cplx, t, op: str, use_pallas: bool = False,
-                        pallas_interpret: bool = False) -> Cplx:
-        """Fused inverse(threshold(forward(z))) with streamed subbands —
-        same numerics, no (..., L, H, W) HBM materialization (the POCS hot
-        path uses this; ops/shearlet.py::pocs_subband_apply).
-        ``use_pallas`` engages the fused VMEM-resident subband kernel."""
-        from ..ops import shearlet as sh
-
-        return sh.pocs_subband_apply(
-            z, self._plan(z.shape[-2], z.shape[-1]), t, op,
-            precision=_resolve_precision(self.precision),
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
-
     def decay_from_input(self, z: Cplx, model, niter, p_max, p_min,
                          decay_kind):
         """Decay schedule straight from the input slice — streamed
@@ -300,7 +306,7 @@ class ShearletTransform:
 
 
 @dataclasses.dataclass(frozen=True)
-class CurveletTransform:
+class CurveletTransform(_SpectralStackMixin):
     """Fast discrete curvelet frame (reference CURVELET kind via curvelops→
     CurveLab, cube_POCS_interpolation_3D.py:277-286, POCS.py:530-607).
 
@@ -351,18 +357,6 @@ class CurveletTransform:
     def threshold(self, coeffs: Cplx, t, op: str) -> Cplx:
         # t: (..., L) per-wedge thresholds
         return threshold_ops.threshold_pair(coeffs, t[..., None, None], kind=op)
-
-    def apply_threshold(self, z: Cplx, t, op: str, use_pallas: bool = False,
-                        pallas_interpret: bool = False) -> Cplx:
-        """Fused inverse(threshold(forward(z))) with streamed subbands —
-        same numerics, no (..., L, H, W) HBM materialization.
-        ``use_pallas`` engages the fused VMEM-resident subband kernel."""
-        from ..ops import shearlet as sh
-
-        return sh.pocs_subband_apply(
-            z, self._plan(z.shape[-2], z.shape[-1]), t, op,
-            precision=_resolve_precision(self.precision),
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
     def decay_from_input(self, z: Cplx, model, niter, p_max, p_min,
                          decay_kind):

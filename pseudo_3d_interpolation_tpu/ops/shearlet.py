@@ -410,6 +410,33 @@ def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
     return pack
 
 
+def _box_group_update(zf: Cplx, acc_re, acc_im, tau_g, g, h: int, w: int,
+                      thresh_op: str, precision, pos_h=None, pos_w=None):
+    """One support-cropped group's batched einsum POCS update: gather the
+    group's frequency box from ``zf``, partial-ifft2 -> threshold ->
+    partial-fft2 per subband, scatter-add back into the accumulator. The
+    partial transforms always use the plan's NATURAL index sets
+    (``g.idx_h/idx_w``); the gather/scatter positions default to those but
+    the fused-Pallas caller passes its layout's permuted positions
+    (``pos_h/pos_w``) instead."""
+    from . import threshold as threshold_ops
+
+    if pos_h is None:
+        pos_h, pos_w = g.idx_h, g.idx_w
+    p_stack = jnp.asarray(g.psi)
+    box = zf[..., pos_h[:, None], pos_w[None, :]]
+    prod = Cplx(box.re[..., None, :, :] * p_stack,
+                box.im[..., None, :, :] * p_stack)
+    c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+    c = threshold_ops.threshold_pair(
+        c, tau_g[..., None, None], kind=thresh_op)
+    v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+    sr = jnp.sum(v.re * p_stack, axis=-3)
+    si = jnp.sum(v.im * p_stack, axis=-3)
+    return (acc_re.at[..., pos_h[:, None], pos_w[None, :]].add(sr),
+            acc_im.at[..., pos_h[:, None], pos_w[None, :]].add(si))
+
+
 def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
                                precision, interpret: bool) -> Cplx:
     """Fused-Pallas pipeline for full-size subbands (ops/pallas/subband.py);
@@ -438,19 +465,9 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     acc_re, acc_im = acc.re, acc.im
 
     for l0, lg, pos_h, pos_w, g in boxes:
-        tau_g = tau2[..., l0:l0 + lg]
-        p_stack = jnp.asarray(g.psi)
-        box = zf[..., pos_h[:, None], pos_w[None, :]]
-        prod = Cplx(box.re[..., None, :, :] * p_stack,
-                    box.im[..., None, :, :] * p_stack)
-        c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
-        c = threshold_ops.threshold_pair(
-            c, tau_g[..., None, None], kind=thresh_op)
-        v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
-        sr = jnp.sum(v.re * p_stack, axis=-3)
-        si = jnp.sum(v.im * p_stack, axis=-3)
-        acc_re = acc_re.at[..., pos_h[:, None], pos_w[None, :]].add(sr)
-        acc_im = acc_im.at[..., pos_h[:, None], pos_w[None, :]].add(si)
+        acc_re, acc_im = _box_group_update(
+            zf, acc_re, acc_im, tau2[..., l0:l0 + lg], g, h, w,
+            thresh_op, precision, pos_h=pos_h, pos_w=pos_w)
 
     inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
     return inv(Cplx(acc_re, acc_im), precision=precision)
@@ -515,17 +532,8 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
                 acc_re = acc_re + jnp.sum(cf.re * p_stack, axis=-3)
                 acc_im = acc_im + jnp.sum(cf.im * p_stack, axis=-3)
             else:
-                box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
-                prod = Cplx(box.re[..., None, :, :] * p_stack,
-                            box.im[..., None, :, :] * p_stack)
-                c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
-                c = threshold_ops.threshold_pair(
-                    c, tau_g[..., None, None], kind=thresh_op)
-                v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
-                sr = jnp.sum(v.re * p_stack, axis=-3)
-                si = jnp.sum(v.im * p_stack, axis=-3)
-                acc_re = acc_re.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(sr)
-                acc_im = acc_im.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(si)
+                acc_re, acc_im = _box_group_update(
+                    zf, acc_re, acc_im, tau_g, g, h, w, thresh_op, precision)
             continue
 
         # large group: scan over subbands, (..., H, W) working set only

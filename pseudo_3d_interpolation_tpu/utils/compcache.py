@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 
 _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "p3d-jax-cache")
-_enabled = False
+_active_dir: str | None = None
 
 
 def enable_persistent_cache(path: str | None = None) -> str:
@@ -23,12 +23,15 @@ def enable_persistent_cache(path: str | None = None) -> str:
     Env override: ``P3D_COMPILATION_CACHE`` (set to ``0``/``off`` to
     disable). Safe to call before or after backend initialization.
     """
-    global _enabled
+    global _active_dir
     env = os.environ.get("P3D_COMPILATION_CACHE")
     if env is not None and env.lower() in ("0", "off", "none", ""):
         return ""
     path = path or env or _DEFAULT
-    if _enabled:
+    # idempotent only for the SAME dir — a later call with a different dir
+    # must re-point jax (and drop its latched cache object below), not
+    # return a path that silently receives no entries
+    if _active_dir == path:
         return path
     import jax
 
@@ -48,5 +51,5 @@ def enable_persistent_cache(path: str | None = None) -> str:
     min_secs = float(os.environ.get("P3D_CACHE_MIN_COMPILE_SECS", 1.0))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    _enabled = True
+    _active_dir = path
     return path

@@ -141,6 +141,11 @@ def transform(x, y, src, dst):
     string, or a projection instance — the same input surface the
     reference gets from pyproj (reproject_segy.py:73-169).
     """
+    # numpy integers (EPSG codes read from header tables) behave like int
+    # codes; normalizing here also makes the exact-passthrough check below
+    # see 32633 == np.int64(32633) == "32633"
+    src = _normalize_epsg_spec(src)
+    dst = _normalize_epsg_spec(dst)
     if type(src) is type(dst):
         try:
             if src == dst:
@@ -148,6 +153,16 @@ def transform(x, y, src, dst):
         except Exception:
             pass
     return transform_any(x, y, src, dst)
+
+
+def _normalize_epsg_spec(spec):
+    """Coerce integer-like CRS specs (numpy ints, numeric strings) to int;
+    leave everything else (WKT/proj strings, instances, None) unchanged."""
+    if isinstance(spec, (int, np.integer)) and not isinstance(spec, bool):
+        return int(spec)
+    if isinstance(spec, str) and spec.strip().isdigit():
+        return int(spec.strip())
+    return spec
 
 
 def dms_to_dd(degrees, minutes=0.0, seconds=0.0):
@@ -920,7 +935,8 @@ def parse_crs(spec):
     instances pass through."""
     if spec is None:
         return GEOGRAPHIC
-    if isinstance(spec, int) or (isinstance(spec, str) and spec.strip().isdigit()):
+    if (isinstance(spec, (int, np.integer)) and not isinstance(spec, bool)) \
+            or (isinstance(spec, str) and spec.strip().isdigit()):
         code = int(spec)
         return GEOGRAPHIC if code in _GEOGRAPHIC_EPSG else get_projection(code)
     if isinstance(spec, str):
