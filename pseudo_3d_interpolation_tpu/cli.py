@@ -453,6 +453,27 @@ def _parse_kv(pairs):
     return out
 
 
+def _pocs_config_from_args(args, version: str):
+    """The ONE place the p3d default POCS config is built — `p3d pocs`
+    and `p3d warmup` must produce byte-identical configs (the persistent
+    compile cache keys on the exact HLO, so any drift silently defeats
+    warmup; found once already with use_pallas)."""
+    from .models.pocs import POCSConfig
+
+    if args.params:
+        return args.params
+    return POCSConfig(
+        niter=args.niter, thresh_op="hard", thresh_model="exponential",
+        p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
+        version=version, alpha=0.75, eps=1e-16,
+        transform_kind=args.transform,
+        # fastest verified production path on TPU; falls back to the
+        # XLA solve automatically when the kernels don't support the
+        # shape/threshold (models/pocs.py gating)
+        use_pallas=not getattr(args, "no_pallas", False),
+    )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cmd = args.cmd.split("-", 1)[-1] if args.cmd[:2].isdigit() else args.cmd
@@ -502,19 +523,9 @@ def main(argv=None) -> int:
                   out_path=args.output, attrs_config=args.attrs_yaml, verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "pocs":
-        from .models.pocs import POCSConfig
         from .pipeline.pocs import interpolate, interpolate_checkpointed
 
-        cfg = args.params if args.params else POCSConfig(
-            niter=args.niter, thresh_op="hard", thresh_model="exponential",
-            p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-            version=args.version, alpha=0.75, eps=1e-16,
-            transform_kind=args.transform,
-            # fastest verified production path on TPU; falls back to the
-            # XLA solve automatically when the kernels don't support the
-            # shape/threshold (models/pocs.py gating)
-            use_pallas=not getattr(args, "no_pallas", False),
-        )
+        cfg = _pocs_config_from_args(args, args.version)
         if args.checkpoint_dir:
             interpolate_checkpointed(args.input, cfg, args.checkpoint_dir,
                                      batch=args.batch, out_path=args.output,
@@ -598,7 +609,6 @@ def main(argv=None) -> int:
         final = run_pipeline(args.config, verbose=v, resume=args.resume)
         xprint(f"final artifact: {final}", kind="success", verbosity=v)
     elif cmd == "warmup":
-        from .models.pocs import POCSConfig
         from .pipeline.pocs import warmup
 
         shape = tuple(args.shape)
@@ -608,17 +618,7 @@ def main(argv=None) -> int:
             with CubeFile(args.like) as cf:
                 dims = cf.dims_of(cf.primary_var())
                 shape = (len(cf.coords[dims[0]]), len(cf.coords[dims[1]]))
-        # MUST build the same config `p3d pocs` dispatches (incl.
-        # use_pallas) — the cache keys on the exact HLO, so a config drift
-        # here would pre-compile the wrong program and the production run
-        # would still pay the cold compile
-        cfg = args.params if args.params else POCSConfig(
-            niter=args.niter, thresh_op="hard", thresh_model="exponential",
-            p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-            version=args.pocs_version, alpha=0.75, eps=1e-16,
-            transform_kind=args.transform,
-            use_pallas=not getattr(args, "no_pallas", False),
-        )
+        cfg = _pocs_config_from_args(args, args.pocs_version)
         warmup(cfg, shape, batch=args.batch, verbose=v)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation

@@ -187,8 +187,9 @@ def test_warmup_seeds_cache(tmp_path, monkeypatch):
     cache = tmp_path / "cache"
     monkeypatch.setenv("P3D_COMPILATION_CACHE", str(cache))
     monkeypatch.setenv("P3D_CACHE_MIN_COMPILE_SECS", "0")
-    # reset the module's idempotency latch so the env var takes effect
-    monkeypatch.setattr(compcache, "_enabled", False)
+    # the module's idempotency latch is per-dir: a different env dir takes
+    # effect without a reset (third review batch); leave any prior state
+    assert hasattr(compcache, "_active_dir")
     # drop in-memory executables so the compile (and hence the disk write)
     # actually happens even when earlier tests compiled the same program
     import jax
