@@ -88,23 +88,6 @@ class POCSResult(NamedTuple):
     cost_history: jnp.ndarray | None  # (niter, *batch) if requested
 
 
-def _fpocs_fractions(niter: int) -> np.ndarray:
-    """Nesterov-style momentum fractions of FPOCS (Yang 2013 / Gan 2015).
-
-    v_{k+1} = (1 + sqrt(1+4 v_k^2))/2, frac_k = (v_k - 1)/(v_{k+1} + 1)
-    (reference: POCS.py:566-571). Used only as the restart-free schedule
-    (e.g. for analysis); the solver computes v per-lane in-loop because the
-    adaptive restart resets it data-dependently.
-    """
-    fracs = np.empty((niter,), np.float32)
-    v = 1.0
-    for i in range(niter):
-        v1 = (1.0 + np.sqrt(1.0 + 4.0 * v * v)) / 2.0
-        fracs[i] = (v - 1.0) / (v1 + 1.0)
-        v = v1
-    return fracs
-
-
 def _wavelet_cascade_aligned(n: int, level: int, interpret: bool) -> bool:
     """Whether the fused wavelet kernel's Mallat cascade is legal at this
     size: every in-kernel slice/concat boundary is n >> lv =

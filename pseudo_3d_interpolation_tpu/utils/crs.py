@@ -728,9 +728,13 @@ _METHOD_ALIASES = {
     "lambertconformalconic2sp": "lcc", "lambertconformalconic": "lcc",
     "lambertconicconformal2sp": "lcc", "lambertconicconformal1sp": "lcc1",
     "lambertconformalconic1sp": "lcc1", "lcc": "lcc",
-    "polarstereographic": "stere", "polarstereographicvariantа": "stere",
-    "polarstereographicvarianta": "stere", "polarstereographicvariantb": "stere",
-    "stere": "stere", "ups": "stere",
+    # explicitly-polar method names keep that fact: an off-pole
+    # latitude_of_origin under these is variant B's standard parallel
+    # (GDAL WKT1 for EPSG:3413/3031), NOT an oblique natural origin
+    "polarstereographic": "stere_polar",
+    "polarstereographicvarianta": "stere_polar",
+    "polarstereographicvariantb": "stere_polar",
+    "stere": "stere", "ups": "stere_polar",
     "obliquestereographic": "sterea", "doublestereographic": "sterea",
     "sterea": "sterea",
     "mercator1sp": "merc", "mercator2sp": "merc", "mercator": "merc",
@@ -751,6 +755,8 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
         return TransverseMercatorProj(lon0, p.get("k0", 1.0), fe, fn, el,
                                       lat0=lat0)
     if method == "utm":
+        if "zone" not in p:
+            raise ValueError("'+proj=utm' needs '+zone=N' (1-60)")
         zone = int(p["zone"])
         south = bool(p.get("south", False))
         return TransverseMercatorProj(-183.0 + 6.0 * zone, _K0, _FE,
@@ -765,10 +771,29 @@ def _build_projection(method: str, p: dict, el: Ellipsoid):
                                      p.get("k0", 1.0))
     if method == "sterea":
         return ObliqueStereographic(lat0, lon0, p.get("k0", 1.0), fe, fn, el)
+    if method == "stere_polar":
+        # the WKT method name itself declares POLAR: an off-pole
+        # latitude_of_origin with scale_factor absent/1 is variant B's
+        # standard parallel (EPSG 9829 — GDAL WKT1 encodes EPSG:3413/3031
+        # this way); at a pole with k0 it is variant A (EPSG 9810)
+        lat_ts = p.get("lat1")
+        if lat_ts is None and abs(lat0) < 90.0 - 1e-6:
+            if p.get("k0", 1.0) != 1.0:
+                raise ValueError(
+                    f"polar stereographic with BOTH an off-pole "
+                    f"latitude_of_origin ({lat0}) and scale_factor "
+                    f"{p['k0']} is ambiguous — variant A puts lat0 at a "
+                    "pole, variant B carries no scale factor")
+            lat_ts = lat0
+        if lat_ts is not None:
+            return PolarStereographic(lat_ts, lon0, fe, fn, el)
+        return PolarStereographic(90.0 if lat0 >= 0 else -90.0, lon0,
+                                  fe, fn, el, k0=p.get("k0", 1.0))
     if method == "stere":
-        # a non-polar natural origin is NOT a polar-variant CRS; EPSG 9809
-        # double stereographic (sterea) covers the oblique cases in use —
-        # refuse rather than silently snapping lat0 to a pole
+        # generic/proj stereographic: a non-polar natural origin is NOT a
+        # polar-variant CRS; EPSG 9809 double stereographic (sterea) covers
+        # the oblique cases in use — refuse rather than silently snapping
+        # lat0 to a pole
         if abs(lat0) < 90.0 - 1e-6 and "lat1" not in p:
             raise ValueError(
                 f"non-polar stereographic with lat0={lat0} — use the "
@@ -827,6 +852,19 @@ def crs_from_wkt(wkt: str):
     if kind not in ("PROJCS", "PROJCRS", "PROJECTEDCRS", "BOUNDCRS",
                     "COMPD_CS", "COMPOUNDCRS"):
         raise ValueError(f"unsupported WKT root {kind!r}")
+    if kind in ("BOUNDCRS", "COMPD_CS", "COMPOUNDCRS"):
+        # descend into the wrapped CRS: a BOUNDCRS of a geographic CRS is
+        # geographic (its ABRIDGEDTRANSFORMATION's METHOD node is a datum
+        # shift, not a projection), and for a wrapped projected CRS the
+        # search must stay inside the projected subtree for the same reason
+        inner = _wkt_find(root, "PROJCS", "PROJCRS", "PROJECTEDCRS")
+        if inner is None:
+            if _wkt_find(root, "GEOGCS", "GEOGCRS",
+                         "GEOGRAPHICCRS") is not None:
+                return GEOGRAPHIC
+            raise ValueError(
+                f"{kind} WKT wraps no projected or geographic CRS")
+        root = inner
 
     ell_node = _wkt_find(root, "SPHEROID", "ELLIPSOID")
     if ell_node is None:

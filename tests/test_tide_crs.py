@@ -609,3 +609,77 @@ class TestMinorConstituents:
         with pytest.raises(ValueError, match="not in atlas"):
             a.predict(t, np.full(12, 55.0), np.full(12, 9.0),
                       constituents=["m2", "k1"])
+
+
+WKT1_POLAR_B_3413 = '''PROJCS["NSIDC Sea Ice Polar Stereographic North",
+    GEOGCS["WGS 84",DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+    PROJECTION["Polar_Stereographic"],
+    PARAMETER["latitude_of_origin",70],
+    PARAMETER["central_meridian",-45],
+    PARAMETER["scale_factor",1],
+    PARAMETER["false_easting",0],
+    PARAMETER["false_northing",0],
+    UNIT["metre",1]]'''
+
+WKT2_BOUND_GEOGRAPHIC = '''BOUNDCRS[
+    SOURCECRS[GEOGCRS["unknown",
+        DATUM["Unknown based on WGS 84",
+            ELLIPSOID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0],
+        CS[ellipsoidal,2],
+        AXIS["longitude",east],AXIS["latitude",north],
+        UNIT["degree",0.0174532925199433]]],
+    TARGETCRS[GEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+            ELLIPSOID["WGS 84",6378137,298.257223563]],
+        CS[ellipsoidal,2],AXIS["latitude",north],AXIS["longitude",east],
+        UNIT["degree",0.0174532925199433]]],
+    ABRIDGEDTRANSFORMATION["Transformation from unknown to WGS84",
+        METHOD["Geocentric translations (geog2D domain)"],
+        PARAMETER["X-axis translation",0],
+        PARAMETER["Y-axis translation",0],
+        PARAMETER["Z-axis translation",0]]]'''
+
+
+class TestCRSIngestionEdgeCases:
+    """WKT shapes real tools emit that the first parser cut mishandled
+    (review round-3 findings): GDAL's WKT1 polar variant B, BOUNDCRS
+    wrapping a geographic CRS, and integer-like EPSG spec coercion."""
+
+    def test_wkt1_polar_variant_b_matches_epsg_3413(self):
+        # GDAL encodes EPSG:3413 as Polar_Stereographic with
+        # latitude_of_origin = the standard parallel (70) and
+        # scale_factor = 1 — variant B, NOT variant A at the pole
+        pr = crs.crs_from_wkt(WKT1_POLAR_B_3413)
+        ref = crs.get_projection(3413)
+        lat = np.array([75.0, 82.0, 66.0])
+        lon = np.array([10.0, -30.0, -130.0])
+        e1, n1 = pr.forward(lat, lon)
+        e2, n2 = ref.forward(lat, lon)
+        assert np.allclose(e1, e2, atol=1e-6)
+        assert np.allclose(n1, n2, atol=1e-6)
+
+    def test_wkt1_polar_off_pole_with_scale_factor_rejected(self):
+        bad = WKT1_POLAR_B_3413.replace('"scale_factor",1',
+                                        '"scale_factor",0.994')
+        with pytest.raises(ValueError, match="ambiguous"):
+            crs.crs_from_wkt(bad)
+
+    def test_boundcrs_of_geographic_is_geographic(self):
+        assert crs.crs_from_wkt(WKT2_BOUND_GEOGRAPHIC) is crs.GEOGRAPHIC
+
+    def test_proj_utm_missing_zone_raises_value_error(self):
+        with pytest.raises(ValueError, match="zone"):
+            crs.crs_from_proj("+proj=utm +ellps=WGS84")
+
+    def test_numpy_integer_epsg_accepted(self):
+        x = np.array([500000.0])
+        y = np.array([4649776.22])
+        a = crs.transform(x, y, np.int64(32633), 4326)
+        b = crs.transform(x, y, 32633, 4326)
+        assert np.allclose(a, b)
+        # exact passthrough across int-like spellings of the same code
+        xs, ys = crs.transform(x, y, 32633, "32633")
+        assert xs[0] == x[0] and ys[0] == y[0]
