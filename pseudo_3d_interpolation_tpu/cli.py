@@ -419,7 +419,13 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("ILINES", "XLINES"),
                    help="production slice shape, or use --like")
     p.add_argument("--like", default=None, metavar="CUBE",
-                   help="read the slice shape from this cube (.nc) instead")
+                   help="read the slice shape AND slice count from this "
+                        "cube (.nc) instead")
+    p.add_argument("--slices", type=int, default=None,
+                   help="production cube's frequency-slice count — the "
+                        "single-chip resident driver's program keys on the "
+                        "full cube shape, so omitting this warms only "
+                        "toy-cube runs (--like fills it automatically)")
     p.add_argument("--batch", type=int, default=64,
                    help="slices per dispatch (match the production run)")
     p.add_argument("--no-pallas", action="store_true",
@@ -612,14 +618,17 @@ def main(argv=None) -> int:
         from .pipeline.pocs import warmup
 
         shape = tuple(args.shape)
+        n_slices = args.slices
         if args.like:
             from .io.ncio import CubeFile
 
             with CubeFile(args.like) as cf:
                 dims = cf.dims_of(cf.primary_var())
                 shape = (len(cf.coords[dims[0]]), len(cf.coords[dims[1]]))
+                if n_slices is None:  # slice axis is last (il, xl, freq/twt)
+                    n_slices = len(cf.coords[dims[-1]])
         cfg = _pocs_config_from_args(args, args.pocs_version)
-        warmup(cfg, shape, batch=args.batch, verbose=v)
+        warmup(cfg, shape, batch=args.batch, verbose=v, n_slices=n_slices)
     elif cmd == "nav":
         from .io.auxiliary import export_coords, extract_navigation
 

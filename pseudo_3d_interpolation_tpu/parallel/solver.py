@@ -149,6 +149,7 @@ def interpolate_cube_resident(
     transform=None,
     batch: int = 8,
     progress=None,
+    _max_launches: int | None = None,
 ):
     """Device-resident cube driver: ONE upload, short per-batch launches
     with donated buffers, ONE download.
@@ -198,7 +199,13 @@ def interpolate_cube_resident(
     rec = Cplx(jnp.zeros_like(zd.re), jnp.zeros_like(zd.im))
     iters = jnp.zeros((npad,), jnp.int32)
     cost = jnp.zeros((npad,), jnp.float32)
-    for s in range(0, npad, batch):
+    # _max_launches: compile-only callers (pipeline.pocs.warmup) run a
+    # single launch against production-shaped buffers — step()'s HLO keys
+    # on the FULL padded cube shape, so warming a toy cube misses the cache
+    starts = range(0, npad, batch)
+    if _max_launches is not None:
+        starts = list(starts)[:_max_launches]
+    for s in starts:
         rec, iters, cost = step(rec, iters, cost, zd, md, jnp.int32(s))
         if progress is not None:
             progress(min(s + batch, f_total), f_total)

@@ -360,7 +360,8 @@ def interpolate(
     return out
 
 
-def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0) -> float:
+def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
+           n_slices: int | None = None) -> float:
     """Pre-compile the production solve into the persistent compilation
     cache; returns the wall seconds spent.
 
@@ -369,9 +370,11 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0) -> float
     ``p3d warmup`` once after install/config changes and the first real
     batch then starts at warm-start speed. Compiles the SAME programs the
     drivers dispatch — the device-resident single-chip driver and/or the
-    mesh-sharded driver — by executing one tiny batch at the production
-    slice shape, so the cache keys (HLO for (batch, H, W) at the config's
-    basis/precision/version) match exactly.
+    mesh-sharded driver — so the cache keys match exactly. The resident
+    driver's per-launch step() additionally keys on the FULL padded cube
+    shape (its donated buffers are cube-sized): pass ``n_slices`` (the
+    production cube's frequency-slice count; `p3d warmup --like` reads it
+    from the cube) or the single-chip warm entry only covers toy cubes.
 
     The reference has no equivalent (dask workers re-import per run);
     cache-dir override via ``P3D_COMPILATION_CACHE``.
@@ -403,11 +406,17 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0) -> float
     if mesh is None and _jax.device_count() == 1:
         # single-chip production runs auto-engage the device-resident
         # driver (interpolate() above); mirror its min(batch, 32) bucketing
+        # AND the production cube's slice count (step()'s HLO keys on the
+        # full padded cube shape), then execute exactly ONE launch — the
+        # compile is the product, not the solve
         b = min(batch, 32)
-        data = (rng.normal(size=(b, h, w)).astype(np.float32)
-                + 1j * rng.normal(size=(b, h, w)).astype(np.float32))
-        _icr(data.astype(np.complex64), mask, config, transform=transform,
-             batch=b)
+        f_total = int(n_slices) if n_slices else b
+        b = min(b, f_total)
+        data = np.zeros((f_total, h, w), np.complex64)
+        data[:b] = (rng.normal(size=(b, h, w)).astype(np.float32)
+                    + 1j * rng.normal(size=(b, h, w)).astype(np.float32))
+        _icr(data, mask, config, transform=transform,
+             batch=b, _max_launches=1)
     else:
         if mesh is None:
             mesh = mesh_lib.make_mesh()

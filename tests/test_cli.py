@@ -195,11 +195,34 @@ def test_warmup_seeds_cache(tmp_path, monkeypatch):
     import jax
 
     jax.clear_caches()
+    # the conftest mesh has 8 virtual devices; the resident-driver warmup
+    # path under test is the single-chip branch
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
     rc = cli_main(["warmup", "--transform", "FFT", "--niter", "3",
-                   "--shape", "40", "48", "--batch", "4"])
+                   "--shape", "40", "48", "--batch", "4", "--slices", "10"])
     assert rc == 0
-    entries = [f for f in os.listdir(cache)] if cache.exists() else []
+    entries = set(os.listdir(cache)) if cache.exists() else set()
     assert entries, "warmup wrote no cache entries"
+
+    # the production run must be a cache HIT: --slices keyed the resident
+    # driver's step() on the full padded cube shape (review round-3 #2), so
+    # an identical-config 10-slice production solve adds NO solver entry
+    from pseudo_3d_interpolation_tpu.cli import _pocs_config_from_args
+    from pseudo_3d_interpolation_tpu.parallel.solver import (
+        interpolate_cube_resident,
+    )
+
+    jax.clear_caches()
+    cfg = _pocs_config_from_args(
+        type("A", (), {"params": None, "niter": 3, "transform": "FFT",
+                       "no_pallas": False})(), "fast")
+    rng = np.random.default_rng(0)
+    mask = (rng.uniform(size=(40, 48)) < 0.5).astype(np.float32)
+    data = (rng.normal(size=(10, 40, 48)) * mask).astype(np.complex64)
+    interpolate_cube_resident(data, mask, cfg, batch=4)
+    after = set(os.listdir(cache))
+    new = {f for f in after - entries if "jit_step" in f}
+    assert not new, f"production resident step missed the warmed cache: {new}"
 
 
 def test_postprocess_option_depth_via_cli(tmp_path):
