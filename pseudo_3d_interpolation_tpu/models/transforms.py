@@ -222,6 +222,24 @@ class _SpectralStackMixin:
             precision=_resolve_precision(self.precision),
             use_pallas=use_pallas, pallas_interpret=pallas_interpret)
 
+    def _streamed_stats(self, z: Cplx):
+        """Per-subband (max|c|, Σ|c|²) straight from the input slice —
+        streamed reductions instead of a materialized forward transform
+        (same numbers; the full-stack forward costs more HBM traffic than
+        a whole POCS iteration per batch). Returns None when the decay
+        model needs the actual coefficients (data-driven / non-'values'
+        kinds / inverse-proportional), signalling the generic fallback."""
+        from ..ops import shearlet as sh
+
+        return sh.subband_stats(
+            z, self._plan(z.shape[-2], z.shape[-1]),
+            precision=_resolve_precision(self.precision))
+
+    @staticmethod
+    def _needs_full_forward(model, decay_kind) -> bool:
+        return (model == "data-driven" or decay_kind != "values"
+                or "inverse" in model)
+
 
 @dataclasses.dataclass(frozen=True)
 class ShearletTransform(_SpectralStackMixin):
@@ -278,18 +296,15 @@ class ShearletTransform(_SpectralStackMixin):
 
     def decay_from_input(self, z: Cplx, model, niter, p_max, p_min,
                          decay_kind):
-        """Decay schedule straight from the input slice — streamed
-        per-subband (max, Σ|c|²) reductions instead of a materialized
-        forward transform (same numbers; the full-stack forward costs
-        more HBM traffic than a whole POCS iteration per batch)."""
-        if model == "data-driven" or decay_kind != "values" or "inverse" in model:
+        """Decay schedule straight from the input slice (streamed stats —
+        see :meth:`_SpectralStackMixin._streamed_stats`)."""
+        if self._needs_full_forward(model, decay_kind):
             return self.decay(self.forward(z), model, niter, p_max, p_min,
                               decay_kind)
         from ..ops import shearlet as sh
 
         h, w = z.shape[-2], z.shape[-1]
-        amax, sumsq = sh.subband_stats(
-            z, self._plan(h, w), precision=_resolve_precision(self.precision))
+        amax, sumsq = self._streamed_stats(z)
         tau_max = p_max * amax
         if isinstance(p_min, str):
             if p_min != "adaptive":
@@ -367,14 +382,10 @@ class CurveletTransform(_SpectralStackMixin):
                 "p_min='adaptive' is shearlet-specific (reference "
                 "functions/POCS.py:302-324); use a numeric p_min for CURVELET"
             )
-        if model == "data-driven" or decay_kind != "values" or "inverse" in model:
+        if self._needs_full_forward(model, decay_kind):
             return self.decay(self.forward(z), model, niter, p_max, p_min,
                               decay_kind)
-        from ..ops import shearlet as sh
-
-        amax, _ = sh.subband_stats(
-            z, self._plan(z.shape[-2], z.shape[-1]),
-            precision=_resolve_precision(self.precision))
+        amax, _ = self._streamed_stats(z)
         return decay_ops.schedule(model, niter, p_max * amax, p_min * amax)
 
 

@@ -557,9 +557,87 @@ class UnitScaled:
             np.asarray(n, np.float64) * self.to_meter)
 
 
+def _geodetic_to_geocentric(lat_deg, lon_deg, el: Ellipsoid):
+    """Geodetic (h=0) -> geocentric cartesian XYZ in metres."""
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lon = np.deg2rad(np.asarray(lon_deg, np.float64))
+    s, c = np.sin(lat), np.cos(lat)
+    nu = el.a / np.sqrt(1.0 - el.e2 * s * s)
+    return nu * c * np.cos(lon), nu * c * np.sin(lon), nu * (1.0 - el.e2) * s
+
+
+def _geocentric_to_geodetic(x, y, z, el: Ellipsoid, iters: int = 8):
+    """Geocentric XYZ -> geodetic lat/lon degrees (height discarded);
+    fixed-point iteration converges to sub-micro-degree in a few steps."""
+    lon = np.arctan2(y, x)
+    p = np.hypot(x, y)
+    lat = np.arctan2(z, p * (1.0 - el.e2))
+    for _ in range(iters):
+        s = np.sin(lat)
+        nu = el.a / np.sqrt(1.0 - el.e2 * s * s)
+        lat = np.arctan2(z + el.e2 * nu * s, p)
+    return np.rad2deg(lat), np.rad2deg(lon)
+
+
+def _helmert(x, y, z, p7, inverse: bool = False):
+    """7-parameter position-vector transformation (EPSG method 9606, the
+    proj ``+towgs84`` convention): translations in metres, rotations in
+    arc-seconds, scale in ppm. ``inverse=True`` applies the (linearized)
+    exact inverse — R is a small-angle rotation, so R^-1 == R^T to well
+    below survey precision."""
+    tx, ty, tz, rx, ry, rz, s = p7
+    rx, ry, rz = (np.deg2rad(v / 3600.0) for v in (rx, ry, rz))
+    m = 1.0 + s * 1e-6
+    if not inverse:
+        return (tx + m * (x - rz * y + ry * z),
+                ty + m * (rz * x + y - rx * z),
+                tz + m * (-ry * x + rx * y + z))
+    x, y, z = (x - tx) / m, (y - ty) / m, (z - tz) / m
+    return (x + rz * y - ry * z,
+            -rz * x + y + rx * z,
+            ry * x - rx * y + z)
+
+
+class DatumShifted:
+    """A projection whose geographic CRS sits on a non-WGS84 datum:
+    applies the datum's ``towgs84`` Helmert parameters so the instance's
+    public lat/lon surface stays WGS84 like every other projection here
+    (the reference gets this from pyproj's datum ensemble handling).
+
+    forward: WGS84 geodetic -> geocentric -> inverse Helmert -> local
+    geodetic -> projected; inverse mirrors it. Helmert-only accuracy is
+    the usual few metres vs grid-based transforms (OSTN15/NTv2) — well
+    under survey bin size, vs ~100 m if the shift is skipped."""
+
+    def __init__(self, proj, towgs84, ellipsoid: Ellipsoid):
+        self.proj = proj
+        self.towgs84 = tuple(float(v) for v in towgs84)
+        if len(self.towgs84) == 3:
+            self.towgs84 += (0.0, 0.0, 0.0, 0.0)
+        self.el = ellipsoid  # the LOCAL datum's ellipsoid
+
+    def _to_local(self, lat, lon):
+        xyz = _geodetic_to_geocentric(lat, lon, WGS84)
+        return _geocentric_to_geodetic(
+            *_helmert(*xyz, self.towgs84, inverse=True), self.el)
+
+    def _to_wgs84(self, lat, lon):
+        xyz = _geodetic_to_geocentric(lat, lon, self.el)
+        return _geocentric_to_geodetic(
+            *_helmert(*xyz, self.towgs84), WGS84)
+
+    def forward(self, lat, lon):
+        return self.proj.forward(*self._to_local(lat, lon))
+
+    def inverse(self, e, n):
+        return self._to_wgs84(*self.proj.inverse(e, n))
+
+
 # EPSG registry: code -> projection instance (datum shifts between the
 # WGS84-family datums — WGS84/ETRS89/NAD83 — are below survey bin size and
-# treated as identity, like common marine-survey practice)
+# treated as identity, like common marine-survey practice; non-WGS84-family
+# datums — OSGB36, Amersfoort — carry their towgs84 Helmert shift via
+# DatumShifted)
 _EPSG: dict[int, object] = {
     3857: WebMercator(),
     3395: MercatorEllipsoidal(0.0, 0.0, 0.0, 0.0, WGS84),
@@ -575,12 +653,20 @@ _EPSG: dict[int, object] = {
     5041: PolarStereographic(90.0, 0.0, 2000000.0, 2000000.0, WGS84, k0=0.994),
     # ETRS89-extended / LAEA Europe (non-conformal; equal-area)
     3035: LambertAzimuthalEqualArea(52.0, 10.0, 4321000.0, 3210000.0, GRS80),
-    # NL: Amersfoort / RD New (oblique/double stereographic, EPSG 9809)
-    28992: ObliqueStereographic(dms_to_dd(52, 9, 22.178), dms_to_dd(5, 23, 15.5),
-                                0.9999079, 155000.0, 463000.0, BESSEL_1841),
-    # GB: OSGB36 / British National Grid (TM with a non-equator lat0)
-    27700: TransverseMercatorProj(-2.0, 0.9996012717, 400000.0, -100000.0,
-                                  AIRY_1830, lat0=49.0),
+    # NL: Amersfoort / RD New (oblique/double stereographic, EPSG 9809);
+    # Amersfoort->WGS84 towgs84 (proj datum list / EPSG 15934 family)
+    28992: DatumShifted(
+        ObliqueStereographic(dms_to_dd(52, 9, 22.178), dms_to_dd(5, 23, 15.5),
+                             0.9999079, 155000.0, 463000.0, BESSEL_1841),
+        (565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725),
+        BESSEL_1841),
+    # GB: OSGB36 / British National Grid (TM with a non-equator lat0);
+    # OSGB36->WGS84 towgs84 (EPSG 1314 position vector)
+    27700: DatumShifted(
+        TransverseMercatorProj(-2.0, 0.9996012717, 400000.0, -100000.0,
+                               AIRY_1830, lat0=49.0),
+        (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894),
+        AIRY_1830),
 }
 
 
@@ -912,8 +998,19 @@ def crs_from_wkt(wkt: str):
         for k in ("fe", "fn"):
             if k in params and k not in explicit_m:
                 params[k] *= u
-        return UnitScaled(_build_projection(method, params, el), u)
-    return _build_projection(method, params, el)
+        built = UnitScaled(_build_projection(method, params, el), u)
+    else:
+        built = _build_projection(method, params, el)
+
+    # WKT1 TOWGS84[tx,ty,tz(,rx,ry,rz,s)] inside the GEOGCS: the datum's
+    # Helmert shift to WGS84 — honor it so non-WGS84-family datums (OSGB36,
+    # Amersfoort, ...) keep the public WGS84 lat/lon surface
+    tw = _wkt_find(root, "TOWGS84")
+    if tw is not None:
+        p7 = [v for v in tw[1:] if isinstance(v, float)]
+        if any(p7):
+            return DatumShifted(built, p7, el)
+    return built
 
 
 def crs_from_proj(proj: str):
@@ -955,7 +1052,13 @@ def crs_from_proj(proj: str):
             p[dst] = float(kv[src])
     if "south" in kv:
         p["south"] = True
-    return _build_projection(method, p, el)
+    built = _build_projection(method, p, el)
+    tw = kv.get("towgs84", "")
+    if tw:
+        p7 = [float(v) for v in tw.split(",")]
+        if any(p7):  # +towgs84=0,0,0 means the datum IS WGS84-equivalent
+            return DatumShifted(built, p7, el)
+    return built
 
 
 # Geographic (lat/lon) CRS codes commonly seen in survey data. Datum shifts

@@ -421,8 +421,11 @@ class TestRound3CRSAdditions:
 
     def test_oblique_stereographic_epsg_worked_example(self):
         # EPSG guidance note 7-2, Amersfoort / RD New (EPSG:28992):
-        # 53°N 6°E -> E 196105.283, N 557057.739
-        pr = crs.get_projection(28992)
+        # 53°N 6°E (AMERSFOORT-datum geodetic, like all EPSG worked
+        # examples) -> E 196105.283, N 557057.739; the registry entry's
+        # public surface is WGS84 (DatumShifted), so pin the bare
+        # projection it wraps
+        pr = crs.get_projection(28992).proj
         e, n = pr.forward(53.0, 6.0)
         assert abs(e - 196105.283) < 1e-3 and abs(n - 557057.739) < 1e-3
         lat, lon = pr.inverse(196105.283, 557057.739)
@@ -430,8 +433,9 @@ class TestRound3CRSAdditions:
 
     def test_osgb_tm_lat0_epsg_worked_example(self):
         # EPSG guidance note 7-2, OSGB36 / British National Grid
-        # (EPSG:27700): 50°30'N 0°30'E -> E 577274.99, N 69740.50
-        pr = crs.get_projection(27700)
+        # (EPSG:27700): 50°30'N 0°30'E (OSGB36-datum geodetic) ->
+        # E 577274.99, N 69740.50; pin the bare projection (see above)
+        pr = crs.get_projection(27700).proj
         e, n = pr.forward(crs.dms_to_dd(50, 30), crs.dms_to_dd(0, 30))
         assert abs(e - 577274.99) < 0.01 and abs(n - 69740.50) < 0.01
         lat, lon = pr.inverse(577274.99, 69740.50)
@@ -442,7 +446,8 @@ class TestRound3CRSAdditions:
             "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
             "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
         e, n = pr.forward(53.0, 6.0)
-        e2, n2 = crs.get_projection(28992).forward(53.0, 6.0)
+        # no +towgs84 in the proj string -> bare local-datum projection
+        e2, n2 = crs.get_projection(28992).proj.forward(53.0, 6.0)
         assert abs(e - e2) < 1e-6 and abs(n - n2) < 1e-6
 
     def test_oblique_stereographic_wkt(self):
@@ -683,3 +688,85 @@ class TestCRSIngestionEdgeCases:
         # exact passthrough across int-like spellings of the same code
         xs, ys = crs.transform(x, y, 32633, "32633")
         assert xs[0] == x[0] and ys[0] == y[0]
+
+
+class TestDatumShift:
+    """Non-WGS84-family datums (OSGB36, Amersfoort) carry their towgs84
+    Helmert shift — skipping it is a silent ~100 m error (review round-3).
+    Helmert core pinned against the EPSG Guidance Note 7-2 method 9606
+    worked example."""
+
+    def test_helmert_epsg_worked_example(self):
+        # WGS72 -> WGS84: tz=4.5 m, rz=0.554", ds=0.219 ppm
+        out = crs._helmert(3657660.66, 255768.55, 5201382.11,
+                           (0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219))
+        assert np.allclose(out, (3657660.78, 255778.43, 5201387.75),
+                           atol=0.02)
+
+    def test_helmert_inverse_round_trip(self):
+        p7 = (446.448, -125.157, 542.06, 0.1502, 0.247, 0.8421, -20.4894)
+        x, y, z = 3657660.66, 255768.55, 5201382.11
+        xyz = crs._helmert(x, y, z, p7)
+        back = crs._helmert(*xyz, p7, inverse=True)
+        assert np.allclose(back, (x, y, z), atol=1e-6)
+
+    def test_geodetic_geocentric_round_trip(self):
+        lat = np.array([52.65757, -33.2, 0.0, 89.0])
+        lon = np.array([1.717922, 150.4, -120.0, 10.0])
+        xyz = crs._geodetic_to_geocentric(lat, lon, crs.WGS84)
+        la2, lo2 = crs._geocentric_to_geodetic(*xyz, crs.WGS84)
+        assert np.allclose(la2, lat, atol=1e-9)
+        assert np.allclose(lo2, lon, atol=1e-9)
+
+    def test_osgb36_bng_shift_applied_and_invertible(self):
+        lon_w, lat_w = np.array([-0.1276]), np.array([51.5072])  # London
+        e, n = crs.transform(lon_w, lat_w, 4326, 27700)
+        lo2, la2 = crs.transform(e, n, 27700, 4326)
+        assert abs(lo2[0] - lon_w[0]) < 1e-7
+        assert abs(la2[0] - lat_w[0]) < 1e-7
+        # central London is in the TQ 30 18 square (E ~530km, N ~180km)
+        assert abs(e[0] - 530000) < 2000 and abs(n[0] - 180400) < 2000
+        # the shift vs the raw Airy projection is the documented ~100 m
+        raw = crs.TransverseMercatorProj(-2.0, 0.9996012717, 400000.0,
+                                         -100000.0, crs.AIRY_1830, lat0=49.0)
+        e0, n0 = raw.forward(lat_w, lon_w)
+        d = float(np.hypot(e[0] - e0[0], n[0] - n0[0]))
+        assert 50.0 < d < 200.0
+
+    def test_amersfoort_rd_new_shift_applied_and_invertible(self):
+        lon_a, lat_a = np.array([5.387]), np.array([52.156])
+        e, n = crs.transform(lon_a, lat_a, 4326, 28992)
+        lo2, la2 = crs.transform(e, n, 28992, 4326)
+        assert abs(lo2[0] - lon_a[0]) < 1e-7
+        assert abs(la2[0] - lat_a[0]) < 1e-7
+        # the RD origin (Onze Lieve Vrouwetoren) is (155000, 463000)
+        assert abs(e[0] - 155000) < 1000 and abs(n[0] - 463000) < 1000
+
+    def test_proj_towgs84_matches_registry(self):
+        lon_w, lat_w = np.array([-0.1276]), np.array([51.5072])
+        p = crs.crs_from_proj(
+            "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+            "+y_0=-100000 +ellps=airy "
+            "+towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+        e2, n2 = p.forward(lat_w, lon_w)
+        ereg, nreg = crs.get_projection(27700).forward(lat_w, lon_w)
+        assert np.allclose((e2, n2), (ereg, nreg), atol=1e-6)
+
+    def test_wkt1_towgs84_matches_registry(self):
+        wkt = '''PROJCS["OSGB 1936 / British National Grid",
+            GEOGCS["OSGB 1936",DATUM["OSGB_1936",
+                SPHEROID["Airy 1830",6377563.396,299.3249646],
+                TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],
+                PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],
+            PROJECTION["Transverse_Mercator"],
+            PARAMETER["latitude_of_origin",49],
+            PARAMETER["central_meridian",-2],
+            PARAMETER["scale_factor",0.9996012717],
+            PARAMETER["false_easting",400000],
+            PARAMETER["false_northing",-100000],
+            UNIT["metre",1]]'''
+        p = crs.crs_from_wkt(wkt)
+        lon_w, lat_w = np.array([-0.1276]), np.array([51.5072])
+        e2, n2 = p.forward(lat_w, lon_w)
+        ereg, nreg = crs.get_projection(27700).forward(lat_w, lon_w)
+        assert np.allclose((e2, n2), (ereg, nreg), atol=1e-6)
