@@ -24,6 +24,21 @@ from typing import Any
 import h5py
 import numpy as np
 
+# data_vars names that are auxiliary layers, never the solve/export target
+AUX_VARS = ("fold", "amp_ref", "mask")
+
+
+def primary_var_name(data_vars) -> str:
+    """First non-auxiliary variable name of a Cube/CubeFile data_vars
+    mapping; raises a descriptive error instead of StopIteration when the
+    cube holds only fold/amp_ref/mask layers."""
+    var = next((v for v in data_vars if v not in AUX_VARS), None)
+    if var is None:
+        raise ValueError(
+            "cube has no data variable besides fold/amp_ref/mask "
+            f"(variables: {sorted(data_vars)})")
+    return var
+
 
 @dataclasses.dataclass
 class Cube:
@@ -63,13 +78,7 @@ class Cube:
     def primary_var(self) -> str:
         """Name of the primary data variable (first one that is not an
         auxiliary fold/amp_ref/mask layer); raises if none exists."""
-        var = next((v for v in self.data_vars
-                    if v not in ("fold", "amp_ref", "mask")), None)
-        if var is None:
-            raise ValueError(
-                "cube has no data variable besides fold/amp_ref/mask "
-                f"(variables: {sorted(self.data_vars)})")
-        return var
+        return primary_var_name(self.data_vars)
 
 
 def _sanitize_attr(v):
@@ -273,6 +282,10 @@ class CubeFile:
 
     def dims_of(self, var: str) -> tuple[str, ...]:
         return self.data_vars[var]
+
+    def primary_var(self) -> str:
+        """First non-auxiliary variable (same contract as Cube's)."""
+        return primary_var_name(self.data_vars)
 
     def sizes(self) -> dict[str, int]:
         return {d: len(c) for d, c in self.coords.items()}

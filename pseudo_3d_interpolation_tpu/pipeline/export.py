@@ -31,11 +31,7 @@ def cube_to_segy(
     if isinstance(cube, str):
         cube = read_cube(cube)
     if var is None:
-        var = next((v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask")), None)
-        if var is None:
-            raise ValueError(
-                f"no exportable data variable in cube (has {sorted(cube.data_vars)})"
-            )
+        var = cube.primary_var()
     dims, data = cube.data_vars[var]
     if dims[-1] != "twt":
         raise ValueError(f"{var} must be (iline, xline, twt); has {dims}")

@@ -33,7 +33,7 @@ def apply_fft(
     if isinstance(cube, str):
         cube = read_cube(cube)
     if var is None:
-        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+        var = cube.primary_var()
     dims, data = cube.data_vars[var]
     if dims[-1] != "twt":
         raise ValueError(f"{var} must have twt as its last axis, has {dims}")

@@ -42,6 +42,10 @@ STAGE1_STEPS = ("merge", "reproject", "delrt-correct", "delrt-pad",
                 "static", "tide", "mistie", "despike")
 STAGE2_STEPS = ("segy2cube", "binning", "preprocess", "fft", "pocs",
                 "ifft", "postprocess", "cube2segy", "qc")
+# positional args the run loop pops per step — the ONE place both the
+# config-level validation and the dispatch read from
+STEP_REQUIRED_ARGS = {"reproject": ("src_epsg", "dst_epsg"),
+                      "tide": ("tide_file",)}
 
 
 def geometry_from_dict(g: dict):
@@ -110,11 +114,12 @@ def _normalize_steps(steps) -> list:
                 f"unknown step {name!r}; stage 1: {STAGE1_STEPS}, "
                 f"stage 2: {STAGE2_STEPS}")
         # required options fail at config level with the step named, not as
-        # a raw KeyError deep in the run loop
-        required = {"reproject": ("src_epsg", "dst_epsg"),
-                    "tide": ("tide_file",)}.get(name, ())
+        # a raw KeyError deep in the run loop (the run loop pops exactly
+        # STEP_REQUIRED_ARGS positionally — keep the two in sync there);
+        # an explicit YAML null ('tide_file: ') is as missing as an absent key
+        required = STEP_REQUIRED_ARGS.get(name, ())
         missing = [k for k in required
-                   if k not in opts and k.replace("_", "-") not in opts]
+                   if opts.get(k, opts.get(k.replace("_", "-"))) is None]
         if missing:
             raise ValueError(
                 f"step {name!r} is missing required option(s): "
@@ -201,11 +206,7 @@ def run_pipeline(config: str | dict, verbose: int = 1,
         if name in STAGE1_STEPS:
             os.makedirs(step_dir, exist_ok=True)
             fn = stage1_fns[name]
-            args = []
-            if name == "reproject":
-                args = [opts.pop("src_epsg"), opts.pop("dst_epsg")]
-            elif name == "tide":
-                args = [opts.pop("tide_file")]
+            args = [opts.pop(k) for k in STEP_REQUIRED_ARGS.get(name, ())]
             if name == "despike" and "window" in opts:
                 opts["window"] = tuple(opts["window"])
             outs = fn(cur, *args, output_dir=step_dir, verbose=verbose, **opts)

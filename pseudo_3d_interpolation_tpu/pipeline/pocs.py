@@ -129,8 +129,7 @@ def interpolate_checkpointed(
         raise ValueError("out-of-core mode (path input) requires out_path")
     try:
         if var is None:
-            var = next(v for v in src.data_vars
-                       if v not in ("fold", "amp_ref", "mask"))
+            var = src.primary_var()
         if streaming:
             dims = src.dims_of(var)
             is_complex = src.is_complex(var)
@@ -309,7 +308,8 @@ def interpolate(
     # coefficients (~50-61 for SHEARLET/CURVELET), so the budget scales
     # the batch term by the subband count rather than assuming L == 1
     expansion = _transform_subbands(transform, moved.shape[-2:])
-    batch_bytes = min(batch, 32) * moved[0].nbytes * 4 * expansion
+    resident_batch = min(batch, 32)  # the batch the driver will ACTUALLY use
+    batch_bytes = resident_batch * moved[0].nbytes * 4 * expansion
     resident = (mesh is None and _jax.device_count() == 1
                 and moved.nbytes * 4 + batch_bytes < 8 * 2**30)
     with prof:
@@ -318,7 +318,7 @@ def interpolate(
 
             rec, n_iters, cost = interpolate_cube_resident(
                 moved, mask, config, transform=transform,
-                batch=min(batch, 32), progress=progress)
+                batch=resident_batch, progress=progress)
         else:
             rec, n_iters, cost = interpolate_cube(
                 moved, mask, config, mesh=mesh, transform=transform,

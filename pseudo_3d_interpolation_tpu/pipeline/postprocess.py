@@ -216,7 +216,7 @@ def postprocess(
     if isinstance(cube, str):
         cube = read_cube(cube)
     if var is None:
-        var = next(v for v in cube.data_vars if v not in ("fold", "amp_ref", "mask"))
+        var = cube.primary_var()
     dims, data = cube.data_vars[var]
     data = np.asarray(data, np.float32)
     # slice-major view: (T, il, xl)

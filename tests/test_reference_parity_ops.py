@@ -42,11 +42,15 @@ import types
 import numpy as np
 import pytest
 
-REF_ROOT = "/root/reference"
+# override with P3D_REFERENCE_ROOT when the upstream checkout lives
+# elsewhere; the gate skips (visibly, with the path in the reason) when the
+# directory is absent
+REF_ROOT = os.environ.get("P3D_REFERENCE_ROOT", "/root/reference")
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(os.path.join(REF_ROOT, "pseudo_3D_interpolation")),
-    reason="reference checkout not available",
+    reason=f"reference checkout not available at {REF_ROOT} "
+           "(set P3D_REFERENCE_ROOT)",
 )
 
 
