@@ -91,8 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("XBYTE", "YBYTE"),
                    help="trace-header byte positions of x/y (reference "
                         "--src_coords)")
-    p.add_argument("--scalar", type=int, default=-100,
-                   help="output SourceGroupScalar (reference --scalar_coords)")
+    p.add_argument("--scalar", default=-100,
+                   help="output SourceGroupScalar: ±10^k (k 0..4), 0, or "
+                        "'auto' (reference --scalar_coords; validated by "
+                        "io.headers.check_coordinate_scalar)")
     p.add_argument("--dst-coords", choices=["source", "CDP", "group"],
                    default=None,
                    help="header pair to write (reference --dst_coords; "

@@ -899,7 +899,10 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
     string, or a projection instance (``utils.crs.parse_crs``); further
     codes can be added via ``utils.crs.register_crs``.
     """
+    from ..io.headers import check_coordinate_scalar
     from ..utils.crs import crs_label
+
+    scalar = check_coordinate_scalar(scalar)  # 'auto' -> -100; rejects ±3 etc.
 
     def _one(p):
         with SegyFile(p) as f:
@@ -910,14 +913,25 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
                 yt = flt.smooth(yt, smooth_window)
             xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
             out = _output_path(p, inplace, txt_suffix or "reproj", output_dir)
-            # destination field pair (reference --dst_coords); None keeps
-            # the historic source+CDP double write
+            # destination field pair (reference --dst_coords). Default
+            # (None): write back to the SAME fields the coordinates were
+            # read from — reprojecting group/CDP bytes must not clobber
+            # SourceX/SourceY and leave the read fields stale under the new
+            # global scalar; the historic source+CDP double write is kept
+            # only for the default source bytes (73, 77)
             pairs = {"source": [("SourceX", "SourceY")],
                      "CDP": [("CDP_X", "CDP_Y")],
-                     "group": [("GroupX", "GroupY")],
-                     None: [("SourceX", "SourceY"), ("CDP_X", "CDP_Y")]}
+                     "group": [("GroupX", "GroupY")]}
+            if dst_coords is None:
+                by_bytes = {(73, 77): "source", (181, 185): "CDP",
+                            (81, 85): "group"}
+                src_name = by_bytes.get(tuple(coords_bytes), "source")
+                targets = ([("SourceX", "SourceY"), ("CDP_X", "CDP_Y")]
+                           if src_name == "source" else pairs[src_name])
+            else:
+                targets = pairs[dst_coords]
             updates = {"SourceGroupScalar": scalar, "CoordinateUnits": 1}
-            for xf, yf in pairs[dst_coords]:
+            for xf, yf in targets:
                 updates[xf] = xi
                 updates[yf] = yi
             _rewrite(
@@ -1126,9 +1140,8 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
 
         reproject(inp, _crs_arg(args.src_epsg), _crs_arg(args.dst_epsg),
                   smooth_window=args.smooth_window,
-                  coords_bytes=tuple(getattr(args, "coords_bytes", (73, 77))),
-                  scalar=getattr(args, "scalar", -100),
-                  dst_coords=getattr(args, "dst_coords", None),
+                  coords_bytes=tuple(args.coords_bytes),
+                  scalar=args.scalar, dst_coords=args.dst_coords,
                   inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "delrt-correct":
         delrt_correct(inp, n_neighbors=args.n_neighbors,
@@ -1149,7 +1162,7 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "tide":
         tide_compensate(inp, args.tide_file,
-                        velocity=getattr(args, "velocity", 1500.0),
+                        velocity=args.velocity,
                         src_epsg=getattr(args, "src_epsg", None),
                         constituents=getattr(args, "constituents", None),
                         correct_minor=getattr(args, "correct_minor", False),

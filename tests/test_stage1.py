@@ -649,3 +649,29 @@ def test_reproject_dst_coords_group(tmp_path):
         sx = f.header("SourceX")
     assert (gx != 0).any()
     np.testing.assert_array_equal(sx, src_before)  # source untouched
+
+
+def test_reproject_group_bytes_writes_back_to_group(tmp_path):
+    """Reading group coordinates (bytes 81/85) must write the reprojected
+    values back to GroupX/GroupY, not clobber SourceX/SourceY and leave the
+    read fields stale under the new global scalar (review round-3)."""
+    p = str(tmp_path / "prof_UTM.sgy")
+    xs = 500000.0 + np.arange(80) * 5.0
+    make_profile(p, x0=500000.0, y0=6000000.0, seed=12, extra_headers={
+        "GroupX": np.rint(xs * 100).astype(np.int64),
+        "GroupY": np.rint(np.full(80, 6000000.0) * 100).astype(np.int64),
+    })
+    with SegyFile(p) as f:
+        src_x_before = f.header("SourceX").copy()
+    out = stage1.reproject(p, 32632, 4326, coords_bytes=(81, 85))[0]
+    with SegyFile(out) as f:
+        lon = f.header("GroupX") / 100.0
+        lat = f.header("GroupY") / 100.0
+        assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
+        # SourceX/Y untouched (raw ints preserved from the input header)
+        assert np.array_equal(f.header("SourceX"), src_x_before)
+
+    # 'auto' scalar resolves via check_coordinate_scalar; garbage rejected
+    stage1.reproject(p, 32632, 4326, scalar="auto")
+    with pytest.raises(ValueError, match="scalar"):
+        stage1.reproject(p, 32632, 4326, scalar=-3)

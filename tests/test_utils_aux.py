@@ -47,17 +47,19 @@ def test_timeit_and_block_timer(capsys):
     from pseudo_3d_interpolation_tpu.utils.timing import block_timer, timeit
 
     set_verbosity(2)
+    try:
+        @timeit(label="unit-test-fn", verbosity=2)
+        def f(x):
+            return x + 1
 
-    @timeit(label="unit-test-fn", verbosity=2)
-    def f(x):
-        return x + 1
-
-    assert f(1) == 2
-    with block_timer("unit-test-block", verbose=True) as bt:
-        pass
-    assert bt.elapsed >= 0.0
-    out = capsys.readouterr().out
-    assert "unit-test-fn" in out and "unit-test-block" in out
+        assert f(1) == 2
+        with block_timer("unit-test-block", verbose=True) as bt:
+            pass
+        assert bt.elapsed >= 0.0
+        out = capsys.readouterr().out
+        assert "unit-test-fn" in out and "unit-test-block" in out
+    finally:
+        set_verbosity(1)  # don't leak debug verbosity into later tests
 
 
 def test_profile_writes_stats(tmp_path, capsys):
@@ -81,16 +83,31 @@ def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
 
     import pseudo_3d_interpolation_tpu.utils.compcache as cc
 
-    # restore the process-global cache dir afterwards (later tests compile)
+    # restore ALL process-global cache config afterwards (later tests
+    # compile), and do it exception-safely — a mid-test assert failure must
+    # not leave jax pointed at the tmp dir for the rest of the session
     prev = jax.config.jax_compilation_cache_dir
-
-    monkeypatch.setattr(cc, "_enabled", False)
-    monkeypatch.setenv("P3D_COMPILATION_CACHE", "off")
-    assert cc.enable_persistent_cache() == ""
-    monkeypatch.delenv("P3D_COMPILATION_CACHE")
-    path = str(tmp_path / "cache")
-    assert cc.enable_persistent_cache(path) == path
-    assert os.path.isdir(path)
-    # idempotent: second call returns without reconfiguring
-    assert cc.enable_persistent_cache(path) == path
-    jax.config.update("jax_compilation_cache_dir", prev)
+    prev_min_t = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_min_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+    prev_active = cc._active_dir
+    try:
+        monkeypatch.setattr(cc, "_active_dir", None)
+        monkeypatch.setenv("P3D_COMPILATION_CACHE", "off")
+        assert cc.enable_persistent_cache() == ""
+        monkeypatch.delenv("P3D_COMPILATION_CACHE")
+        path = str(tmp_path / "cache")
+        assert cc.enable_persistent_cache(path) == path
+        assert os.path.isdir(path)
+        # idempotent for the SAME dir: second call returns without
+        # reconfiguring; a DIFFERENT dir takes effect (per-dir latch)
+        assert cc.enable_persistent_cache(path) == path
+        path2 = str(tmp_path / "cache2")
+        assert cc.enable_persistent_cache(path2) == path2
+        assert jax.config.jax_compilation_cache_dir == path2
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min_t)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_min_b)
+        cc._active_dir = prev_active
