@@ -42,24 +42,54 @@ def _arm_watchdog(seconds: float = 900.0):
         os._exit(0)
 
     # arm BEFORE any device probe — backend initialization itself goes
-    # through the tunnel and can hang; disarm afterwards on CPU (a slow CPU
-    # run should simply finish)
+    # through the tunnel and can hang; disarm for CPU runs (a slow CPU run
+    # should simply finish). The CPU check reads ENV ONLY: calling
+    # jax.devices() here would itself hang on a wedged tunnel and commit
+    # this process's jax to the dead backend before _wait_for_device's
+    # subprocess probes get a chance.
     t = threading.Timer(seconds, _fire)
     t.daemon = True
     t.start()
-    try:
-        import jax
-
-        if jax.devices()[0].platform == "cpu":
-            t.cancel()
-    except Exception:
-        pass  # probe failed: keep the watchdog armed
+    if (os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+            or not os.environ.get("PALLAS_AXON_POOL_IPS")):
+        t.cancel()
     return t
+
+
+def _wait_for_device(max_wait_s: float = 420.0) -> None:
+    """Ride out a flapping remote-TPU tunnel before committing this
+    process's jax to it. A wedged tunnel can hang `import jax`/`devices()`
+    indefinitely AND jax caches a failed backend for the process lifetime —
+    so probe in SUBPROCESSES (fresh interpreter each try) and only return
+    when one sees a device or the budget is spent (then the main process
+    proceeds and the watchdog covers a persistent hang). No-op for CPU runs
+    (no PALLAS_AXON_POOL_IPS) — those never touch the tunnel."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    deadline = time.perf_counter() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices(); print('ok')"],
+                timeout=90, capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.perf_counter() > deadline:
+            return  # proceed; the armed watchdog reports honestly if wedged
+        time.sleep(30)
 
 
 def main():
     t_start = time.perf_counter()
     watchdog = _arm_watchdog()
+    _wait_for_device()
 
     import jax
     import jax.numpy as jnp
