@@ -876,13 +876,21 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
     if len(df) and write_qc:
         base = os.path.dirname(files[0])
         df.to_csv(os.path.join(base, "misties.csv"), index=False)
-        # intersection QC layer (reference writes a GeoPackage,
-        # mistie_correction_segy.py:629-703; GeoJSON needs no GEOS)
+        # intersection QC layers: GeoJSON (GEOS-free, human-greppable) AND
+        # a GeoPackage with the reference's 'intersections' layer name
+        # (mistie_correction_segy.py:629-703 writes it via geopandas; here
+        # io/gpkg.py writes the same artifact on stdlib sqlite3)
         from ..io.auxiliary import export_coords
+        from ..io.gpkg import write_gpkg_points
 
         export_coords(df.drop(columns=["line_a", "line_b"]).assign(
             pair=df["line_a"].astype(str) + " x " + df["line_b"].astype(str)
         ), os.path.join(base, "misties.geojson"))
+        write_gpkg_points(
+            os.path.join(base,
+                         f"{TODAY}_QC_{os.path.basename(base)}_intersections"
+                         ".gpkg"),
+            {"intersections": (df, "x", "y")})
     return outs
 
 

@@ -84,3 +84,52 @@ def test_backends_summary():
     assert s["platform"] in ("cpu", "tpu", "axon")
     assert s["native_segy"] in (True, False)
     assert "FFT" in s["transforms"]
+
+
+def test_gpkg_writer_produces_valid_geopackage(tmp_path):
+    """io/gpkg.py: the mistie QC GeoPackage (reference writes one via
+    geopandas, mistie_correction_segy.py:629-703) must be a spec-conforming
+    SQLite db: GPKG application_id, registry tables, and decodable
+    GeoPackageBinary POINT blobs."""
+    import sqlite3
+    import struct
+
+    import pandas as pd
+
+    from pseudo_3d_interpolation_tpu.io.gpkg import write_gpkg_points
+
+    df = pd.DataFrame({
+        "x": [500010.5, 500120.0], "y": [6000050.0, 6000300.25],
+        "line_a": ["L1", "L1"], "line_b": ["L2", "L3"],
+        "mistie_ms": [1.25, -0.5], "correlation": [0.91, 0.82],
+        "trace_a": [10, 42],
+    })
+    path = write_gpkg_points(str(tmp_path / "qc.gpkg"),
+                             {"intersections": (df, "x", "y")},
+                             srs_id=32632, srs_name="WGS 84 / UTM 32N")
+    con = sqlite3.connect(path)
+    try:
+        app_id = con.execute("PRAGMA application_id").fetchone()[0]
+        assert app_id == 0x47504B47  # 'GPKG'
+        tables = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+        assert {"gpkg_spatial_ref_sys", "gpkg_contents",
+                "gpkg_geometry_columns", "intersections"} <= tables
+        (tname, dtype, srs) = con.execute(
+            "SELECT table_name, data_type, srs_id FROM gpkg_contents"
+        ).fetchone()
+        assert (tname, dtype, srs) == ("intersections", "features", 32632)
+        rows = con.execute(
+            "SELECT geom, line_a, mistie_ms, correlation, trace_a "
+            "FROM intersections ORDER BY fid").fetchall()
+        assert len(rows) == 2 and rows[0][1] == "L1" and rows[1][4] == 42
+        blob = rows[1][0]
+        assert blob[:2] == b"GP" and blob[2] == 0
+        srs_id = struct.unpack_from("<i", blob, 4)[0]
+        assert srs_id == 32632
+        # little-endian WKB POINT after the 8-byte header
+        assert blob[8] == 1 and struct.unpack_from("<I", blob, 9)[0] == 1
+        x, y = struct.unpack_from("<dd", blob, 13)
+        assert (x, y) == (500120.0, 6000300.25)
+    finally:
+        con.close()
