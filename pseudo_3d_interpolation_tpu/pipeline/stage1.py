@@ -753,10 +753,18 @@ def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
                 lag = int(np.argmax(xc)) - (len(wa) - 1)
                 denom = np.sqrt((wa**2).sum() * (wb**2).sum())
                 corr = float(xc.max() / denom) if denom > 0 else 0.0
+                xa, ya = a["nav"][tr_a]
+                xb, yb = b["nav"][tr_b]
                 rows.append({
                     "line_a": names[i], "line_b": names[j],
                     "trace_a": tr_a, "trace_b": tr_b,
                     "x": pt[0], "y": pt[1],
+                    # nearest-trace positions + distances to the geometric
+                    # intersection (reference nearest-vertices QC layers)
+                    "x_a": xa, "y_a": ya,
+                    "dist_a": float(np.hypot(xa - pt[0], ya - pt[1])),
+                    "x_b": xb, "y_b": yb,
+                    "dist_b": float(np.hypot(xb - pt[0], yb - pt[1])),
                     "lag_samples": lag, "mistie_ms": lag * dt, "correlation": corr,
                 })
     df = pd.DataFrame(rows)
@@ -890,7 +898,14 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
             os.path.join(base,
                          f"{TODAY}_QC_{os.path.basename(base)}_intersections"
                          ".gpkg"),
-            {"intersections": (df, "x", "y")})
+            {"intersections": (df, "x", "y"),
+             # the reference's nearest-trace layers (one per line side)
+             "nearest_vertices_line_0": (
+                 df[["x_a", "y_a", "dist_a"]].rename(
+                     columns={"dist_a": "dist"}), "x_a", "y_a"),
+             "nearest_vertices_line_1": (
+                 df[["x_b", "y_b", "dist_b"]].rename(
+                     columns={"dist_b": "dist"}), "x_b", "y_b")})
     return outs
 
 
