@@ -44,7 +44,11 @@ static inline uint32_t float_to_ibm(float xf) {
     double x = (double)xf;
     uint32_t sign = x < 0 ? (1u << 31) : 0u;
     double ax = std::fabs(x);
-    if (ax == 0.0) return 0u;
+    if (ax == 0.0 || std::isnan(x)) return 0u;
+    // saturate at IBM max like the numpy codec (log2(inf) would be UB in
+    // the int cast below); IBM single max ~= 7.2e75
+    if (std::isinf(x) || ax >= 7.237005577332262e75)
+        return sign | 0x7fffffffu;
     int e = (int)std::floor(std::log2(ax) / 4.0) + 1;
     double mant = ax / std::pow(16.0, e);
     if (mant >= 1.0) { mant /= 16.0; ++e; }

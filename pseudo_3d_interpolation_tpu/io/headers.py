@@ -63,7 +63,18 @@ def unscale_coordinates(x, y, coords_units: int = 1, scale_factor: int = -100):
         y = y * 3_600_000.0
     else:
         raise NotImplementedError(f"CoordinateUnits={coords_units} not implemented")
-    return np.rint(x).astype(np.int32), np.rint(y).astype(np.int32)
+    xr_, yr_ = np.rint(x), np.rint(y)
+    # the header fields are i4 — a value past 2^31 (easy with scalar -1000
+    # on UTM northings) or a NaN would silently wrap to garbage navigation
+    lim = np.int64(np.iinfo(np.int32).max)
+    bad = (~np.isfinite(xr_) | ~np.isfinite(yr_)
+           | (np.abs(xr_) > lim) | (np.abs(yr_) > lim))
+    if np.any(bad):
+        raise ValueError(
+            f"{int(np.count_nonzero(bad))} scaled coordinate(s) exceed the "
+            f"int32 SEG-Y header range (or are NaN) with scale_factor="
+            f"{scale_factor} — use a smaller |scalar|")
+    return xr_.astype(np.int32), yr_.astype(np.int32)
 
 
 def check_coordinate_scalar(scalar):

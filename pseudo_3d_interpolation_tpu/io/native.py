@@ -38,7 +38,11 @@ def lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.isdir(_NATIVE_DIR):
+    if os.path.isdir(_NATIVE_DIR):
+        # run make unconditionally: it no-ops when the .so is newer than
+        # the source, and rebuilds after a segy_core.cpp edit — loading a
+        # stale (or foreign-host -march=native) binary silently is worse
+        # than the ~10 ms make overhead once per process
         _try_build()
     if not os.path.exists(_LIB_PATH):
         return None

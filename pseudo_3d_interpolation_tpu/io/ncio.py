@@ -205,10 +205,17 @@ def read_cube(path: str, combine_complex: bool = True, variables=None) -> Cube:
                 scale = float(attrs_k.pop("scale_factor", 1.0))
                 offset = float(attrs_k.pop("add_offset", 0.0))
                 fill = attrs_k.pop("_FillValue", None)
-                unpacked = raw.astype(np.float32) * scale + offset
+                # unpack in float64 like xarray/netCDF4: an int32-packed
+                # value times a float32 scale would lose precision the
+                # packing guaranteed; cast down only at the very end, and
+                # keep float64 for int32-packed data (f32 can't hold 2^31
+                # distinct levels)
+                unpacked = raw.astype(np.float64) * scale + offset
                 if fill is not None:
                     unpacked = np.where(raw == fill, np.nan, unpacked)
-                raw = unpacked.astype(np.float32)
+                out_dt = (np.float64 if raw.dtype.itemsize >= 4
+                          and raw.dtype.kind in "iu" else np.float32)
+                raw = unpacked.astype(out_dt)
             data_vars[k] = (dims, raw)
             var_attrs[k] = attrs_k
         attrs = dict(f.attrs)

@@ -184,6 +184,13 @@ def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
     return np.ascontiguousarray(raw).view(dtype).astype(np.float32)
 
 
+# 16-bit trace-header fields with rev2 UNSIGNED semantics (counts and
+# intervals can exceed 32767 on long sub-bottom records); every other i2
+# field is signed two's complement
+_UNSIGNED16_TRACE_FIELDS = frozenset(
+    {"TRACE_SAMPLE_COUNT", "TRACE_SAMPLE_INTERVAL"})
+
+
 def _encode_samples(data: np.ndarray, fmt: int) -> np.ndarray:
     if fmt == 1:
         u32 = ieee2ibm(data)
@@ -192,7 +199,11 @@ def _encode_samples(data: np.ndarray, fmt: int) -> np.ndarray:
     if fmt == 5:
         enc = data.astype(dtype)
     else:
-        enc = np.rint(data).astype(dtype)
+        # saturate out-of-range samples at the integer format's limits —
+        # the same semantics as the IBM encoder's overflow clamp; a silent
+        # two's-complement wrap would flip amplitude signs
+        info = np.iinfo(np.dtype(dtype))
+        enc = np.clip(np.rint(data), info.min, info.max).astype(dtype)
     return enc.view(np.uint8).reshape(data.shape[0], -1)
 
 
@@ -227,7 +238,25 @@ class SegyFile:
                 self.bin[f16] &= 0xFFFF
         self.n_samples = self.bin["Samples"]
         self.dt_us = self.bin["Interval"]
-        n_ext = max(self.bin.get("ExtendedHeaders", 0), 0)
+        n_ext = self.bin.get("ExtendedHeaders", 0)
+        if n_ext == -1:
+            # rev1 'variable count': 3200-byte stanzas terminated by an
+            # EndText stanza — scan instead of clamping (a clamp would
+            # misplace data_start and decode garbage traces)
+            n_ext = 0
+            pos = TEXT_SIZE + BIN_SIZE
+            while pos + TEXT_SIZE <= self._mm.size:
+                stanza = bytes(self._mm[pos : pos + TEXT_SIZE])
+                n_ext += 1
+                pos += TEXT_SIZE
+                if (b"SEG: EndText" in stanza
+                        or b"((SEG: EndText))" in stanza):
+                    break
+            else:
+                raise ValueError(
+                    f"{path}: ExtendedHeaders=-1 but no 'SEG: EndText' "
+                    "stanza found")
+        n_ext = max(n_ext, 0)
         self._data_start = TEXT_SIZE + BIN_SIZE + n_ext * TEXT_SIZE
         self._sample_bytes = _FORMAT_INFO[self.format]
         self.trace_size = TRACE_HEADER_SIZE + self.n_samples * self._sample_bytes
@@ -273,6 +302,10 @@ class SegyFile:
         size = int(dt[-1])
         sub = self._traces_u8[:, off - 1 : off - 1 + size]
         vals = np.ascontiguousarray(sub).view(">" + dt)[:, 0].astype(np.int64)
+        if size == 2 and field in _UNSIGNED16_TRACE_FIELDS:
+            # rev2 unsigned semantics for counts/intervals (long sub-bottom
+            # records) — mirrors the binary-header normalization above
+            vals = vals & 0xFFFF
         if traces is not None:
             vals = vals[np.asarray(list(traces))]
         return vals
@@ -399,14 +432,17 @@ def write_segy(
         size = int(dt[-1])
         vals = np.broadcast_to(np.asarray(value), (ntr,))
         if size == 2:
-            # i2 fields: signed range natively; 32768..65535 via the
-            # unsigned bit pattern (matches the reader's normalization);
-            # beyond that the format cannot hold it — fail loudly
+            # i2 fields: signed range natively; the unsigned bit pattern
+            # 32768..65535 is permitted ONLY for the rev2 unsigned-semantics
+            # count/interval fields the reader normalizes back — a signed
+            # field (e.g. DelayRecordingTime) written as 40000 would read
+            # back -25536, so fail loudly instead
             vmin, vmax = int(np.min(vals)), int(np.max(vals))
-            if vmin < -32768 or vmax > 65535:
+            hi = 65535 if name in _UNSIGNED16_TRACE_FIELDS else 32767
+            if vmin < -32768 or vmax > hi:
                 raise ValueError(
                     f"trace header {name}: value range [{vmin}, {vmax}] "
-                    "exceeds the 16-bit SEG-Y field"
+                    f"exceeds the 16-bit SEG-Y field (max {hi})"
                 )
             col = (vals.astype(np.int64) & 0xFFFF).astype(">u2")
         else:
@@ -422,10 +458,3 @@ def write_segy(
         f.write(body.tobytes())
 
 
-def scan_directory(path: str, suffix: str = ".sgy"):
-    """List SEG-Y files in a directory (host-side file discovery)."""
-    out = []
-    for name in sorted(os.listdir(path)):
-        if name.lower().endswith((suffix.lower(), ".segy", ".sgy")):
-            out.append(os.path.join(path, name))
-    return out

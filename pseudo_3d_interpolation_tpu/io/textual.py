@@ -73,6 +73,21 @@ def ensure_workflow_header(text: str, line: int = 25) -> tuple[str, int]:
     if idx is not None:
         return text, idx
     lines = _split(text)
+    if not _is_empty(lines[line - 1]):
+        # reference set_header_line warns and overwrites (header.py:418-424)
+        # — same semantics here, but prefer a nearby empty line first so
+        # populated survey headers are not clobbered when space exists
+        for cand in range(line - 1, len(lines)):
+            if _is_empty(lines[cand]):
+                line = cand + 1
+                break
+        else:
+            import warnings
+
+            warnings.warn(
+                f"textual-header line {line} is in use and will be "
+                "overwritten by the workflow banner", UserWarning,
+                stacklevel=2)
     body = WORKFLOW_HEADER.center(LINE_LENGTH - PREFIX_LEN)
     lines[line - 1] = lines[line - 1][:PREFIX_LEN] + body
     return "\n".join(lines), line - 1
