@@ -595,8 +595,16 @@ def pocs_solve_fused(
     if basis == "wavelet":
         if rect:
             raise ValueError("fused wavelet solve requires square slices")
+        if not wavelet_mats:
+            raise ValueError("basis='wavelet' requires wavelet_mats "
+                             "(per-level analysis matrices, finest first)")
         wv_level = len(wavelet_mats)
-        assert decay.ndim == 3 and decay.shape[2] == 3 * wv_level
+        # hard requirement, not an assert: a short decay would index past
+        # the SMEM tau block in-kernel (no bounds checking on device)
+        if decay.ndim != 3 or decay.shape[2] != 3 * wv_level:
+            raise ValueError(
+                f"wavelet decay must be (niter, B, 3*level={3 * wv_level}),"
+                f" got {decay.shape}")
         fr = np.asarray(wavelet_mats[0], np.float32)
         fi = fr.T.copy()
         for mat in wavelet_mats[1:]:

@@ -444,7 +444,6 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     the kernel's spectral layout (radix-permuted for square fast-split
     slices, natural order for rectangular ones). Numerics == the XLA
     streamed path (pinned in tests/test_shearlet.py)."""
-    from . import threshold as threshold_ops
     from .pallas.subband import subband_layout, subband_update_fused
 
     h, w = z.shape[-2], z.shape[-1]
