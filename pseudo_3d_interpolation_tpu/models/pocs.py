@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cplx import Cplx, from_complex, to_complex
-from .transforms import FFTTransform, get_transform
+from .transforms import get_transform
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,11 +145,20 @@ def pocs_interpolate(
         # gate on the transform actually in use, not the config string —
         # an explicitly passed unsupported transform must never be silently
         # replaced by the fused kernel's basis
+        # the kernels read a FULL (H, W) mask block — a merely
+        # broadcastable 2-D mask (e.g. (1, W)) would read out of bounds and
+        # return NaN, so require the exact slice shape (the XLA path below
+        # broadcasts fine). 'garotte' is threshold_pair's accepted alias.
+        full_mask = tuple(mask_in.shape) == tuple(z.shape[-2:])
+        # normalize threshold_pair's accepted 'garotte' alias for the
+        # kernels' canonical-spelling dispatch
+        fused_op = "garrote" if cfg.thresh_op == "garotte" else cfg.thresh_op
+        kernel_op = fused_op in ("hard", "soft", "garrote")
         use_fused = (
             isinstance(transform, (FFTTransform, DCTTransform))
-            and mask_in.ndim == 2
+            and mask_in.ndim == 2 and full_mask
             and len(batch_shape) == 1
-            and cfg.thresh_op in ("hard", "soft", "garrote")
+            and kernel_op
             and pallas_supported(z.shape)
         )
         if use_fused:
@@ -167,9 +176,9 @@ def pocs_interpolate(
         use_fused_wavelet = (
             isinstance(transform, WaveletTransform)
             and transform.target is None
-            and mask_in.ndim == 2
+            and mask_in.ndim == 2 and full_mask
             and len(batch_shape) == 1
-            and cfg.thresh_op in ("hard", "soft", "garrote")
+            and kernel_op
             and pallas_supported(z.shape)
             and z.shape[-2] == z.shape[-1]
             and _wavelet_cascade_aligned(z.shape[-1], transform.level,
@@ -225,14 +234,14 @@ def pocs_interpolate(
                 [leaf for det in decay_tree[1:] for leaf in det], axis=-1)
             result, cost = pocs_solve_fused(
                 z, mask_in, flat_decay, alpha=cfg.alpha,
-                thresh_op=cfg.thresh_op, version=cfg.version,
+                thresh_op=fused_op, version=cfg.version,
                 interpret=cfg.pallas_interpret, precision=fused_precision,
                 basis="wavelet", wavelet_mats=mats,
             )
         else:
             result, cost = pocs_solve_fused(
                 z, mask_in, decay_tree, alpha=cfg.alpha,
-                thresh_op=cfg.thresh_op, version=cfg.version,
+                thresh_op=fused_op, version=cfg.version,
                 interpret=cfg.pallas_interpret, precision=fused_precision,
                 basis=fused_basis,
             )
@@ -288,7 +297,7 @@ def pocs_interpolate(
 
             x_rec = pocs_iteration_fused(
                 x_input, z, mask_in, decay_i, alpha=cfg.alpha,
-                thresh_op=cfg.thresh_op, interpret=cfg.pallas_interpret,
+                thresh_op=fused_op, interpret=cfg.pallas_interpret,
                 precision=fused_precision,
             )
         elif hasattr(transform, "apply_threshold"):

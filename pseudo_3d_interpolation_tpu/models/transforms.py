@@ -401,7 +401,8 @@ register_transform("FFT", lambda precision="highest", **kw: FFTTransform(precisi
 register_transform("DCT", lambda precision="highest", **kw: DCTTransform(precision=precision))
 register_transform(
     "WAVELET",
-    lambda wavelet="db4", level=None, **kw: WaveletTransform(wavelet=wavelet, level=level),
+    lambda wavelet="db4", level=None, precision=None, **kw: WaveletTransform(
+        wavelet=wavelet, level=level, precision=precision),
 )
 register_transform(
     "SHEARLET",

@@ -101,6 +101,10 @@ def interpolate_cube(
     data = np.asarray(data)
     was_complex = np.iscomplexobj(data)
     f_total = data.shape[0]
+    if f_total == 0:  # empty cube: empty results, not range(0, 0, 0)
+        return (np.empty(data.shape, np.complex64 if was_complex
+                         else np.float32),
+                np.empty((0,), np.int32), np.empty((0,), np.float32))
     batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
 
     out = np.empty(data.shape, np.complex64 if was_complex else np.float32)
@@ -164,15 +168,15 @@ def interpolate_cube_resident(
 
     Same signature/returns as :func:`interpolate_cube` minus ``mesh``.
     """
-    import functools
-
-    import jax
-
     if transform is None:
         transform = get_transform(config.transform_kind)
     data = np.asarray(data)
     was_complex = np.iscomplexobj(data)
     f_total = data.shape[0]
+    if f_total == 0:  # empty cube: empty results, not a ZeroDivisionError
+        return (np.empty(data.shape, np.complex64 if was_complex
+                         else np.float32),
+                np.empty((0,), np.int32), np.empty((0,), np.float32))
     batch = min(batch, f_total)
     npad = -(-f_total // batch) * batch
     if npad != f_total:

@@ -236,3 +236,63 @@ def test_global_early_stop_matches_scan():
     assert n_a == n_b
     assert n_a < 40  # early stop actually triggered
     np.testing.assert_allclose(rec_a, rec_b, rtol=1e-5, atol=1e-6)
+
+
+def test_broadcastable_mask_keeps_xla_path_with_pallas(make_problem=None):
+    """A merely-broadcastable 2-D mask (1, W) must NOT be routed into the
+    fused kernels (they read a full (H, W) mask block — out-of-bounds NaN,
+    review round-3); the solve must match the XLA path exactly."""
+    import jax.numpy as jnp
+
+    from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+    rng = np.random.default_rng(5)
+    n, b = 128, 2
+    x = rng.standard_normal((b, n, n)).astype(np.float32)
+    mask_row = (rng.random((1, n)) < 0.5).astype(np.float32)  # kills columns
+    z = Cplx(jnp.asarray(x * mask_row), jnp.zeros((b, n, n), jnp.float32))
+    base = dict(niter=5, eps=0.0, alpha=0.75, p_min=1e-4)
+    ref = pocs_interpolate(z, jnp.asarray(mask_row), None,
+                           POCSConfig(**base))
+    got = pocs_interpolate(z, jnp.asarray(mask_row), None,
+                           POCSConfig(**base, use_pallas=True,
+                                      pallas_interpret=True))
+    assert np.isfinite(np.asarray(got.data.re)).all()
+    np.testing.assert_allclose(np.asarray(got.data.re),
+                               np.asarray(ref.data.re), atol=1e-6)
+
+
+def test_garotte_alias_rides_fused_kernel():
+    """'garotte' (threshold_pair's accepted alias) must reach the fused
+    kernel as 'garrote', matching the canonical spelling's output."""
+    import jax.numpy as jnp
+
+    from pseudo_3d_interpolation_tpu.models import POCSConfig, pocs_interpolate
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+    rng = np.random.default_rng(6)
+    n, b = 128, 2
+    x = rng.standard_normal((b, n, n)).astype(np.float32)
+    mask = (rng.random((n, n)) < 0.5).astype(np.float32)
+    z = Cplx(jnp.asarray(x * mask), jnp.zeros((b, n, n), jnp.float32))
+    outs = []
+    for op in ("garrote", "garotte"):
+        cfg = POCSConfig(niter=5, eps=0.0, alpha=0.75, p_min=1e-4,
+                         thresh_op=op, use_pallas=True,
+                         pallas_interpret=True)
+        outs.append(np.asarray(
+            pocs_interpolate(z, jnp.asarray(mask), None, cfg).data.re))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_empty_cube_returns_empty():
+    from pseudo_3d_interpolation_tpu.models import POCSConfig
+    from pseudo_3d_interpolation_tpu.parallel.solver import (
+        interpolate_cube, interpolate_cube_resident)
+
+    mask = np.ones((16, 16), np.float32)
+    for fn in (interpolate_cube, interpolate_cube_resident):
+        rec, it, cost = fn(np.zeros((0, 16, 16), np.complex64), mask,
+                           POCSConfig(niter=3))
+        assert rec.shape == (0, 16, 16) and it.shape == (0,) and cost.shape == (0,)
