@@ -358,6 +358,10 @@ def bin_cube(
 
     if simple or method == "nearest":
         amp = acc_num / np.where(acc_den == 0, 1.0, acc_den)[:, None].astype(np.float32)
+    elif not kept_traces:
+        # no trace fell inside the grid: an all-zero cube like the other
+        # stacking methods, not a concatenate-of-nothing crash
+        amp = np.zeros((n_bins, ns_out), np.float32)
     else:
         traces = np.concatenate(kept_traces)
         ids = np.concatenate(kept_ids)

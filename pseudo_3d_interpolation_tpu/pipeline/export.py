@@ -41,8 +41,21 @@ def cube_to_segy(
     dt_us = int(round(float(np.mean(np.diff(twt))) * 1e6))
     delrt_ms = int(round(float(twt[0]) * 1e3))
 
-    il = np.repeat(np.asarray(cube.coords["iline"]), n_xl).astype(np.int64)
-    xl = np.tile(np.asarray(cube.coords["xline"]), n_il).astype(np.int64)
+    def _index_coord(c):
+        """Integer bin indices for the trace headers. Post-upsampling
+        coords are fractional (postprocess interpolates new ilines between
+        the originals) — truncating those would emit DUPLICATE
+        INLINE_3D/CROSSLINE_3D pairs, so renumber consecutively instead."""
+        c = np.asarray(c, float)
+        ri = np.rint(c)
+        if np.allclose(c, ri) and len(np.unique(ri)) == len(ri):
+            return ri.astype(np.int64)
+        return np.arange(1, len(c) + 1, dtype=np.int64)
+
+    il_idx = _index_coord(cube.coords["iline"])
+    xl_idx = _index_coord(cube.coords["xline"])
+    il = np.repeat(il_idx, n_xl)
+    xl = np.tile(xl_idx, n_il)
     headers = {
         "INLINE_3D": il,
         "CROSSLINE_3D": xl,

@@ -29,7 +29,12 @@ def apply_ifft(
     if isinstance(cube, str):
         cube = read_cube(cube)
     if var is None:
-        var = next(v for v in cube.data_vars if v.startswith("freq_"))
+        var = next((v for v in cube.data_vars if v.startswith("freq_")),
+                   None)
+        if var is None:
+            raise ValueError(
+                "cube has no freq_* spectral variable to invert — run the "
+                f"fft step first (variables: {sorted(cube.data_vars)})")
     spec = spectrum_from_cube(cube, var)
     twt, x = spectral.inverse_fft_original(spec)
     x = np.asarray(x)

@@ -89,6 +89,9 @@ def geometry_from_dict(g: dict):
         idw_power=float(g.get("idw_power", 1.0)),
         region_extent=(tuple(g["region_extent"])
                        if g.get("region_extent") else None),
+        region_corner_points=(np.asarray(g["region_corner_points"], float)
+                              if g.get("region_corner_points") is not None
+                              else None),
         region_spacing=g.get("region_spacing"),
     )
 
@@ -221,8 +224,11 @@ def run_pipeline(config: str | dict, verbose: int = 1,
         if name == "segy2cube":
             from .segy2cube import convert
 
-            os.makedirs(step_dir, exist_ok=True)
-            convert(cur, out_dir=step_dir, verbose=verbose, **opts)
+            # honor a user 'output' as the conversion directory (popped
+            # above like every stage-2 step; it was silently dropped before)
+            conv_dir = out_path or step_dir
+            os.makedirs(conv_dir, exist_ok=True)
+            convert(cur, out_dir=conv_dir, verbose=verbose, **opts)
             continue  # side artifact: binning consumes SEG-Y directly
         if name == "binning":
             from .binning import bin_cube
@@ -232,7 +238,7 @@ def run_pipeline(config: str | dict, verbose: int = 1,
                          "corner_points", "rotation", "rotation_angle",
                          "rotation_center", "twt_limits", "stacking_method",
                          "stack", "idw_power", "region_extent",
-                         "region_spacing")
+                         "region_corner_points", "region_spacing")
             geom = geometry_from_dict(
                 {k: opts.pop(k) for k in list(opts) if k in geom_keys})
             bin_cube(cur, geom, out_path=out_path, verbose=verbose, **opts)

@@ -403,15 +403,24 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     mask = (rng.uniform(size=(h, w)) < 0.5).astype(np.float32)
 
     t0 = _time.perf_counter()
-    if mesh is None and _jax.device_count() == 1:
+    # mirror interpolate()'s driver selection EXACTLY — resident only when
+    # single-device AND the cube + batch working set fit the HBM budget;
+    # otherwise the production run dispatches the host-chunked driver and
+    # warming the resident one would compile the wrong program (and a
+    # too-big cube would OOM right here)
+    b_res = min(batch, 32)
+    f_total = int(n_slices) if n_slices else b_res
+    slice_bytes = h * w * 8  # complex64 as an (re, im) f32 pair
+    expansion = _transform_subbands(transform, (h, w))
+    fits = (f_total * slice_bytes * 4
+            + b_res * slice_bytes * 4 * expansion) < 8 * 2**30
+    if mesh is None and _jax.device_count() == 1 and fits:
         # single-chip production runs auto-engage the device-resident
         # driver (interpolate() above); mirror its min(batch, 32) bucketing
         # AND the production cube's slice count (step()'s HLO keys on the
         # full padded cube shape), then execute exactly ONE launch — the
         # compile is the product, not the solve
-        b = min(batch, 32)
-        f_total = int(n_slices) if n_slices else b
-        b = min(b, f_total)
+        b = min(b_res, f_total)
         data = np.zeros((f_total, h, w), np.complex64)
         data[:b] = (rng.normal(size=(b, h, w)).astype(np.float32)
                     + 1j * rng.normal(size=(b, h, w)).astype(np.float32))

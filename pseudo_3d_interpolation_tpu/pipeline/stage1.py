@@ -723,6 +723,16 @@ def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
     """
     names = list(profiles)
     rows = []
+    # clustered crossings snap to the same nearest trace; memoize envelopes
+    # per (line, trace) so N intersections cost O(unique traces) device FFTs
+    _env_cache: dict = {}
+
+    def _envelope(line, tr, trace_data):
+        key = (line, tr)
+        if key not in _env_cache:
+            _env_cache[key] = np.asarray(sig.envelope(trace_data))
+        return _env_cache[key]
+
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             a, b = profiles[names[i]], profiles[names[j]]
@@ -732,8 +742,8 @@ def compute_misties(profiles: dict, twt_window_ms: float = 50.0,
                 dt = a["dt_ms"]
                 if b["dt_ms"] != dt:
                     raise ValueError("profiles must share one sample interval")
-                ea = np.asarray(sig.envelope(a["data"][tr_a]))
-                eb = np.asarray(sig.envelope(b["data"][tr_b]))
+                ea = _envelope(names[i], tr_a, a["data"][tr_a])
+                eb = _envelope(names[j], tr_b, b["data"][tr_b])
                 # overlapping absolute-TWT window
                 t0 = max(a["delrt"][tr_a], b["delrt"][tr_b])
                 t1 = min(a["delrt"][tr_a] + len(ea) * dt, b["delrt"][tr_b] + len(eb) * dt)
@@ -948,9 +958,16 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
             if dst_coords is None:
                 by_bytes = {(73, 77): "source", (181, 185): "CDP",
                             (81, 85): "group"}
-                src_name = by_bytes.get(tuple(coords_bytes), "source")
-                targets = ([("SourceX", "SourceY"), ("CDP_X", "CDP_Y")]
-                           if src_name == "source" else pairs[src_name])
+                src_name = by_bytes.get(tuple(coords_bytes))
+                if src_name == "source":
+                    targets = [("SourceX", "SourceY"), ("CDP_X", "CDP_Y")]
+                elif src_name is not None:
+                    targets = pairs[src_name]
+                else:
+                    # arbitrary byte pair: write back to exactly the bytes
+                    # read (numeric header keys are 4-byte fields) — never
+                    # clobber unrelated named fields
+                    targets = [(int(coords_bytes[0]), int(coords_bytes[1]))]
             else:
                 targets = pairs[dst_coords]
             updates = {"SourceGroupScalar": scalar, "CoordinateUnits": 1}
