@@ -23,6 +23,11 @@ def _add_common(p):
                    choices=[0, 1, 2], help="output verbosity")
 
 
+def _bad_spacing(spacing):
+    raise SystemExit(
+        f"--spacing takes one value or an (iline, xline) pair, got {spacing}")
+
+
 def _geometry_from_args(args) -> "object":
     from .pipeline.binning import BinningGeometry
     from .pipeline.orchestrator import geometry_from_dict
@@ -32,7 +37,9 @@ def _geometry_from_args(args) -> "object":
     if args.extent is None:
         raise SystemExit("either --geometry-yaml or --extent is required")
     return BinningGeometry(
-        spacing=tuple(args.spacing) if len(args.spacing) == 2 else args.spacing[0],
+        spacing=(tuple(args.spacing) if len(args.spacing) == 2
+                 else args.spacing[0] if len(args.spacing) == 1
+                 else _bad_spacing(args.spacing)),
         extent=tuple(args.extent),
         rotation_angle=args.rotation_angle,
         rotation_center=tuple(args.rotation_center),
@@ -409,9 +416,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--params", default=None,
                    help="POCS parameter YAML (reference format); default = "
                         "the p3d pocs defaults for --transform")
-    p.add_argument("--transform", default="SHEARLET",
+    p.add_argument("--transform", default="FFT",
                    choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"],
-                   help="basis when no --params YAML is given")
+                   help="basis when no --params YAML is given — the SAME "
+                        "default as `p3d pocs` (defaults must match or the "
+                        "warmed cache entry is never hit); pass SHEARLET "
+                        "etc. to pre-compile a directional production run")
     p.add_argument("--niter", type=int, default=50)
     p.add_argument("--version", dest="pocs_version", default="fast",
                    choices=["regular", "fast", "adaptive"],
@@ -440,8 +450,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def _cube_amplitude(cube, name: str):
     """Amplitude array of a cube's primary data variable (|.| if complex)."""
-    import numpy as np
-
     try:
         var = cube.primary_var()
     except ValueError as e:
@@ -545,8 +553,6 @@ def main(argv=None) -> int:
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "qc":
         import os
-
-        import numpy as np
 
         from . import qc as qclib
 

@@ -28,7 +28,9 @@ def _finish(fig, path, tight=True):
 
 
 def _clip(data, perc=99.0):
-    v = np.percentile(np.abs(data), perc)
+    # NaN-aware: upsampled/postprocessed cubes can carry NaN edge cells, and
+    # a NaN vmin/vmax blanks the whole QC figure
+    v = np.nanpercentile(np.abs(data), perc)
     return -v, v
 
 
@@ -50,7 +52,7 @@ def _apply_norm(data, norm):
         return np.asarray(sig.rms_normalization(np.asarray(data, np.float32),
                                                 axis=0))
     if isinstance(norm, str) and norm.lower() in ("max", "peak"):
-        peak = np.max(np.abs(data)) or 1.0
+        peak = np.nanmax(np.abs(data)) or 1.0
         return data / peak
     return data
 
@@ -152,19 +154,16 @@ def plot_seismic_wiggle(data, dt=None, twt=None, traces=None, add_info=None,
     if add_info is not None and traces is not None:
         assert len(add_info) == len(traces), \
             f"add_info must match traces length ({len(traces)})"
-    step = tr_step or max(1, ntr // max_traces)
+    step = tr_step or max(1, -(-ntr // max_traces))
     t, fallback = _time_axis(data, dt, twt)
     if ax is None:
         fig, ax = plt.subplots(figsize=(10, 6))
     else:
         fig = ax.figure
-    amp = np.abs(data).max() or 1.0
+    amp = np.nanmax(np.abs(data)) or 1.0
     sc = scale if gain is None else gain
-    for k in range(0, ntr, step):
-        x = k + sc * step * data[:, k] / amp
-        ax.plot(x, t, color=color, lw=0.5)
-        if fill:
-            ax.fill_betweenx(t, k, x, where=x > k, color=color, lw=0)
+    _wiggle_on_ax(ax, data, t, scale=sc, tr_step=step, color=color,
+                  norm=amp, fill=fill)
     if traces is not None:
         ticks = list(range(0, ntr, step))
         labels = [str(traces[k]) for k in ticks]
@@ -319,7 +318,7 @@ def plot_fold_map(fold, title=None, path=None):
 def _wiggle_on_ax(ax, data, t, scale=1.0, tr_step=1, color="k", norm=None,
                   fill=True):
     data = np.asarray(data)
-    norm = norm or (np.abs(data).max() or 1.0)
+    norm = norm or (np.nanmax(np.abs(data)) or 1.0)
     for k in range(0, data.shape[1], tr_step):
         x = k + scale * tr_step * data[:, k] / norm
         ax.plot(x, t, color=color, lw=0.5)
@@ -338,11 +337,12 @@ def plot_seismic_wiggle_diff(before, after, twt=None, gain=1.0, tr_step=None,
     after = np.asarray(after)
     assert before.shape == after.shape, "sections must share a shape"
     ns, ntr = before.shape
-    tr_step = tr_step or max(1, ntr // 60)
+    tr_step = tr_step or max(1, -(-ntr // 60))
     t = np.asarray(twt) if twt is not None else np.arange(ns)
     fig, axes = plt.subplots(1, 3, figsize=(16, 6), sharey=True)
-    norm = max(np.abs(before).max(), np.abs(after).max()) / gain or 1.0
-    for ax, d, title in zip(axes, (before, after, after - before),
+    norm = max(np.nanmax(np.abs(before)), np.nanmax(np.abs(after))) / gain or 1.0
+    # difference = original - edited, like the reference (plot.py:634)
+    for ax, d, title in zip(axes, (before, after, before - after),
                             (titles[0], titles[1], "difference")):
         _wiggle_on_ax(ax, d, t, tr_step=tr_step, norm=norm)
         ax.set_title(title)
@@ -367,7 +367,7 @@ def plot_statics_panels(sections, titles=None, twt=None, gain=1.0,
     t = np.asarray(twt) if twt is not None else np.arange(ns)
     fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows),
                              sharey=True, squeeze=False)
-    norm = max(np.abs(s).max() for s in sections) / gain or 1.0
+    norm = max(np.nanmax(np.abs(s)) for s in sections) / gain or 1.0
     flat = axes.ravel()
     for i, s in enumerate(sections):
         _wiggle_on_ax(flat[i], s, t, tr_step=tr_step, norm=norm)

@@ -933,6 +933,7 @@ def crs_from_wkt(wkt: str):
     analogue); returns :data:`GEOGRAPHIC` for a geographic CRS."""
     root = _wkt_tokenize(wkt)
     kind = root[0]
+    bound_p7 = None  # Helmert params from a BOUNDCRS wrapper, if any
     if kind in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
         return GEOGRAPHIC
     if kind not in ("PROJCS", "PROJCRS", "PROJECTEDCRS", "BOUNDCRS",
@@ -950,6 +951,11 @@ def crs_from_wkt(wkt: str):
                 return GEOGRAPHIC
             raise ValueError(
                 f"{kind} WKT wraps no projected or geographic CRS")
+        # a BOUNDCRS's ABRIDGEDTRANSFORMATION carries the datum's Helmert
+        # shift (WKT2's analogue of WKT1 TOWGS84) — extract it before
+        # narrowing the search tree, or a bound OSGB36/Amersfoort CRS would
+        # silently lose ~100 m
+        bound_p7 = _bound_transformation_p7(root)
         root = inner
 
     ell_node = _wkt_find(root, "SPHEROID", "ELLIPSOID")
@@ -1010,7 +1016,40 @@ def crs_from_wkt(wkt: str):
         p7 = [v for v in tw[1:] if isinstance(v, float)]
         if any(p7):
             return DatumShifted(built, p7, el)
+    if bound_p7 is not None and any(bound_p7):
+        return DatumShifted(built, bound_p7, el)
     return built
+
+
+def _bound_transformation_p7(root):
+    """towgs84-style 7 params from a BOUNDCRS ABRIDGEDTRANSFORMATION
+    (translations in metres, rotations in arc-seconds, scale difference in
+    ppm — the position-vector convention DatumShifted consumes), or None
+    when absent / using an unsupported method."""
+    tr = _wkt_find(root, "ABRIDGEDTRANSFORMATION")
+    if tr is None:
+        return None
+    meth = _wkt_find(tr, "METHOD")
+    meth_name = (_norm_key(next((v for v in meth[1:] if isinstance(v, str)),
+                                "")) if meth else "")
+    supported = ("geocentrictranslations", "positionvectortransformation",
+                 "positionvector7param", "coordinateframerotation")
+    if not any(k in meth_name for k in supported):
+        return None
+    keys = {"xaxistranslation": 0, "yaxistranslation": 1,
+            "zaxistranslation": 2, "xaxisrotation": 3, "yaxisrotation": 4,
+            "zaxisrotation": 5, "scaledifference": 6}
+    p7 = [0.0] * 7
+    for pn in _wkt_find_all(tr, "PARAMETER"):
+        strs = [v for v in pn[1:] if isinstance(v, str)]
+        nums = [v for v in pn[1:] if isinstance(v, float)]
+        if strs and nums and _norm_key(strs[0]) in keys:
+            p7[keys[_norm_key(strs[0])]] = nums[0]
+    if "coordinateframerotation" in meth_name:
+        # coordinate-frame rotations are the position-vector's negated
+        for i in (3, 4, 5):
+            p7[i] = -p7[i]
+    return p7
 
 
 def crs_from_proj(proj: str):
@@ -1100,7 +1139,8 @@ def crs_label(spec) -> str:
     provenance notes; reference writes 'EPSG:xxxx' — header.py:250-364)."""
     if spec is None or spec is GEOGRAPHIC:
         return "EPSG:4326"
-    if isinstance(spec, int) or (isinstance(spec, str) and spec.strip().isdigit()):
+    if (isinstance(spec, (int, np.integer)) and not isinstance(spec, bool)) \
+            or (isinstance(spec, str) and spec.strip().isdigit()):
         return f"EPSG:{int(spec)}"
     if isinstance(spec, str):
         s = spec.strip()

@@ -91,10 +91,14 @@ def redirect_stdout_to_file(path: str, also_console: bool = False):
                 st.flush()
 
     old = sys.stdout
-    with open(path, "w", newline="\n") as fh:
-        sys.stdout = _Tee(fh, old) if also_console else fh
-        try:
-            yield
-        finally:
-            sys.stdout = old
-    clean_log_file(path)
+    try:
+        with open(path, "w", newline="\n") as fh:
+            sys.stdout = _Tee(fh, old) if also_console else fh
+            try:
+                yield
+            finally:
+                sys.stdout = old
+    finally:
+        # strip ANSI even when the block raised — failed-run logs are
+        # exactly the ones a user inspects
+        clean_log_file(path)

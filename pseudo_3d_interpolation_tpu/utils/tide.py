@@ -188,11 +188,11 @@ def predict_tide(times, constituents: dict[str, tuple[float, float]],
     sixteen admittance-inferred minor constituents (reference
     tpxo-tide-prediction ``correct_minor``; see ``_MINOR_CONSTITUENTS``).
     """
-    times = pd.to_datetime(np.asarray(times))
+    # np.atleast_1d keeps a scalar time on the DatetimeIndex path — a bare
+    # Timestamp's total_seconds() returns a plain float with no .to_numpy()
+    times = pd.to_datetime(np.atleast_1d(np.asarray(times)))
     epoch = pd.Timestamp("2000-01-01T12:00:00")
-    t_days = (times - epoch).total_seconds().to_numpy() / 86400.0 \
-        if hasattr((times - epoch), "total_seconds") else \
-        np.asarray((times - epoch).total_seconds()) / 86400.0
+    t_days = (times - epoch).total_seconds().to_numpy() / 86400.0
     hours_utc = (t_days - np.floor(t_days)) * 24.0 + 12.0  # hours of UTC day
 
     s, hl, p, N, ps = _mean_longitudes(t_days)

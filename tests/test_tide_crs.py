@@ -770,3 +770,52 @@ class TestDatumShift:
         e2, n2 = p.forward(lat_w, lon_w)
         ereg, nreg = crs.get_projection(27700).forward(lat_w, lon_w)
         assert np.allclose((e2, n2), (ereg, nreg), atol=1e-6)
+
+
+WKT2_BOUND_OSGB = '''BOUNDCRS[
+  SOURCECRS[PROJCRS["OSGB36 / British National Grid",
+    BASEGEOGCRS["OSGB36",
+      DATUM["Ordnance Survey of Great Britain 1936",
+        ELLIPSOID["Airy 1830",6377563.396,299.3249646]]],
+    CONVERSION["British National Grid",
+      METHOD["Transverse Mercator"],
+      PARAMETER["Latitude of natural origin",49],
+      PARAMETER["Longitude of natural origin",-2],
+      PARAMETER["Scale factor at natural origin",0.9996012717],
+      PARAMETER["False easting",400000],
+      PARAMETER["False northing",-100000]],
+    CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],
+    LENGTHUNIT["metre",1]]],
+  TARGETCRS[GEOGCRS["WGS 84",
+    DATUM["World Geodetic System 1984",
+      ELLIPSOID["WGS 84",6378137,298.257223563]],
+    CS[ellipsoidal,2],AXIS["latitude",north],AXIS["longitude",east],
+    UNIT["degree",0.0174532925199433]]],
+  ABRIDGEDTRANSFORMATION["OSGB36 to WGS 84 (6)",
+    METHOD["Position Vector transformation (geog2D domain)"],
+    PARAMETER["X-axis translation",446.448],
+    PARAMETER["Y-axis translation",-125.157],
+    PARAMETER["Z-axis translation",542.06],
+    PARAMETER["X-axis rotation",0.1502],
+    PARAMETER["Y-axis rotation",0.247],
+    PARAMETER["Z-axis rotation",0.8421],
+    PARAMETER["Scale difference",-20.4894]]]'''
+
+
+class TestBoundCRSDatumShift:
+    def test_wkt2_boundcrs_abridged_transformation_applied(self):
+        """A WKT2 BOUNDCRS's ABRIDGEDTRANSFORMATION (pyproj's encoding of
+        towgs84) must produce the same datum-shifted coordinates as the
+        registry entry — skipping it is the ~100 m silent error class."""
+        p = crs.crs_from_wkt(WKT2_BOUND_OSGB)
+        lon, lat = np.array([-0.1276]), np.array([51.5072])
+        e, n = p.forward(lat, lon)
+        er, nr = crs.get_projection(27700).forward(lat, lon)
+        assert abs(e[0] - er[0]) < 1e-6 and abs(n[0] - nr[0]) < 1e-6
+
+    def test_scalar_time_tide_prediction(self):
+        from pseudo_3d_interpolation_tpu.utils.tide import predict_tide
+
+        v = predict_tide("2024-01-01", {"M2": (1.0, 0.0)})
+        assert np.asarray(v).shape in ((), (1,))
+        assert np.isfinite(np.asarray(v)).all()
