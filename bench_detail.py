@@ -69,8 +69,10 @@ def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
         acc = acc + fn(z, m, jnp.float32(1.0 + 1e-3 * i))
     float(acc)
     dt = (time.perf_counter() - t0) / reps
+    # SNR pass reuses the already-uploaded z (a second from_complex(obs)
+    # would pay another h2d over the slow tunnel per gate entry)
     full = jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, transform, cfg))(
-        from_complex(obs), m)
+        z, m)
     rec = to_complex(full.data)
     snr = float(metrics.snr(np.abs(truth), np.abs(rec)))
     b = truth.shape[0]
@@ -96,17 +98,11 @@ def run_basis_gate():
         kind = kind.strip().upper()
         pallas = kind.endswith("-PALLAS")
         base_kind = kind[:-7] if pallas else kind
-        precisions = (["highest", "high"]
-                      if base_kind in ("FFT", "DCT", "SHEARLET", "CURVELET")
-                      else [None])
-        if pallas:
-            # FFT/DCT/WAVELET: folded whole-solve kernel (in-kernel bf16x3
-            # for HIGH; WAVELET = matmul-form Mallat cascade);
-            # SHEARLET/CURVELET: fused VMEM-resident subband kernel
-            precisions = (["highest", "high"]
-                          if base_kind in ("FFT", "DCT", "WAVELET",
-                                           "SHEARLET", "CURVELET")
-                          else [None])
+        # precision sweep applies to every matmul-backed basis; the XLA
+        # WAVELET conv path ignores precision, so sweep it only with the
+        # folded (matmul-form) kernel
+        sweep = base_kind != "WAVELET" or pallas
+        precisions = ["highest", "high"] if sweep else [None]
         for prec in precisions:
             kw = {"precision": prec} if prec else {}
             if base_kind == "WAVELET":
@@ -122,8 +118,17 @@ def run_basis_gate():
             try:
                 rate, snr, compile_s = _timed_solve(tr, cfg, truth, obs, mask,
                                                     niter)
+                label = kind
+                if pallas:
+                    from pseudo_3d_interpolation_tpu.ops.pallas import (
+                        pallas_supported,
+                    )
+
+                    if not pallas_supported((batch, n, n)):
+                        # the solver silently ran the XLA path — label it
+                        label += " (XLA fallback: gates reject shape)"
                 print(json.dumps({
-                    "basis": kind, "precision": prec or "highest", "n": n,
+                    "basis": label, "precision": prec or "highest", "n": n,
                     "batch": batch, "niter": niter,
                     "slice_iters_per_sec": round(rate, 1),
                     "snr_db": round(snr, 2),

@@ -115,6 +115,12 @@ def main():
         # per run and paid a round-trip latency per batch.)
         nslices = t // 2 + 1
         batch = args.batch
+        if mesh.devices.size > 1:
+            print(f"NOTE: the directional runner is single-device by design "
+                  f"(short donated-buffer launches); the {mesh.devices.size}"
+                  "-device mesh is NOT used here — for multi-chip "
+                  "directional runs use `p3d pocs` (sharded driver)",
+                  flush=True)
         # One jitted launch per batch, everything device-resident between
         # launches. Two constraints shaped this (both measured here):
         # (1) the remote TPU worker kills single executions beyond ~60-90 s
@@ -230,6 +236,8 @@ def main():
         snr_in = float(metrics.snr(np.abs(cube), np.abs(obs)))
         snr_out = float(metrics.snr(np.abs(cube), np.abs(out_h)))
         print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
+        if args.postprocess:
+            _postprocess(out_h, h, w)
         return
 
     @jax.jit
@@ -270,15 +278,24 @@ def main():
     print(f"SNR: sparse {snr_in:.1f} dB -> reconstructed {snr_out:.1f} dB")
 
     if args.postprocess:
-        from pseudo_3d_interpolation_tpu.pipeline.postprocess import (
-            apply_kxky_filter, footprint_filter)
+        _postprocess(np.asarray(out), h, w)
 
-        t0 = time.time()
-        slices = np.moveaxis(np.asarray(out), -1, 0)
-        ff = footprint_filter(h, w, sigma=7, direction="both")
-        cleaned = apply_kxky_filter(slices, ff)
-        print(f"postprocess (footprint removal): {time.time() - t0:.2f}s, "
-              f"finite={np.isfinite(cleaned).all()}")
+
+def _postprocess(out_time, h, w):
+    """Footprint-removal stage shared by both solver branches."""
+    import time
+
+    import numpy as np
+
+    from pseudo_3d_interpolation_tpu.pipeline.postprocess import (
+        apply_kxky_filter, footprint_filter)
+
+    t0 = time.time()
+    slices = np.moveaxis(np.asarray(out_time), -1, 0)
+    ff = footprint_filter(h, w, sigma=7, direction="both")
+    cleaned = apply_kxky_filter(slices, ff)
+    print(f"postprocess (footprint removal): {time.time() - t0:.2f}s, "
+          f"finite={np.isfinite(cleaned).all()}")
 
 
 if __name__ == "__main__":
