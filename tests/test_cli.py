@@ -13,6 +13,7 @@ ALL_COMMANDS = [
     "merge", "reproject", "delrt-correct", "delrt-pad", "static", "tide",
     "mistie", "despike", "segy2cube", "binning", "preprocess", "fft",
     "pocs", "ifft", "postprocess", "cube2segy", "version",
+    "nav", "qc", "warmup", "run",
 ]
 
 

@@ -153,8 +153,24 @@ def test_checkpointed_interpolation_resumes(survey, tmp_path):
     out1 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
     files = sorted(os.listdir(ckdir))
     assert len(files) >= 2
-    # delete nothing; rerun resumes fully from checkpoints (no recompute)
-    out2 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
+    # delete nothing; rerun resumes fully from checkpoints (no recompute) —
+    # PROVE it by making the solver explode: a rerun that silently
+    # recomputed any batch would call it
+    from pseudo_3d_interpolation_tpu.parallel import solver as psolver
+
+    def _boom(*a, **k):  # pragma: no cover - fires only on regression
+        raise AssertionError("resume recomputed a batch despite checkpoints")
+
+    import unittest.mock as mock
+
+    with mock.patch.object(psolver, "interpolate_cube", _boom):
+        # negative control: with a checkpoint missing the spy MUST fire
+        victim = os.path.join(ckdir, files[0])
+        os.rename(victim, victim + ".bak")
+        with pytest.raises(AssertionError, match="recomputed"):
+            interpolate_checkpointed(freq, cfg, ckdir, batch=16)
+        os.rename(victim + ".bak", victim)
+        out2 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
     np.testing.assert_allclose(
         np.asarray(out1["freq_amp_interp"]), np.asarray(out2["freq_amp_interp"]),
         rtol=1e-6,

@@ -238,7 +238,7 @@ def test_global_early_stop_matches_scan():
     np.testing.assert_allclose(rec_a, rec_b, rtol=1e-5, atol=1e-6)
 
 
-def test_broadcastable_mask_keeps_xla_path_with_pallas(make_problem=None):
+def test_broadcastable_mask_keeps_xla_path_with_pallas():
     """A merely-broadcastable 2-D mask (1, W) must NOT be routed into the
     fused kernels (they read a full (H, W) mask block — out-of-bounds NaN,
     review round-3); the solve must match the XLA path exactly."""

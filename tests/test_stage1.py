@@ -56,7 +56,9 @@ def test_despike(tmp_path):
         d = f.trace_data()
     d[10, 100] = 50.0
     d[40, 250:253] = -40.0
-    write_segy(p, d, raw_trace_headers=SegyFile(p).trace_headers_raw(), fmt=5, dt_us=250)
+    with SegyFile(p) as _f:
+        raw_headers = _f.trace_headers_raw()
+    write_segy(p, d, raw_trace_headers=raw_headers, fmt=5, dt_us=250)
     outs = stage1.despike(p, window=(9, 5), threshold=5.0)
     with SegyFile(outs[0]) as f:
         clean = f.trace_data()
@@ -567,7 +569,9 @@ def test_despike_window_time_overrides_samples(tmp_path):
     with SegyFile(p) as f:
         d = f.trace_data()
     d[10, 100] = 50.0
-    write_segy(p, d, raw_trace_headers=SegyFile(p).trace_headers_raw(),
+    with SegyFile(p) as _f:
+        raw_headers = _f.trace_headers_raw()
+    write_segy(p, d, raw_trace_headers=raw_headers,
                fmt=5, dt_us=250)
     # 2.5 ms at dt=0.25 ms -> 11-sample window (odd-forced)
     outs = stage1.despike(p, window=(9, 5), threshold=5.0, window_time_ms=2.5)

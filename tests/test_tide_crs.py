@@ -52,6 +52,27 @@ def test_tide_table_feeds_compensation(tmp_path):
     df = tide.tide_table("2024-01-01", "2024-01-02", {"M2": (1.0, 0.0)})
     assert {"datetime", "height"} <= set(df.columns)
     assert len(df) == 145
+    # the table must actually drive stage-1 compensation through its CSV
+    # contract (tide_compensate reads 'datetime'/'height' by name)
+    from pseudo_3d_interpolation_tpu.pipeline import stage1
+    from test_stage1 import make_profile
+
+    csv = str(tmp_path / "t.tide")
+    df.to_csv(csv, index=False)
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, ntr=10, ns=64, times_start="2024-01-01T06:00:00")
+    outs = stage1.tide_compensate(p, csv)
+    assert len(outs) == 1
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile
+
+    with SegyFile(outs[0]) as f:
+        assert "TIDE" in f.text.upper()
+
+
+def test_scalar_time_tide_prediction():
+    v = tide.predict_tide("2024-01-01", {"M2": (1.0, 0.0)})
+    assert np.asarray(v).shape in ((), (1,))
+    assert np.isfinite(np.asarray(v)).all()
 
 
 # --------------------------- CRS ---------------------------------------------
@@ -813,9 +834,3 @@ class TestBoundCRSDatumShift:
         er, nr = crs.get_projection(27700).forward(lat, lon)
         assert abs(e[0] - er[0]) < 1e-6 and abs(n[0] - nr[0]) < 1e-6
 
-    def test_scalar_time_tide_prediction(self):
-        from pseudo_3d_interpolation_tpu.utils.tide import predict_tide
-
-        v = predict_tide("2024-01-01", {"M2": (1.0, 0.0)})
-        assert np.asarray(v).shape in ((), (1,))
-        assert np.isfinite(np.asarray(v)).all()
