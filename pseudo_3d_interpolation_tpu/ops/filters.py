@@ -59,7 +59,7 @@ def moving_average(a, win: int = 3):
     return out[..., win - 1 :] / win
 
 
-def _unfold_last(x, win: int):
+def _unfold_last_valid(x, win: int):
     idx = jnp.arange(x.shape[-1] - win + 1)[:, None] + jnp.arange(win)[None, :]
     return x[..., idx]
 
@@ -75,7 +75,7 @@ def moving_median(a, win: int = 3, padded: bool = False):
         if a.ndim != 1:
             raise ValueError("padded moving_median expects a 1D array")
         a = pad_mirror_flip(a, (win - 1) // 2)
-    return jnp.median(_unfold_last(a, win), axis=-1)
+    return jnp.median(_unfold_last_valid(a, win), axis=-1)
 
 
 def polynomial_filter(data, order: int = 3, kind: str = "high"):

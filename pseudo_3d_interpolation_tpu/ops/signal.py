@@ -64,7 +64,7 @@ def agc_window_samples(win_sec: float, dt: float) -> int:
     return n + 1 if n % 2 == 0 else n
 
 
-def _unfold_last(x, win: int):
+def _unfold_last_same(x, win: int):
     """(..., T) -> (..., T, win) sliding windows after symmetric zero-pad."""
     npad = win // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(npad, npad)])
@@ -91,7 +91,7 @@ def agc(x, win: int, kind: str = "rms", squared: bool = False,
         kernel = jnp.full((win,), 1.0 / win, x.dtype)
         g = _conv_same(x, kernel)
     elif kind == "median":
-        g = jnp.median(_unfold_last(x, win), axis=-1)
+        g = jnp.median(_unfold_last_same(x, win), axis=-1)
     else:
         raise ValueError(f"Unknown AGC kind {kind!r}")
     g = jnp.where(g == 0.0, 1.0, g)
@@ -262,7 +262,7 @@ def balance_traces(traces, scale: str = "rms", n_traces: int | None = None):
         w = int(n_traces) + 1 if int(n_traces) % 2 == 0 else int(n_traces)
         # unfold over the trace axis: (..., ntr, nsamp) -> (..., ntr, w, nsamp)
         x = jnp.moveaxis(traces, -1, -2)  # (..., nsamp, ntr)
-        win = _unfold_last(x, w)  # (..., nsamp, ntr, w)
+        win = _unfold_last_same(x, w)  # (..., nsamp, ntr, w)
         win = jnp.moveaxis(win, -3, -1)  # (..., ntr, w, nsamp)
         ref = _stat(win, axis=(-2, -1))[..., None]
     ref = jnp.where(ref == 0.0, 1.0, ref)
@@ -306,15 +306,18 @@ def resample_fft(x, n_out: int, precision=dft.Precision.HIGHEST):
     spec = dft.rfft1(x, axis=-1, precision=precision)
     nb_in = n_in // 2 + 1
     nb_out = n_out // 2 + 1
-    if nb_out <= nb_in:
+    # branch on the SAMPLE counts, not the bin counts: odd<->even changes of
+    # one sample tie the bin counts (11 -> 10 both have 6) yet still need
+    # scipy's Nyquist-bin handling
+    if n_out < n_in:
         re = spec.re[..., :nb_out]
         im = spec.im[..., :nb_out]
         # scipy convention: new even-length Nyquist bin folds its mirror in
         # (2·Re), imaginary part dropped
-        if n_out % 2 == 0 and nb_out < nb_in:
+        if n_out % 2 == 0:
             re = re.at[..., -1].mul(2.0)
             im = im.at[..., -1].set(0.0)
-    else:
+    elif n_out > n_in:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, nb_out - nb_in)]
         re = jnp.pad(spec.re, pad)
         im = jnp.pad(spec.im, pad)
@@ -322,6 +325,8 @@ def resample_fft(x, n_out: int, precision=dft.Precision.HIGHEST):
             # scipy convention: split the original Nyquist bin when upsampling
             re = re.at[..., nb_in - 1].mul(0.5)
             im = im.at[..., nb_in - 1].mul(0.5)
+    else:
+        re, im = spec.re, spec.im
     out = dft.irfft1(Cplx(re, im), n=n_out, axis=-1, precision=precision)
     return out * (n_out / n_in)
 

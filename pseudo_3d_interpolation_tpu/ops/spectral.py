@@ -88,12 +88,19 @@ def forward_fft(
     return Spectrum(spec, freqs, nfft, n, t0, dt, real)
 
 
-def inverse_fft(spec: Spectrum, precision=dft.Precision.HIGHEST):
+def inverse_fft(spec: Spectrum, precision=dft.Precision.HIGHEST,
+                full_complex: bool = False):
     """Invert :func:`forward_fft`; returns (twt, x) for the upsampled grid.
 
     Handles spectra whose high-frequency bins were dropped
     (``drop filtered frequencies``): missing bins are zero-padded back to
     ``nfft`` before inversion.
+
+    By default ``x`` is the REAL part — every reference cube variable
+    (amp/env) is a real signal, matching cube_apply_IFFT.py. A full-fft
+    spectrum built from a genuinely complex time series loses its imaginary
+    part under that default; pass ``full_complex=True`` to get the Cplx
+    pair back instead.
     """
     freqs = spec.freqs
     ang = 2.0 * np.pi * freqs * spec.t0
@@ -111,7 +118,8 @@ def inverse_fft(spec: Spectrum, precision=dft.Precision.HIGHEST):
             z = Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
         x = dft.irfft1(z, n=nfft, axis=-1, precision=precision)
     else:
-        x = dft.ifft1(z, axis=-1, precision=precision).re
+        xc = dft.ifft1(z, axis=-1, precision=precision)
+        x = xc if full_complex else xc.re
 
     # time-axis zero-padding (spectrum upsampling) leaves dt unchanged: the
     # inverse returns nfft samples on the original grid, of which the first

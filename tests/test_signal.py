@@ -153,3 +153,21 @@ def test_freq_spectrum_peak():
     a = np.asarray(a)
     assert abs(f[np.argmax(a)] - 100.0) < 2.0
     assert 0.8 < a.max() < 1.2  # window-normalized amplitude of unit sine
+
+
+def test_resample_fft_odd_even_matches_scipy():
+    """Odd<->even sample-count changes tie the rfft bin counts (11 and 10
+    both have 6) yet still need scipy's Nyquist-bin handling — the branch
+    must compare SAMPLE counts (review round-3)."""
+    import scipy.signal as ss
+
+    from pseudo_3d_interpolation_tpu.ops import signal as sig
+
+    rng = np.random.default_rng(0)
+    for n_in, n_out in [(11, 10), (10, 11), (12, 7), (7, 12), (9, 4),
+                        (4, 9), (10, 10)]:
+        x = rng.standard_normal((3, n_in))
+        ours = np.asarray(sig.resample_fft(x, n_out))
+        ref = ss.resample(x, n_out, axis=-1)
+        np.testing.assert_allclose(ours, ref, atol=1e-5,
+                                   err_msg=f"{n_in}->{n_out}")
