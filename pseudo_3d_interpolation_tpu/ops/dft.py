@@ -476,8 +476,3 @@ def idct2_2d(x: jnp.ndarray, precision=Precision.HIGHEST) -> jnp.ndarray:
     return _mm_right(_mm_left(ch, x, precision), cw, precision)
 
 
-def fftshift_mask(h: int, w: int) -> np.ndarray:
-    """(-1)^(i+j) sign mask: multiplying pre-FFT equals fftshift post-FFT."""
-    i = np.arange(h)[:, None]
-    j = np.arange(w)[None, :]
-    return ((-1.0) ** (i + j)).astype(np.float32)

@@ -231,6 +231,10 @@ def wavelet_filters(name: str):
 def filter_length(name: str) -> int:
     """Filter length by family: 2p for db/sym, 6K for coiflets."""
     name = name.lower()
+    if name not in _FAMILIES:
+        raise ValueError(
+            f"wavelet {name!r} not available; choose one of "
+            f"{sorted(_FAMILIES)}")
     return 6 * _FAMILIES[name] if name.startswith("coif") else 2 * _FAMILIES[name]
 
 
@@ -361,9 +365,17 @@ def wavedec2(x, name: str = "db4", level: int | None = None):
             f"(filter length {filter_length(name)}); pad the input "
             "(WaveletTransform.with_shape does this automatically)"
         )
+    L = filter_length(name)
     for s in (h, w):
         if s % (2**level):
             raise ValueError(f"axis length {s} not divisible by 2**{level}")
+        if (s >> (level - 1)) < L:
+            # a too-deep level would crash inside _analysis_last with a
+            # cryptic XLA reshape error — fail here with the real reason
+            raise ValueError(
+                f"level {level} too deep for axis length {s} with wavelet "
+                f"{name!r}: the level-{level} axis ({s >> (level - 1)}) is "
+                f"shorter than the filter ({L})")
     coeffs = []
     cur = x
     for _ in range(level):
@@ -437,7 +449,6 @@ def _idwt1_mode(a, d, filt_lo, filt_hi, n_out: int):
     L = lo.size
     o = a.shape[-1]
     up_len = 2 * o - 1
-    rec = np.zeros(a.shape[:-1] + (up_len + L - 1,), np.float64)
 
     def _acc(c, f):
         u = np.zeros(c.shape[:-1] + (up_len,), np.float64)

@@ -201,10 +201,8 @@ def bin_cube(
         if not valid.any():
             continue
         ids_all = pi.astype(np.int64) * n_xl + px
-        centers = inv.transform(
-            np.column_stack([il_indices[pi], xl_indices[px]]).astype(float)
-        )
-        dist = np.hypot(r["x"] - centers[:, 0], r["y"] - centers[:, 1])
+        dist = bn.bin_center_distances(r["x"], r["y"], il_indices[pi],
+                                       xl_indices[px], inv)
         np.add.at(fold, ids_all[valid], 1)
         assign.append({"r": r, "ids": ids_all, "pi": pi, "px": px,
                        "dist": dist, "valid": valid})
