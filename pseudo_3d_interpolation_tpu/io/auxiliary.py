@@ -31,7 +31,13 @@ def resolve_input_files(path, fsuffix: str = "sgy", fnprefix: str | None = None,
     path = str(path)
     if os.path.isdir(path):
         pat = fsuffix if fsuffix.startswith(".") else "." + fsuffix
-        files = sorted(glob.glob(os.path.join(path, f"*{pat}")))
+        # glob.escape: a directory named cruise[2020] must not become a
+        # character class. The default 'sgy' also matches '.segy' — both
+        # spellings are standard (SEGY_SUFFIXES).
+        pats = SEGY_SUFFIXES if pat == ".sgy" else (pat,)
+        files = sorted(
+            f for p in pats
+            for f in glob.glob(os.path.join(glob.escape(path), f"*{p}")))
         if fnprefix:
             files = [f for f in files if os.path.basename(f).startswith(fnprefix)]
         if fnsuffix:
@@ -87,14 +93,10 @@ def read_auxiliary_files(path, fsuffix: str, prefix: str | None = None,
     """Read + merge sidecar CSVs into one DataFrame keyed by (line, tracl)."""
     fs = fsuffix if fsuffix.startswith(".") else "." + fsuffix
     if os.path.isdir(str(path)):
-        files = sorted(glob.glob(os.path.join(str(path), f"*{fs}")))
-        if prefix:
-            files = [f for f in files if os.path.basename(f).startswith(prefix)]
-        if suffix:
-            files = [
-                f for f in files
-                if os.path.splitext(os.path.basename(f))[0].endswith(suffix)
-            ]
+        # same directory-scan contract as resolve_input_files — one source
+        # of truth for the prefix/suffix filter semantics
+        files = resolve_input_files(str(path), fsuffix=fs, fnprefix=prefix,
+                                    fnsuffix=suffix)
     else:
         segys = resolve_input_files(path)
         files = [aux_path(p, fs) for p in segys]

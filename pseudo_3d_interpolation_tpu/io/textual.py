@@ -76,11 +76,14 @@ def ensure_workflow_header(text: str, line: int = 25) -> tuple[str, int]:
     if not _is_empty(lines[line - 1]):
         # reference set_header_line warns and overwrites (header.py:418-424)
         # — same semantics here, but prefer a nearby empty line first so
-        # populated survey headers are not clobbered when space exists
-        for cand in range(line - 1, len(lines)):
-            if _is_empty(lines[cand]):
-                line = cand + 1
-                break
+        # populated survey headers are not clobbered when space exists.
+        # Relocating must leave at least one empty line BELOW the banner for
+        # the entries themselves, else add_processing_entry hits
+        # 'header is full' on a file the overwrite semantics could record.
+        empties = [i for i in range(line - 1, len(lines))
+                   if _is_empty(lines[i])]
+        if len(empties) >= 2:
+            line = empties[0] + 1
         else:
             import warnings
 
@@ -121,7 +124,7 @@ def add_processing_entry(
             stripped = lines[i][PREFIX_LEN:].strip()
             if stripped.startswith(prefix):
                 used = len(lines[i].rstrip())
-                if used + 1 + len(info) < LINE_LENGTH:
+                if used + 1 + len(info) <= LINE_LENGTH:  # exact fill is fine
                     lines[i] = (lines[i].rstrip() + " " + info).ljust(LINE_LENGTH)
                     return "\n".join(lines)
 

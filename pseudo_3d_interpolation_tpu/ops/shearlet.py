@@ -294,9 +294,15 @@ def build_plan(psi: np.ndarray, counts, bounds,
         outside = np.ones((h, w), bool)
         outside[np.ix_(ih, iw)] = False
         leak = np.abs(sub[:, outside]).max() if outside.any() else 0.0
-        assert leak == 0.0, f"scale group leaks outside its box: {leak}"
+        if leak != 0.0:
+            # hard requirement, not an assert (-O would strip it and the
+            # cropped plan would silently drop spectral energy)
+            raise ValueError(
+                f"scale group leaks outside its box: {leak} — the plan's "
+                "bound underestimates this scale's support")
         groups.append(_ScaleGroup(ih, iw, np.ascontiguousarray(sub[:, ih][:, :, iw])))
-    assert l0 == psi.shape[0]
+    if l0 != psi.shape[0]:
+        raise ValueError(f"plan counts cover {l0} of {psi.shape[0]} subbands")
     return Plan(groups, perm)
 
 
@@ -309,6 +315,11 @@ def shearlet_plan(h: int, w: int, n_scales: int | None = None,
     psi = shearlet_spectra(h, w, n_scales)
     counts = [1 + 4] + [2 ** (j + 2) for j in range(1, n_scales)]
     bounds = [4] + [4 ** (j + 1) for j in range(1, n_scales)]
+    # the finest radial window is extended FLAT to the grid corner (Meyer
+    # cone construction), so its support is the full grid whenever
+    # 2*4**n_scales + 1 < min(h, w) — e.g. 640² default scales, or any
+    # explicitly reduced n_scales. Same fix as curvelet_plan's finest ring.
+    bounds[-1] = None
     return build_plan(psi, counts, bounds, split_threshold)
 
 

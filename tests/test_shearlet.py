@@ -317,3 +317,25 @@ class TestPallasSubbandKernel:
         # iterations; agreement is elementwise-tight otherwise
         np.testing.assert_allclose(np.asarray(r1.data.re),
                                    np.asarray(r2.data.re), atol=3e-4)
+
+
+def test_plan_sizes_where_finest_scale_reaches_the_corner():
+    """Grids with 2*4**n_scales + 1 < min(h, w) (640/768 at default scales,
+    or any reduced n_scales) previously crashed plan construction — the
+    finest Meyer window is flat-topped to the grid corner, so its group
+    must be full-size like curvelet_plan's finest ring (review round-3)."""
+    import jax.numpy as jnp
+
+    from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+    for n, ns in [(640, None), (512, 3)]:
+        plan = sh.shearlet_plan(n, n, n_scales=ns)
+        assert plan[-1].idx_h is None  # finest group is full-size
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 640, 640)).astype(np.float32)
+    z = Cplx(jnp.asarray(x), jnp.zeros((1, 640, 640), jnp.float32))
+    plan = sh.shearlet_plan(640, 640)
+    r = sh.inverse_shearlet_transform_planned(
+        sh.shearlet_transform_planned(z, plan), plan)
+    np.testing.assert_allclose(np.asarray(r.re), x, atol=1e-4)
