@@ -388,17 +388,17 @@ def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -
 def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
     """Cached packing of a plan for the fused subband kernel:
     (psi of full-size groups, plan-order indices of those bands,
-    [(l0, lg, pos_h, pos_w, group)] for box groups with their gather
-    positions in the kernel's spectral layout). ``layout='permuted'``
-    stores psi/positions in the radix_perm layout (square fast-split
-    slices); ``'natural'`` keeps plan order (rectangular slices)."""
+    [(l0, lg, group)] for box groups). ``layout='permuted'`` stores the
+    full-size psi in the radix_perm layout (square fast-split slices);
+    ``'natural'`` keeps plan order (rectangular slices). Box groups carry
+    no layout-specific positions — they run in the gather-free
+    spatial-projection form (:func:`_box_group_spatial`)."""
     attr = f"_pallas_pack_{layout}"
     pack = getattr(plan, attr, None)
     if pack is not None:
         return pack
     if layout == "permuted":
         perm_h, perm_w = dft.radix_perm(h), dft.radix_perm(w)
-        inv_h, inv_w = dft.radix_perm_inv(h), dft.radix_perm_inv(w)
     full_psi, full_idx, boxes = [], [], []
     l0 = 0
     for g in plan:
@@ -408,12 +408,8 @@ def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
                  else g.psi[:, perm_h][:, :, perm_w])
             full_psi.append(np.ascontiguousarray(p))
             full_idx.extend(range(l0, l0 + lg))
-        elif layout == "natural":
-            boxes.append((l0, lg, g.idx_h.astype(np.int32),
-                          g.idx_w.astype(np.int32), g))
         else:
-            boxes.append((l0, lg, inv_h[g.idx_h].astype(np.int32),
-                          inv_w[g.idx_w].astype(np.int32), g))
+            boxes.append((l0, lg, g))
         l0 += lg
     pack = (np.concatenate(full_psi) if full_psi else None,
             np.asarray(full_idx, np.int64), boxes)
@@ -421,39 +417,63 @@ def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
     return pack
 
 
-def _box_group_update(zf: Cplx, acc_re, acc_im, tau_g, g, h: int, w: int,
-                      thresh_op: str, precision, pos_h=None, pos_w=None):
-    """One support-cropped group's batched einsum POCS update: gather the
-    group's frequency box from ``zf``, partial-ifft2 -> threshold ->
-    partial-fft2 per subband, scatter-add back into the accumulator. The
-    partial transforms always use the plan's NATURAL index sets
-    (``g.idx_h/idx_w``); the gather/scatter positions default to those but
-    the fused-Pallas caller passes its layout's permuted positions
-    (``pos_h/pos_w``) instead."""
+def _box_group_spatial(y: Cplx, tau_g, g, h: int, w: int, thresh_op: str,
+                       precision, stream: bool = False) -> Cplx:
+    """One support-cropped group's POCS update in gather-free spatial-
+    projection form: the group's contribution to ``ifft2(Σ_l ψ_l·fft2(ĉ_l))``.
+
+    Instead of gathering the group's frequency box out of a precomputed
+    spectrum and scatter-adding the result back (2-D gathers with
+    scattered indices — measured to dominate the directional iteration on
+    the v5e, tools/probe_subband.py), every box access is a dense matmul
+    with constant DFT-row matrices: the box spectrum comes from a partial
+    fft2 of the SPATIAL iterate, and — since the final inverse is linear —
+    the per-subband back-projections collapse to ONE partial ifft2 of the
+    psi-weighted summed box. Identical math to the old gather/scatter
+    path; golden-pinned against inverse(threshold(forward)) in
+    tests/test_shearlet.py.
+
+    ``stream=True`` scans over the group's subbands carrying only the
+    (S_h, S_w) summed box (for large boxes whose batched (…, lg, H, W)
+    coefficient stack would not fit comfortably in HBM).
+    """
     from . import threshold as threshold_ops
 
-    if pos_h is None:
-        pos_h, pos_w = g.idx_h, g.idx_w
     p_stack = jnp.asarray(g.psi)
-    box = zf[..., pos_h[:, None], pos_w[None, :]]
-    prod = Cplx(box.re[..., None, :, :] * p_stack,
-                box.im[..., None, :, :] * p_stack)
-    c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
-    c = threshold_ops.threshold_pair(
-        c, tau_g[..., None, None], kind=thresh_op)
-    v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
-    sr = jnp.sum(v.re * p_stack, axis=-3)
-    si = jnp.sum(v.im * p_stack, axis=-3)
-    return (acc_re.at[..., pos_h[:, None], pos_w[None, :]].add(sr),
-            acc_im.at[..., pos_h[:, None], pos_w[None, :]].add(si))
+    xbox = _partial_fft2(y, g.idx_h, g.idx_w, precision)
+    if not stream:
+        prod = Cplx(xbox.re[..., None, :, :] * p_stack,
+                    xbox.im[..., None, :, :] * p_stack)
+        c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+        c = threshold_ops.threshold_pair(
+            c, tau_g[..., None, None], kind=thresh_op)
+        v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+        m_re = jnp.sum(v.re * p_stack, axis=-3)
+        m_im = jnp.sum(v.im * p_stack, axis=-3)
+    else:
+        tau_s = jnp.moveaxis(tau_g, -1, 0)  # (lg, ...) scan-leading
+        m0 = jnp.zeros(xbox.re.shape, y.re.dtype)
+
+        def step(carry, xs):
+            a_re, a_im = carry
+            p, t = xs
+            c = _partial_ifft2(Cplx(xbox.re * p, xbox.im * p),
+                               g.idx_h, g.idx_w, h, w, precision)
+            c = threshold_ops.threshold_pair(
+                c, t[..., None, None], kind=thresh_op)
+            v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
+            return (a_re + v.re * p, a_im + v.im * p), None
+
+        (m_re, m_im), _ = jax.lax.scan(step, (m0, m0), (p_stack, tau_s))
+    return _partial_ifft2(Cplx(m_re, m_im), g.idx_h, g.idx_w, h, w, precision)
 
 
 def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
                                precision, interpret: bool) -> Cplx:
     """Fused-Pallas pipeline for full-size subbands (ops/pallas/subband.py);
-    box groups keep the batched einsum path, gathered at their positions in
-    the kernel's spectral layout (radix-permuted for square fast-split
-    slices, natural order for rectangular ones). Numerics == the XLA
+    box groups run in the gather-free spatial-projection form
+    (:func:`_box_group_spatial`), so nothing indexes into the kernel's
+    (possibly radix-permuted) spectral layout. Numerics == the XLA
     streamed path (pinned in tests/test_shearlet.py)."""
     from .pallas.subband import subband_layout, subband_update_fused
 
@@ -472,15 +492,15 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     acc = subband_update_fused(
         zf, psi_full, tau2[..., jnp.asarray(full_idx)], thresh_op=thresh_op,
         precision=precision, interpret=interpret, layout=layout)
-    acc_re, acc_im = acc.re, acc.im
-
-    for l0, lg, pos_h, pos_w, g in boxes:
-        acc_re, acc_im = _box_group_update(
-            zf, acc_re, acc_im, tau2[..., l0:l0 + lg], g, h, w,
-            thresh_op, precision, pos_h=pos_h, pos_w=pos_w)
 
     inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
-    return inv(Cplx(acc_re, acc_im), precision=precision)
+    out = inv(acc, precision=precision)
+
+    for l0, lg, g in boxes:
+        contrib = _box_group_spatial(z, tau2[..., l0:l0 + lg], g, h, w,
+                                     thresh_op, precision)
+        out = Cplx(out.re + contrib.re, out.im + contrib.im)
+    return out
 
 
 def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
@@ -523,6 +543,7 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     zf = dft.fft2(z, precision=precision)
     acc_re = jnp.zeros(batch + (h, w), z.re.dtype)
     acc_im = jnp.zeros(batch + (h, w), z.re.dtype)
+    extra_re = extra_im = None  # spatial-domain box-group contributions
     l0 = 0
     for g in plan:
         lg = g.psi.shape[0]
@@ -530,56 +551,50 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
         l0 += lg
         side = min(h, w) if g.idx_h is None else len(g.idx_h)
         p_stack = jnp.asarray(g.psi)
-        if side < stream_min_side:
-            # small group: batched einsum path (as the planned pair does)
-            if g.idx_h is None:
-                prod = Cplx(zf.re[..., None, :, :] * p_stack,
-                            zf.im[..., None, :, :] * p_stack)
-                c = dft.ifft2(prod, precision=precision)
-                c = threshold_ops.threshold_pair(
-                    c, tau_g[..., None, None], kind=thresh_op)
-                cf = dft.fft2(c, precision=precision)
-                acc_re = acc_re + jnp.sum(cf.re * p_stack, axis=-3)
-                acc_im = acc_im + jnp.sum(cf.im * p_stack, axis=-3)
+        if g.idx_h is not None:
+            # support-cropped group: gather-free spatial-projection form
+            # (streamed over subbands when the box is large enough that
+            # the batched (..., lg, H, W) stack would strain HBM)
+            contrib = _box_group_spatial(z, tau_g, g, h, w, thresh_op,
+                                         precision,
+                                         stream=side >= stream_min_side)
+            if extra_re is None:
+                extra_re, extra_im = contrib.re, contrib.im
             else:
-                acc_re, acc_im = _box_group_update(
-                    zf, acc_re, acc_im, tau_g, g, h, w, thresh_op, precision)
+                extra_re = extra_re + contrib.re
+                extra_im = extra_im + contrib.im
+            continue
+        if side < stream_min_side:
+            # small full-size group: batched einsum path
+            prod = Cplx(zf.re[..., None, :, :] * p_stack,
+                        zf.im[..., None, :, :] * p_stack)
+            c = dft.ifft2(prod, precision=precision)
+            c = threshold_ops.threshold_pair(
+                c, tau_g[..., None, None], kind=thresh_op)
+            cf = dft.fft2(c, precision=precision)
+            acc_re = acc_re + jnp.sum(cf.re * p_stack, axis=-3)
+            acc_im = acc_im + jnp.sum(cf.im * p_stack, axis=-3)
             continue
 
-        # large group: scan over subbands, (..., H, W) working set only
+        # large full-size group: scan over subbands, (..., H, W) working set
         tau_s = jnp.moveaxis(tau_g, -1, 0)  # (lg, ...) scan-leading
 
-        if g.idx_h is None:
-            def step_full(carry, xs):
-                a_re, a_im = carry
-                p, t = xs
-                c = dft.ifft2(Cplx(zf.re * p, zf.im * p), precision=precision)
-                c = threshold_ops.threshold_pair(
-                    c, t[..., None, None], kind=thresh_op)
-                cf = dft.fft2(c, precision=precision)
-                return (a_re + cf.re * p, a_im + cf.im * p), None
+        def step_full(carry, xs):
+            a_re, a_im = carry
+            p, t = xs
+            c = dft.ifft2(Cplx(zf.re * p, zf.im * p), precision=precision)
+            c = threshold_ops.threshold_pair(
+                c, t[..., None, None], kind=thresh_op)
+            cf = dft.fft2(c, precision=precision)
+            return (a_re + cf.re * p, a_im + cf.im * p), None
 
-            (acc_re, acc_im), _ = jax.lax.scan(
-                step_full, (acc_re, acc_im), (p_stack, tau_s))
-        else:
-            box = zf[..., g.idx_h[:, None], g.idx_w[None, :]]
-            sr0 = jnp.zeros(batch + (len(g.idx_h), len(g.idx_w)), z.re.dtype)
+        (acc_re, acc_im), _ = jax.lax.scan(
+            step_full, (acc_re, acc_im), (p_stack, tau_s))
 
-            def step_box(carry, xs):
-                a_re, a_im = carry
-                p, t = xs
-                c = _partial_ifft2(Cplx(box.re * p, box.im * p),
-                                   g.idx_h, g.idx_w, h, w, precision)
-                c = threshold_ops.threshold_pair(
-                    c, t[..., None, None], kind=thresh_op)
-                v = _partial_fft2(c, g.idx_h, g.idx_w, precision)
-                return (a_re + v.re * p, a_im + v.im * p), None
-
-            (gr, gi), _ = jax.lax.scan(step_box, (sr0, sr0), (p_stack, tau_s))
-            acc_re = acc_re.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(gr)
-            acc_im = acc_im.at[..., g.idx_h[:, None], g.idx_w[None, :]].add(gi)
-
-    return dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
+    out = dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
+    if extra_re is not None:
+        out = Cplx(out.re + extra_re, out.im + extra_im)
+    return out
 
 
 def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
