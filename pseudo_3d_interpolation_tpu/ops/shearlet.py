@@ -227,10 +227,30 @@ class Plan(tuple):
         self.perm = np.asarray(perm, np.int64)
 
 
-def _box_indices(n: int, bound: int) -> np.ndarray:
-    """fft-layout indices of frequencies |ω| <= bound (size 2·bound+1)."""
-    return np.concatenate([np.arange(bound + 1),
-                           np.arange(n - bound, n)]).astype(np.int32)
+def _box_indices(n: int, bound: int, mult: int = 8) -> np.ndarray:
+    """fft-layout indices of frequencies |ω| <= bound, zero-extended so the
+    box side is a multiple of ``mult``.
+
+    The mathematical box has the odd side 2·bound+1 (129 at scale 2 of a
+    512² plan), which every matmul of the box path must pad to the TPU's
+    tile sizes — the scale-2 group IN ISOLATION measures 27% faster when
+    explicitly extended to the next multiple of 8 (tools/probe_box.py:
+    S=129 1.00x, S=136 0.73x, S=256 1.00x); embedded in the full solve the
+    gain shrinks to ~1-2% (XLA overlaps the padding waste with other
+    work — tools/probe_subband.py). The extra frequencies sit just above
+    +bound where ψ is identically zero, so coefficient values are
+    unchanged; only internal shapes grow.
+    """
+    idx = np.concatenate([np.arange(bound + 1),
+                          np.arange(n - bound, n)]).astype(np.int32)
+    side = len(idx)
+    target = min(-(-side // mult) * mult, n)
+    if target > side:
+        # free positions start right above +bound (the box covers
+        # [0..bound] and [n-bound..n-1])
+        idx = np.concatenate([idx, np.arange(bound + 1, bound + 1 + target
+                                             - side, dtype=np.int32)])
+    return idx
 
 
 def build_plan(psi: np.ndarray, counts, bounds,

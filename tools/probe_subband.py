@@ -96,6 +96,20 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
     t_b, c_b = timed(jax.jit(apply_once), (z, tau))
     t_b /= K
 
+    # --- B2: same, with the biggest box group STREAMED over subbands ----
+    def apply_stream(zz, tt, s):
+        def body(_, carry):
+            out = sh.pocs_subband_apply(carry, plan, tt, "hard",
+                                        precision=prec, use_pallas=True,
+                                        stream_min_side=129)
+            return type(out)(out.re * s, out.im * s)
+
+        out = jax.lax.fori_loop(0, K, body, type(zz)(zz.re * s, zz.im * s))
+        return jnp.sum(out.re) + jnp.sum(out.im)
+
+    t_b2, c_b2 = timed(jax.jit(apply_stream), (z, tau))
+    t_b2 /= K
+
     # --- C: full solve, amortized per iteration ---------------------------
     tr = get_transform("shearlet", precision=prec_name.lower())
     cfg = POCSConfig(niter=niter, thresh_op="hard", thresh_model="exponential",
@@ -112,6 +126,7 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
     print(f"precision={prec_name} batch={b} n={n}")
     print(f"A kernel-only        : {t_a * 1e3:8.2f} ms/iter (compile {c_a:.0f}s)")
     print(f"B subband apply      : {t_b * 1e3:8.2f} ms/iter (compile {c_b:.0f}s)")
+    print(f"B2 apply, boxes scan : {t_b2 * 1e3:8.2f} ms/iter (compile {c_b2:.0f}s)")
     print(f"C solve/iter         : {t_c_iter * 1e3:8.2f} ms/iter (compile {c_c:.0f}s)")
     print(f"  boxes+spectral (B-A): {(t_b - t_a) * 1e3:8.2f} ms/iter")
     print(f"  XLA glue      (C-B): {(t_c_iter - t_b) * 1e3:8.2f} ms/iter")
