@@ -423,13 +423,23 @@ def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
     l0 = 0
     for g in plan:
         lg = g.psi.shape[0]
-        if g.idx_h is None:
-            p = (g.psi if layout == "natural"
-                 else g.psi[:, perm_h][:, :, perm_w])
-            full_psi.append(np.ascontiguousarray(p))
-            full_idx.extend(range(l0, l0 + lg))
-        else:
+        psi = g.psi
+        if g.idx_h is not None and (len(g.idx_h) * 4 >= h
+                                    and len(g.idx_w) * 4 >= w):
+            # big box group (the 136-side scale at 512²): zero-pad psi to
+            # full size and run it through the VMEM-resident kernel — its
+            # per-subband cost there matches the XLA box path's (equal
+            # flops×efficiency trade, tools/probe_subband.py) while
+            # removing the (B, lg, H, W) coefficient stack from HBM
+            psi = np.zeros((lg, h, w), np.float32)
+            psi[:, g.idx_h[:, None], g.idx_w[None, :]] = g.psi
+        elif g.idx_h is not None:
             boxes.append((l0, lg, g))
+            l0 += lg
+            continue
+        p = psi if layout == "natural" else psi[:, perm_h][:, :, perm_w]
+        full_psi.append(np.ascontiguousarray(p))
+        full_idx.extend(range(l0, l0 + lg))
         l0 += lg
     pack = (np.concatenate(full_psi) if full_psi else None,
             np.asarray(full_idx, np.int64), boxes)
