@@ -99,6 +99,7 @@ def main():
     from pseudo_3d_interpolation_tpu.models.transforms import FFTTransform
     from pseudo_3d_interpolation_tpu.ops.cplx import Cplx, from_complex
     from pseudo_3d_interpolation_tpu.utils.compcache import enable_persistent_cache
+    from pseudo_3d_interpolation_tpu.utils.hoist import jit_hoisted
 
     enable_persistent_cache()
 
@@ -146,7 +147,7 @@ def main():
             r = pocs_interpolate(z, m, transform, cfg_)
             return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-        return jax.jit(solve_sum)
+        return jit_hoisted(solve_sum)
 
     fn = make_solver(cfg)
     m = jnp.asarray(mask)
@@ -262,7 +263,7 @@ def main():
                     r = pocs_interpolate(z, m, tr_, tcfg_)
                     return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-                return jax.jit(tsolve)
+                return jit_hoisted(tsolve)
 
             tb = min(8, B)  # directional bases: smaller batch, same per-slice
             ztail = Cplx(z.re[:tb], z.im[:tb])

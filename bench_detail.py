@@ -51,13 +51,14 @@ def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
     from pseudo_3d_interpolation_tpu.models import pocs_interpolate
     from pseudo_3d_interpolation_tpu.ops import metrics
     from pseudo_3d_interpolation_tpu.ops.cplx import from_complex, to_complex
+    from pseudo_3d_interpolation_tpu.utils.hoist import jit_hoisted
 
     def solve_sum(z, m, s):
         z = type(z)(z.re * s, z.im * s)
         r = pocs_interpolate(z, m, transform, cfg)
         return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-    fn = jax.jit(solve_sum)
+    fn = jit_hoisted(solve_sum)
     m = jnp.asarray(mask)
     z = from_complex(obs)
     t0 = time.perf_counter()
@@ -71,7 +72,7 @@ def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
     dt = (time.perf_counter() - t0) / reps
     # SNR pass reuses the already-uploaded z (a second from_complex(obs)
     # would pay another h2d over the slow tunnel per gate entry)
-    full = jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, transform, cfg))(
+    full = jit_hoisted(lambda zz, mm: pocs_interpolate(zz, mm, transform, cfg))(
         z, m)
     rec = to_complex(full.data)
     snr = float(metrics.snr(np.abs(truth), np.abs(rec)))

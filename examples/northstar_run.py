@@ -100,6 +100,7 @@ def main():
     transform = get_transform(args.basis, precision=args.precision)
 
     from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
+    from pseudo_3d_interpolation_tpu.utils.hoist import jit_hoisted
 
     slice_sh = slice_sharding(mesh, 3)
     repl = replicated_sharding(mesh)
@@ -159,7 +160,7 @@ def main():
             return Cplx(jnp.pad(z.re, pad), jnp.pad(z.im, pad))
 
         def make_solver(kk):
-            @functools.partial(jax.jit, donate_argnums=0)
+            @functools.partial(jit_hoisted, donate_argnums=(0,))
             def solve_chunk(rec, z, m, start0):
                 def body(i, rc):
                     s = start0 + i * batch

@@ -417,8 +417,11 @@ import functools
 @functools.lru_cache(maxsize=64)
 def _jitted_solver(transform, config: POCSConfig):
     """jit cache keyed on (transform, config) so repeated host-boundary
-    calls don't retrace."""
-    return jax.jit(lambda zz, mm: pocs_interpolate(zz, mm, transform, config))
+    calls don't retrace. Large plan constants (directional window stacks,
+    DFT matrices) ride as runtime parameters, not inline HLO literals
+    (utils/hoist.py) — keeps remote-compile payloads bounded."""
+    from ..utils.hoist import jit_hoisted
+    return jit_hoisted(lambda zz, mm: pocs_interpolate(zz, mm, transform, config))
 
 
 def pocs_interpolate_numpy(x, mask, config: POCSConfig = POCSConfig(), transform=None):

@@ -201,12 +201,25 @@ def inverse_shearlet_transform(coeffs: Cplx, psi, precision=dft.Precision.HIGHES
 class _ScaleGroup:
     """Static per-scale plan entry: frequency-box indices + cropped Psi."""
 
-    __slots__ = ("idx_h", "idx_w", "psi")
+    __slots__ = ("idx_h", "idx_w", "psi", "_psi_dev")
 
     def __init__(self, idx_h, idx_w, psi):
         self.idx_h = idx_h  # (sr,) int32 fft-layout row indices, or None=full
         self.idx_w = idx_w
         self.psi = psi      # (Lg, sr, sc) f32
+        self._psi_dev = None
+
+    def psi_device(self):
+        """Device copy of the window stack, materialized EAGERLY (outside
+        any active trace) so jitted consumers close over an executable
+        parameter instead of inlining an HLO constant. A 1024² plan's
+        windows total hundreds of MB; inlined they exceed remote-compile
+        payload limits (HTTP 413, tools/probe notes in docs/perf.md) and
+        bloat every directional program's serialization and compile."""
+        if self._psi_dev is None:
+            with jax.ensure_compile_time_eval():
+                self._psi_dev = jnp.asarray(self.psi)
+        return self._psi_dev
 
 
 class Plan(tuple):
@@ -393,7 +406,7 @@ def shearlet_transform_planned(z: Cplx, plan, precision=dft.Precision.HIGHEST) -
     zf = dft.fft2(z, precision=precision)
     outs = []
     for g in plan:
-        p = jnp.asarray(g.psi)
+        p = g.psi_device()
         if g.idx_h is None:
             prod = Cplx(zf.re[..., None, :, :] * p, zf.im[..., None, :, :] * p)
             outs.append(dft.ifft2(prod, precision=precision))
@@ -441,8 +454,18 @@ def _plan_pallas_pack(plan, h: int, w: int, layout: str = "permuted"):
         full_psi.append(np.ascontiguousarray(p))
         full_idx.extend(range(l0, l0 + lg))
         l0 += lg
-    pack = (np.concatenate(full_psi) if full_psi else None,
-            np.asarray(full_idx, np.int64), boxes)
+    if full_psi:
+        # device-materialize EAGERLY (even if this first call happens under
+        # an active jit trace): jitted consumers then close over an
+        # executable parameter instead of inlining the stack as an HLO
+        # constant — at 1024² the full-size windows alone are ~380 MB,
+        # which breaks remote-compile payload limits and bloats every
+        # directional program (see _ScaleGroup.psi_device)
+        with jax.ensure_compile_time_eval():
+            psi_full = jnp.asarray(np.concatenate(full_psi))
+    else:
+        psi_full = None
+    pack = (psi_full, np.asarray(full_idx, np.int64), boxes)
     setattr(plan, attr, pack)
     return pack
 
@@ -469,7 +492,7 @@ def _box_group_spatial(y: Cplx, tau_g, g, h: int, w: int, thresh_op: str,
     """
     from . import threshold as threshold_ops
 
-    p_stack = jnp.asarray(g.psi)
+    p_stack = g.psi_device()
     xbox = _partial_fft2(y, g.idx_h, g.idx_w, precision)
     if not stream:
         prod = Cplx(xbox.re[..., None, :, :] * p_stack,
@@ -580,7 +603,7 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
         tau_g = tau[..., l0:l0 + lg]
         l0 += lg
         side = min(h, w) if g.idx_h is None else len(g.idx_h)
-        p_stack = jnp.asarray(g.psi)
+        p_stack = g.psi_device()
         if g.idx_h is not None:
             # support-cropped group: gather-free spatial-projection form
             # (streamed over subbands when the box is large enough that
@@ -642,7 +665,7 @@ def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
     zf = dft.fft2(z, precision=precision)
     maxes, sumsqs = [], []
     for g in plan:
-        p_stack = jnp.asarray(g.psi)
+        p_stack = g.psi_device()
         side = min(h, w) if g.idx_h is None else len(g.idx_h)
 
         if g.idx_h is None:
@@ -694,7 +717,7 @@ def inverse_shearlet_transform_planned(coeffs: Cplx, plan,
         lg = g.psi.shape[0]
         c = coeffs[..., l0 : l0 + lg, :, :]
         l0 += lg
-        p = jnp.asarray(g.psi)
+        p = g.psi_device()
         if g.idx_h is None:
             cf = dft.fft2(c, precision=precision)
             acc_re = acc_re + jnp.sum(cf.re * p, axis=-3)

@@ -26,7 +26,15 @@ from . import mesh as mesh_lib
 
 @functools.lru_cache(maxsize=32)
 def _sharded_solver(mesh: "jax.sharding.Mesh", transform, cfg: POCSConfig):
-    """Build + cache a jitted solver with slice-axis input/output shardings."""
+    """Build + cache a jitted solver with slice-axis input/output shardings.
+
+    Plan constants (directional window stacks, DFT matrices) ride as
+    replicated runtime parameters instead of inline HLO literals
+    (utils/hoist.py) — bounds the compile payload on tunnel-attached
+    workers and keeps one device copy per constant.
+    """
+    from ..utils.hoist import jit_hoisted
+
     in_z = mesh_lib.slice_sharding(mesh, 3)
     in_mask = mesh_lib.replicated_sharding(mesh)
     out_z = mesh_lib.slice_sharding(mesh, 3)
@@ -35,10 +43,11 @@ def _sharded_solver(mesh: "jax.sharding.Mesh", transform, cfg: POCSConfig):
     def solve(z: Cplx, mask: jnp.ndarray):
         return pocs_interpolate(z, mask, transform, cfg)
 
-    return jax.jit(
+    return jit_hoisted(
         solve,
         in_shardings=(Cplx(in_z, in_z), in_mask),
         out_shardings=POCSResult(Cplx(out_z, out_z), out_scalar, out_scalar, None),
+        const_sharding=mesh_lib.replicated_sharding(mesh),
     )
 
 
@@ -186,7 +195,9 @@ def interpolate_cube_resident(
     zd = Cplx(jnp.asarray(zh.re), jnp.asarray(zh.im))
     md = jnp.asarray(np.asarray(mask, np.float32))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    from ..utils.hoist import jit_hoisted
+
+    @functools.partial(jit_hoisted, donate_argnums=(0, 1, 2))
     def step(rec, iters, cost, zall, m, start):
         zb = Cplx(jax.lax.dynamic_slice_in_dim(zall.re, start, batch, 0),
                   jax.lax.dynamic_slice_in_dim(zall.im, start, batch, 0))
