@@ -24,6 +24,8 @@ weight-like constants as runtime tensors by construction
 
 from __future__ import annotations
 
+import hashlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,7 +87,8 @@ def jit_hoisted(fun, *, donate_argnums=(), in_shardings=None,
                     key = ("id", id(c))
                 else:
                     v = np.asarray(getattr(c, "val", c))
-                    key = ("bytes", v.shape, v.dtype.str, hash(v.tobytes()))
+                    digest = hashlib.blake2b(v.tobytes(), digest_size=16).digest()
+                    key = ("bytes", v.shape, v.dtype.str, digest)
                 pos = dedup.get(key)
                 if pos is None:
                     pos = dedup[key] = len(big_vals)

@@ -136,6 +136,28 @@ class TestHoistedSolverPath:
     """The production solver path rides jit_hoisted (models/pocs.py): the
     shearlet Psi stacks must appear as hoisted buffers, not HLO literals."""
 
+    def test_directional_hlo_payload_stays_bounded(self):
+        """Regression gate for the remote-compile payload failure (HTTP 413):
+        the lowered HLO of a directional solve must NOT embed the plan's
+        window stacks as literals. At 1024² the un-hoisted program shipped
+        358 MB of inlined constants; hoisted it ships a few MB of HLO plus
+        device buffers."""
+        from pseudo_3d_interpolation_tpu.models.pocs import (
+            POCSConfig, _jitted_solver)
+        from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+
+        fn = _jitted_solver(get_transform("SHEARLET"), POCSConfig(niter=1))
+        z = Cplx(jnp.ones((1, 128, 128)), jnp.zeros((1, 128, 128)))
+        m = jnp.ones((128, 128), jnp.float32)
+        fn(z, m)
+        (jitted, big) = next(iter(fn._cache.values()))
+        hoisted = sum(int(np.prod(b.shape)) * b.dtype.itemsize for b in big)
+        assert hoisted >= 512 << 10  # the psi stack really is out-of-line
+        txt = jitted.lower(big, z, m).as_text()
+        # measured 4.5 MB at 128²; the inlined psi stack alone would add
+        # more than the whole budget below
+        assert len(txt) < 16 << 20
+
     def test_shearlet_solver_hoists_psi(self):
         from pseudo_3d_interpolation_tpu.models.pocs import (
             POCSConfig, _jitted_solver)
