@@ -159,19 +159,31 @@ def stack_traces(traces, bin_ids, n_bins: int, method: str = "average",
 def pad_traces_to_global_twt(traces, delrt, twt0: float, dt: float, n_samples_out: int):
     """Place variable-delay traces onto the shared global TWT axis.
 
-    Device equivalent of the reference's per-trace ``pad_trace``
+    Host equivalent of the reference's per-trace ``pad_trace``
     (cube_binning_3D.py:299-342): each trace starts at its
     ``DelayRecordingTime``; output sample t holds
     ``trace[t - offset]`` (0 outside the recorded window).
+
+    Pure numpy by design: binning streams traces on the HOST (the device
+    never sees unbinned traces), and a device round trip here costs a
+    gather dispatch per trace block — measured 1.6 s/profile on the CPU
+    backend and a tunnel RPC per block on the remote TPU, vs ~1 ms for
+    the numpy slice assignment below (delrt values are few, so traces
+    group into a handful of contiguous copies).
     """
-    traces = jnp.asarray(traces)
-    off = jnp.rint((jnp.asarray(delrt, jnp.float32) - twt0) / dt).astype(jnp.int32)
-    t_idx = jnp.arange(n_samples_out, dtype=jnp.int32)[None, :] - off[:, None]
-    inside = (t_idx >= 0) & (t_idx < traces.shape[-1])
-    gathered = jnp.take_along_axis(
-        traces, jnp.clip(t_idx, 0, traces.shape[-1] - 1), axis=-1
-    )
-    return jnp.where(inside, gathered, 0.0)
+    traces = np.asarray(traces)
+    ntr, ns = traces.shape
+    off = np.rint((np.asarray(delrt, np.float64) - twt0) / dt).astype(np.int64)
+    out = np.zeros((ntr, n_samples_out), traces.dtype)
+    for o in np.unique(off):
+        rows = off == o
+        d0 = max(int(o), 0)
+        d1 = min(int(o) + ns, n_samples_out)
+        if d1 <= d0:
+            continue
+        s0 = d0 - int(o)
+        out[rows, d0:d1] = traces[rows, s0 : s0 + (d1 - d0)]
+    return out
 
 
 def bin_center_distances(x, y, il, xl, ilxl_to_coords):

@@ -203,7 +203,7 @@ def bin_cube(
         ids_all = pi.astype(np.int64) * n_xl + px
         dist = bn.bin_center_distances(r["x"], r["y"], il_indices[pi],
                                        xl_indices[px], inv)
-        np.add.at(fold, ids_all[valid], 1)
+        fold += np.bincount(ids_all[valid], minlength=n_bins)
         assign.append({"r": r, "ids": ids_all, "pi": pi, "px": px,
                        "dist": dist, "valid": valid})
 
@@ -246,10 +246,21 @@ def bin_cube(
             if simple:
                 if method == "idw":
                     w = 1.0 / (dist[sl][v] ** geometry.idw_power + 1e-10)
+                    wb = (block * w[:, None]).astype(np.float32)
                 else:
                     w = np.ones(len(ids))
-                np.add.at(acc_num, ids, block * w[:, None].astype(np.float32))
-                np.add.at(acc_den, ids, w)
+                    wb = block
+                # sorted segment-sum instead of np.add.at: group the block's
+                # traces by bin (reduceat) and land ONE fancy-indexed add of
+                # unique rows on the (possibly memmapped) accumulator —
+                # np.add.at's per-element buffering was the block hot spot
+                order = np.argsort(ids, kind="stable")
+                ids_s = ids[order]
+                starts = np.flatnonzero(
+                    np.r_[True, ids_s[1:] != ids_s[:-1]])
+                acc_num[ids_s[starts]] += np.add.reduceat(
+                    wb[order], starts, axis=0)
+                acc_den += np.bincount(ids, weights=w, minlength=n_bins)
             elif method == "nearest":
                 d = dist[sl][v]
                 order = np.lexsort((d, ids))  # by bin, then distance
