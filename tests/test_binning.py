@@ -178,6 +178,32 @@ def test_pad_traces_to_global_twt():
     np.testing.assert_allclose(out[1], [0, 0, 4, 5, 6, 0])
 
 
+def test_pad_traces_edge_windows():
+    """Negative offsets (trace starts before the window) truncate the head;
+    offsets past the window end drop the trace; partial tail overlap keeps
+    only the in-window samples. Pinned after the numpy rewrite of the pad."""
+    traces = np.array([[1.0, 2.0, 3.0]] * 4, np.float32)
+    delrt = np.array([-2.0, 5.0, 4.0, -9.0])  # dt=1, twt0=0, window 6
+    out = np.asarray(bn.pad_traces_to_global_twt(traces, delrt, twt0=0.0, dt=1.0, n_samples_out=6))
+    np.testing.assert_allclose(out[0], [3, 0, 0, 0, 0, 0])  # head truncated
+    np.testing.assert_allclose(out[1], [0, 0, 0, 0, 0, 1])  # tail clipped
+    np.testing.assert_allclose(out[2], [0, 0, 0, 0, 1, 2])
+    np.testing.assert_allclose(out[3], [0, 0, 0, 0, 0, 0])  # fully before window
+
+    # reference loop implementation agreement on random offsets
+    rng = np.random.default_rng(3)
+    tr = rng.normal(size=(40, 7)).astype(np.float32)
+    dl = rng.integers(-8, 12, 40).astype(np.float64)
+    got = np.asarray(bn.pad_traces_to_global_twt(tr, dl, twt0=0.0, dt=1.0, n_samples_out=10))
+    want = np.zeros((40, 10), np.float32)
+    for i in range(40):
+        for t in range(10):
+            s = t - int(dl[i])
+            if 0 <= s < 7:
+                want[i, t] = tr[i, s]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_end_to_end_binning(grid):
     """Scatter 200 random traces; check average stack against a loop."""
     t, n_il, n_xl = grid
