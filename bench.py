@@ -235,8 +235,14 @@ def main():
     from pseudo_3d_interpolation_tpu.models.transforms import get_transform
 
     # p_min='adaptive' is shearlet-specific (reference POCS.py:302-324);
-    # CURVELET/WAVELET run the numeric-p_min branch like the north-star runner
-    tail = [("SHEARLET", {"precision": "highest"}, "adaptive"),
+    # CURVELET/WAVELET run the numeric-p_min branch like the north-star
+    # runner. The FFT_HIGH entry re-runs the headline config with bf16x3
+    # in-kernel dots (Precision.HIGH) at the full headline batch: measured
+    # cube-SNR-neutral to 0.001 dB on the north-star cube (docs/perf.md
+    # precision table), so the production quality/speed sweet spot is
+    # driver-visible next to the f32 headline.
+    tail = [("FFT_HIGH", {"precision": "high"}, "adaptive"),
+            ("SHEARLET", {"precision": "highest"}, "adaptive"),
             ("CURVELET", {"precision": "highest"}, 1e-3),
             ("WAVELET", {}, 1e-3)]
     for kind, kw, p_min in tail:
@@ -250,7 +256,8 @@ def main():
             }), flush=True)
             continue
         try:
-            tr = get_transform(kind, **kw)
+            base_kind = "FFT" if kind == "FFT_HIGH" else kind
+            tr = get_transform(base_kind, **kw)
             tcfg = POCSConfig(niter=NITER, thresh_op="hard",
                               thresh_model="exponential", p_min=p_min,
                               version="fast", alpha=0.75, eps=0.0,
@@ -265,7 +272,10 @@ def main():
 
                 return jit_hoisted(tsolve)
 
-            tb = min(8, B)  # directional bases: smaller batch, same per-slice
+            # directional bases: smaller batch, same per-slice rate;
+            # FFT_HIGH runs the full headline batch (throughput saturates
+            # there, like the headline itself)
+            tb = B if kind == "FFT_HIGH" else min(8, B)
             ztail = Cplx(z.re[:tb], z.im[:tb])
             tfn = make_tail_solver(tcfg)
             try:
@@ -290,8 +300,11 @@ def main():
             print(json.dumps({
                 "metric": f"pocs_slice_iters_per_sec_512x512_{kind.lower()}",
                 "value": round(rate, 1),
-                "unit": f"slice-iterations/s (512x512 FPOCS, {kind} basis"
-                        + (", f32-highest" if kw else "") + tnote + ")",
+                "unit": ("slice-iterations/s (512x512 FPOCS, FFT basis, "
+                         "bf16x3-high (cube-SNR-neutral, docs/perf.md)"
+                         if kind == "FFT_HIGH" else
+                         f"slice-iterations/s (512x512 FPOCS, {kind} basis"
+                         + (", f32-highest" if kw else "")) + tnote + ")",
                 "vs_baseline": round(rate / northstar_per_chip, 2),
             }), flush=True)
         except Exception as e:  # never let a tail basis kill the headline run
