@@ -246,7 +246,10 @@ def bin_cube(
             if simple:
                 if method == "idw":
                     w = 1.0 / (dist[sl][v] ** geometry.idw_power + 1e-10)
-                    wb = (block * w[:, None]).astype(np.float32)
+                    # f32 weights BEFORE the multiply: same arithmetic as the
+                    # pre-segment-sum np.add.at path and no block-sized f64
+                    # temporary
+                    wb = block * w[:, None].astype(np.float32)
                 else:
                     w = np.ones(len(ids))
                     wb = block

@@ -59,6 +59,9 @@ def jit_hoisted(fun, *, donate_argnums=(), in_shardings=None,
     trace-cache behavior.
     """
     cache: dict = {}
+    # accept a bare int like jax.jit does (docstring: parameters mirror jit)
+    _donate = ((donate_argnums,) if isinstance(donate_argnums, int)
+               else tuple(donate_argnums))
 
     def _build(args):
         flat, in_tree = jax.tree_util.tree_flatten(args)
@@ -99,20 +102,32 @@ def jit_hoisted(fun, *, donate_argnums=(), in_shardings=None,
             else:
                 small.append(c)
 
+        # bind the bare jaxpr, not the ClosedJaxpr: capturing `closed` in the
+        # replay closure would retain the original host copies of every
+        # hoisted constant (closed.consts — >1 GB at 1024²) for the wrapper's
+        # lifetime alongside the device buffers in big_vals
+        jaxpr = closed.jaxpr
+        del closed
+
         def replay(hoisted, *args2):
             leaves, _ = jax.tree_util.tree_flatten(args2)
             consts = [hoisted[big_pos[i]] if i in big_pos else s
                       for i, s in enumerate(small)]
-            outs = jax.core.eval_jaxpr(closed.jaxpr, consts, *leaves)
+            outs = jax.core.eval_jaxpr(jaxpr, consts, *leaves)
             return jax.tree_util.tree_unflatten(out_tree, outs)
 
         jit_kwargs = {}
-        if donate_argnums:
-            jit_kwargs["donate_argnums"] = tuple(d + 1 for d in donate_argnums)
+        if _donate:
+            jit_kwargs["donate_argnums"] = tuple(d + 1 for d in _donate)
         if in_shardings is not None:
             cs = const_sharding
             jit_kwargs["in_shardings"] = ([cs] * len(big_vals),
                                           *in_shardings)
+            if cs is not None:
+                # place the hoisted buffers ONCE: otherwise every call finds
+                # arg sharding != the requested one and re-broadcasts the
+                # constant stacks across the mesh per launch
+                big_vals = [jax.device_put(v, cs) for v in big_vals]
         if out_shardings is not None:
             jit_kwargs["out_shardings"] = out_shardings
         return jax.jit(replay, **jit_kwargs), big_vals

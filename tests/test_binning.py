@@ -300,3 +300,40 @@ def test_bin_cube_nearest_streaming_semantics(tmp_path):
     # trace (index 1), nearest to y=30 is the y=29 trace (index 5)
     np.testing.assert_allclose(amp[0, 0, :32], data_b[1], rtol=1e-5)
     np.testing.assert_allclose(amp[0, 1, :32], data_b[5], rtol=1e-5)
+
+
+def test_bin_cube_idw_f32_weight_arithmetic(tmp_path):
+    """The streaming IDW accumulation multiplies each trace by its weight
+    cast to float32 FIRST (same arithmetic as the pre-segment-sum
+    np.add.at path, and no block-sized float64 temporary): the cube must
+    equal a mirror built with f32 weights bit for bit."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile
+    from pseudo_3d_interpolation_tpu.pipeline.binning import (BinningGeometry,
+                                                              bin_cube)
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    # one line 2 m off the il bin-center column: 8 traces at (12, 4+5k);
+    # ns even and delrt constant, so global-TWT padding is the identity
+    make_profile(str(survey / "lineA_UTM.sgy"), ntr=8, ns=128, seed=7,
+                 x0=12.0, y0=4.0, heading=(0, 1), spacing=5.0)
+    geom = BinningGeometry(spacing=20.0, extent=(0.0, 20.0, 0.0, 40.0),
+                           stacking_method="idw", idw_power=1.0)
+    cube = bin_cube(str(survey), geom)
+    amp = np.asarray(cube["amp"])
+    assert amp.shape[:2] == (1, 2)
+
+    with SegyFile(str(survey / "lineA_UTM.sgy")) as f:
+        data = f.trace_data()
+    ys = 4.0 + 5.0 * np.arange(8)
+    for xl, yc in ((0, 10.0), (1, 30.0)):
+        rows = np.flatnonzero((ys >= 20.0 * xl) & (ys < 20.0 * (xl + 1)))
+        d = np.hypot(12.0 - 10.0, ys[rows] - yc)
+        w = 1.0 / (d**1.0 + 1e-10)                      # float64, as computed
+        wf = w.astype(np.float32)                       # cast BEFORE multiply
+        num = np.add.reduceat(data[rows] * wf[:, None], [0], axis=0)[0]
+        den = np.float32(np.sum(w))                     # accumulated in f64
+        np.testing.assert_array_equal(amp[0, xl], num / den)

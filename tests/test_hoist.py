@@ -172,3 +172,59 @@ class TestHoistedSolverPath:
         assert np.isfinite(np.asarray(res.data.re)).all()
         entry = _entry(fn, z, m)
         assert len(entry[1]) >= 1  # at least one hoisted plan constant
+
+
+class TestReviewRegressions:
+    def test_donate_argnums_accepts_bare_int(self):
+        """Docstring says parameters mirror jax.jit; jit accepts a bare int
+        for donate_argnums, so jit_hoisted must too (it used to raise
+        TypeError at first call)."""
+        big = np.linspace(0.0, 1.0, 1 << 15).astype(np.float32)
+
+        def f(x):
+            return x + jnp.asarray(big)[: x.shape[0]]
+
+        fn = jit_hoisted(f, donate_argnums=0, const_min_bytes=1024)
+        out = fn(jnp.zeros(16, jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), big[:16], rtol=1e-6)
+        # the inner jit actually received the shifted donation
+        jitted, _ = _entry(fn, jnp.zeros(16, jnp.float32))
+        assert jitted._jit_info.donate_argnums == (1,)
+
+    def test_replay_does_not_retain_closed_jaxpr(self):
+        """The replay closure must capture the bare jaxpr, not the
+        ClosedJaxpr: the latter retains the original (host) copies of every
+        hoisted constant for the wrapper's lifetime (>1 GB at 1024^2)."""
+        big = np.random.default_rng(0).standard_normal(1 << 15).astype(np.float32)
+
+        def f(x):
+            return x * jnp.asarray(big)[: x.shape[0]]
+
+        fn = jit_hoisted(f, const_min_bytes=1024)
+        fn(jnp.ones(8, jnp.float32))
+        jitted, _ = _entry(fn, jnp.ones(8, jnp.float32))
+        replay = jitted.__wrapped__
+        cells = [c.cell_contents for c in (replay.__closure__ or ())]
+        assert not any(type(c).__name__ == "ClosedJaxpr" for c in cells)
+
+    def test_const_sharding_placed_once(self):
+        """With const_sharding set, the hoisted buffers are device_put at
+        build time — otherwise the inner jit re-broadcasts the constant
+        stacks across the mesh on EVERY call."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = np.array(jax.devices()[:8]).reshape(8)
+        mesh = Mesh(devs, ("slices",))
+        shard = NamedSharding(mesh, P("slices"))
+        repl = NamedSharding(mesh, P())
+        big = np.random.default_rng(2).standard_normal((64, 64)).astype(np.float32)
+
+        def f(x):
+            return x @ jnp.asarray(big)
+
+        fn = jit_hoisted(f, in_shardings=(shard,), out_shardings=shard,
+                         const_sharding=repl, const_min_bytes=1024)
+        x = jax.device_put(jnp.ones((8, 64), jnp.float32), shard)
+        fn(x)
+        _, big_vals = _entry(fn, x)
+        assert all(v.sharding == repl for v in big_vals)
