@@ -172,14 +172,6 @@ def radix_perm(n: int) -> np.ndarray:
     return r * p + s
 
 
-def radix_perm_inv(n: int) -> np.ndarray:
-    """Position of natural frequency k in the permuted layout."""
-    perm = radix_perm(n)
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(n, dtype=np.int64)
-    return inv
-
-
 def _ifft1_fast_axis_from_perm(z: Cplx, axis: int, precision) -> Cplx:
     """Inverse DFT along ``axis`` consuming the PERMUTED layout (DIT mirror
     of the DIF forward); emits natural order, scaled 1/N."""

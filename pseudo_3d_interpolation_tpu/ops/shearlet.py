@@ -550,9 +550,8 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     out = inv(acc, precision=precision)
 
     for l0, lg, g in boxes:
-        contrib = _box_group_spatial(z, tau2[..., l0:l0 + lg], g, h, w,
-                                     thresh_op, precision)
-        out = Cplx(out.re + contrib.re, out.im + contrib.im)
+        out = out + _box_group_spatial(z, tau2[..., l0:l0 + lg], g, h, w,
+                                       thresh_op, precision)
     return out
 
 
@@ -596,27 +595,26 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     zf = dft.fft2(z, precision=precision)
     acc_re = jnp.zeros(batch + (h, w), z.re.dtype)
     acc_im = jnp.zeros(batch + (h, w), z.re.dtype)
-    extra_re = extra_im = None  # spatial-domain box-group contributions
+    extra = None  # spatial-domain box-group contributions
     l0 = 0
     for g in plan:
         lg = g.psi.shape[0]
         tau_g = tau[..., l0:l0 + lg]
         l0 += lg
         side = min(h, w) if g.idx_h is None else len(g.idx_h)
-        p_stack = g.psi_device()
         if g.idx_h is not None:
             # support-cropped group: gather-free spatial-projection form
             # (streamed over subbands when the box is large enough that
-            # the batched (..., lg, H, W) stack would strain HBM)
+            # the batched (..., lg, H, W) stack would strain HBM);
+            # _box_group_spatial fetches its own (cropped) psi — the
+            # full-size psi_device() materialization belongs to the
+            # full-size branches below only
             contrib = _box_group_spatial(z, tau_g, g, h, w, thresh_op,
                                          precision,
                                          stream=side >= stream_min_side)
-            if extra_re is None:
-                extra_re, extra_im = contrib.re, contrib.im
-            else:
-                extra_re = extra_re + contrib.re
-                extra_im = extra_im + contrib.im
+            extra = contrib if extra is None else extra + contrib
             continue
+        p_stack = g.psi_device()
         if side < stream_min_side:
             # small full-size group: batched einsum path
             prod = Cplx(zf.re[..., None, :, :] * p_stack,
@@ -645,8 +643,8 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
             step_full, (acc_re, acc_im), (p_stack, tau_s))
 
     out = dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
-    if extra_re is not None:
-        out = Cplx(out.re + extra_re, out.im + extra_im)
+    if extra is not None:
+        out = out + extra
     return out
 
 

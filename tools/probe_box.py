@@ -57,7 +57,12 @@ def main(b=8, n=512, prec_name="HIGH", reps_in_graph=25):
     tau = jnp.full((b, lg), 0.05, jnp.float32)
 
     base = None
-    for s_target in (len(big.idx_h), 136, 160, 256):
+    # the plan's own side is the 1.00x base; since _box_indices rounds
+    # group sides up to a multiple of 8 the base IS 136 at 512² (the
+    # pre-extension S=129 cited in _box_indices' docstring predates that
+    # rounding and can no longer be constructed from shearlet_plan) —
+    # dedupe so the sweep doesn't time the same side twice
+    for s_target in dict.fromkeys((len(big.idx_h), 136, 160, 256)):
         g = extend_group(big, n, n, s_target)
 
         def fn(zz, tt, s):
