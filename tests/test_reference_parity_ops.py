@@ -615,3 +615,70 @@ class TestAffineParity:
         b1, b2 = ref.tfm.Affine(rotation=12.0), ref.tfm.Affine(translation=(4.0, 5.0))
         np.testing.assert_allclose((a1 @ a2).matrix, (b1 @ b2).matrix,
                                    atol=1e-12)
+
+
+# ===========================================================================
+# utils_IO.py (aux-file readers; segyio stubbed for import — the compared
+# functions are pandas/glob only)
+# ===========================================================================
+class TestAuxIOParity:
+    @pytest.fixture(scope="class")
+    def ref_io(self, request):
+        if "segyio" not in sys.modules:
+            sys.modules["segyio"] = types.ModuleType("segyio")
+            request.addfinalizer(lambda: sys.modules.pop("segyio", None))
+        sys.path.insert(0, REF_ROOT)
+        try:
+            from pseudo_3D_interpolation.functions import utils_IO as rio
+        finally:
+            sys.path.remove(REF_ROOT)
+        return rio
+
+    @pytest.fixture()
+    def aux_dir(self, tmp_path):
+        import pandas as pd
+
+        rng = _rng(60)
+        for name in ("lineA_001_UTM60S_proc", "lineB_002_UTM60S_proc",
+                     "other_003_UTM60S"):
+            n = 5
+            pd.DataFrame({
+                "tracl": np.arange(1, n + 1),
+                "x": rng.uniform(4e5, 5e5, n).round(2),
+                "y": rng.uniform(6e6, 7e6, n).round(2),
+            }).to_csv(tmp_path / f"{name}.nav", index=False)
+        return tmp_path
+
+    def test_read_auxiliary_files_directory(self, ref_io, aux_dir):
+        import pandas as pd
+
+        from pseudo_3d_interpolation_tpu.io.auxiliary import (
+            read_auxiliary_files)
+
+        want = ref_io.read_auxiliary_files(str(aux_dir), fsuffix="nav")
+        got = read_auxiliary_files(str(aux_dir), fsuffix="nav")
+        pd.testing.assert_frame_equal(got, want)
+        # line-name derivation: everything before the UTM* filename part
+        assert set(want.index.get_level_values("line")) == {
+            "lineA_001", "lineB_002", "other_003"}
+
+    def test_read_auxiliary_files_prefix_filter(self, ref_io, aux_dir):
+        import pandas as pd
+
+        from pseudo_3d_interpolation_tpu.io.auxiliary import (
+            read_auxiliary_files)
+
+        want = ref_io.read_auxiliary_files(str(aux_dir), fsuffix="nav",
+                                           prefix="line")
+        got = read_auxiliary_files(str(aux_dir), fsuffix="nav",
+                                   prefix="line")
+        pd.testing.assert_frame_equal(got, want)
+        assert set(want.index.get_level_values("line")) == {
+            "lineA_001", "lineB_002"}
+
+    def test_read_auxiliary_files_empty_dir(self, ref_io, tmp_path):
+        from pseudo_3d_interpolation_tpu.io.auxiliary import (
+            read_auxiliary_files)
+
+        assert ref_io.read_auxiliary_files(str(tmp_path), fsuffix="nav") is None
+        assert read_auxiliary_files(str(tmp_path), fsuffix="nav") is None
