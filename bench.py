@@ -157,14 +157,15 @@ def main():
     # warmup/compile (falls back to the XLA scan if the Pallas kernel
     # cannot run on this backend — recorded in the emitted unit string so a
     # fallback run is never mistaken for a Pallas measurement)
-    path_note = ""
     from pseudo_3d_interpolation_tpu.ops.pallas import pallas_supported
 
+    gate_note = ""
     if not pallas_supported((B, H, W)):
         # the solver falls back SILENTLY when the gates reject the shape
         # (non-%128 BENCH_N, no pallas build) — record it so an XLA run is
         # never mistaken for a fused-kernel measurement
-        path_note = "; XLA scan (pallas gates reject this shape/build)"
+        gate_note = "; XLA scan (pallas gates reject this shape/build)"
+    path_note = gate_note
     try:
         float(fn(z, m, jnp.float32(1.0)))
     except Exception as e:
@@ -262,7 +263,11 @@ def main():
                               thresh_model="exponential", p_min=p_min,
                               version="fast", alpha=0.75, eps=0.0,
                               use_pallas=True)  # fused subband kernel
-            tnote = path_note  # shares the headline's shape/build gate
+            # shares the headline's SHAPE/BUILD gate only — a runtime
+            # fallback of the headline kernel (path_note) says nothing
+            # about this basis' own kernel, which warms up independently
+            # below and gets its own fallback label on failure
+            tnote = gate_note
 
             def make_tail_solver(tcfg_, tr_=tr):
                 def tsolve(z, m, scale):

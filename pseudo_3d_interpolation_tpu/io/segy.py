@@ -245,12 +245,15 @@ class SegyFile:
             # misplace data_start and decode garbage traces)
             n_ext = 0
             pos = TEXT_SIZE + BIN_SIZE
+            # stanzas may be ASCII or EBCDIC (decode_textual_header
+            # auto-detects both) — match the terminator in either encoding
+            terminators = (b"SEG: EndText",
+                           "SEG: EndText".encode("cp037"))
             while pos + TEXT_SIZE <= self._mm.size:
                 stanza = bytes(self._mm[pos : pos + TEXT_SIZE])
                 n_ext += 1
                 pos += TEXT_SIZE
-                if (b"SEG: EndText" in stanza
-                        or b"((SEG: EndText))" in stanza):
+                if any(t in stanza for t in terminators):
                     break
             else:
                 raise ValueError(
@@ -438,11 +441,17 @@ def write_segy(
             # field (e.g. DelayRecordingTime) written as 40000 would read
             # back -25536, so fail loudly instead
             vmin, vmax = int(np.min(vals)), int(np.max(vals))
-            hi = 65535 if name in _UNSIGNED16_TRACE_FIELDS else 32767
-            if vmin < -32768 or vmax > hi:
+            if name in _UNSIGNED16_TRACE_FIELDS:
+                # unsigned semantics: a negative value would silently
+                # round-trip to a huge positive count/interval through the
+                # reader's & 0xFFFF normalization
+                lo, hi = 0, 65535
+            else:
+                lo, hi = -32768, 32767
+            if vmin < lo or vmax > hi:
                 raise ValueError(
                     f"trace header {name}: value range [{vmin}, {vmax}] "
-                    f"exceeds the 16-bit SEG-Y field (max {hi})"
+                    f"exceeds the 16-bit SEG-Y field ([{lo}, {hi}])"
                 )
             col = (vals.astype(np.int64) & 0xFFFF).astype(">u2")
         else:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import sys
 
@@ -100,5 +101,8 @@ def redirect_stdout_to_file(path: str, also_console: bool = False):
                 sys.stdout = old
     finally:
         # strip ANSI even when the block raised — failed-run logs are
-        # exactly the ones a user inspects
-        clean_log_file(path)
+        # exactly the ones a user inspects; guard existence so a failed
+        # open() (or a log removed mid-run) doesn't raise a second
+        # exception here that replaces the original traceback
+        if os.path.exists(path):
+            clean_log_file(path)

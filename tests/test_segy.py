@@ -203,3 +203,54 @@ def test_ieee2ibm_saturates_out_of_range():
     # within-range values still round-trip after the saturation change
     y = np.array([3.0e38, -1.2e-38, 123.456], np.float64)
     assert np.allclose(ibm2ieee(ieee2ibm(y)).astype(np.float64), y, rtol=1e-6)
+
+
+# --------------------- ExtendedHeaders=-1 EndText scan -----------------------
+def _insert_extended_stanzas(path, stanzas):
+    """Set ExtendedHeaders=-1 and splice `stanzas` (3200-byte each) between
+    the binary header and the trace data."""
+    raw = bytearray(open(path, "rb").read())
+    raw[3504:3506] = (-1).to_bytes(2, "big", signed=True)
+    blocks = b"".join(s.ljust(3200)[:3200] if isinstance(s, bytes)
+                      else s.encode("ascii").ljust(3200)[:3200]
+                      for s in stanzas)
+    raw[3600:3600] = blocks
+    open(path, "wb").write(bytes(raw))
+
+
+@pytest.mark.parametrize("encoding", ["ascii", "cp037"])
+def test_extended_headers_endtext_scan(segy_path, encoding):
+    """ExtendedHeaders=-1: stanzas are scanned until the '((SEG: EndText))'
+    terminator — in EITHER textual encoding (EBCDIC extended headers are
+    legal wherever EBCDIC main headers are; the scan used to match ASCII
+    only and walked into the trace data)."""
+    data, _ = make_file(segy_path)
+    end = "((SEG: EndText))".encode(encoding)
+    _insert_extended_stanzas(segy_path,
+                             [b"extra metadata stanza one", end])
+    with SegyFile(segy_path) as f:
+        assert f.n_traces == data.shape[0]
+        np.testing.assert_allclose(f.trace_data(), data, rtol=1e-6)
+
+
+def test_extended_headers_no_endtext_raises(segy_path):
+    data, _ = make_file(segy_path)
+    raw = bytearray(open(segy_path, "rb").read())
+    raw[3504:3506] = (-1).to_bytes(2, "big", signed=True)
+    open(segy_path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="EndText"):
+        SegyFile(segy_path)
+
+
+def test_write_unsigned16_field_rejects_negative(tmp_path):
+    """A negative count/interval would round-trip through the reader's
+    unsigned normalization as a huge positive value — write must refuse."""
+    data = np.zeros((3, 10), np.float32)
+    with pytest.raises(ValueError, match="TRACE_SAMPLE_INTERVAL"):
+        write_segy(str(tmp_path / "neg.sgy"), data,
+                   headers={"TRACE_SAMPLE_INTERVAL": -250}, dt_us=250)
+    # the unsigned range itself still round-trips
+    p = str(tmp_path / "big.sgy")
+    write_segy(p, data, headers={"TRACE_SAMPLE_INTERVAL": 40000}, dt_us=250)
+    with SegyFile(p) as f:
+        assert int(f.header("TRACE_SAMPLE_INTERVAL")[0]) == 40000

@@ -111,3 +111,19 @@ def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
         jax.config.update("jax_persistent_cache_min_entry_size_bytes",
                           prev_min_b)
         cc._active_dir = prev_active
+
+
+def test_redirect_stdout_body_exception_survives_missing_log(tmp_path):
+    """If the log file vanishes mid-run, the cleanup in the outer finally
+    must not raise its own FileNotFoundError over the body's exception."""
+    import os
+
+    from pseudo_3d_interpolation_tpu.utils.logging import (
+        redirect_stdout_to_file)
+
+    p = tmp_path / "run.log"
+    with pytest.raises(RuntimeError, match="boom"):
+        with redirect_stdout_to_file(str(p)):
+            print("hello")
+            os.remove(p)
+            raise RuntimeError("boom")
