@@ -137,6 +137,11 @@ def pocs_interpolate(
     use_fused_wavelet = False
     fused_precision = None
     fused_basis = "fft"
+    # normalize threshold_pair's accepted 'garotte' alias ONCE: every
+    # kernel-eligibility gate downstream (the folded kernels here, the
+    # fused subband kernel behind apply_threshold) dispatches on the
+    # canonical spelling — the raw alias would silently drop those paths
+    fused_op = "garrote" if cfg.thresh_op == "garotte" else cfg.thresh_op
     if cfg.use_pallas:
         from ..ops.pallas import pallas_supported
         from .transforms import (DCTTransform, FFTTransform, WaveletTransform,
@@ -150,9 +155,6 @@ def pocs_interpolate(
         # return NaN, so require the exact slice shape (the XLA path below
         # broadcasts fine). 'garotte' is threshold_pair's accepted alias.
         full_mask = tuple(mask_in.shape) == tuple(z.shape[-2:])
-        # normalize threshold_pair's accepted 'garotte' alias for the
-        # kernels' canonical-spelling dispatch
-        fused_op = "garrote" if cfg.thresh_op == "garotte" else cfg.thresh_op
         kernel_op = fused_op in ("hard", "soft", "garrote")
         use_fused = (
             isinstance(transform, (FFTTransform, DCTTransform))
@@ -309,12 +311,12 @@ def pocs_interpolate(
             # the VMEM-resident kernel (ops/pallas/subband.py)
             x_rec = reinsert(
                 transform.apply_threshold(
-                    x_input, decay_i, cfg.thresh_op,
+                    x_input, decay_i, fused_op,
                     use_pallas=cfg.use_pallas,
                     pallas_interpret=cfg.pallas_interpret))
         else:
             coeffs = transform.forward(x_input)
-            coeffs = transform.threshold(coeffs, decay_i, cfg.thresh_op)
+            coeffs = transform.threshold(coeffs, decay_i, fused_op)
             x_rec = reinsert(transform.inverse(coeffs))
 
         # cost (Gao et al. 2013): (Σ(|x_new| − |x_curr|))² / (Σ|x_new|)²

@@ -31,7 +31,7 @@ from ..utils.logging import xprint
 _DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "batch_chunk")
 
 
-def _transform_subbands(transform, slice_shape) -> int:
+def _transform_subbands(transform, slice_shape, config=None) -> int:
     """Per-batch working-set expansion factor of a transform: how many
     (H, W)-slice-sized buffers one input slice costs during an iteration.
 
@@ -49,10 +49,20 @@ def _transform_subbands(transform, slice_shape) -> int:
     # the constant budget needs BOTH streamed pieces: apply_threshold for
     # the iteration AND decay_from_input for the schedule derivation —
     # without the latter, models/pocs.py materializes the full (B, L, H, W)
-    # forward once (coeffs0) and the peak really is L-proportional
+    # forward once (coeffs0) and the peak really is L-proportional.
+    # decay_from_input itself FALLS BACK to the full forward for
+    # data-driven / non-'values' decay configs (_needs_full_forward), so
+    # the gate must look at the config, not just hasattr
+    streamed_decay = True
+    if config is not None:
+        from ..models.transforms import _SpectralStackMixin
+
+        streamed_decay = not _SpectralStackMixin._needs_full_forward(
+            config.thresh_model, config.decay_kind)
     if (kind in ("SHEARLET", "CURVELET")
             and hasattr(transform, "apply_threshold")
-            and hasattr(transform, "decay_from_input")):
+            and hasattr(transform, "decay_from_input")
+            and streamed_decay):
         return 8
     if kind == "SHEARLET":
         from ..ops import shearlet as sh
@@ -307,7 +317,7 @@ def interpolate(
     # a multiscale basis expands each batch slice into L subband
     # coefficients (~50-61 for SHEARLET/CURVELET), so the budget scales
     # the batch term by the subband count rather than assuming L == 1
-    expansion = _transform_subbands(transform, moved.shape[-2:])
+    expansion = _transform_subbands(transform, moved.shape[-2:], config)
     resident_batch = min(batch, 32)  # the batch the driver will ACTUALLY use
     batch_bytes = resident_batch * moved[0].nbytes * 4 * expansion
     resident = (mesh is None and _jax.device_count() == 1
@@ -411,7 +421,7 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     b_res = min(batch, 32)
     f_total = int(n_slices) if n_slices else b_res
     slice_bytes = h * w * 8  # complex64 as an (re, im) f32 pair
-    expansion = _transform_subbands(transform, (h, w))
+    expansion = _transform_subbands(transform, (h, w), config)
     fits = (f_total * slice_bytes * 4
             + b_res * slice_bytes * 4 * expansion) < 8 * 2**30
     if mesh is None and _jax.device_count() == 1 and fits:

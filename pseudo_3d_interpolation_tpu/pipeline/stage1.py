@@ -891,9 +891,14 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
         outs.append(out)
         xprint(f"{p}: mistie shift {shifts[p]:+.2f} ms -> {out}",
                kind="info", verbosity=verbose)
-    if len(df) and write_qc:
+    if len(df):
+        # the tabular per-intersection record (lags/correlations) is the
+        # primary mistie artifact — written regardless of write_qc, which
+        # gates only the GEO layers below (its documented scope)
         base = os.path.dirname(files[0])
         df.to_csv(os.path.join(base, "misties.csv"), index=False)
+    if len(df) and write_qc:
+        base = os.path.dirname(files[0])
         # intersection QC layers: GeoJSON (GEOS-free, human-greppable) AND
         # a GeoPackage with the reference's 'intersections' layer name
         # (mistie_correction_segy.py:629-703 writes it via geopandas; here
@@ -915,7 +920,13 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
                      columns={"dist_a": "dist"}), "x_a", "y_a"),
              "nearest_vertices_line_1": (
                  df[["x_b", "y_b", "dist_b"]].rename(
-                     columns={"dist_b": "dist"}), "x_b", "y_b")})
+                     columns={"dist_b": "dist"}), "x_b", "y_b")},
+            # header coordinates are in whatever (usually projected) CRS
+            # the survey carries — unknown here, so label the layers with
+            # the spec's undefined-cartesian SRS instead of claiming
+            # WGS84 degrees (GIS tools would place UTM metres at
+            # impossible lat/lons and garble any on-the-fly reprojection)
+            srs_id=-1)
     return outs
 
 

@@ -1052,6 +1052,14 @@ def _bound_transformation_p7(root):
     return p7
 
 
+# PROJ linear-unit names -> metres per unit (PROJ's own `proj -lu` values
+# for the names surveys actually use; anything else needs +to_meter=)
+_PROJ_UNIT_TO_METER = {
+    "m": 1.0, "meter": 1.0, "metre": 1.0, "km": 1000.0,
+    "ft": 0.3048, "us-ft": 1200.0 / 3937.0,
+}
+
+
 def crs_from_proj(proj: str):
     """Projection from a proj string (``+proj=utm +zone=33 ...``); returns
     :data:`GEOGRAPHIC` for +proj=longlat/latlong."""
@@ -1092,6 +1100,21 @@ def crs_from_proj(proj: str):
     if "south" in kv:
         p["south"] = True
     built = _build_projection(method, p, el)
+    # +units= / +to_meter=: PROJ expresses +x_0/+y_0 in metres regardless
+    # of the CRS unit and scales only the exchanged coordinates — mirror
+    # the WKT path's UnitScaled wrapper (pyproj returns CRS units, e.g.
+    # US-survey-foot state-plane zones). Unknown unit names raise rather
+    # than silently emitting metres ~3.28x off.
+    to_meter = None
+    if kv.get("to_meter", ""):
+        to_meter = float(kv["to_meter"])
+    elif kv.get("units", ""):
+        to_meter = _PROJ_UNIT_TO_METER.get(kv["units"].lower())
+        if to_meter is None:
+            raise ValueError(f"unsupported +units={kv['units']!r} "
+                             "(pass +to_meter=<metres-per-unit> instead)")
+    if to_meter is not None and to_meter != 1.0:
+        built = UnitScaled(built, to_meter)
     tw = kv.get("towgs84", "")
     if tw:
         p7 = [float(v) for v in tw.split(",")]

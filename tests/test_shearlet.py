@@ -339,3 +339,59 @@ def test_plan_sizes_where_finest_scale_reaches_the_corner():
     r = sh.inverse_shearlet_transform_planned(
         sh.shearlet_transform_planned(z, plan), plan)
     np.testing.assert_allclose(np.asarray(r.re), x, atol=1e-4)
+
+
+class TestReviewRegressions:
+    def test_garotte_alias_reaches_apply_threshold_canonical(self):
+        """POCSConfig(thresh_op='garotte') must hand the CANONICAL spelling
+        to apply_threshold — the raw alias silently disabled the fused
+        subband kernel (subband_supported checks _KERNEL_THRESH_OPS)."""
+        from pseudo_3d_interpolation_tpu.models import (POCSConfig,
+                                                        pocs_interpolate)
+        from pseudo_3d_interpolation_tpu.models.transforms import (
+            ShearletTransform)
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+
+        rng = np.random.default_rng(5)
+        n = 32
+        mask = (rng.uniform(size=(n, n)) < 0.6).astype(np.float32)
+        z = Cplx(jnp.asarray(rng.normal(size=(1, n, n)).astype(np.float32)),
+                 jnp.zeros((1, n, n), jnp.float32))
+        seen = []
+
+        class _Spy(ShearletTransform):
+            def apply_threshold(self, z, tau, op, **kw):
+                seen.append(op)
+                return super().apply_threshold(z, tau, op, **kw)
+
+        cfg = POCSConfig(niter=2, thresh_op="garotte", p_min=1e-3, eps=0.0)
+        r_alias = pocs_interpolate(z, mask, _Spy(), cfg)
+        assert seen and all(op == "garrote" for op in seen)
+        r_canon = pocs_interpolate(
+            z, mask, ShearletTransform(),
+            POCSConfig(niter=2, thresh_op="garrote", p_min=1e-3, eps=0.0))
+        np.testing.assert_array_equal(np.asarray(r_alias.data.re),
+                                      np.asarray(r_canon.data.re))
+
+    def test_resident_budget_expansion_tracks_decay_config(self):
+        """_transform_subbands returns the constant streamed budget ONLY
+        when decay_from_input really streams; data-driven / non-'values'
+        configs fall back to the full (B, L, H, W) forward and must budget
+        L subbands."""
+        from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+        from pseudo_3d_interpolation_tpu.models.transforms import (
+            ShearletTransform)
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+        from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+            _transform_subbands)
+
+        tr = ShearletTransform()
+        streamed = POCSConfig(thresh_model="exponential")
+        full = POCSConfig(thresh_model="data-driven")
+        coeffs = POCSConfig(thresh_model="exponential", decay_kind="count")
+        L = sh.n_subbands(sh.default_scales(256, 256))
+        assert _transform_subbands(tr, (256, 256), streamed) == 8
+        assert _transform_subbands(tr, (256, 256), full) == L
+        assert _transform_subbands(tr, (256, 256), coeffs) == L
+        # config-less callers keep the optimistic constant (legacy surface)
+        assert _transform_subbands(tr, (256, 256)) == 8

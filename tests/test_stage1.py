@@ -634,10 +634,15 @@ def test_mistie_win_cc_and_toggles(tmp_path):
     outs = stage1.mistie_correct(str(tmp_path), win_cc_ms=(20.0, 80.0),
                                  write_aux_file=False, write_qc=False)
     assert len(outs) == 2
+    import glob
     import os
     for o in outs:
         assert not os.path.exists(o.replace(".sgy", ".mst"))
+    # write_qc gates only the GEO layers; the tabular per-intersection
+    # record is the primary mistie artifact and always lands
     assert not os.path.exists(str(tmp_path / "misties.geojson"))
+    assert not glob.glob(str(tmp_path / "*.gpkg"))
+    assert os.path.exists(str(tmp_path / "misties.csv"))
 
 
 def test_reproject_dst_coords_group(tmp_path):
@@ -679,3 +684,30 @@ def test_reproject_group_bytes_writes_back_to_group(tmp_path):
     stage1.reproject(p, 32632, 4326, scalar="auto")
     with pytest.raises(ValueError, match="scalar"):
         stage1.reproject(p, 32632, 4326, scalar=-3)
+
+
+def test_mistie_qc_gpkg_declares_undefined_srs(tmp_path):
+    """Header coordinates are in the survey's (unknown, usually projected)
+    CRS — the QC GeoPackage must label its layers with the spec's
+    undefined-cartesian SRS (-1), not WGS84 degrees (GIS tools would put
+    UTM metres at impossible lat/lons)."""
+    import glob
+    import sqlite3
+
+    pa = str(tmp_path / "A_UTM.sgy")
+    pb = str(tmp_path / "B_UTM.sgy")
+    make_profile(pa, ntr=60, seafloor_ms=np.full(60, 40.0), seed=7,
+                 x0=0, y0=50, heading=(1, 0), spacing=5)
+    make_profile(pb, ntr=60, seafloor_ms=np.full(60, 42.0), seed=8,
+                 x0=150, y0=0, heading=(0, 1), spacing=5,
+                 times_start="2023-05-01T12:00:00")
+    stage1.mistie_correct(str(tmp_path), min_correlation=0.3)
+    gpkgs = glob.glob(str(tmp_path / "*.gpkg"))
+    assert len(gpkgs) == 1
+    con = sqlite3.connect(gpkgs[0])
+    try:
+        srs = {r[0] for r in con.execute(
+            "SELECT srs_id FROM gpkg_geometry_columns")}
+        assert srs == {-1}
+    finally:
+        con.close()

@@ -834,3 +834,36 @@ class TestBoundCRSDatumShift:
         er, nr = crs.get_projection(27700).forward(lat, lon)
         assert abs(e[0] - er[0]) < 1e-6 and abs(n[0] - nr[0]) < 1e-6
 
+
+
+def test_proj_string_units_us_ft():
+    """+units= / +to_meter= in proj strings scale the exchanged coordinates
+    (PROJ semantics: +x_0/+y_0 stay metres) — they used to be silently
+    ignored, emitting metres where pyproj returns CRS units."""
+    import numpy as np
+
+    from pseudo_3d_interpolation_tpu.utils.crs import crs_from_proj
+
+    base = ("+proj=tmerc +lat_0=0 +lon_0=-75 +k=0.9996 "
+            "+x_0=500000 +y_0=0 +ellps=GRS80")
+    m = crs_from_proj(base)
+    usft = crs_from_proj(base + " +units=us-ft")
+    tom = crs_from_proj(base + " +to_meter=0.30480060960121920")
+    lon, lat = -74.5, 40.7
+    em, nm = m.forward(lat, lon)
+    ef, nf = usft.forward(lat, lon)
+    et, nt = tom.forward(lat, lon)
+    f = 1200.0 / 3937.0
+    np.testing.assert_allclose([ef, nf], [em / f, nm / f], rtol=1e-12)
+    np.testing.assert_allclose([et, nt], [ef, nf], rtol=1e-12)
+    # round trip in CRS units
+    np.testing.assert_allclose(usft.inverse(ef, nf), [lat, lon], atol=1e-9)
+
+
+def test_proj_string_unknown_units_raises():
+    import pytest
+
+    from pseudo_3d_interpolation_tpu.utils.crs import crs_from_proj
+
+    with pytest.raises(ValueError, match="units"):
+        crs_from_proj("+proj=tmerc +lat_0=0 +lon_0=0 +units=fathom")
