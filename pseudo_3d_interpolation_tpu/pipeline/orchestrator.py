@@ -116,13 +116,17 @@ def _normalize_steps(steps) -> list:
             raise ValueError(
                 f"unknown step {name!r}; stage 1: {STAGE1_STEPS}, "
                 f"stage 2: {STAGE2_STEPS}")
+        # canonicalize option spelling to underscores HERE: the run loop
+        # pops underscore keys only, so an accepted dash spelling
+        # ('src-epsg') would otherwise pass validation and then crash
+        # mid-pipeline with the raw KeyError validation claims to prevent
+        opts = {str(k).replace("-", "_"): v for k, v in opts.items()}
         # required options fail at config level with the step named, not as
         # a raw KeyError deep in the run loop (the run loop pops exactly
         # STEP_REQUIRED_ARGS positionally — keep the two in sync there);
         # an explicit YAML null ('tide_file: ') is as missing as an absent key
         required = STEP_REQUIRED_ARGS.get(name, ())
-        missing = [k for k in required
-                   if opts.get(k, opts.get(k.replace("_", "-"))) is None]
+        missing = [k for k in required if opts.get(k) is None]
         if missing:
             raise ValueError(
                 f"step {name!r} is missing required option(s): "

@@ -936,6 +936,18 @@ def crs_from_wkt(wkt: str):
     bound_p7 = None  # Helmert params from a BOUNDCRS wrapper, if any
     if kind in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
         return GEOGRAPHIC
+    if kind in ("GEODCRS", "GEODETICCRS"):
+        # WKT2-2015 (ISO 19162:2015) spells geographic CRSs GEODCRS with an
+        # ellipsoidal CS — pyproj's to_wkt(version='WKT2_2015') emits this.
+        # The same keyword with a Cartesian CS is GEOCENTRIC (X/Y/Z), which
+        # is not a surface this engine transforms — refuse those loudly.
+        cs = _wkt_find(root, "CS")
+        cs_kind = (next((v for v in cs[1:] if isinstance(v, str)), "")
+                   if cs is not None else "ellipsoidal")
+        if "ellipsoidal" in cs_kind.lower():
+            return GEOGRAPHIC
+        raise ValueError(
+            f"GEODCRS with a {cs_kind!r} CS is geocentric, not geographic")
     if kind not in ("PROJCS", "PROJCRS", "PROJECTEDCRS", "BOUNDCRS",
                     "COMPD_CS", "COMPOUNDCRS"):
         raise ValueError(f"unsupported WKT root {kind!r}")
@@ -946,8 +958,8 @@ def crs_from_wkt(wkt: str):
         # search must stay inside the projected subtree for the same reason
         inner = _wkt_find(root, "PROJCS", "PROJCRS", "PROJECTEDCRS")
         if inner is None:
-            if _wkt_find(root, "GEOGCS", "GEOGCRS",
-                         "GEOGRAPHICCRS") is not None:
+            if _wkt_find(root, "GEOGCS", "GEOGCRS", "GEOGRAPHICCRS",
+                         "GEODCRS", "GEODETICCRS") is not None:
                 return GEOGRAPHIC
             raise ValueError(
                 f"{kind} WKT wraps no projected or geographic CRS")

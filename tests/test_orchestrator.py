@@ -248,3 +248,36 @@ def test_checkpointed_pocs_default_params(tmp_path):
            ]}
     final = run_pipeline(cfg, verbose=0)
     assert os.path.exists(final)
+
+
+def test_dash_spelled_options_reach_the_run_loop():
+    """_normalize_steps canonicalizes option keys to underscores: the run
+    loop pops underscore keys only, so the accepted dash spelling used to
+    pass validation and then crash mid-pipeline with a raw KeyError."""
+    steps = _normalize_steps(
+        [{"reproject": {"src-epsg": 4326, "dst-epsg": 32632}},
+         {"tide": {"tide-file": "x.nc", "coords-bytes": [73, 77]}}])
+    assert steps[0] == ("reproject", {"src_epsg": 4326, "dst_epsg": 32632})
+    assert steps[1] == ("tide", {"tide_file": "x.nc",
+                                 "coords_bytes": [73, 77]})
+
+
+def test_dash_spelled_step_runs_end_to_end(tmp_path):
+    """A dash-spelled required option must actually execute, not only
+    validate."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+    from pseudo_3d_interpolation_tpu.pipeline.orchestrator import run_pipeline
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=6, ns=32, seed=1,
+                 x0=500000.0, y0=6000000.0, heading=(0, 1), spacing=5.0)
+    cfg = {
+        "input": str(survey),
+        "workdir": str(tmp_path / "work"),
+        "steps": [{"reproject": {"src-epsg": 32632, "dst-epsg": 4326}}],
+    }
+    arts = run_pipeline(cfg)
+    assert arts

@@ -867,3 +867,29 @@ def test_proj_string_unknown_units_raises():
 
     with pytest.raises(ValueError, match="units"):
         crs_from_proj("+proj=tmerc +lat_0=0 +lon_0=0 +units=fathom")
+
+
+def test_wkt2_2015_geodcrs_root():
+    """ISO 19162:2015 spells geographic CRSs GEODCRS[... CS[ellipsoidal ...]]
+    (pyproj to_wkt(version='WKT2_2015') emits this) — must parse as
+    geographic; the same keyword with a Cartesian CS is geocentric and must
+    be refused loudly."""
+    import pytest
+
+    from pseudo_3d_interpolation_tpu.utils.crs import GEOGRAPHIC, parse_crs
+
+    geographic = (
+        'GEODCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+        'PRIMEM["Greenwich",0],CS[ellipsoidal,2],'
+        'AXIS["latitude",north],AXIS["longitude",east],'
+        'ANGLEUNIT["degree",0.0174532925199433],ID["EPSG",4326]]')
+    assert parse_crs(geographic) is GEOGRAPHIC
+
+    geocentric = (
+        'GEODCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563]],'
+        'CS[Cartesian,3],AXIS["X",geocentricX],AXIS["Y",geocentricY],'
+        'AXIS["Z",geocentricZ],LENGTHUNIT["metre",1]]')
+    with pytest.raises(ValueError, match="geocentric"):
+        parse_crs(geocentric)
