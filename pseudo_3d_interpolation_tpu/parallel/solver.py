@@ -187,7 +187,7 @@ def interpolate_cube_resident(
                          else np.float32),
                 np.empty((0,), np.int32), np.empty((0,), np.float32))
     batch = min(batch, f_total)
-    npad = -(-f_total // batch) * batch
+    npad = mesh_lib.pad_to_multiple(f_total, batch)
     if npad != f_total:
         data = np.concatenate(
             [data, np.zeros((npad - f_total,) + data.shape[1:], data.dtype)])

@@ -30,6 +30,17 @@ from ..utils.logging import xprint
 
 _DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "batch_chunk")
 
+# transform-constructor keys recognized in the POCS YAML's extra section —
+# ONE list shared by every entry point (interpolate / checkpointed / warmup):
+# a per-site copy silently drops later additions at the sites that miss the
+# update (see the matching warning in config_from_yaml)
+_TRANSFORM_KEYS = ("wavelet", "level", "n_scales", "precision",
+                   "nbscales", "nbangles_coarse", "allcurvelets")
+
+
+def _transform_kwargs(extra: dict) -> dict:
+    return {k: extra[k] for k in _TRANSFORM_KEYS if k in extra}
+
 
 def _transform_subbands(transform, slice_shape, config=None) -> int:
     """Per-batch working-set expansion factor of a transform: how many
@@ -158,10 +169,35 @@ def interpolate_checkpointed(
             mesh = mesh_lib.make_mesh()
         n_dev = mesh.devices.size
         batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
-        transform_kwargs = {k: extra[k] for k in (
-            "wavelet", "level", "n_scales", "precision",
-            "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
+        transform_kwargs = _transform_kwargs(extra)
         transform = _get_transform(config.transform_kind, **transform_kwargs)
+
+        # refuse to resume against checkpoints from a DIFFERENT run:
+        # filename-only reuse would silently merge results solved with the
+        # old config/transform into the new output cube
+        import dataclasses as _dc
+        import json as _json
+
+        fingerprint = {
+            "config": _dc.asdict(config),
+            "transform_kwargs": transform_kwargs,
+            "var": var,
+            "f_total": int(f_total),
+            "slice_shape": [int(len(coords[d])) for d in dims[:-1]],
+        }
+        meta_path = os.path.join(checkpoint_dir, "checkpoint_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                prior = _json.load(fh)
+            if prior != fingerprint:
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} holds checkpoints "
+                    f"from a different run (config/transform/var/shape "
+                    f"changed) — clear it or pick another directory. "
+                    f"Prior: {prior}")
+        else:
+            with open(meta_path, "w") as fh:
+                _json.dump(fingerprint, fh)
 
         n_iters = np.zeros(f_total, np.int32)
         costs = np.zeros(f_total, np.float32)
@@ -183,10 +219,21 @@ def interpolate_checkpointed(
             else:
                 slab = np.asarray(src.data_vars[var][1][..., start:stop])
             moved = np.moveaxis(slab, -1, 0)
+            nb = stop - start
+            if nb < batch:
+                # pad the tail slab to the full batch: the inner driver
+                # derives its program shape from the chunk it receives, so
+                # a short tail would compile a SECOND full XLA program
+                # (minutes for directional bases) that the non-checkpointed
+                # path never pays; zero slices short-circuit in the solver
+                moved = np.concatenate(
+                    [moved, np.zeros((batch - nb,) + moved.shape[1:],
+                                     moved.dtype)])
             rec_c, n_c, c_c = _interpolate_cube(
                 moved, mask, config, mesh=mesh, transform=transform,
                 batch=batch,
             )
+            rec_c, n_c, c_c = rec_c[:nb], n_c[:nb], c_c[:nb]
             n_iters[start:stop] = n_c
             costs[start:stop] = c_c
             part = Cube(
@@ -294,9 +341,7 @@ def interpolate(
     slice_dim = dims[-1]
     moved = np.moveaxis(np.asarray(data), -1, 0)
 
-    transform_kwargs = {k: extra[k] for k in (
-        "wavelet", "level", "n_scales", "precision",
-        "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
+    transform_kwargs = _transform_kwargs(extra)
     transform = get_transform(config.transform_kind, **transform_kwargs)
     xprint(
         f"POCS: {moved.shape[0]} slices of {moved.shape[1]}x{moved.shape[2]}, "
@@ -319,9 +364,15 @@ def interpolate(
     # the batch term by the subband count rather than assuming L == 1
     expansion = _transform_subbands(transform, moved.shape[-2:], config)
     resident_batch = min(batch, 32)  # the batch the driver will ACTUALLY use
-    batch_bytes = resident_batch * moved[0].nbytes * 4 * expansion
+    # budget in DEVICE bytes, not input bytes: the solver materializes an
+    # (re, im) f32 pair (8 B/sample) whether the host array is complex64
+    # or real float32 — moved.nbytes would under-budget real cubes 2x and
+    # select the resident driver into an OOM
+    slice_dev_bytes = moved[0].size * 8
+    batch_bytes = resident_batch * slice_dev_bytes * 4 * expansion
     resident = (mesh is None and _jax.device_count() == 1
-                and moved.nbytes * 4 + batch_bytes < 8 * 2**30)
+                and moved.shape[0] * slice_dev_bytes * 4 + batch_bytes
+                < 8 * 2**30)
     with prof:
         if resident:
             from ..parallel.solver import interpolate_cube_resident
@@ -403,9 +454,7 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     extra = {}
     if not isinstance(config, POCSConfig):
         config, extra = config_from_yaml(config)
-    transform_kwargs = {k: extra[k] for k in (
-        "wavelet", "level", "n_scales", "precision",
-        "nbscales", "nbangles_coarse", "allcurvelets") if k in extra}
+    transform_kwargs = _transform_kwargs(extra)
     transform = get_transform(config.transform_kind, **transform_kwargs)
 
     h, w = int(shape[0]), int(shape[1])
@@ -439,7 +488,15 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     else:
         if mesh is None:
             mesh = mesh_lib.make_mesh()
-        b = mesh_lib.pad_to_multiple(min(batch, 64), mesh.devices.size)
+        # mirror interpolate_cube's own batch derivation (solver.py:
+        # pad_to_multiple(min(batch, f_total), n_dev)) — an arbitrary cap
+        # here (formerly 64) warms a different HLO shape than production
+        # dispatches whenever batch > cap or the cube is shorter than it.
+        # Without --slices the cube length is unknown; assume it exceeds
+        # batch (the production-scale case).
+        b = mesh_lib.pad_to_multiple(
+            min(batch, int(n_slices)) if n_slices else batch,
+            mesh.devices.size)
         data = (rng.normal(size=(b, h, w)).astype(np.float32)
                 + 1j * rng.normal(size=(b, h, w)).astype(np.float32))
         _ic(data.astype(np.complex64), mask, config, mesh=mesh,

@@ -151,8 +151,9 @@ def test_checkpointed_interpolation_resumes(survey, tmp_path):
     cfg = POCSConfig(niter=10, p_min=1e-3, version="fast")
     ckdir = str(tmp_path / "ck")
     out1 = interpolate_checkpointed(freq, cfg, ckdir, batch=16)
-    files = sorted(os.listdir(ckdir))
+    files = sorted(f for f in os.listdir(ckdir) if f.startswith("slices_"))
     assert len(files) >= 2
+    assert os.path.exists(os.path.join(ckdir, "checkpoint_meta.json"))
     # delete nothing; rerun resumes fully from checkpoints (no recompute) —
     # PROVE it by making the solver explode: a rerun that silently
     # recomputed any batch would call it
@@ -175,3 +176,63 @@ def test_checkpointed_interpolation_resumes(survey, tmp_path):
         np.asarray(out1["freq_amp_interp"]), np.asarray(out2["freq_amp_interp"]),
         rtol=1e-6,
     )
+
+
+def test_checkpoint_dir_refuses_config_drift(survey, tmp_path):
+    """Resuming into a checkpoint_dir written under a DIFFERENT config must
+    refuse loudly — filename-only reuse would silently merge results from
+    two configs into one output cube."""
+    from pseudo_3d_interpolation_tpu.pipeline import binning as pbin2
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+        interpolate_checkpointed)
+
+    d, truth, twt, acquired = survey
+    n_il, n_xl, ns = truth.shape
+    geom = pbin2.BinningGeometry(spacing=10.0,
+                                 extent=(0.0, n_il * 10.0, 0.0, n_xl * 10.0))
+    cube = pbin2.bin_cube(d, geom)
+    freq = apply_fft(cube)
+    ckdir = str(tmp_path / "ck")
+    interpolate_checkpointed(freq, POCSConfig(niter=4, p_min=1e-3), ckdir,
+                             batch=16)
+    with pytest.raises(ValueError, match="different run"):
+        interpolate_checkpointed(freq, POCSConfig(niter=6, p_min=1e-3),
+                                 ckdir, batch=16)
+    # unchanged config still resumes
+    interpolate_checkpointed(freq, POCSConfig(niter=4, p_min=1e-3), ckdir,
+                             batch=16)
+
+
+def test_checkpointed_tail_slab_keeps_program_shape(survey, tmp_path):
+    """The tail slab is padded to the full batch before the inner driver:
+    a short tail would compile a SECOND full XLA program (minutes for
+    directional bases)."""
+    from pseudo_3d_interpolation_tpu.parallel import solver as psolver
+    from pseudo_3d_interpolation_tpu.pipeline import binning as pbin2
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+        interpolate_checkpointed)
+
+    d, truth, twt, acquired = survey
+    n_il, n_xl, ns = truth.shape
+    geom = pbin2.BinningGeometry(spacing=10.0,
+                                 extent=(0.0, n_il * 10.0, 0.0, n_xl * 10.0))
+    cube = pbin2.bin_cube(d, geom)
+    freq = apply_fft(cube)
+    f_total = freq.data_vars["freq_amp"][1].shape[-1]
+    batch = 16
+    assert f_total % batch != 0, "fixture must exercise a short tail"
+    shapes = []
+    real_ic = psolver.interpolate_cube
+
+    def spy(moved, *a, **k):
+        shapes.append(moved.shape[0])
+        return real_ic(moved, *a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(psolver, "interpolate_cube", spy):
+        out = interpolate_checkpointed(freq, POCSConfig(niter=4, p_min=1e-3),
+                                       str(tmp_path / "ck"), batch=batch)
+    assert shapes and set(shapes) == {batch}
+    # trimmed result matches the cube length, not the padded batch grid
+    assert np.asarray(out["freq_amp_interp"]).shape[-1] == f_total
