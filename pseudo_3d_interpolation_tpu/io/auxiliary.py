@@ -69,7 +69,12 @@ def line_name(filepath: str, splitter: str = "UTM") -> str:
     parts = base.split("_")
     for i, p in enumerate(parts):
         if splitter in p:
-            return "_".join(parts[:i])
+            # splitter-first names ('UTM33N_line1') would derive the empty
+            # string and collapse DISTINCT profiles onto one (line, tracl)
+            # key, silently mis-joining sidecars — fall back to the full
+            # stem instead (deviation: the reference returns '' here,
+            # utils_IO.py:47-51)
+            return "_".join(parts[:i]) if i > 0 else base
     return base
 
 
@@ -139,7 +144,12 @@ def export_coords(df: pd.DataFrame, out_path: str, fmt: str | None = None) -> st
         for _, row in df.iterrows():
             features.append({
                 "type": "Feature",
-                "properties": {k: (None if pd.isna(v) else v) for k, v in row.items()
+                # .item() numpy scalars: json.dump rejects np.int64 (rows
+                # only carry Python scalars when pandas happened to
+                # object-upcast — don't rely on it)
+                "properties": {k: (None if pd.isna(v) else
+                                   v.item() if hasattr(v, "item") else v)
+                               for k, v in row.items()
                                if k not in ("x", "y")},
                 "geometry": {"type": "Point",
                              "coordinates": [float(row["x"]), float(row["y"])]},

@@ -97,10 +97,13 @@ def write_gpkg_points(path: str, layers: dict, srs_id: int = 4326,
                 + ("".join(", " + d for d in defs)) + ")")
             xs = df[xcol].astype(float).to_numpy()
             ys = df[ycol].astype(float).to_numpy()
+            # extract attribute columns ONCE: per-cell df[c].iloc[i] costs
+            # a pandas slow-path lookup per value (minutes at survey scale)
+            cols = [df[c].to_numpy() for c in attr_cols]
             rows = [
                 (_gpkg_point_blob(x, y, srs_id),
-                 *[v.item() if hasattr(v := df[c].iloc[i], "item") else v
-                   for c in attr_cols])
+                 *[v.item() if hasattr(v := col[i], "item") else v
+                   for col in cols])
                 for i, (x, y) in enumerate(zip(xs, ys))
             ]
             ph = ",".join("?" * (1 + len(attr_cols)))

@@ -30,6 +30,10 @@ def scale_coordinates(segy, coords_bytes=(73, 77)):
     xb, yb = coords_bytes
     x = segy.header(xb).astype(float)
     y = segy.header(yb).astype(float)
+    if x.size == 0:
+        # valid-but-empty file (aborted line): empty coordinates, not an
+        # IndexError that aborts a whole-directory navigation scan
+        return x, y, 1
     units = int(segy.header("CoordinateUnits")[0])
     if units in (0, 1):
         scalar = int(segy.header("SourceGroupScalar")[0])

@@ -200,8 +200,12 @@ def read_cube(path: str, combine_complex: bool = True, variables=None) -> Cube:
                 a: v for a, v in f[k].attrs.items()
                 if not a.startswith(("DIMENSION_LIST", "_dims"))
             }
-            # CF-convention unpacking (scale_factor/add_offset/_FillValue)
-            if "scale_factor" in attrs_k or "add_offset" in attrs_k:
+            # CF-convention unpacking (scale_factor/add_offset/_FillValue).
+            # A fill-only encoding (integer dtype, default scale/offset)
+            # must ALSO unpack, or NaN cells come back as literal fill
+            # values in the data
+            if ("scale_factor" in attrs_k or "add_offset" in attrs_k
+                    or ("_FillValue" in attrs_k and raw.dtype.kind in "iu")):
                 scale = float(attrs_k.pop("scale_factor", 1.0))
                 offset = float(attrs_k.pop("add_offset", 0.0))
                 fill = attrs_k.pop("_FillValue", None)
@@ -300,6 +304,26 @@ class CubeFile:
     def is_complex(self, var: str) -> bool:
         return var in self._complex
 
+    def _unpack(self, name: str, raw: np.ndarray) -> np.ndarray:
+        """CF-convention unpacking, mirroring :func:`read_cube` — the
+        streaming reader must not hand packed integers (or literal fill
+        values) to callers that read_cube would hand floats/NaN (e.g. the
+        POCS driver's ``fold`` mask, pipeline/pocs.py)."""
+        attrs = self._f[name].attrs
+        has_scale = "scale_factor" in attrs or "add_offset" in attrs
+        if not (has_scale
+                or ("_FillValue" in attrs and raw.dtype.kind in "iu")):
+            return raw
+        scale = float(attrs.get("scale_factor", 1.0))
+        offset = float(attrs.get("add_offset", 0.0))
+        fill = attrs.get("_FillValue")
+        unpacked = raw.astype(np.float64) * scale + offset
+        if fill is not None:
+            unpacked = np.where(raw == fill, np.nan, unpacked)
+        out_dt = (np.float64 if raw.dtype.itemsize >= 4
+                  and raw.dtype.kind in "iu" else np.float32)
+        return unpacked.astype(out_dt)
+
     def read_slab(self, var: str, dim: str | None = None,
                   start: int = 0, stop: int | None = None) -> np.ndarray:
         """Read ``var`` restricted to ``[start:stop]`` along ``dim``."""
@@ -312,7 +336,7 @@ class CubeFile:
             re = self._f[var + ".real"][sel]
             im = self._f[var + ".imag"][sel]
             return re.astype(np.complex64) + 1j * im.astype(np.complex64)
-        return self._f[var][sel]
+        return self._unpack(var, self._f[var][sel])
 
     def read(self, var: str) -> np.ndarray:
         return self.read_slab(var)

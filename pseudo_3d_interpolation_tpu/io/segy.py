@@ -189,6 +189,10 @@ def _decode_samples(raw: np.ndarray, fmt: int) -> np.ndarray:
 # field is signed two's complement
 _UNSIGNED16_TRACE_FIELDS = frozenset(
     {"TRACE_SAMPLE_COUNT", "TRACE_SAMPLE_INTERVAL"})
+# binary-header fields with the same rev2 unsigned semantics (the reader
+# normalizes these back with & 0xFFFF on open)
+_UNSIGNED16_BIN_FIELDS = frozenset(
+    {"Samples", "SamplesOriginal", "Interval", "IntervalOriginal"})
 
 
 def _encode_samples(data: np.ndarray, fmt: int) -> np.ndarray:
@@ -201,9 +205,16 @@ def _encode_samples(data: np.ndarray, fmt: int) -> np.ndarray:
     else:
         # saturate out-of-range samples at the integer format's limits —
         # the same semantics as the IBM encoder's overflow clamp; a silent
-        # two's-complement wrap would flip amplitude signs
+        # two's-complement wrap would flip amplitude signs. NaN encodes to
+        # zero like the IBM path (np.clip passes NaN through and the
+        # float->int cast of NaN is undefined — a full-scale spike)
         info = np.iinfo(np.dtype(dtype))
-        enc = np.clip(np.rint(data), info.min, info.max).astype(dtype)
+        # clip in float64: float32 cannot represent 2^31-1 exactly (it
+        # rounds UP to 2^31), so an f32 clip of a large value would
+        # overflow the int32 cast into an INT_MIN wrap — the exact failure
+        # the clamp exists to prevent
+        clean = np.where(np.isnan(data), 0.0, np.asarray(data, np.float64))
+        enc = np.clip(np.rint(clean), info.min, info.max).astype(dtype)
     return enc.view(np.uint8).reshape(data.shape[0], -1)
 
 
@@ -233,8 +244,9 @@ class SegyFile:
             raise ValueError(f"{path}: unsupported sample format {self.format}")
         # i2 fields storing 32768..65535 read back negative; normalize
         # (rev2 unsigned semantics, e.g. long sub-bottom records)
-        for f16 in ("Samples", "SamplesOriginal", "Interval"):
-            if self.bin[f16] < 0:
+        for f16 in ("Samples", "SamplesOriginal", "Interval",
+                    "IntervalOriginal"):
+            if self.bin.get(f16, 0) < 0:
                 self.bin[f16] &= 0xFFFF
         self.n_samples = self.bin["Samples"]
         self.dt_us = self.bin["Interval"]
@@ -393,15 +405,28 @@ def write_segy(
     def _set_bin(name, value):
         off, dt = BINARY_HEADER_FIELDS[name]
         size = int(dt[-1])
+        v = int(value)
         if size == 2:
-            # SEG-Y i2 fields hold up to 65535 via the unsigned bit pattern
-            # (rev2 semantics); beyond that the format cannot represent it
-            if not 0 <= int(value) <= 65535:
+            # mirror the reader's semantics field by field: the count/
+            # interval fields carry rev2 UNSIGNED values (reader
+            # normalizes them back via & 0xFFFF), every other i2 field is
+            # signed two's complement — e.g. ExtendedHeaders=-1 is the
+            # legal rev1 'variable count' the reader itself supports,
+            # while EnsembleFold=40000 would read back as -25536
+            if name in _UNSIGNED16_BIN_FIELDS:
+                lo, hi = 0, 65535
+            else:
+                lo, hi = -32768, 32767
+            if not lo <= v <= hi:
                 raise ValueError(f"binary header {name}={value} exceeds the "
-                                 "16-bit SEG-Y field range (max 65535)")
-            enc = np.array([int(value)], ">u2")
+                                 f"16-bit SEG-Y field range ([{lo}, {hi}])")
+            enc = np.array([v & 0xFFFF], ">u2")
         else:
-            enc = np.array([value]).astype(">" + dt)
+            info = np.iinfo(np.int32)
+            if not info.min <= v <= info.max:
+                raise ValueError(f"binary header {name}={value} exceeds the "
+                                 "32-bit SEG-Y field range")
+            enc = np.array([v]).astype(">" + dt)
         bin_raw[off - 3201 : off - 3201 + size] = np.frombuffer(enc.tobytes(), np.uint8)
 
     _set_bin("Samples", ns)
@@ -414,6 +439,16 @@ def write_segy(
     _set_bin("TraceFlag", 1)
     for name, value in (bin_updates or {}).items():
         _set_bin(name, value)
+    if (dt_us is None and "Interval" not in (bin_updates or {})
+            and raw_trace_headers is None
+            and "TRACE_SAMPLE_INTERVAL" not in (headers or {})):
+        import warnings
+
+        warnings.warn(
+            f"write_segy({os.path.basename(path)}): no sample interval "
+            "given (dt_us / bin_updates['Interval'] / "
+            "TRACE_SAMPLE_INTERVAL) — readers will see dt_us == 0",
+            stacklevel=2)
 
     if raw_trace_headers is not None:
         th = np.ascontiguousarray(raw_trace_headers, np.uint8).copy()
@@ -455,6 +490,14 @@ def write_segy(
                 )
             col = (vals.astype(np.int64) & 0xFFFF).astype(">u2")
         else:
+            # 32-bit fields get the same loud range check the 16-bit ones
+            # do — a silent modulo-2^32 wrap corrupts navigation
+            vmin, vmax = int(np.min(vals)), int(np.max(vals))
+            info32 = np.iinfo(np.int32)
+            if vmin < info32.min or vmax > info32.max:
+                raise ValueError(
+                    f"trace header {name}: value range [{vmin}, {vmax}] "
+                    "exceeds the 32-bit SEG-Y field")
             col = vals.astype(">" + dt)
         th[:, off - 1 : off - 1 + size] = col.view(np.uint8).reshape(ntr, size)
 

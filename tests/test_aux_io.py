@@ -133,3 +133,47 @@ def test_gpkg_writer_produces_valid_geopackage(tmp_path):
         assert (x, y) == (500120.0, 6000300.25)
     finally:
         con.close()
+
+
+def test_line_name_splitter_first_falls_back_to_stem():
+    """Zone-first names ('UTM33N_line1') must not collapse distinct
+    profiles onto the empty line name (silent sidecar mis-joins)."""
+    from pseudo_3d_interpolation_tpu.io.auxiliary import line_name
+
+    assert line_name("/d/UTM33N_line1.sgy") == "UTM33N_line1"
+    assert line_name("/d/lineA_001_UTM33N_proc.sgy") == "lineA_001"
+
+
+def test_export_coords_point_branch_numpy_scalars(tmp_path):
+    """json.dump rejects np.int64 — the Point branch must .item() numpy
+    scalars instead of relying on pandas object-upcasting."""
+    import json
+
+    import pandas as pd
+
+    from pseudo_3d_interpolation_tpu.io.auxiliary import export_coords
+
+    # all-numeric frame: iterrows yields numpy scalars, not Python ones
+    df = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0],
+                       "trace_a": np.array([10, 20], np.int64)})
+    p = export_coords(df, str(tmp_path / "pts.geojson"))
+    gj = json.load(open(p))
+    assert gj["features"][0]["properties"]["trace_a"] == 10
+
+
+def test_scale_coordinates_zero_trace_file(tmp_path):
+    """A valid-but-empty SEG-Y (aborted line) yields empty coordinate
+    arrays instead of an IndexError that aborts a directory scan."""
+    from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile, write_segy
+
+    p = str(tmp_path / "empty.sgy")
+    write_segy(p, np.zeros((1, 16), np.float32), dt_us=250)
+    # truncate to just the 3600-byte file headers: a structurally valid
+    # zero-trace file (external tools write these for aborted lines)
+    with open(p, "r+b") as fh:
+        fh.truncate(3600)
+    with SegyFile(p) as f:
+        assert f.n_traces == 0
+        x, y, units = scale_coordinates(f)
+    assert x.size == 0 and y.size == 0

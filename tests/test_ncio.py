@@ -188,3 +188,50 @@ def test_attrs_config_families(tmp_path):
     assert cube.var_attrs["amp"]["long_name"] == "seismic amplitude"
     assert cube.coord_attrs["twt"]["units"] == "ms"
     assert cube.attrs["description"] == "institutional metadata"
+
+
+def test_fill_only_encoding_roundtrips_nan(tmp_path):
+    """Integer encoding with _FillValue but default scale/offset must still
+    restore NaN on read (the unpack trigger used to require scale/offset)."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+    amp = np.array([[1.0, np.nan], [3.0, 4.0]], np.float32)
+    cube = Cube(coords={"iline": np.arange(2), "xline": np.arange(2)},
+                data_vars={"amp": (("iline", "xline"), amp)})
+    p = str(tmp_path / "fill.nc")
+    write_cube(p, cube, encodings={"amp": {"dtype": "i4", "_FillValue": -1}})
+    back = read_cube(p)
+    out = np.asarray(back["amp"])
+    assert np.isnan(out[0, 1])
+    np.testing.assert_allclose(out[0, 0], 1.0)
+
+
+def test_cubefile_read_slab_unpacks_cf(tmp_path):
+    """The streaming reader must apply the same CF unpacking read_cube does
+    — the POCS driver derives its sampling mask from 'fold' through this
+    path, and packed/fill values would silently corrupt the mask."""
+    from pseudo_3d_interpolation_tpu.io.ncio import (Cube, CubeFile,
+                                                     read_cube, write_cube)
+
+    rng = np.random.default_rng(9)
+    amp = rng.normal(size=(4, 3)).astype(np.float32)
+    fold = np.array([[0, 1, 2], [3, 0, 1], [2, 2, 0], [1, 0, 4]], np.float32)
+    fold[0, 0] = np.nan
+    cube = Cube(coords={"iline": np.arange(4), "xline": np.arange(3)},
+                data_vars={"amp": (("iline", "xline"), amp),
+                           "fold": (("iline", "xline"), fold)})
+    p = str(tmp_path / "packed.nc")
+    write_cube(p, cube, encodings={
+        "amp": {"dtype": "i2", "scale_factor": 1e-3, "_FillValue": -32768},
+        "fold": {"dtype": "i2", "_FillValue": -1},
+    })
+    want_amp = np.asarray(read_cube(p)["amp"])
+    want_fold = np.asarray(read_cube(p)["fold"])
+    with CubeFile(p) as cf:
+        got_amp = cf.read("amp")
+        got_fold = cf.read("fold")
+        got_slab = cf.read_slab("amp", dim="iline", start=1, stop=3)
+    np.testing.assert_array_equal(got_amp, want_amp)
+    np.testing.assert_array_equal(got_fold, want_fold)
+    np.testing.assert_array_equal(got_slab, want_amp[1:3])
+    assert np.isnan(got_fold[0, 0]) and got_fold.dtype.kind == "f"

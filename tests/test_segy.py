@@ -254,3 +254,49 @@ def test_write_unsigned16_field_rejects_negative(tmp_path):
     write_segy(p, data, headers={"TRACE_SAMPLE_INTERVAL": 40000}, dt_us=250)
     with SegyFile(p) as f:
         assert int(f.header("TRACE_SAMPLE_INTERVAL")[0]) == 40000
+
+
+def test_int_format_nan_encodes_to_zero(tmp_path):
+    """NaN samples encode to 0 in the integer formats like the IBM path —
+    the float->int cast of NaN is undefined (a full-scale spike)."""
+    data = np.array([[1.0, np.nan, -2.0, np.inf, -np.inf]], np.float32)
+    for fmt in (2, 3, 8):
+        p = str(tmp_path / f"nan_{fmt}.sgy")
+        write_segy(p, data, fmt=fmt, dt_us=250)
+        with SegyFile(p) as f:
+            out = f.trace_data()[0]
+        assert out[1] == 0.0, (fmt, out)
+        info = np.iinfo({2: np.int32, 3: np.int16, 8: np.int8}[fmt])
+        assert out[3] == info.max and out[4] == info.min  # inf saturates
+
+
+def test_binary_header_signed_unsigned_split(tmp_path):
+    """Binary i2 fields mirror the reader: count/interval fields take the
+    unsigned range, everything else is signed (ExtendedHeaders=-1 is the
+    legal rev1 'variable count'); i4 fields range-check loudly."""
+    data = np.zeros((2, 8), np.float32)
+    p = str(tmp_path / "b.sgy")
+    # signed field: -1 legal, 40000 rejected
+    write_segy(p, data, dt_us=250, bin_updates={"EnsembleFold": -1})
+    with pytest.raises(ValueError, match="EnsembleFold"):
+        write_segy(p, data, dt_us=250, bin_updates={"EnsembleFold": 40000})
+    # unsigned field: 40000 legal and round-trips via the reader's
+    # normalization
+    write_segy(p, data, dt_us=40000)
+    with SegyFile(p) as f:
+        assert f.dt_us == 40000
+    with pytest.raises(ValueError, match="32-bit"):
+        write_segy(p, data, dt_us=250, bin_updates={"JobID": 2**31})
+
+
+def test_trace_header_i4_overflow_raises(tmp_path):
+    data = np.zeros((2, 8), np.float32)
+    with pytest.raises(ValueError, match="32-bit"):
+        write_segy(str(tmp_path / "o.sgy"), data, dt_us=250,
+                   headers={"CDP_X": 2_500_000_000})
+
+
+def test_write_segy_warns_without_interval(tmp_path):
+    data = np.zeros((2, 8), np.float32)
+    with pytest.warns(UserWarning, match="sample interval"):
+        write_segy(str(tmp_path / "w.sgy"), data)
