@@ -420,6 +420,16 @@ register_transform(
 )
 
 
+# the union of constructor options across all built-in bases: a config may
+# carry options for a basis other than the selected one (one YAML reused
+# across runs), so factories tolerate THESE via **kw — but anything outside
+# the set is a typo (e.g. 'nscales', 'precison') and must fail loudly, not
+# silently configure the solver's quality levers to defaults.
+# pipeline/pocs.py filters YAML extras with this same tuple.
+TRANSFORM_OPTION_KEYS = ("wavelet", "level", "n_scales", "precision",
+                         "nbscales", "nbangles_coarse", "allcurvelets")
+
+
 def get_transform(kind: str, **kwargs):
     """Build a transform by reference kind name (FFT/DCT/WAVELET/SHEARLET/CURVELET)."""
     kind = kind.upper()
@@ -427,4 +437,9 @@ def get_transform(kind: str, **kwargs):
         raise ValueError(
             f"Unsupported transform {kind!r}; available: {sorted(_REGISTRY)}"
         )
+    unknown = set(kwargs) - set(TRANSFORM_OPTION_KEYS)
+    if unknown and kind in ("FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"):
+        raise TypeError(
+            f"unknown transform option(s) for {kind}: {sorted(unknown)}; "
+            f"recognized: {sorted(TRANSFORM_OPTION_KEYS)}")
     return _REGISTRY[kind](**kwargs)

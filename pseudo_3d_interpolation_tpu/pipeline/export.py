@@ -68,7 +68,13 @@ def cube_to_segy(
     if "fold" in cube.data_vars:
         headers["NStackedTraces"] = np.asarray(cube.data_vars["fold"][1]).reshape(-1)
     if ilxl_to_coords is not None:
-        pts = ilxl_to_coords.transform(np.column_stack([il, xl]).astype(float))
+        # navigation comes from the ACTUAL iline/xline coordinate values —
+        # the affine is fit in original bin units (ops/binning.py), so
+        # feeding it the renumbered 1..N header indices of an upsampled
+        # cube would stretch/shift the written grid by the upsample factor
+        il_vals = np.repeat(np.asarray(cube.coords["iline"], float), n_xl)
+        xl_vals = np.tile(np.asarray(cube.coords["xline"], float), n_il)
+        pts = ilxl_to_coords.transform(np.column_stack([il_vals, xl_vals]))
         cx, cy = unscale_coordinates(pts[:, 0], pts[:, 1], scale_factor=coordinate_scalar)
         headers["CDP_X"] = cx
         headers["CDP_Y"] = cy

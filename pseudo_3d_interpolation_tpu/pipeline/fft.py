@@ -74,16 +74,19 @@ def apply_fft(
         f"FFT({var})" + (f" x{upsample}" if upsample > 1 else "")
         + (f" {filter_type.upper()} {filter_freqs}" if filter_type else "")
     )
-    if out_path:
-        encodings = None
-        if attrs_config is not None:
-            from ..io.ncio import apply_attrs, load_attrs_config
+    # apply the attrs config to the RETURNED cube too (preprocess and
+    # apply_ifft do) — in-memory chains would otherwise silently lose the
+    # configured freq metadata whenever out_path is omitted
+    encodings = None
+    if attrs_config is not None:
+        from ..io.ncio import apply_attrs, load_attrs_config
 
-            _, attrs_freq, encodings, _ = load_attrs_config(attrs_config)
-            named = {}
-            for k, a in attrs_freq.items():
-                named[{"data": var_new, "new_dim": "freq_twt"}.get(k, k)] = a
-            apply_attrs(out, named)
+        _, attrs_freq, encodings, _ = load_attrs_config(attrs_config)
+        named = {}
+        for k, a in attrs_freq.items():
+            named[{"data": var_new, "new_dim": "freq_twt"}.get(k, k)] = a
+        apply_attrs(out, named)
+    if out_path:
         write_cube(out_path, out, chunks={"freq_twt": 1}, encodings=encodings)
     return out
 

@@ -31,11 +31,10 @@ from ..utils.logging import xprint
 _DASK_KEYS = ("n_workers", "processes", "threads_per_worker", "memory_limit", "batch_chunk")
 
 # transform-constructor keys recognized in the POCS YAML's extra section —
-# ONE list shared by every entry point (interpolate / checkpointed / warmup):
-# a per-site copy silently drops later additions at the sites that miss the
-# update (see the matching warning in config_from_yaml)
-_TRANSFORM_KEYS = ("wavelet", "level", "n_scales", "precision",
-                   "nbscales", "nbangles_coarse", "allcurvelets")
+# ONE list (owned by models/transforms.py, which also validates get_transform
+# kwargs against it) shared by every entry point: a per-site copy silently
+# drops later additions at the sites that miss the update
+from ..models.transforms import TRANSFORM_OPTION_KEYS as _TRANSFORM_KEYS
 
 
 def _transform_kwargs(extra: dict) -> dict:

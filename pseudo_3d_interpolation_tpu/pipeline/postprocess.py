@@ -52,16 +52,21 @@ def footprint_filter(ny: int, nx: int, sigma: int = 7, direction: str = "both",
     npad = sigma * 5
     nyp, nxp = ny + npad, nx + npad
     shape = np.zeros((nyp, nxp), np.float64)
+    # fwidth == 0 (buffer_center near 1 on small grids) must notch NOTHING:
+    # shape[-0:] is the FULL slice, which would notch the whole stripe
+    # including the protected center
     if direction in ("both", "horizontal", "iline"):
         cidx = nxp // 2 + 1
         fwidth = round(nyp * (1 - buffer_center) + 0.5) // 2
-        shape[:fwidth, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
-        shape[-fwidth:, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
+        if fwidth > 0:
+            shape[:fwidth, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
+            shape[-fwidth:, cidx - buffer_filter : cidx + buffer_filter + 1] = 1
     if direction in ("both", "vertical", "xline"):
         cidx = nyp // 2 + 1
         fwidth = round(nxp * (1 - buffer_center) + 0.5) // 2
-        shape[cidx - buffer_filter : cidx + buffer_filter + 1, :fwidth] = 1
-        shape[cidx - buffer_filter : cidx + buffer_filter + 1, -fwidth:] = 1
+        if fwidth > 0:
+            shape[cidx - buffer_filter : cidx + buffer_filter + 1, :fwidth] = 1
+            shape[cidx - buffer_filter : cidx + buffer_filter + 1, -fwidth:] = 1
     smoothed = scipy.signal.fftconvolve(shape, gaussian_kernel_2d(sigma), mode="same")
     cut = smoothed[npad // 2 : -npad // 2, npad // 2 : -npad // 2]
     return np.asarray(1.0 - rescale(cut)).astype(np.float32)
@@ -75,16 +80,28 @@ def antialias_filter(ny: int, nx: int, direction: str, factors: dict,
     nyp, nxp = ny + npad, nx + npad
     p = 0.98
     shape = np.zeros((nyp, nxp), np.float64)
+    # center the ny*(1-perc*p)-wide keep band in the PADDED array: the pad
+    # contributes npad//2 per side (adding the full npad shrank the band by
+    # npad rows — for small grids it came out empty, the degenerate
+    # rescale left the all-zero filter unchanged, and apply_kxky_filter
+    # silently wiped the cube to zeros)
     if direction == "iline":
         perc = 1 - factors.get("xline", 1) / factors.get("iline", 1)
-        half = round(ny * perc * p) // 2 + npad
+        half = round(ny * perc * p) // 2 + npad // 2
+        keep = nyp - 2 * half
         shape[half:-half, :] = 1
     elif direction == "xline":
         perc = 1 - factors.get("iline", 1) / factors.get("xline", 1)
-        half = round(nx * perc * p) // 2 + npad
+        half = round(nx * perc * p) // 2 + npad // 2
+        keep = nxp - 2 * half
         shape[:, half:-half] = 1
     else:
         raise ValueError("direction must be 'iline' or 'xline'")
+    if keep < 1:
+        raise ValueError(
+            f"anti-alias keep band is empty for {direction} with factors "
+            f"{factors} on a {ny}x{nx} grid — the upsample factor is too "
+            "aggressive for this grid size")
     smoothed = scipy.signal.fftconvolve(shape, gaussian_kernel_2d(sigma), mode="same")
     cut = smoothed[npad // 2 : -npad // 2, npad // 2 : -npad // 2]
     return np.asarray(rescale(cut, 1e-3, 1.0)).astype(np.float32)
@@ -222,9 +239,11 @@ def postprocess(
     # slice-major view: (T, il, xl)
     slices = np.moveaxis(data, -1, 0)
 
+    fy = fx = 1
     if upsample_factors:
         fy = int(upsample_factors.get("iline", 1))
         fx = int(upsample_factors.get("xline", 1))
+    if fy > 1 or fx > 1:  # all-ones factors must be a no-op (keep fold!)
         slices = upsample_slices_linear(slices, fy, fx, method=upsample_method)
         for dim, f in (("iline", fy), ("xline", fx)):
             if f > 1:
@@ -238,8 +257,17 @@ def postprocess(
         cube.append_history(f"UPSAMPLE(il x{fy}, xl x{fx})")
         xprint(f"upsampled to {slices.shape[-2]}x{slices.shape[-1]}",
                kind="info", verbosity=verbose)
-        # fold no longer matches the refined grid
-        cube.data_vars.pop("fold", None)
+        # variables on the OLD grid no longer match the refined coords —
+        # drop every data var carrying the refined dims except the one we
+        # just resampled (fold, env, amp_ref, ...): writing them unchanged
+        # produces a cube whose vars disagree with its own coordinates
+        refined = {d for d, f in (("iline", fy), ("xline", fx)) if f > 1}
+        for k in [k for k in cube.data_vars if k != var]:
+            if refined & set(cube.data_vars[k][0]):
+                cube.data_vars.pop(k)
+                xprint(f"dropped {k}: its grid no longer matches the "
+                       "upsampled coordinates", kind="debug",
+                       verbosity=verbose)
 
     if footprint is not None:
         ff = footprint_filter(slices.shape[-2], slices.shape[-1], **footprint)

@@ -31,7 +31,10 @@ def profile_to_cube(segy_path: str, src_coords_bytes=(73, 77)) -> Cube:
             tracl = np.arange(1, f.n_traces + 1)
         dt = f.dt_us * 1e-6
         text = f.text
-    twt = delrt.min() + np.arange(data.shape[1]) * dt
+    # valid-but-empty file (aborted line): an empty cube, not a
+    # zero-size-reduction ValueError that kills the whole convert() batch
+    twt = ((delrt.min() if delrt.size else 0.0)
+           + np.arange(data.shape[1]) * dt)
     return Cube(
         coords={"tracl": tracl.astype(np.int64), "twt": twt},
         data_vars={

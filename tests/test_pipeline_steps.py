@@ -139,3 +139,116 @@ def test_profile_roundtrip(tmp_path):
     np.testing.assert_allclose(c["amp"], data, rtol=1e-6)
     assert c.coords["twt"][0] == pytest.approx(0.010)
     np.testing.assert_allclose(c["x"], np.arange(30))
+
+
+# ------------------ regression tests: stage-2 review fixes -------------------
+def test_antialias_filter_keeps_signal_small_grids():
+    """The keep band is centered with npad//2 per side: adding the full
+    npad emptied the band for small grids, the degenerate rescale left the
+    all-zero filter unchanged, and the upsampled cube was silently wiped
+    to zeros."""
+    ff = post.antialias_filter(20, 8, "iline", {"iline": 2, "xline": 1})
+    assert ff.shape == (20, 8) and ff.max() > 0.9
+    c = small_cube(n_il=10, n_xl=8)
+    amp_in = np.asarray(c["amp"]).copy()
+    out = post.postprocess(c, var="amp",
+                           upsample_factors={"iline": 2, "xline": 1})
+    amp_out = np.asarray(out["amp"])
+    # energy survives the anti-alias step (was exactly zero before)
+    assert np.abs(amp_out).max() > 0.1 * np.abs(amp_in).max()
+    # and the keep fraction is in the right ballpark: the central rows of
+    # the shifted filter pass ~unity
+    ff = post.antialias_filter(64, 64, "iline", {"iline": 2, "xline": 1})
+    assert ff[32, 32] > 0.9
+    keep_rows = (ff[:, 32] > 0.5).sum()
+    assert 20 <= keep_rows <= 46  # ~ny*(1-0.49) = 33 +- smoothing width
+
+
+def test_antialias_filter_refuses_empty_band():
+    # sigma=4 -> even npad: the centered band can reach exactly zero rows
+    with pytest.raises(ValueError, match="keep band"):
+        post.antialias_filter(4, 8, "iline", {"iline": 100, "xline": 1},
+                              sigma=4)
+
+
+def test_footprint_filter_zero_width_notches_nothing():
+    """fwidth == 0 (buffer_center ~ 1) must notch NOTHING — shape[-0:] is
+    the full slice and used to notch the entire stripe including DC."""
+    ff = post.footprint_filter(32, 32, sigma=3, buffer_center=0.999)
+    assert ff.min() > 0.9
+
+
+def test_postprocess_unit_upsample_is_noop():
+    c = small_cube()
+    out = post.postprocess(c, var="amp",
+                           upsample_factors={"iline": 1, "xline": 1})
+    assert out["amp"].shape == (10, 8, 64)
+    assert "fold" in out.data_vars  # not popped
+    assert "UPSAMPLE" not in str(out.attrs.get("history", ""))
+
+
+def test_postprocess_upsample_drops_stale_grid_vars():
+    c = small_cube()
+    c.data_vars["env"] = (("iline", "xline", "twt"),
+                          np.abs(np.asarray(c["amp"])))
+    out = post.postprocess(c, var="amp",
+                           upsample_factors={"iline": 2, "xline": 1})
+    # env still has the OLD grid shape -> must not be written against the
+    # refined coordinates
+    assert "env" not in out.data_vars and "fold" not in out.data_vars
+
+
+def test_export_upsampled_cube_navigation_not_stretched(tmp_path):
+    """Navigation comes from the coordinate VALUES: feeding the renumbered
+    1..N header indices into the affine stretched the written grid by the
+    upsample factor."""
+    c = small_cube()
+    up = post.postprocess(c, var="amp",
+                          upsample_factors={"iline": 2, "xline": 1})
+    ilxl2xy = Affine().translation((-1.0, -1.0)).scaling(10.0)
+    p = str(tmp_path / "up.sgy")
+    cube_to_segy(up, p, ilxl_to_coords=ilxl2xy)
+    with SegyFile(p) as f:
+        cx = f.header("CDP_X").astype(float) / 100.0  # unscale -100
+        n_xl = len(up.coords["xline"])
+        # first iline sits at the survey origin; the LAST iline must sit at
+        # the original extent (il=10 -> 90 m), not 2x it
+        assert cx[0] == 0.0
+        assert abs(cx[-n_xl] - 90.0) < 1e-6
+        # consecutive upsampled ilines follow the endpoint-preserving
+        # linspace spacing ((10-1)/19 il = 4.7368 m), quantized to cm by
+        # the -100 scalar — NOT the stretched 10 m the index bug produced
+        want = round((np.asarray(up.coords["iline"])[1] - 1.0) * 10.0, 2)
+        assert abs(cx[n_xl] - want) < 0.011
+
+
+def test_convert_survives_empty_profile(tmp_path):
+    """A zero-trace SEG-Y in the survey directory must not abort the whole
+    conversion batch."""
+    rng = np.random.default_rng(7)
+    good = str(tmp_path / "good_UTM.sgy")
+    write_segy(good, rng.normal(size=(5, 16)).astype(np.float32),
+               headers={"SourceX": 100, "SourceY": 200,
+                        "SourceGroupScalar": 1, "CoordinateUnits": 1},
+               dt_us=250)
+    empty = str(tmp_path / "empty_UTM.sgy")
+    write_segy(empty, rng.normal(size=(1, 16)).astype(np.float32),
+               headers={"SourceX": 100, "SourceY": 200,
+                        "SourceGroupScalar": 1, "CoordinateUnits": 1},
+               dt_us=250)
+    with open(empty, "r+b") as fh:
+        fh.truncate(3600)
+    outs = convert(str(tmp_path))
+    assert len(outs) == 2
+
+
+def test_get_transform_rejects_typo_options():
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+
+    with pytest.raises(TypeError, match="nscales"):
+        get_transform("SHEARLET", nscales=3)
+    with pytest.raises(TypeError, match="precison"):
+        get_transform("FFT", precison="high")
+    # cross-basis keys from a shared YAML stay tolerated
+    t = get_transform("SHEARLET", wavelet="db4", n_scales=3)
+    assert t.n_scales == 3
