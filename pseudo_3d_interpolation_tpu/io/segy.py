@@ -365,6 +365,11 @@ class SegyFile:
             raw = raw[np.asarray(traces)]
         return np.asarray(raw)
 
+    def binary_header_raw(self) -> np.ndarray:
+        """The 400 raw binary-header bytes — pass to ``write_segy``'s
+        ``raw_binary_header`` so unmanaged fields survive a rewrite."""
+        return np.asarray(self._mm[TEXT_SIZE : TEXT_SIZE + BIN_SIZE]).copy()
+
 
 def write_segy(
     path: str,
@@ -375,6 +380,7 @@ def write_segy(
     fmt: int = 5,
     dt_us: int | None = None,
     raw_trace_headers: np.ndarray | None = None,
+    raw_binary_header: np.ndarray | bytes | None = None,
 ):
     """Write a SEG-Y file.
 
@@ -400,7 +406,18 @@ def write_segy(
     else:
         text_raw = encode_textual_header(text)
 
-    bin_raw = np.zeros(BIN_SIZE, np.uint8)
+    if raw_binary_header is not None:
+        # start from the source's binary header (400 bytes) so fields this
+        # writer does not manage (MeasurementSystem, job/line numbers,
+        # EnsembleFold, ...) survive a processing rewrite; the _set_bin
+        # calls below still overwrite everything that must reflect the
+        # data actually written
+        bin_raw = np.frombuffer(bytes(raw_binary_header), np.uint8).copy()
+        if bin_raw.size != BIN_SIZE:
+            raise ValueError(
+                f"raw_binary_header must be {BIN_SIZE} bytes, got {bin_raw.size}")
+    else:
+        bin_raw = np.zeros(BIN_SIZE, np.uint8)
 
     def _set_bin(name, value):
         off, dt = BINARY_HEADER_FIELDS[name]
@@ -437,6 +454,9 @@ def write_segy(
         _set_bin("IntervalOriginal", dt_us)
     _set_bin("SEGYRevision", 256)  # rev 1.0
     _set_bin("TraceFlag", 1)
+    # this writer emits no extended textual stanzas: a preserved source
+    # count would make readers skip into the trace data
+    _set_bin("ExtendedHeaders", 0)
     for name, value in (bin_updates or {}).items():
         _set_bin(name, value)
     if (dt_us is None and "Interval" not in (bin_updates or {})

@@ -51,13 +51,17 @@ def _output_path(path: str, inplace: bool, suffix: str, output_dir=None) -> str:
 
 def _rewrite(src: SegyFile, out_path: str, data: np.ndarray, note: str,
              header_updates: dict | None = None, bin_updates: dict | None = None):
-    """Write a processed copy preserving all trace headers + provenance."""
+    """Write a processed copy preserving all trace headers, the source
+    binary header (unmanaged fields like MeasurementSystem/job/line
+    numbers survive — the reference's segyio copy mode preserved them),
+    and provenance."""
     text = textual.add_processing_entry(src.text, note, prefix=TODAY)
     write_segy(
         out_path,
         data,
         headers=header_updates or {},
         raw_trace_headers=src.trace_headers_raw(),
+        raw_binary_header=src.binary_header_raw(),
         bin_updates={"Interval": src.dt_us, **(bin_updates or {})},
         text=text,
         fmt=5,
@@ -286,7 +290,13 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | No
     for p in files:
         with SegyFile(p) as f:
             delrt = f.header("DelayRecordingTime")
+            if delrt.size == 0:
+                xprint(f"{p}: zero traces — skipped", kind="warning",
+                       verbosity=verbose)
+                continue
             infos.append((p, delrt, f.n_samples, f.dt_us))
+    if not infos:
+        raise ValueError(f"delrt_pad: no non-empty SEG-Y files under {path!r}")
     dts = {dt_us for _, _, _, dt_us in infos}
     if len(dts) > 1:
         raise ValueError(
@@ -354,24 +364,48 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
             new_delrt = delrt.copy()
             n_fix = 0
             fb = fb_twt.copy()
-            for _ in range(3):
-                med = np.asarray(flt.moving_median(
-                    jnp.asarray(fb, jnp.float32), min(win, len(fb) | 1), padded=True))
-                delrt_med = np.asarray(flt.moving_median(
-                    jnp.asarray(new_delrt, jnp.float32), min(win, len(fb) | 1),
-                    padded=True))
-                dev = fb - med
-                header_odd = np.abs(new_delrt - delrt_med) > max(dt_ms, 0.5)
-                step = header_odd & (np.abs(dev) > max(2 * dt_ms, 1.0))
-                if not step.any():
+            # corrections cascade inward ~win/2 traces per pass, so a long
+            # wrong-delrt run needs ~run/(win/2) passes — a fixed small cap
+            # left the interior wrong and fabricated delrt steps at the
+            # cascade frontier; the loop still breaks as soon as a pass
+            # changes nothing
+            tol_fix = max(2 * dt_ms, 1.0)
+            w = win
+            while True:
+                for _ in range(max(3, 2 + len(fb) // max(1, w // 2))):
+                    med = np.asarray(flt.moving_median(
+                        jnp.asarray(fb, jnp.float32), min(w, len(fb) | 1),
+                        padded=True))
+                    delrt_med = np.asarray(flt.moving_median(
+                        jnp.asarray(new_delrt, jnp.float32),
+                        min(w, len(fb) | 1), padded=True))
+                    dev = fb - med
+                    header_odd = np.abs(new_delrt - delrt_med) > max(dt_ms, 0.5)
+                    step = header_odd & (np.abs(dev) > tol_fix)
+                    if not step.any():
+                        break
+                    corrected = new_delrt[step] - dev[step]
+                    # snap to the neighborhood's actual recorded delrt value
+                    snap = np.abs(corrected - delrt_med[step]) <= tol_fix
+                    corrected[snap] = delrt_med[step][snap]
+                    fb[step] += corrected - new_delrt[step]
+                    new_delrt[step] = corrected
+                    n_fix = int((new_delrt != delrt).sum())
+                # a wrong-delrt RUN longer than w/2 defeats the windowed
+                # detector outright (every interior trace agrees with its
+                # wrong neighborhood and the cascade never starts). Those
+                # runs are still detectable: at their boundaries the first
+                # breaks JUMP together WITH the header step — identical
+                # data cannot jump — while a genuine delrt change keeps the
+                # first breaks continuous. Widen only on that evidence, so
+                # genuine short segments are never re-based by a wide
+                # majority window.
+                d_h = np.diff(new_delrt)
+                d_f = np.diff(fb)
+                spurious = (np.abs(d_h) > tol_fix) & (np.abs(d_f - d_h) <= tol_fix)
+                if not spurious.any() or w >= (len(fb) | 1):
                     break
-                corrected = new_delrt[step] - dev[step]
-                # snap to the neighborhood's actual recorded delrt value
-                snap = np.abs(corrected - delrt_med[step]) <= max(2 * dt_ms, 1.0)
-                corrected[snap] = delrt_med[step][snap]
-                fb[step] += corrected - new_delrt[step]
-                new_delrt[step] = corrected
-                n_fix = int((new_delrt != delrt).sum())
+                w = min(2 * w + 1, len(fb) | 1) | 1
             # Offset-trace special case (reference delrt_correction_segy.py:
             # 195-242): a GENUINE delrt change whose header flip is
             # misaligned by one trace leaves exactly one trace adjacent to
@@ -532,7 +566,9 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
             shifted = _shift_traces(data, static)
             out = _output_path(p, inplace, txt_suffix or "sta", output_dir)
             header_updates = {
-                "TotalStaticApplied": (static * dt_ms).astype(np.int64)}
+                # rint like DelayRecordingTime: astype truncates toward
+                # zero and understates sub-ms statics asymmetrically
+                "TotalStaticApplied": np.rint(static * dt_ms).astype(np.int64)}
             note = f"STATIC CORRECTION ({mode}, sg{savgol_window})"
             if write_seafloor2trace and mode == "amp":
                 twt_seafloor_ms = delrt + horizon.astype(np.float64) * dt_ms
@@ -624,9 +660,18 @@ def tide_compensate(path, tide_file: str, velocity: float = 1500.0,
         if units == 2:  # already geographic (converted to decimal degrees)
             return y, x
         if src_epsg in (None, 4326):
-            # heuristic: plausible decimal degrees stored as lengths
-            if (np.abs(x) <= 360).all() and (np.abs(y) <= 90).all() and src_epsg == 4326:
-                return y, x
+            # src_epsg=4326 says the header lengths ARE decimal degrees
+            # (sloppy-but-common files); accept them after a sanity bound.
+            # With src_epsg omitted we cannot distinguish degrees from a
+            # small local grid, so require the caller to say — the bounds
+            # test alone must NOT silently accept metre-valued coordinates
+            # near a survey origin.
+            if src_epsg == 4326:
+                if (np.abs(x) <= 360).all() and (np.abs(y) <= 90).all():
+                    return y, x
+                raise ValueError(
+                    "src_epsg=4326 but header coordinates exceed degree "
+                    "bounds — they look projected; pass the projected CRS")
             raise ValueError(
                 "atlas tide compensation on projected coordinates requires "
                 "src_epsg (e.g. the UTM zone EPSG) to convert to lat/lon")
@@ -703,7 +748,15 @@ def _segment_intersections(nav_a: np.ndarray, nav_b: np.ndarray,
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (diff[..., 0] * d2[..., 1] - diff[..., 1] * d2[..., 0]) / denom
                 u = (diff[..., 0] * d1[..., 1] - diff[..., 1] * d1[..., 0]) / denom
-            hit = (np.abs(denom) > 1e-12) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            # half-open [0, 1) on the segment parameters except each
+            # polyline's FINAL segment: a crossing exactly on a shared
+            # interior vertex satisfies t==1 on segment k and t==0 on
+            # k+1, emitting a duplicate (double-weighted) observation
+            t_ok = np.where(
+                (np.arange(sa, ea) == len(nav_a) - 2)[:, None], t <= 1, t < 1)
+            u_ok = np.where(
+                (np.arange(sb, eb) == len(nav_b) - 2)[None, :], u <= 1, u < 1)
+            hit = (np.abs(denom) > 1e-12) & (t >= 0) & t_ok & (u >= 0) & u_ok
             for ia, ib in zip(*np.nonzero(hit)):
                 pt = nav_a[sa + ia] + t[ia, ib] * (nav_a[sa + ia + 1] - nav_a[sa + ia])
                 out.append((pt, sa + ia, sb + ib))
@@ -871,6 +924,14 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
                    kind="error", verbosity=verbose)
     if not profiles:
         raise FileNotFoundError(f"no readable SEG-Y profiles under {path!r}")
+    # validate up front like delrt_pad: the per-intersection dt check only
+    # fired if mismatched lines happened to cross, after all profiles were
+    # already read into RAM
+    dts = {prof["dt_us"] for prof in profiles.values()}
+    if len(dts) > 1:
+        raise ValueError(
+            f"mistie correction requires one sample interval across "
+            f"profiles, got {sorted(dts)} µs")
     df, lines = compute_misties(profiles, min_correlation=min_correlation,
                                 win_cc_ms=win_cc_ms, verbose=verbose)
     shifts = solve_mistie_network(df, lines)
@@ -944,9 +1005,23 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
     codes can be added via ``utils.crs.register_crs``.
     """
     from ..io.headers import check_coordinate_scalar
-    from ..utils.crs import crs_label
+    from ..utils.crs import GEOGRAPHIC, crs_label, parse_crs
 
     scalar = check_coordinate_scalar(scalar)  # 'auto' -> -100; rejects ±3 etc.
+    dst_geographic = parse_crs(dst_epsg) is GEOGRAPHIC
+
+    def _encode(xt, yt):
+        """Header ints + (scalar, units) for transformed coordinates."""
+        if dst_geographic:
+            # geographic output: CoordinateUnits=2 milli-arc-seconds
+            # (scalar -1000) — a LENGTH scalar like -100 would quantize
+            # degrees to 0.01 deg (~1 km E-W); 1 mas ~ 3 cm, and +-596 deg
+            # fits int32. scale_coordinates reads this back via /3.6e6.
+            xi = np.rint(np.asarray(xt, np.float64) * 3.6e6).astype(np.int64)
+            yi = np.rint(np.asarray(yt, np.float64) * 3.6e6).astype(np.int64)
+            return xi.astype(np.int32), yi.astype(np.int32), -1000, 2
+        xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
+        return xi, yi, scalar, 1
 
     def _one(p):
         with SegyFile(p) as f:
@@ -955,7 +1030,7 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
             if smooth_window and smooth_window > 2:
                 xt = flt.smooth(xt, smooth_window)
                 yt = flt.smooth(yt, smooth_window)
-            xi, yi = unscale_coordinates(xt, yt, scale_factor=scalar)
+            xi, yi, out_scalar, out_units = _encode(xt, yt)
             out = _output_path(p, inplace, txt_suffix or "reproj", output_dir)
             # destination field pair (reference --dst_coords). Default
             # (None): write back to the SAME fields the coordinates were
@@ -981,10 +1056,30 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
                     targets = [(int(coords_bytes[0]), int(coords_bytes[1]))]
             else:
                 targets = pairs[dst_coords]
-            updates = {"SourceGroupScalar": scalar, "CoordinateUnits": 1}
+            updates = {"SourceGroupScalar": out_scalar,
+                       "CoordinateUnits": out_units}
             for xf, yf in targets:
                 updates[xf] = xi
                 updates[yf] = yi
+            # the scalar/units fields are GLOBAL per trace: any OTHER
+            # populated standard coordinate pair would silently decode
+            # wrong under the new scalar (old ints, new scalar) — those
+            # pairs hold coordinates in the same source CRS, so transform
+            # and re-encode them too
+            named_bytes = {"source": (73, 77), "CDP": (181, 185),
+                           "group": (81, 85)}
+            written = {fld for pair in targets for fld in pair}
+            for nm, nb in named_bytes.items():
+                fx, fy = pairs[nm][0]
+                if fx in written or fy in written or nb == tuple(coords_bytes):
+                    continue
+                if not (np.any(f.header(nb[0])) or np.any(f.header(nb[1]))):
+                    continue  # unpopulated pair: leave zeros
+                ox, oy, _ = scale_coordinates(f, nb)
+                oxt, oyt = crs_transform(ox, oy, src_epsg, dst_epsg)
+                oxi, oyi, _, _ = _encode(oxt, oyt)
+                updates[fx] = oxi
+                updates[fy] = oyi
             _rewrite(
                 f, out, f.trace_data(),
                 f"REPROJECT {crs_label(src_epsg)}->{crs_label(dst_epsg)}",
@@ -1013,6 +1108,10 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
     for p in files:
         with SegyFile(p) as f:
             times = trace_datetimes(f)
+            if times.size == 0:
+                xprint(f"{p}: zero traces — skipped from merge",
+                       kind="warning", verbosity=verbose)
+                continue
             infos.append(dict(path=p, size_kb=os.path.getsize(p) / 1024.0,
                               t0=times[0], t1=times[-1],
                               n_samples=f.n_samples, dt_us=f.dt_us))

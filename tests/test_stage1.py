@@ -200,9 +200,12 @@ def test_reproject_roundtrip(tmp_path):
     make_profile(p, x0=500000.0, y0=6000000.0, seed=11)
     out1 = stage1.reproject(p, 32632, 4326)[0]
     with SegyFile(out1) as f:
-        lon = f.header("SourceX") / 100.0
-        lat = f.header("SourceY") / 100.0
-    # scalar -100 keeps only 2 decimals for degrees: coarse but monotonic
+        # geographic output is CoordinateUnits=2 milli-arc-seconds (not
+        # degrees quantized by a length scalar)
+        from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+        assert int(f.header("CoordinateUnits")[0]) == 2
+        lon, lat, units = scale_coordinates(f)
+    assert units == 2
     assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
     out2 = stage1.reproject(out1, 4326, 32632)[0]
     with SegyFile(out2) as f:
@@ -513,9 +516,10 @@ def test_reproject_accepts_wkt_and_proj_specs(tmp_path):
     make_profile(p, x0=500000.0, y0=6000000.0, seed=11)
     out = stage1.reproject(p, wkt_utm32, "+proj=longlat +datum=WGS84")[0]
     with SegyFile(out) as f:
-        lon = f.header("SourceX") / 100.0
-        lat = f.header("SourceY") / 100.0
+        from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+        lon, lat, units = scale_coordinates(f)
         assert "WKT:WGS 84 / UTM zone 32N" in f.text
+    assert units == 2
     assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
 
 
@@ -540,8 +544,9 @@ def test_reproject_cli_wkt_file(tmp_path):
     assert rc == 0
     out = p.replace(".sgy", "_reproj.sgy")
     with SegyFile(out) as f:
-        lon = f.header("SourceX") / 100.0
-    assert 8.9 < lon[0] < 9.1
+        from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+        lon, _, units = scale_coordinates(f)
+    assert units == 2 and 8.9 < lon[0] < 9.1
 
 
 # ---------------------------------------------------------------------------
@@ -674,11 +679,16 @@ def test_reproject_group_bytes_writes_back_to_group(tmp_path):
         src_x_before = f.header("SourceX").copy()
     out = stage1.reproject(p, 32632, 4326, coords_bytes=(81, 85))[0]
     with SegyFile(out) as f:
-        lon = f.header("GroupX") / 100.0
-        lat = f.header("GroupY") / 100.0
+        from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+        lon, lat, units = scale_coordinates(f, (81, 85))
+        assert units == 2
         assert 8.9 < lon[0] < 9.1 and 54.0 < lat[0] < 54.3
-        # SourceX/Y untouched (raw ints preserved from the input header)
-        assert np.array_equal(f.header("SourceX"), src_x_before)
+        # the scalar/units fields are GLOBAL: the populated source pair is
+        # re-encoded consistently (transformed to the new units) rather
+        # than left as stale raw ints that now decode wrong
+        slon, slat, _ = scale_coordinates(f, (73, 77))
+        assert 8.9 < slon[0] < 9.1 and 54.0 < slat[0] < 54.3
+        assert not np.array_equal(f.header("SourceX"), src_x_before)
 
     # 'auto' scalar resolves via check_coordinate_scalar; garbage rejected
     stage1.reproject(p, 32632, 4326, scalar="auto")
@@ -711,3 +721,89 @@ def test_mistie_qc_gpkg_declares_undefined_srs(tmp_path):
         assert srs == {-1}
     finally:
         con.close()
+
+
+# ----------------- regression tests: stage-1 review fixes --------------------
+def test_rewrite_preserves_source_binary_header(tmp_path):
+    """Stage-1 rewrites keep unmanaged binary-header fields
+    (MeasurementSystem, job/line numbers) — the from-scratch header zeroed
+    them; a preserved ExtendedHeaders count must NOT survive (this writer
+    emits no stanzas)."""
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, seed=40)
+    raw = bytearray(open(p, "rb").read())
+    # MeasurementSystem=1 (3255, i2), JobID=7 (3201, i4)
+    raw[3254:3256] = (1).to_bytes(2, "big")
+    raw[3200:3204] = (7).to_bytes(4, "big")
+    open(p, "wb").write(bytes(raw))
+    outs = stage1.despike(p, window=(9, 5), threshold=5.0)
+    with SegyFile(outs[0]) as f:
+        assert f.bin["MeasurementSystem"] == 1
+        assert f.bin["JobID"] == 7
+        assert f.bin["ExtendedHeaders"] == 0
+
+
+def test_delrt_correct_long_wrong_run(tmp_path):
+    """A LONG run of wrong delrt headers is fully corrected: the cascade
+    proceeds ~win/2 traces per pass, so the old 3-pass cap left the
+    interior wrong and fabricated delrt steps at the frontier."""
+    ntr = 200
+    data = make_profile(str(tmp_path / "tmp.sgy"), ntr=ntr, delrt_ms=20,
+                        seed=41)
+    delrt = np.full(ntr, 20)
+    delrt[60:120] = 0  # 60-trace wrong run (minority of the profile)
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, ntr=ntr, delrt_ms=delrt, seed=41, data=data)
+    outs = stage1.delrt_correct(p, win_samples=200)
+    with SegyFile(outs[0]) as f:
+        fixed = f.header("DelayRecordingTime")
+    assert np.abs(fixed - 20).max() <= 2, np.unique(fixed)
+
+
+def test_delrt_correct_keeps_genuine_long_segments(tmp_path):
+    """Window widening is evidence-gated: a GENUINE delrt change (data
+    recorded with the other delay — first breaks continuous) must survive
+    untouched even when one segment is long."""
+    ntr = 200
+    delrt = np.full(ntr, 20)
+    delrt[60:120] = 30  # genuine: traces really recorded 10 ms later
+    p = str(tmp_path / "prof_UTM.sgy")
+    make_profile(p, ntr=ntr, delrt_ms=delrt, seed=46)
+    outs = stage1.delrt_correct(p, win_samples=200)
+    with SegyFile(outs[0]) as f:
+        fixed = f.header("DelayRecordingTime")
+    np.testing.assert_array_equal(fixed, delrt)
+
+
+def test_segment_intersections_shared_vertex_no_duplicate():
+    """A crossing exactly on a polyline's interior vertex must produce ONE
+    intersection, not two (double-weighted mistie observation)."""
+    a = np.column_stack([np.arange(5, dtype=float), np.zeros(5)])
+    b = np.column_stack([np.full(5, 2.0), np.arange(5, dtype=float) - 2.0])
+    hits = stage1._segment_intersections(a, b)
+    assert len(hits) == 1
+    pt = hits[0][0]
+    np.testing.assert_allclose(pt, [2.0, 0.0], atol=1e-12)
+
+
+def test_mistie_mixed_dt_fails_upfront(tmp_path):
+    make_profile(str(tmp_path / "A_UTM.sgy"), ntr=20, dt_us=250, seed=42,
+                 x0=0, y0=50, heading=(1, 0))
+    make_profile(str(tmp_path / "B_UTM.sgy"), ntr=20, dt_us=500, seed=43,
+                 x0=50, y0=0, heading=(0, 1),
+                 times_start="2023-05-01T12:00:00")
+    with pytest.raises(ValueError, match="one sample interval"):
+        stage1.mistie_correct(str(tmp_path))
+
+
+def test_merge_and_delrt_pad_skip_zero_trace_files(tmp_path):
+    make_profile(str(tmp_path / "good_UTM.sgy"), ntr=20, seed=44)
+    empty = str(tmp_path / "empty_UTM.sgy")
+    make_profile(empty, ntr=1, seed=45,
+                 times_start="2023-05-01T11:00:00")
+    with open(empty, "r+b") as fh:
+        fh.truncate(3600)
+    outs = stage1.delrt_pad(str(tmp_path))
+    assert len(outs) == 1
+    outs = stage1.merge_small_files(str(tmp_path), min_kb=1.0)
+    assert len(outs) >= 1
