@@ -55,12 +55,25 @@ def assign_bins_indexed(x, y, transform, il_indices, xl_indices):
 
     def snap(vals, indices):
         indices = np.asarray(indices, float)
-        step = indices[1] - indices[0] if len(indices) > 1 else 1.0
+        if len(indices) > 1 and not (np.diff(indices) > 0).all():
+            raise ValueError(
+                "index list must be strictly ascending (searchsorted "
+                "returns garbage positions otherwise)")
         pos = np.clip(np.searchsorted(indices, vals), 0, len(indices) - 1)
         pos_lo = np.clip(pos - 1, 0, len(indices) - 1)
         choose_lo = np.abs(vals - indices[pos_lo]) <= np.abs(vals - indices[pos])
         pos = np.where(choose_lo, pos_lo, pos)
-        ok = np.abs(vals - indices[pos]) <= step / 2.0 + 1e-9
+        # validity tolerance from the LOCAL step at the snapped position:
+        # nested-region lists change step along the list (e.g. steps 2
+        # then 4), and the first-two-entries step mis-validated traces in
+        # the coarser region
+        if len(indices) > 1:
+            gaps = np.diff(indices)
+            local = np.maximum(gaps[np.clip(pos - 1, 0, len(gaps) - 1)],
+                               gaps[np.clip(pos, 0, len(gaps) - 1)])
+        else:
+            local = np.asarray(1.0)
+        ok = np.abs(vals - indices[pos]) <= local / 2.0 + 1e-9
         return pos.astype(np.int32), ok
 
     pi, ok_i = snap(frac[:, 0], il_indices)

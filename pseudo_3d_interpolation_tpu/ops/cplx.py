@@ -34,15 +34,30 @@ class Cplx(NamedTuple):
         return self.re.dtype
 
     # -- arithmetic (elementwise; broadcasts like jnp) --
+    @staticmethod
+    def _check_real(other):
+        """The non-Cplx operand must be REAL: treating a native complex
+        scalar/array as one would drop the cross terms (mathematically
+        wrong results on CPU) and leak complex dtype into the (re, im)
+        pair representation (opaque UNIMPLEMENTED on the TPU backend).
+        Wrap complex operands with ``from_complex`` instead."""
+        if isinstance(other, complex) or (
+                hasattr(other, "dtype")
+                and jnp.issubdtype(other.dtype, jnp.complexfloating)):
+            raise TypeError(
+                "Cplx arithmetic with a native complex operand — wrap it "
+                "with ops.cplx.from_complex first")
+        return other
+
     def __add__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re + other.re, self.im + other.im)
-        return Cplx(self.re + other, self.im)
+        return Cplx(self.re + self._check_real(other), self.im)
 
     def __sub__(self, other):
         if isinstance(other, Cplx):
             return Cplx(self.re - other.re, self.im - other.im)
-        return Cplx(self.re - other, self.im)
+        return Cplx(self.re - self._check_real(other), self.im)
 
     def __mul__(self, other):
         if isinstance(other, Cplx):
@@ -50,6 +65,7 @@ class Cplx(NamedTuple):
                 self.re * other.re - self.im * other.im,
                 self.re * other.im + self.im * other.re,
             )
+        other = self._check_real(other)
         return Cplx(self.re * other, self.im * other)
 
     def __rmul__(self, other):

@@ -35,13 +35,23 @@ DECAY_MODELS = ("linear", "exponential", "data-driven", "inverse_proportional")
 
 
 def _parse_q(model: str) -> float:
-    """Extract the descent-rate exponent from names like ``exponential-2``."""
+    """Extract the descent-rate exponent from names like ``exponential-2``.
+
+    A malformed suffix (``exponential-2x``, ``exponential-q2``) raises —
+    silently falling back to q=1 would run a different schedule than the
+    user configured. ``data-driven`` / ``inverse-proportional`` style
+    hyphens (non-numeric words) are part of the model name, not exponents.
+    """
     if "-" in model:
         tail = model.rsplit("-", 1)[-1]
         try:
             return float(tail)
         except ValueError:
-            return 1.0
+            if tail.isalpha():  # e.g. 'data-driven', 'inverse-proportional'
+                return 1.0
+            raise ValueError(
+                f"malformed decay-model exponent in {model!r} "
+                f"(expected e.g. 'exponential-2')") from None
     return 1.0
 
 
@@ -74,6 +84,11 @@ def tau_bounds(coeff_abs, p_max=0.99, p_min=1e-3, kind: str = "values"):
     """
     amax, _, _, _ = _slice_stats(coeff_abs)
     if kind == "factors":
+        if isinstance(p_min, str):
+            raise ValueError(
+                "p_min='adaptive' computes a VALUE-domain minimum and has "
+                "no percentile ('factors') meaning — pass a numeric "
+                "percentage for percentile threshold operators")
         shape = coeff_abs.shape[:-2]
         return (jnp.full(shape, float(p_max)), jnp.full(shape, float(p_min)))
     if kind != "values":
@@ -101,8 +116,16 @@ def schedule(model: str, niter: int, tau_max, tau_min):
         return tau_max - (tau_max - tau_min) * m
     if model.startswith("exponential"):
         q = _parse_q(model)
-        c = jnp.log(tau_min / tau_max)
-        return tau_max * jnp.exp(c * m**q)
+        # an all-zero slice gives tau_max == tau_min == 0 -> log(0/0) NaN
+        # (and -inf * 0 at m=0): return a zero schedule like 'linear' does
+        # instead of poisoning the batch — callers with dead/padded slices
+        # hit this outside the solver's own zero-slice short-circuit
+        safe_max = jnp.where(tau_max == 0, 1.0, tau_max)
+        safe_min = jnp.where(tau_min == 0, jnp.finfo(jnp.float32).tiny,
+                             tau_min)
+        c = jnp.log(safe_min / safe_max)
+        out = tau_max * jnp.exp(c * m**q)
+        return jnp.where(tau_max == 0, 0.0, out)
     raise ValueError(f"No closed-form schedule for model {model!r}")
 
 
@@ -115,6 +138,10 @@ def inverse_proportional(model: str, niter: int, coeff_abs):
     q = _parse_q(model)
     amax, amin, _, _ = _slice_stats(coeff_abs)
     nq = float(niter) ** q
+    if nq == 1.0:
+        # niter == 1: the a/b system is degenerate (nq - 1 == 0 -> NaN);
+        # a single iteration thresholds at the schedule start, tau_max
+        return amax[None]
     a = (nq * (amax - amin)) / (nq - 1.0)
     b = (nq * amin - amax) / (nq - 1.0)
     i = jnp.arange(1, niter + 1, dtype=jnp.float32).reshape((niter,) + (1,) * amax.ndim)
@@ -187,6 +214,13 @@ def threshold_decay(
     jnp.ndarray of shape ``(niter,) + coeff_abs.shape[:-2]``.
     """
     if "inverse" in model and "proportional" in model:
+        if kind != "values":
+            # the Ge et al. schedule is defined on coefficient VALUES;
+            # handing its data-unit thresholds to a percentile operator
+            # (kind='factors') would silently threshold ~nothing (or NaN
+            # via jnp.percentile(q > 100))
+            raise ValueError(
+                "inverse_proportional decay requires decay_kind='values'")
         return inverse_proportional(model, niter, coeff_abs)
     tau_max, tau_min = tau_bounds(coeff_abs, p_max=p_max, p_min=p_min, kind=kind)
     if tau_min_override is not None:

@@ -65,6 +65,10 @@ def forward_fft(
         n -= 1
     dt = float(np.mean(np.diff(twt)))
     t0 = float(twt[0])
+    if int(upsample) != upsample or int(upsample) < 1:
+        raise ValueError(
+            f"upsample must be a positive integer factor, got {upsample!r} "
+            "(the spectrum length is an integer multiple of the input)")
     nfft = int(upsample) * n
 
     if real:

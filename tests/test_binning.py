@@ -337,3 +337,26 @@ def test_bin_cube_idw_f32_weight_arithmetic(tmp_path):
         num = np.add.reduceat(data[rows] * wf[:, None], [0], axis=0)[0]
         den = np.float32(np.sum(w))                     # accumulated in f64
         np.testing.assert_array_equal(amp[0, xl], num / den)
+
+
+def test_assign_bins_indexed_local_step_tolerance():
+    """Nested-region index lists change step along the list: validity must
+    use the LOCAL step, not the first two entries' (traces in the coarser
+    region were silently dropped)."""
+    from pseudo_3d_interpolation_tpu.ops.affine import Affine
+
+    t = Affine()  # identity: coords ARE fractional line numbers
+    il = [1, 3, 5, 9, 13]
+    # 10.8 is 1.8 from line 9 — inside half the local step (4/2=2), but
+    # outside half the first step (2/2=1)
+    pi, px, ok = __import__("pseudo_3d_interpolation_tpu.ops.binning",
+                            fromlist=["x"]).assign_bins_indexed(
+        [10.8], [1.0], t, il, [1, 2, 3])
+    assert ok[0] and il[pi[0]] == 9
+    # descending lists are refused, not silently mis-assigned
+    import pytest
+
+    with pytest.raises(ValueError, match="ascending"):
+        __import__("pseudo_3d_interpolation_tpu.ops.binning",
+                   fromlist=["x"]).assign_bins_indexed(
+            [1.0], [1.0], t, [5, 3, 1], [1, 2])

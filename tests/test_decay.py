@@ -5,6 +5,7 @@ Each expected value is derived directly from the published model definitions
 for reference functions/POCS.py:169-368.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -138,3 +139,48 @@ class TestStreamedDecayFromInput:
         from pseudo_3d_interpolation_tpu.models.transforms import CurveletTransform
 
         self._check(CurveletTransform(), 96, [1e-3])
+
+
+class TestReviewRegressions:
+    def test_zero_slice_exponential_schedule_is_zero(self):
+        from pseudo_3d_interpolation_tpu.ops.decay import threshold_decay
+
+        d = np.asarray(threshold_decay(jnp.zeros((2, 8, 8)), "exponential", 5))
+        assert np.isfinite(d).all() and (d == 0).all()
+        # mixed batch: only the dead slice's schedule is zero
+        c = jnp.concatenate([jnp.zeros((1, 8, 8)), jnp.ones((1, 8, 8))])
+        d = np.asarray(threshold_decay(c, "exponential", 5, p_min=1e-3))
+        assert (d[:, 0] == 0).all() and np.isfinite(d[:, 1]).all()
+        assert d[0, 1] > d[-1, 1] > 0
+
+    def test_inverse_proportional_single_iteration(self):
+        from pseudo_3d_interpolation_tpu.ops.decay import threshold_decay
+
+        c = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 8)))
+        d = np.asarray(threshold_decay(jnp.abs(c), "inverse_proportional", 1))
+        assert np.isfinite(d).all()
+        np.testing.assert_allclose(d[0], np.abs(np.asarray(c)).max(),
+                                   rtol=1e-6)
+
+    def test_inverse_proportional_refuses_factors(self):
+        from pseudo_3d_interpolation_tpu.ops.decay import threshold_decay
+
+        with pytest.raises(ValueError, match="values"):
+            threshold_decay(jnp.ones((1, 8, 8)), "inverse_proportional", 5,
+                            kind="factors")
+
+    def test_factors_refuses_adaptive_p_min(self):
+        from pseudo_3d_interpolation_tpu.ops.decay import threshold_decay
+
+        with pytest.raises(ValueError, match="adaptive"):
+            threshold_decay(jnp.ones((1, 8, 8)), "exponential", 5,
+                            p_min="adaptive", kind="factors")
+
+    def test_malformed_exponent_suffix_raises(self):
+        from pseudo_3d_interpolation_tpu.ops.decay import threshold_decay
+
+        with pytest.raises(ValueError, match="exponent"):
+            threshold_decay(jnp.ones((1, 8, 8)), "exponential-2x", 5)
+        # non-numeric words stay part of the model name
+        d = np.asarray(threshold_decay(jnp.ones((1, 8, 8)), "data-driven", 5))
+        assert np.isfinite(d).all()

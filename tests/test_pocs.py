@@ -296,3 +296,24 @@ def test_empty_cube_returns_empty():
         rec, it, cost = fn(np.zeros((0, 16, 16), np.complex64), mask,
                            POCSConfig(niter=3))
         assert rec.shape == (0, 16, 16) and it.shape == (0,) and cost.shape == (0,)
+
+
+def test_cplx_rejects_native_complex_operands():
+    """A native complex operand silently dropped the cross terms (wrong
+    math) and leaked complex dtype into the (re, im) pair representation
+    (opaque UNIMPLEMENTED on the TPU backend) — refuse loudly."""
+    import jax.numpy as jnp
+    import pytest
+
+    from pseudo_3d_interpolation_tpu.ops.cplx import Cplx, from_complex
+
+    z = Cplx(jnp.ones(4), jnp.full(4, 2.0))
+    for op in (lambda: z * (1 + 1j), lambda: z + 1j, lambda: z - (2 + 0j),
+               lambda: z * jnp.asarray([1 + 1j] * 4)):
+        with pytest.raises(TypeError, match="from_complex"):
+            op()
+    # the documented wrapper works and real scalars stay fine
+    w = z * from_complex(np.full(4, 1 + 1j, np.complex64))
+    np.testing.assert_allclose(np.asarray(w.re), -1.0)
+    np.testing.assert_allclose(np.asarray(w.im), 3.0)
+    np.testing.assert_allclose(np.asarray((z * 2.0).re), 2.0)

@@ -115,3 +115,15 @@ def test_wavelet_transform_odd_shapes():
                                           transform=WaveletTransform("db2"))
     assert rec.shape == x.shape
     assert np.isfinite(rec).all()
+
+
+def test_forward_fft_validates_upsample():
+    import pytest
+
+    from pseudo_3d_interpolation_tpu.ops.spectral import forward_fft
+
+    x = np.random.default_rng(0).normal(size=(2, 16)).astype(np.float32)
+    twt = np.arange(16) * 1e-3
+    for bad in (1.5, 0, -2):
+        with pytest.raises(ValueError, match="upsample"):
+            forward_fft(x, twt, upsample=bad)
