@@ -33,18 +33,30 @@ def _geometry_from_args(args) -> "object":
     from .pipeline.orchestrator import geometry_from_dict
 
     if args.geometry_yaml:
-        return geometry_from_dict({"geometry_yaml": args.geometry_yaml})
+        # explicitly-set CLI flags OVERRIDE the YAML (geometry_from_dict's
+        # flat-key precedence) — they used to be silently discarded
+        flat = {"geometry_yaml": args.geometry_yaml}
+        for key, val in (("spacing", args.spacing),
+                         ("extent", args.extent),
+                         ("rotation_angle", args.rotation_angle),
+                         ("rotation_center", args.rotation_center),
+                         ("twt_limits", args.twt_limits),
+                         ("stack", args.stack)):
+            if val is not None:
+                flat[key] = list(val) if isinstance(val, (tuple, list)) else val
+        return geometry_from_dict(flat)
     if args.extent is None:
         raise SystemExit("either --geometry-yaml or --extent is required")
+    spacing = [10.0] if args.spacing is None else args.spacing
     return BinningGeometry(
-        spacing=(tuple(args.spacing) if len(args.spacing) == 2
-                 else args.spacing[0] if len(args.spacing) == 1
-                 else _bad_spacing(args.spacing)),
+        spacing=(tuple(spacing) if len(spacing) == 2
+                 else spacing[0] if len(spacing) == 1
+                 else _bad_spacing(spacing)),
         extent=tuple(args.extent),
         rotation_angle=args.rotation_angle,
-        rotation_center=tuple(args.rotation_center),
+        rotation_center=tuple(args.rotation_center or (0.0, 0.0)),
         twt_limits=tuple(args.twt_limits) if args.twt_limits else None,
-        stacking_method=args.stack,
+        stacking_method=args.stack or "average",
     )
 
 
@@ -233,11 +245,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--geometry-yaml", default=None)
     p.add_argument("--extent", type=float, nargs=4, default=None,
                    metavar=("XMIN", "XMAX", "YMIN", "YMAX"))
-    p.add_argument("--spacing", type=float, nargs="+", default=[10.0])
+    # geometry flags default to None so _geometry_from_args can tell an
+    # explicit value (which must override --geometry-yaml) from an absent
+    # one; fallbacks applied there
+    p.add_argument("--spacing", type=float, nargs="+", default=None)
     p.add_argument("--rotation-angle", type=float, default=None)
-    p.add_argument("--rotation-center", type=float, nargs=2, default=(0.0, 0.0))
+    p.add_argument("--rotation-center", type=float, nargs=2, default=None)
     p.add_argument("--twt-limits", type=float, nargs=2, default=None)
-    p.add_argument("--stack", default="average",
+    p.add_argument("--stack", default=None,
                    choices=["average", "mean", "median", "nearest", "idw"])
     p.add_argument("--attrs-yaml", default=None,
                    help="netCDF attrs/encodings YAML (reference format: "
@@ -303,10 +318,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--params", default=None, help="POCS parameter YAML (reference format)")
-    p.add_argument("--niter", type=int, default=50)
-    p.add_argument("--transform", default="FFT",
+    # None defaults: an explicitly passed flag must override --params
+    p.add_argument("--niter", type=int, default=None)
+    p.add_argument("--transform", default=None,
                    choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"])
-    p.add_argument("--version", default="fast", choices=["regular", "fast", "adaptive"])
+    p.add_argument("--version", default=None, choices=["regular", "fast", "adaptive"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--runtime-csv", default=None)
     p.add_argument("--checkpoint-dir", default=None,
@@ -416,14 +432,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--params", default=None,
                    help="POCS parameter YAML (reference format); default = "
                         "the p3d pocs defaults for --transform")
-    p.add_argument("--transform", default="FFT",
+    p.add_argument("--transform", default=None,
                    choices=["FFT", "DCT", "WAVELET", "SHEARLET", "CURVELET"],
                    help="basis when no --params YAML is given — the SAME "
                         "default as `p3d pocs` (defaults must match or the "
                         "warmed cache entry is never hit); pass SHEARLET "
                         "etc. to pre-compile a directional production run")
-    p.add_argument("--niter", type=int, default=50)
-    p.add_argument("--version", dest="pocs_version", default="fast",
+    p.add_argument("--niter", type=int, default=None)
+    p.add_argument("--version", dest="pocs_version", default=None,
                    choices=["regular", "fast", "adaptive"],
                    help="solver version to pre-compile (match the "
                         "production run; the cache keys on the exact HLO)")
@@ -477,12 +493,33 @@ def _pocs_config_from_args(args, version: str):
     from .models.pocs import POCSConfig
 
     if args.params:
-        return args.params
+        # explicitly passed flags OVERRIDE the YAML (the repo-wide
+        # CLI-overrides-YAML precedence; they used to be silently ignored
+        # — reintroducing the documented use_pallas warmup-cache-drift
+        # failure mode through flag combination). Overrides merge into the
+        # YAML's metadata so transform kwargs (n_scales, wavelet, ...) in
+        # the extra section survive.
+        import yaml as _yaml
+
+        with open(args.params) as fh:
+            cfg = _yaml.safe_load(fh)
+        meta = cfg.setdefault("metadata", {k: v for k, v in cfg.items()})
+        if args.niter is not None:
+            meta["niter"] = args.niter
+        if args.transform is not None:
+            meta["transform_kind"] = args.transform
+        if version is not None:
+            meta["version"] = version
+        if getattr(args, "no_pallas", False):
+            meta["use_pallas"] = False
+        return cfg
+    transform = args.transform or "FFT"
     return POCSConfig(
-        niter=args.niter, thresh_op="hard", thresh_model="exponential",
-        p_min="adaptive" if args.transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-        version=version, alpha=0.75, eps=1e-16,
-        transform_kind=args.transform,
+        niter=50 if args.niter is None else args.niter,
+        thresh_op="hard", thresh_model="exponential",
+        p_min="adaptive" if transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
+        version=version or "fast", alpha=0.75, eps=1e-16,
+        transform_kind=transform,
         # fastest verified production path on TPU; falls back to the
         # XLA solve automatically when the kernels don't support the
         # shape/threshold (models/pocs.py gating)
@@ -543,8 +580,13 @@ def main(argv=None) -> int:
 
         cfg = _pocs_config_from_args(args, args.version)
         if args.checkpoint_dir:
+            if args.profile_dir:
+                xprint("--profile-dir is not supported with "
+                       "--checkpoint-dir (per-batch launches); ignored",
+                       kind="warning", verbosity=v)
             interpolate_checkpointed(args.input, cfg, args.checkpoint_dir,
                                      batch=args.batch, out_path=args.output,
+                                     runtime_csv=args.runtime_csv,
                                      verbose=v)
         else:
             interpolate(args.input, cfg, batch=args.batch, out_path=args.output,
@@ -589,7 +631,11 @@ def main(argv=None) -> int:
             base = os.path.splitext(os.path.basename(args.input))[0]
             data = _cube_amplitude(cube, args.input)
             i = args.iline if args.iline is not None else data.shape[0] // 2
-            twt = np.asarray(cube.coords.get("twt", np.arange(data.shape[-1])))
+            # no 'twt' coord (e.g. a frequency-domain cube): pass None so
+            # the plotters label the axis 'sample' — an index array passed
+            # as twt= would be mislabeled 'TWT (s)'
+            twt = (np.asarray(cube.coords["twt"])
+                   if "twt" in cube.coords else None)
             written.append(qclib.plot_seismic_image(
                 data[i].T, twt=twt, title=f"{base} iline {i}",
                 path=os.path.join(args.output_dir, f"{base}_il{i}.png")))

@@ -113,6 +113,7 @@ def interpolate_checkpointed(
     mesh=None,
     batch: int = 64,
     out_path: str | None = None,
+    runtime_csv: str | None = None,
     verbose: int = 0,
 ) -> Cube | str:
     """Batch-file checkpointed interpolation — out-of-core, with resume.
@@ -249,6 +250,12 @@ def interpolate_checkpointed(
             xprint(f"batch {start}-{stop} done -> {ck}", kind="info",
                    verbosity=verbose)
 
+        if runtime_csv:
+            pd.DataFrame({
+                slice_dim: coords[slice_dim],
+                "niterations": n_iters,
+                "cost": costs,
+            }).to_csv(runtime_csv, index=False)
         history = f"POCS({config.transform_kind},{config.version},checkpointed)"
         attrs = dict(src.attrs)
         import datetime as _dt

@@ -3,16 +3,27 @@
 reference: pseudo_3D_interpolation/functions/plot.py (1184 LoC: seismic
 image/diff, wiggle/diff, statics overlay, trace & average frequency
 spectra) and the POCS inversion panels (functions/POCS.py:666-764).
-All functions return (fig, axes) and accept an optional ``path`` to save.
+All functions return the Figure and accept an optional ``path`` to save
+(``path=None`` leaves the figure open for interactive display).
 """
 
 from __future__ import annotations
+
+import os
+import sys
 
 import numpy as np
 
 import matplotlib
 
-matplotlib.use("Agg", force=False)
+# headless default WITHOUT hijacking an interactive session:
+# matplotlib.use(..., force=False) still SWITCHES an already-selected
+# backend (force=False only suppresses the ImportError) — so only pick Agg
+# when nothing has chosen a backend yet and no display is available
+if ("matplotlib.pyplot" not in sys.modules
+        and not os.environ.get("MPLBACKEND")
+        and not os.environ.get("DISPLAY")):
+    matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 from ..ops import signal as sig  # noqa: E402
@@ -45,6 +56,13 @@ def _time_axis(data, dt, twt):
     return np.arange(ns, dtype=float), "sample"
 
 
+def _safe_scale(value):
+    """A finite positive normalization scale: NaN (all-NaN input — `x or 1`
+    keeps NaN because NaN is truthy), inf, and 0 all fall back to 1.0."""
+    v = float(value)
+    return v if np.isfinite(v) and v != 0.0 else 1.0
+
+
 def _apply_norm(data, norm):
     """Reference norm semantics (plot.py:92-96): True/'rms' -> per-trace
     RMS normalization, 'max'/'peak' -> global peak normalization."""
@@ -52,7 +70,7 @@ def _apply_norm(data, norm):
         return np.asarray(sig.rms_normalization(np.asarray(data, np.float32),
                                                 axis=0))
     if isinstance(norm, str) and norm.lower() in ("max", "peak"):
-        peak = np.nanmax(np.abs(data)) or 1.0
+        peak = _safe_scale(np.nanmax(np.abs(data)))
         return data / peak
     return data
 
@@ -160,7 +178,7 @@ def plot_seismic_wiggle(data, dt=None, twt=None, traces=None, add_info=None,
         fig, ax = plt.subplots(figsize=(10, 6))
     else:
         fig = ax.figure
-    amp = np.nanmax(np.abs(data)) or 1.0
+    amp = _safe_scale(np.nanmax(np.abs(data)))
     sc = scale if gain is None else gain
     _wiggle_on_ax(ax, data, t, scale=sc, tr_step=step, color=color,
                   norm=amp, fill=fill)
@@ -242,7 +260,7 @@ def plot_inversion_result(x_sparse, x_rec, metadata: dict | None = None,
     is_complex = np.iscomplexobj(x_sparse) or np.iscomplexobj(x_rec)
     nrows = 2 if is_complex else 1
     fig, axes = plt.subplots(nrows, 2, figsize=(12, 5 * nrows), squeeze=False)
-    vmax = np.percentile(np.abs(x_sparse), 99) or 1.0
+    vmax = _safe_scale(np.percentile(np.abs(x_sparse), 99))
     kw = dict(cmap="RdBu", vmin=-vmax, vmax=vmax, aspect="auto")
     parts = [("real", np.real)] + ([("imag", np.imag)] if is_complex else [])
     for r, (name, fn) in enumerate(parts):
@@ -290,12 +308,26 @@ def plot_iline_grid(data, ilines=None, twt=None, perc=99.0, cmap="gray_r",
         flat[j].axis("off")
     for ax in axes[:, 0]:
         ax.set_ylabel(f"TWT ({units})" if twt is not None else "sample")
-    for ax in axes[-1]:
-        ax.set_xlabel("xline")
+    _label_grid_x(axes, "xline")
     fig.colorbar(im, ax=axes.ravel().tolist(), fraction=0.03, pad=0.02)
     if title:
         fig.suptitle(title)
     return _finish(fig, path, tight=False)
+
+
+def _label_grid_x(axes, xlabel):
+    """xlabel + visible tick labels on the bottommost VISIBLE axis of each
+    column: with sharex the last row owns the tick labels, so a column
+    whose last-row panel is axis('off') would render with no x axis at
+    all."""
+    nrows, ncols = axes.shape
+    for c in range(ncols):
+        for r in range(nrows - 1, -1, -1):
+            ax = axes[r, c]
+            if ax.axison:
+                ax.set_xlabel(xlabel)
+                ax.xaxis.set_tick_params(labelbottom=True)
+                break
 
 
 def plot_fold_map(fold, title=None, path=None):
@@ -318,7 +350,7 @@ def plot_fold_map(fold, title=None, path=None):
 def _wiggle_on_ax(ax, data, t, scale=1.0, tr_step=1, color="k", norm=None,
                   fill=True):
     data = np.asarray(data)
-    norm = norm or (np.nanmax(np.abs(data)) or 1.0)
+    norm = norm or _safe_scale(np.nanmax(np.abs(data)))
     for k in range(0, data.shape[1], tr_step):
         x = k + scale * tr_step * data[:, k] / norm
         ax.plot(x, t, color=color, lw=0.5)
@@ -340,7 +372,8 @@ def plot_seismic_wiggle_diff(before, after, twt=None, gain=1.0, tr_step=None,
     tr_step = tr_step or max(1, -(-ntr // 60))
     t = np.asarray(twt) if twt is not None else np.arange(ns)
     fig, axes = plt.subplots(1, 3, figsize=(16, 6), sharey=True)
-    norm = max(np.nanmax(np.abs(before)), np.nanmax(np.abs(after))) / gain or 1.0
+    norm = _safe_scale(max(np.nanmax(np.abs(before)),
+                       np.nanmax(np.abs(after))) / gain)
     # difference = original - edited, like the reference (plot.py:634)
     for ax, d, title in zip(axes, (before, after, before - after),
                             (titles[0], titles[1], "difference")):
@@ -360,14 +393,13 @@ def plot_statics_panels(sections, titles=None, twt=None, gain=1.0,
     assert all(s.shape == sections[0].shape for s in sections)
     n = len(sections)
     ncols = int(np.ceil(np.sqrt(n)))
-    nrows = 1 if ncols == n else ncols - 1
-    nrows = nrows + 1 if n > ncols * nrows else nrows
+    nrows = int(np.ceil(n / ncols))  # same layout the other grids use
     ns, ntr = sections[0].shape
     tr_step = tr_step or max(1, ntr // 40)
     t = np.asarray(twt) if twt is not None else np.arange(ns)
     fig, axes = plt.subplots(nrows, ncols, figsize=(5 * ncols, 4 * nrows),
                              sharey=True, squeeze=False)
-    norm = max(np.nanmax(np.abs(s)) for s in sections) / gain or 1.0
+    norm = _safe_scale(max(np.nanmax(np.abs(s)) for s in sections) / gain)
     flat = axes.ravel()
     for i, s in enumerate(sections):
         _wiggle_on_ax(flat[i], s, t, tr_step=tr_step, norm=norm)
@@ -412,8 +444,7 @@ def plot_trace_freq_spectrum(data, fs, trace_labels=None, plot_mvg_avg=True,
         ax.set_title("combined average")
     for j in range(total, len(flat)):
         flat[j].axis("off")
-    for ax in axes[-1]:
-        ax.set_xlabel("frequency (Hz)")
+    _label_grid_x(axes, "frequency (Hz)")
     return _finish(fig, path)
 
 

@@ -342,3 +342,95 @@ def test_mistie_aux_coords(tmp_path):
     assert len(outs) == 2
     mst = pd.read_csv(os.path.join(str(survey), "misties.csv"))
     assert len(mst) >= 1  # intersection found via aux nav only
+
+
+# ------------------- regression tests: CLI review fixes ----------------------
+def test_geometry_yaml_cli_flag_overrides(tmp_path):
+    """Explicit geometry flags override --geometry-yaml (they used to be
+    silently discarded)."""
+    import yaml
+
+    from pseudo_3d_interpolation_tpu.cli import _geometry_from_args
+
+    y = tmp_path / "geom.yml"
+    y.write_text(yaml.safe_dump({
+        "spacing": 10.0, "extent": [0, 100, 0, 100], "stack": "average"}))
+    parser = build_parser()
+    args = parser.parse_args(["binning", "in", "out.nc",
+                              "--geometry-yaml", str(y), "--stack", "median",
+                              "--spacing", "5"])
+    g = _geometry_from_args(args)
+    assert g.stacking_method == "median" and g.spacing == 5.0
+    assert g.extent == (0.0, 100.0, 0.0, 100.0)  # YAML keys survive
+    # without overrides, YAML wins
+    args = parser.parse_args(["binning", "in", "out.nc",
+                              "--geometry-yaml", str(y)])
+    g = _geometry_from_args(args)
+    assert g.stacking_method == "average" and g.spacing == 10.0
+
+
+def test_pocs_params_cli_flag_overrides(tmp_path):
+    """Explicit flags override --params (CLI-overrides-YAML, the repo-wide
+    precedence): --no-pallas used to be silently ignored — the documented
+    warmup-cache-drift failure mode."""
+    import yaml
+
+    from pseudo_3d_interpolation_tpu.cli import _pocs_config_from_args
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import config_from_yaml
+
+    y = tmp_path / "pocs.yml"
+    y.write_text(yaml.safe_dump({"metadata": {
+        "transform_kind": "SHEARLET", "version": "fast", "niter": 50,
+        "use_pallas": True, "n_scales": 3}}))
+    parser = build_parser()
+    args = parser.parse_args(["pocs", "in.nc", "out.nc",
+                              "--params", str(y), "--no-pallas",
+                              "--niter", "10"])
+    cfg, extra = config_from_yaml(_pocs_config_from_args(args, args.version))
+    assert cfg.use_pallas is False and cfg.niter == 10
+    assert cfg.transform_kind == "SHEARLET" and cfg.version == "fast"
+    assert extra.get("n_scales") == 3  # transform kwargs survive the merge
+    # without overrides the YAML is authoritative
+    args = parser.parse_args(["pocs", "in.nc", "out.nc", "--params", str(y)])
+    cfg, _ = config_from_yaml(_pocs_config_from_args(args, args.version))
+    assert cfg.use_pallas is True and cfg.niter == 50
+
+
+def test_qc_all_nan_section_renders(tmp_path):
+    """All-NaN sections render with the 1.0 fallback scale instead of
+    dividing everything to NaN (NaN is truthy, so `nanmax(...) or 1.0`
+    kept NaN)."""
+    import warnings
+
+    from pseudo_3d_interpolation_tpu import qc as qclib
+
+    nan_sec = np.full((64, 16), np.nan, np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        fig = qclib.plot_seismic_wiggle(nan_sec, dt=1e-3,
+                                        path=str(tmp_path / "w.png"))
+    assert (tmp_path / "w.png").exists()
+
+
+def test_checkpointed_pocs_runtime_csv(tmp_path):
+    """--runtime-csv works with --checkpoint-dir (it was silently
+    dropped)."""
+    import pandas as pd
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube
+    from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+        interpolate_checkpointed)
+
+    rng = np.random.default_rng(0)
+    amp = rng.normal(size=(8, 8, 12)).astype(np.complex64)
+    fold = (rng.uniform(size=(8, 8)) > 0.4).astype(np.int32)
+    cube = Cube(coords={"iline": np.arange(8), "xline": np.arange(8),
+                        "freq_twt": np.arange(12) * 1.0},
+                data_vars={"freq_amp": (("iline", "xline", "freq_twt"), amp),
+                           "fold": (("iline", "xline"), fold)})
+    csv = str(tmp_path / "rt.csv")
+    interpolate_checkpointed(cube, POCSConfig(niter=3, p_min=1e-3),
+                             str(tmp_path / "ck"), batch=4, runtime_csv=csv)
+    rt = pd.read_csv(csv)
+    assert {"niterations", "cost"} <= set(rt.columns) and len(rt) == 12
