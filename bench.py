@@ -179,6 +179,17 @@ def main():
         fn = make_solver(cfg)
         float(fn(z, m, jnp.float32(1.0)))
 
+    # ramp: the chip's first ~4 executions in a process run ~30-50% below
+    # steady state (measured: window 0 of tools/probe_ramp.py reads 10.6k,
+    # windows 1+ read a flat 21k; the same penalty lands on whichever
+    # program is timed first regardless of config). Production sweeps run
+    # thousands of batches, so steady state is the honest rate — burn the
+    # ramp with a few untimed dispatches before opening the timed window.
+    acc = fn(z, m, jnp.float32(1.0))
+    for i in range(3):
+        acc = acc + fn(z, m, jnp.float32(1.0 + 0.0001 * i))
+    float(acc)
+
     # timed: vary a scalar input each rep to defeat any result caching
     # without re-uploading the cube through the (slow) host link; dispatches
     # are async, so accumulate device scalars and fetch ONCE at the end —
