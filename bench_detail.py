@@ -64,6 +64,13 @@ def _timed_solve(transform, cfg, truth, obs, mask, niter, reps=3):
     t0 = time.perf_counter()
     float(fn(z, m, jnp.float32(1.0)))  # compile + first run
     compile_s = time.perf_counter() - t0
+    # burn the device ramp: the chip's first ~4 executions in a process run
+    # 30-50% below steady state (tools/probe_ramp.py), which silently
+    # penalized whichever gate entry ran first
+    acc = fn(z, m, jnp.float32(1.0))
+    for i in range(3):
+        acc = acc + fn(z, m, jnp.float32(1.0 + 1e-4 * i))
+    float(acc)
     t0 = time.perf_counter()
     acc = fn(z, m, jnp.float32(1.0))
     for i in range(1, reps):
