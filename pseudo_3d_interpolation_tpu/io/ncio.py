@@ -274,10 +274,24 @@ class CubeFile:
                 continue
             dims = tuple(_s(s) for s in f[k].attrs.get("_dims", []))
             self._dims[k] = dims
-            self.var_attrs[k] = {
+            attrs_k = {
                 a: v for a, v in f[k].attrs.items()
                 if not a.startswith(("DIMENSION_LIST", "_dims"))
             }
+            # this reader hands out UNPACKED floats (see _unpack), so the
+            # public attrs must not carry the CF packing keys — a pipeline
+            # step that copies them onto its (float) output variable would
+            # make read_cube re-apply the scale to already-unpacked data
+            # (measured: 1000x amplitude corruption through the streaming
+            # POCS driver). Same pop predicate as read_cube's; _unpack
+            # reads the raw h5 attrs directly and is unaffected.
+            if ("scale_factor" in attrs_k or "add_offset" in attrs_k
+                    or ("_FillValue" in attrs_k
+                        and f[k].dtype.kind in "iu")):
+                attrs_k.pop("scale_factor", None)
+                attrs_k.pop("add_offset", None)
+                attrs_k.pop("_FillValue", None)
+            self.var_attrs[k] = attrs_k
             if k.endswith(".real") and k[:-5] + ".imag" in f.keys():
                 complex_halves.add(k[:-5])
         # logical variable table: complex pairs appear under their base name

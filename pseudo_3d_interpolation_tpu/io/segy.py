@@ -459,7 +459,15 @@ def write_segy(
     _set_bin("ExtendedHeaders", 0)
     for name, value in (bin_updates or {}).items():
         _set_bin(name, value)
+    # a preserved raw_binary_header keeps the source's Interval field (only
+    # Samples/Format/Revision/TraceFlag/ExtendedHeaders are overwritten
+    # above), so read the field actually being written rather than warning
+    # on the argument list alone
+    off, _ = BINARY_HEADER_FIELDS["Interval"]
+    preserved_dt = int(np.frombuffer(
+        bin_raw[off - 3201 : off - 3199].tobytes(), ">u2")[0])
     if (dt_us is None and "Interval" not in (bin_updates or {})
+            and preserved_dt == 0
             and raw_trace_headers is None
             and "TRACE_SAMPLE_INTERVAL" not in (headers or {})):
         import warnings

@@ -54,16 +54,20 @@ def geometry_from_dict(g: dict):
     from .binning import BinningGeometry
 
     _ALIAS = {"stack": "stacking_method", "bin_size": "spacing"}
+    # canonicalize aliases EVERYWHERE (the caller's dict AND the YAML's own
+    # keys) before merging — a YAML that spells `bin_size:` must not shadow
+    # an explicit flat `spacing` override after the merge (the override used
+    # to be canonicalized while the YAML was not, so the stale-spelling YAML
+    # key silently won)
+    g = {_ALIAS.get(k, k): v for k, v in g.items()}
     if "geometry_yaml" in g:
         with open(g["geometry_yaml"]) as f:
             base = yaml.safe_load(f) or {}
+        base = {_ALIAS.get(k, k): v for k, v in base.items()}
         # flat keys override the YAML's values rather than being discarded
-        # (canonicalized first so e.g. `stack:` beats the YAML's
-        # `stacking_method:`)
-        base.update({_ALIAS.get(k, k): v for k, v in g.items()
-                     if k != "geometry_yaml"})
+        base.update({k: v for k, v in g.items() if k != "geometry_yaml"})
         g = base
-    spacing = g.get("bin_size", g.get("spacing", 10.0))
+    spacing = g.get("spacing", 10.0)
     if isinstance(spacing, dict):
         spacing = (spacing.get("iline", 10.0), spacing.get("xline", 10.0))
     elif isinstance(spacing, (list, tuple)):
@@ -85,7 +89,7 @@ def geometry_from_dict(g: dict):
         rotation_center=tuple(g.get("rotation_center",
                                     rot.get("center", (0.0, 0.0)))),
         twt_limits=tuple(g["twt_limits"]) if g.get("twt_limits") else None,
-        stacking_method=g.get("stacking_method", g.get("stack", "average")),
+        stacking_method=g.get("stacking_method", "average"),
         idw_power=float(g.get("idw_power", 1.0)),
         region_extent=(tuple(g["region_extent"])
                        if g.get("region_extent") else None),

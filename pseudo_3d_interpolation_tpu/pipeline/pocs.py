@@ -102,6 +102,18 @@ def config_from_yaml(path_or_dict) -> tuple[POCSConfig, dict]:
     fields = {f.name for f in POCSConfig.__dataclass_fields__.values()}
     kwargs = {k: v for k, v in meta.items() if k in fields}
     extra = {k: v for k, v in meta.items() if k not in fields}
+    # fail loudly on unrecognized keys: every entry point filters `extra`
+    # through _transform_kwargs, so a typo like 'nscales' (for n_scales)
+    # would otherwise be silently dropped and the solver would run with
+    # default quality levers. Tolerated non-transform keys are the
+    # reference YAML's own schema (docs/3D/3D_cube_interpolation.md:126-173)
+    tolerated = set(_TRANSFORM_KEYS) | set(_DASK_KEYS) | {
+        "dim", "var", "apply_filter", "output_runtime_results", "verbose"}
+    unknown = set(extra) - tolerated
+    if unknown:
+        raise ValueError(
+            f"unrecognized POCS YAML option(s) {sorted(unknown)}; "
+            f"recognized non-POCSConfig keys: {sorted(tolerated)}")
     return POCSConfig(**kwargs), extra
 
 

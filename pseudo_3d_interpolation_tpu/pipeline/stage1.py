@@ -1071,10 +1071,20 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
             written = {fld for pair in targets for fld in pair}
             for nm, nb in named_bytes.items():
                 fx, fy = pairs[nm][0]
-                if fx in written or fy in written or nb == tuple(coords_bytes):
+                if fx in written or fy in written:
                     continue
                 if not (np.any(f.header(nb[0])) or np.any(f.header(nb[1]))):
                     continue  # unpopulated pair: leave zeros
+                if nb == tuple(coords_bytes):
+                    # the READ pair: when an explicit dst_coords routes the
+                    # result elsewhere, this pair would otherwise keep its
+                    # old raw ints under the NEW global scalar/units and
+                    # decode as garbage downstream (tide/mistie/nav read
+                    # these bytes) — re-encode it with the ints already
+                    # transformed above, no second transform needed
+                    updates[fx] = xi
+                    updates[fy] = yi
+                    continue
                 ox, oy, _ = scale_coordinates(f, nb)
                 oxt, oyt = crs_transform(ox, oy, src_epsg, dst_epsg)
                 oxi, oyi, _, _ = _encode(oxt, oyt)

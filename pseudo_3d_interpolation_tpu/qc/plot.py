@@ -19,10 +19,15 @@ import matplotlib
 # headless default WITHOUT hijacking an interactive session:
 # matplotlib.use(..., force=False) still SWITCHES an already-selected
 # backend (force=False only suppresses the ImportError) — so only pick Agg
-# when nothing has chosen a backend yet and no display is available
+# when nothing has chosen a backend yet and no display is available.
+# "no display": X11 (DISPLAY) and Wayland (WAYLAND_DISPLAY) both absent on
+# a non-macOS platform — macOS GUI sessions never set DISPLAY, and forcing
+# Agg there would silently break the documented path=None interactive use
 if ("matplotlib.pyplot" not in sys.modules
         and not os.environ.get("MPLBACKEND")
-        and not os.environ.get("DISPLAY")):
+        and not os.environ.get("DISPLAY")
+        and not os.environ.get("WAYLAND_DISPLAY")
+        and sys.platform != "darwin"):
     matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 

@@ -235,3 +235,63 @@ def test_cubefile_read_slab_unpacks_cf(tmp_path):
     np.testing.assert_array_equal(got_fold, want_fold)
     np.testing.assert_array_equal(got_slab, want_amp[1:3])
     assert np.isnan(got_fold[0, 0]) and got_fold.dtype.kind == "f"
+
+
+def test_cubefile_var_attrs_strip_packing_keys(tmp_path):
+    """CubeFile hands out UNPACKED floats, so its public var_attrs must not
+    carry the CF packing keys: a pipeline step that copies them onto its
+    float output would make read_cube re-apply the scale to already-unpacked
+    data (the streaming POCS driver did exactly that — 1000x amplitude
+    corruption)."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, CubeFile, write_cube
+
+    amp = np.linspace(-1, 1, 12).astype(np.float32).reshape(4, 3)
+    cube = Cube(coords={"iline": np.arange(4), "xline": np.arange(3)},
+                data_vars={"amp": (("iline", "xline"), amp)},
+                var_attrs={"amp": {"units": "mV"}})
+    p = str(tmp_path / "packed.nc")
+    write_cube(p, cube, encodings={
+        "amp": {"dtype": "i2", "scale_factor": 1e-3, "_FillValue": -32768}})
+    with CubeFile(p) as cf:
+        attrs = cf.var_attrs["amp"]
+    assert "scale_factor" not in attrs
+    assert "add_offset" not in attrs
+    assert "_FillValue" not in attrs
+    assert attrs["units"] == "mV"
+
+
+def test_streaming_pocs_output_not_rescaled_by_packing_attrs(tmp_path):
+    """End-to-end regression: a CF-packed input cube through the streaming
+    checkpointed POCS driver must read back at physical amplitude (the
+    packing attrs used to leak onto the float output variable, so read_cube
+    re-applied scale_factor: wrote 1.0, read back 0.001)."""
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+    from pseudo_3d_interpolation_tpu.models import POCSConfig
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import interpolate_checkpointed
+
+    rng = np.random.default_rng(5)
+    il = xl = 16
+    nf = 3
+    amp = rng.normal(size=(il, xl, nf)).astype(np.float32)
+    fold = (rng.uniform(size=(il, xl)) < 0.6).astype(np.int32)
+    amp *= fold[:, :, None]
+    src = str(tmp_path / "in.nc")
+    out = str(tmp_path / "out.nc")
+    write_cube(src, Cube(
+        coords={"iline": np.arange(il), "xline": np.arange(xl),
+                "freq_twt": np.arange(nf, dtype=np.float64)},
+        data_vars={"amp": (("iline", "xline", "freq_twt"), amp),
+                   "fold": (("iline", "xline"), fold)}),
+        encodings={"amp": {"dtype": "i4", "scale_factor": 1e-3,
+                           "_FillValue": -2**31}})
+    cfg = POCSConfig(niter=2, p_min=1e-3, eps=0.0, alpha=1.0)
+    res = interpolate_checkpointed(src, cfg, str(tmp_path / "ck"),
+                                   out_path=out, batch=4)
+    got = np.asarray(read_cube(res)["amp_interp"])
+    want = np.asarray(read_cube(src)["amp"])  # unpacked physical values
+    obs = fold[:, :, None].astype(bool) & np.broadcast_to(
+        np.ones_like(amp, bool), amp.shape)
+    # alpha=1 reinsertion keeps observed cells exactly; they must come back
+    # at PHYSICAL scale, not re-shrunk by the packing scale_factor
+    np.testing.assert_allclose(got[obs], want[obs], rtol=0, atol=2e-3)
+    assert np.abs(got).max() > 0.1 * np.abs(want).max()

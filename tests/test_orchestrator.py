@@ -281,3 +281,22 @@ def test_dash_spelled_step_runs_end_to_end(tmp_path):
     }
     arts = run_pipeline(cfg)
     assert arts
+
+
+def test_cli_spacing_overrides_yaml_bin_size(tmp_path):
+    """A geometry YAML that spells `bin_size:` must still lose to an
+    explicit flat `spacing` override (the YAML's stale-alias key used to
+    shadow the canonicalized override after the merge)."""
+    import yaml
+
+    from pseudo_3d_interpolation_tpu.pipeline.orchestrator import geometry_from_dict
+
+    y = tmp_path / "geom.yml"
+    y.write_text(yaml.safe_dump({"bin_size": 5.0, "extent": [0, 0, 100, 100]}))
+    geom = geometry_from_dict({"geometry_yaml": str(y), "spacing": 10.0})
+    assert geom.spacing == 10.0
+    # and without an override the YAML's alias spelling still applies
+    geom2 = geometry_from_dict({"geometry_yaml": str(y)})
+    assert geom2.spacing == 5.0
+    # direct dict callers may use either spelling too
+    assert geometry_from_dict({"bin_size": 7.5}).spacing == 7.5

@@ -236,3 +236,27 @@ def test_checkpointed_tail_slab_keeps_program_shape(survey, tmp_path):
     assert shapes and set(shapes) == {batch}
     # trimmed result matches the cube length, not the padded batch grid
     assert np.asarray(out["freq_amp_interp"]).shape[-1] == f_total
+
+
+def test_yaml_config_rejects_unknown_metadata_keys(tmp_path):
+    """A typo like 'nscales' (for n_scales) must fail loudly instead of
+    silently running the solver with default quality levers — every entry
+    point filters extras through the transform-kwargs whitelist."""
+    import pytest
+    import yaml
+
+    p = str(tmp_path / "pocs.yml")
+    with open(p, "w") as f:
+        yaml.safe_dump({"metadata": {
+            "transform_kind": "SHEARLET", "niter": 5, "nscales": 4}}, f)
+    with pytest.raises(ValueError, match="nscales"):
+        config_from_yaml(p)
+    # the correctly spelled option and reference-schema keys still load
+    with open(p, "w") as f:
+        yaml.safe_dump({"dim": "freq_twt", "var": "freq_env",
+                        "apply_filter": "gauss", "batch_chunk": 20,
+                        "metadata": {"transform_kind": "SHEARLET",
+                                     "niter": 5, "n_scales": 4,
+                                     "verbose": False}}, f)
+    cfg, extra = config_from_yaml(p)
+    assert cfg.transform_kind == "SHEARLET" and extra["n_scales"] == 4

@@ -300,3 +300,31 @@ def test_write_segy_warns_without_interval(tmp_path):
     data = np.zeros((2, 8), np.float32)
     with pytest.warns(UserWarning, match="sample interval"):
         write_segy(str(tmp_path / "w.sgy"), data)
+
+
+def test_no_spurious_dt_warning_with_preserved_binary_header(tmp_path):
+    """write_segy(raw_binary_header=src.binary_header_raw()) preserves the
+    source's non-zero Interval, so the missing-sample-interval warning must
+    not fire (it used to ignore raw_binary_header and warn 'readers will
+    see dt_us == 0' on every such rewrite)."""
+    import warnings
+
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile, write_segy
+
+    p1 = str(tmp_path / "a.sgy")
+    data = np.random.default_rng(0).normal(size=(5, 64)).astype(np.float32)
+    write_segy(p1, data, dt_us=50)
+    with SegyFile(p1) as f:
+        raw_bin = f.binary_header_raw()
+        d = f.trace_data()
+    p2 = str(tmp_path / "b.sgy")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        write_segy(p2, d, raw_binary_header=raw_bin)
+    with SegyFile(p2) as f:
+        assert f.dt_us == 50
+    # and the warning still fires when the preserved header has Interval==0
+    raw_zero = np.array(raw_bin, np.uint8).copy()
+    raw_zero[3217 - 3201:3219 - 3201] = 0
+    with pytest.warns(UserWarning, match="dt_us == 0"):
+        write_segy(str(tmp_path / "c.sgy"), d, raw_binary_header=raw_zero)

@@ -653,16 +653,22 @@ def test_mistie_win_cc_and_toggles(tmp_path):
 def test_reproject_dst_coords_group(tmp_path):
     p = str(tmp_path / "prof_UTM.sgy")
     make_profile(p, seed=31, x0=500000, y0=6000000)
-    with SegyFile(p) as f:
-        src_before = f.header("SourceX").copy()
     outs = stage1.reproject(p, 32632, 4326, dst_coords="group")
     with SegyFile(outs[0]) as f:
-        # group pair written (degrees in arc-seconds-free length units is
-        # wrong physically, but field routing is what's under test)
+        from pseudo_3d_interpolation_tpu.io.headers import scale_coordinates
+
         gx = f.header("GroupX")
-        sx = f.header("SourceX")
+        # the scalar/units fields are GLOBAL: the pair the coordinates were
+        # READ from must stay decodable too — it is re-encoded with the
+        # transformed values, not left as stale UTM ints that would decode
+        # as fake degrees downstream (tide/mistie/nav read these bytes)
+        slon, slat, units = scale_coordinates(f, (73, 77))
+        glon, glat, _ = scale_coordinates(f, (81, 85))
     assert (gx != 0).any()
-    np.testing.assert_array_equal(sx, src_before)  # source untouched
+    assert units == 2
+    assert 8.9 < slon[0] < 9.1 and 54.0 < slat[0] < 54.3
+    np.testing.assert_allclose(slon, glon)
+    np.testing.assert_allclose(slat, glat)
 
 
 def test_reproject_group_bytes_writes_back_to_group(tmp_path):
