@@ -41,7 +41,8 @@ def _geometry_from_args(args) -> "object":
                          ("rotation_angle", args.rotation_angle),
                          ("rotation_center", args.rotation_center),
                          ("twt_limits", args.twt_limits),
-                         ("stack", args.stack)):
+                         ("stack", args.stack),
+                         ("idw_power", getattr(args, "factor_dist", None))):
             if val is not None:
                 flat[key] = list(val) if isinstance(val, (tuple, list)) else val
         return geometry_from_dict(flat)
@@ -57,6 +58,8 @@ def _geometry_from_args(args) -> "object":
         rotation_center=tuple(args.rotation_center or (0.0, 0.0)),
         twt_limits=tuple(args.twt_limits) if args.twt_limits else None,
         stacking_method=args.stack or "average",
+        idw_power=(1.0 if getattr(args, "factor_dist", None) is None
+                   else float(args.factor_dist)),
     )
 
 
@@ -93,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = cmd("merge", 1, "merge short SEG-Y files with temporally adjacent ones")
     p.add_argument("input", help="directory or datalist of SEG-Y files")
     p.add_argument("--output-dir", default=None)
+    p.add_argument("--txt-suffix", default=None,
+                   help="merged-output filename suffix, default 'merged' "
+                        "(reference --txt_suffix)")
     p.add_argument("--min-kb", type=float, default=100.0,
                    help="files smaller than this merge into neighbors")
     p.add_argument("--max-gap-s", type=float, default=60.0)
@@ -124,10 +130,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("--n-neighbors", type=int, default=3)
     p.add_argument("--win-samples", type=int, default=100)
+    p.add_argument("--byte-delay", type=int, default=109,
+                   help="trace-header byte of the recording delay "
+                        "(reference --byte_delay; 109 = standard "
+                        "DelayRecordingTime)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("delrt-pad", 4, "zero-pad traces onto one global TWT axis")
     p.add_argument("input")
+    p.add_argument("--byte-delay", type=int, default=109,
+                   help="trace-header byte of the recording delay "
+                        "(reference --byte_delay)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("static", 5, "per-profile static correction from the seafloor horizon")
@@ -213,6 +226,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coords-fsuffix", default=None,
                    help="sidecar extension, default 'nav' "
                         "(reference --coords_fsuffix)")
+    p.add_argument("--coords-text-suffix", default=None,
+                   help="basename-suffix filter for the navigation sidecars "
+                        "(reference --coords_text_suffix)")
     p.add_argument("--inplace", action="store_true")
 
     p = cmd("despike", 8, "remove noise bursts from single traces")
@@ -231,13 +247,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split-at-delrt", action="store_true",
                    help="despike constant-delrt segments separately "
                         "(reference --use_delay)")
+    p.add_argument("--byte-delay", type=int, default=109,
+                   help="trace-header byte of the recording delay for "
+                        "--split-at-delrt (reference --byte_delay)")
     p.add_argument("--inplace", action="store_true")
 
     # ---- stage 2 -----------------------------------------------------------
     p = cmd("segy2cube", 9, "convert SEG-Y profiles to per-profile netCDF")
     p.add_argument("input")
     p.add_argument("--output-dir", default=None)
-    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--suffix", "-s", default="sgy",
+                   help="file extension filter for directory inputs "
+                        "(reference --suffix)")
+    p.add_argument("--filename-suffix", "-fns", default=None,
+                   help="basename-suffix filter "
+                        "(reference --filename_suffix)")
+    p.add_argument("--workers", type=int, default=4,
+                   help="parallel conversions (reference --nprocesses)")
 
     p = cmd("binning", 10, "bin traces onto the 3D (iline, xline, twt) grid")
     p.add_argument("input")
@@ -254,6 +280,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--twt-limits", type=float, nargs=2, default=None)
     p.add_argument("--stack", default=None,
                    choices=["average", "mean", "median", "nearest", "idw"])
+    p.add_argument("--factor-dist", type=float, default=None,
+                   help="IDW distance exponent for --stack idw "
+                        "(reference --factor_dist, cube_binning_3D.py)")
     p.add_argument("--attrs-yaml", default=None,
                    help="netCDF attrs/encodings YAML (reference format: "
                         "attrs_time/attrs_freq/encodings families)")
@@ -541,7 +570,9 @@ def main(argv=None) -> int:
     if cmd == "segy2cube":
         from .pipeline.segy2cube import convert
 
-        outs = convert(args.input, out_dir=args.output_dir, workers=args.workers, verbose=v)
+        outs = convert(args.input, out_dir=args.output_dir,
+                       fsuffix=args.suffix, fnsuffix=args.filename_suffix,
+                       workers=args.workers, verbose=v)
         xprint(f"converted {len(outs)} profiles", kind="success", verbosity=v)
     elif cmd == "binning":
         from .pipeline.binning import bin_cube

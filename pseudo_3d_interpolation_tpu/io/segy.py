@@ -309,9 +309,14 @@ class SegyFile:
     # -- trace headers --
     def header(self, field, traces: Iterable[int] | None = None) -> np.ndarray:
         """Vectorized trace-header column. ``field`` is a name from
-        TRACE_HEADER_FIELDS or a 1-based byte offset (with 4-byte width)."""
+        TRACE_HEADER_FIELDS, a 1-based byte offset (4-byte width assumed),
+        or an ``(offset, dtype)`` pair like ``(109, 'i2')`` for fields at
+        non-standard bytes (reference --byte_delay,
+        delrt_correction_segy.py:45-46)."""
         if isinstance(field, str):
             off, dt = TRACE_HEADER_FIELDS[field]
+        elif isinstance(field, tuple):
+            off, dt = int(field[0]), str(field[1])
         else:
             off, dt = int(field), "i4"
         size = int(dt[-1])
@@ -494,7 +499,14 @@ def write_segy(
             hdrs.setdefault("TRACE_SAMPLE_INTERVAL", dt_us)
         hdrs.setdefault("TRACE_SEQUENCE_FILE", np.arange(1, ntr + 1))
     for name, value in hdrs.items():
-        off, dt = TRACE_HEADER_FIELDS[name] if isinstance(name, str) else (int(name), "i4")
+        if isinstance(name, str):
+            off, dt = TRACE_HEADER_FIELDS[name]
+        elif isinstance(name, tuple):
+            # (offset, dtype) spec, mirroring SegyFile.header — used by the
+            # --byte-delay steps to write a delay field at a custom byte
+            off, dt = int(name[0]), str(name[1])
+        else:
+            off, dt = int(name), "i4"
         size = int(dt[-1])
         vals = np.broadcast_to(np.asarray(value), (ntr,))
         if size == 2:

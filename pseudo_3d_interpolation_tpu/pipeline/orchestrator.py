@@ -53,7 +53,8 @@ def geometry_from_dict(g: dict):
     schema of ``p3d binning --geometry-yaml``, plus flat CLI-style keys)."""
     from .binning import BinningGeometry
 
-    _ALIAS = {"stack": "stacking_method", "bin_size": "spacing"}
+    _ALIAS = {"stack": "stacking_method", "bin_size": "spacing",
+              "factor_dist": "idw_power"}
     # canonicalize aliases EVERYWHERE (the caller's dict AND the YAML's own
     # keys) before merging — a YAML that spells `bin_size:` must not shadow
     # an explicit flat `spacing` override after the merge (the override used

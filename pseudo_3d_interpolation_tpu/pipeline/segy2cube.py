@@ -53,9 +53,12 @@ def profile_to_cube(segy_path: str, src_coords_bytes=(73, 77)) -> Cube:
 
 
 def convert(path, out_dir: str | None = None, fsuffix: str = "sgy",
+            fnsuffix: str | None = None,
             workers: int = 4, verbose: int = 0) -> list[str]:
-    """Convert all profiles under ``path``; returns written file paths."""
-    files = resolve_input_files(path, fsuffix)
+    """Convert all profiles under ``path``; returns written file paths.
+    ``fsuffix``/``fnsuffix`` are the reference's ``--suffix`` /
+    ``--filename_suffix`` directory filters (cnv_segy2netcdf.py:22-25)."""
+    files = resolve_input_files(path, fsuffix, fnsuffix=fnsuffix)
     if out_dir is None:
         out_dir = os.path.dirname(files[0]) if files else "."
     os.makedirs(out_dir, exist_ok=True)

@@ -243,7 +243,8 @@ def _despike_kernel(x, threshold, gfloor, wy, wx, mode, replace):
 def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
             replace: str = "median", split_at_delrt: bool = False,
             window_time_ms: float | None = None,
-            inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
+            inplace: bool = False, output_dir=None, txt_suffix: str | None = None,
+            byte_delay: int = 109, verbose: int = 0) -> list[str]:
     """``window_time_ms`` sets the sample-axis window in TWT milliseconds
     per file (reference --window_time), overriding ``window[0]``."""
     def _one(p):
@@ -258,7 +259,7 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
                 # process segments of constant DelayRecordingTime separately
                 # so window statistics never mix differently-delayed traces
                 # (reference despiking_2D_segy.py:451-473)
-                delrt = f.header("DelayRecordingTime")
+                delrt = f.header(_delay_field(byte_delay))
                 cleaned = np.empty_like(data)
                 n_spikes = 0
                 edges = np.r_[0, np.nonzero(np.diff(delrt))[0] + 1, len(delrt)]
@@ -279,17 +280,27 @@ def despike(path, window=(9, 5), threshold: float = 4.0, mode: str = "median",
     return _per_file(resolve_input_files(path), _one, verbose)
 
 
+def _delay_field(byte_delay: int = 109):
+    """Trace-header spec for the recording delay (reference --byte_delay,
+    delrt_correction_segy.py:45-46 / delrt_padding_segy.py:39-40): the
+    standard DelayRecordingTime at byte 109, or an (offset, 'i2') spec for
+    acquisition systems that store it at a non-standard byte."""
+    b = int(byte_delay)
+    return "DelayRecordingTime" if b == 109 else (b, "i2")
+
+
 # ===========================================================================
 # 04 — delrt padding (reference delrt_padding_segy.py:47-251)
 # ===========================================================================
-def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
+def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | None = None,
+              byte_delay: int = 109, verbose: int = 0) -> list[str]:
     """Zero-pad all traces of all files onto one global TWT axis spanning
     the min..max recorded window; updates Samples + per-trace delrt."""
     files = resolve_input_files(path)
     infos = []
     for p in files:
         with SegyFile(p) as f:
-            delrt = f.header("DelayRecordingTime")
+            delrt = f.header(_delay_field(byte_delay))
             if delrt.size == 0:
                 xprint(f"{p}: zero traces — skipped", kind="warning",
                        verbosity=verbose)
@@ -324,7 +335,7 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | No
                 f, out, padded,
                 f"DELRT PAD ({delrt_min} ms, {ns_out} samples)",
                 header_updates={
-                    "DelayRecordingTime": delrt_min,
+                    _delay_field(byte_delay): delrt_min,
                     "TRACE_SAMPLE_COUNT": ns_out,
                 },
                 bin_updates={"Samples": ns_out, "SamplesOriginal": ns},
@@ -338,7 +349,8 @@ def delrt_pad(path, inplace: bool = False, output_dir=None, txt_suffix: str | No
 # 03 — delrt correction (reference delrt_correction_segy.py:82-430)
 # ===========================================================================
 def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
-                  inplace: bool = False, output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
+                  inplace: bool = False, output_dir=None, txt_suffix: str | None = None,
+                  byte_delay: int = 109, verbose: int = 0) -> list[str]:
     """Fix wrong DelayRecordingTime values.
 
     Detection: the first-break TWT (peak |amplitude| within a window) should
@@ -349,7 +361,7 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
-            delrt = f.header("DelayRecordingTime").astype(np.float64)
+            delrt = f.header(_delay_field(byte_delay)).astype(np.float64)
             dt_ms = f.dt_us / 1000.0
             peak = np.argmax(np.abs(data[:, :win_samples]), axis=1)
             fb_twt = delrt + peak * dt_ms
@@ -434,7 +446,8 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
             out = _output_path(p, inplace, txt_suffix or "delrt", output_dir)
             _rewrite(
                 f, out, data, f"DELRT CORRECTION ({n_fix} traces)",
-                header_updates={"DelayRecordingTime": np.rint(new_delrt).astype(np.int64)},
+                header_updates={_delay_field(byte_delay):
+                                np.rint(new_delrt).astype(np.int64)},
             )
         xprint(f"{p}: corrected {n_fix} DelayRecordingTime values -> {out}",
                kind="info", verbosity=verbose)
@@ -863,6 +876,7 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
                    write_qc: bool = True,
                    coords_origin: str = "header", coords_path=None,
                    coords_fsuffix: str | None = None,
+                   coords_fnsuffix: str | None = None,
                    output_dir=None, txt_suffix: str | None = None, verbose: int = 0) -> list[str]:
     """``min_correlation`` is the reference's ``--quality_threshold``;
     ``win_cc_ms`` its ``--win_cc`` correlation-window TWT limits;
@@ -872,8 +886,9 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
     ``coords_origin='aux'`` reads navigation from sidecar CSVs (x/y per
     tracl, e.g. ``.nav`` from ``p3d nav``) under ``coords_path`` instead of
     the trace headers, matched by line name — the reference's
-    ``--coords_origin/--coords_path/--coords_fsuffix``
-    (mistie_correction_segy.py:329-390)."""
+    ``--coords_origin/--coords_path/--coords_fsuffix``; ``coords_fnsuffix``
+    is its ``--coords_text_suffix`` basename-suffix filter for those
+    sidecars (mistie_correction_segy.py:329-390, :67-69)."""
     from ..io.auxiliary import line_name, read_auxiliary_files
 
     files = resolve_input_files(path)
@@ -881,7 +896,8 @@ def mistie_correct(path, min_correlation: float = 0.8, inplace: bool = False,
     if coords_origin == "aux":
         if coords_path is None:
             raise ValueError("coords_origin='aux' requires coords_path")
-        nav_df = read_auxiliary_files(coords_path, coords_fsuffix or "nav")
+        nav_df = read_auxiliary_files(coords_path, coords_fsuffix or "nav",
+                                      suffix=coords_fnsuffix)
         if nav_df is None:
             raise FileNotFoundError(
                 f"no {coords_fsuffix or 'nav'} sidecars under {coords_path!r}")
@@ -1105,7 +1121,8 @@ def reproject(path, src_epsg, dst_epsg, smooth_window: int | None = None,
 # 01 — merge (reference merge_segys.py:73-382)
 # ===========================================================================
 def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
-                      output_dir=None, verbose: int = 0) -> list[str]:
+                      output_dir=None, txt_suffix: str | None = None,
+                      verbose: int = 0) -> list[str]:
     """Merge small SEG-Y files into temporally adjacent neighbors.
 
     Files smaller than ``min_kb`` join the previous file when their first
@@ -1191,7 +1208,7 @@ def merge_small_files(path, min_kb: float = 100.0, max_gap_s: float = 60.0,
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             base = os.path.join(output_dir, os.path.basename(base))
-        out = f"{base}_merged{ext}"
+        out = f"{base}_{txt_suffix or 'merged'}{ext}"
         text = textual.add_processing_entry(texts, f"MERGE ({len(grp)} files)",
                                             prefix=TODAY)
         write_segy(out, merged, raw_trace_headers=raws, text=text, fmt=5, dt_us=dt_us,
@@ -1288,7 +1305,9 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                  output_dir=getattr(args, "output_dir", None))
     if cmd == "merge":
         merge_small_files(inp, min_kb=args.min_kb, max_gap_s=args.max_gap_s,
-                          output_dir=args.output_dir, verbose=verbose)
+                          output_dir=args.output_dir,
+                          txt_suffix=getattr(args, "txt_suffix", None),
+                          verbose=verbose)
     elif cmd == "reproject":
         def _crs_arg(spec):
             # '@file' reads a WKT (or proj string) from a file — WKTs are
@@ -1306,9 +1325,12 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
     elif cmd == "delrt-correct":
         delrt_correct(inp, n_neighbors=args.n_neighbors,
                       win_samples=args.win_samples, inplace=args.inplace,
+                      byte_delay=getattr(args, "byte_delay", 109),
                       verbose=verbose, **io_kw)
     elif cmd == "delrt-pad":
-        delrt_pad(inp, inplace=args.inplace, verbose=verbose, **io_kw)
+        delrt_pad(inp, inplace=args.inplace,
+                  byte_delay=getattr(args, "byte_delay", 109),
+                  verbose=verbose, **io_kw)
     elif cmd == "static":
         static_correct(inp, mode=args.mode, win_samples=args.win_samples,
                        savgol_window=args.savgol_window, nsta=args.nsta,
@@ -1336,12 +1358,14 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        coords_origin=getattr(args, "coords_origin", "header"),
                        coords_path=getattr(args, "coords_path", None),
                        coords_fsuffix=getattr(args, "coords_fsuffix", None),
+                       coords_fnsuffix=getattr(args, "coords_text_suffix", None),
                        inplace=args.inplace, verbose=verbose, **io_kw)
     elif cmd == "despike":
         despike(inp, window=tuple(args.window), threshold=args.threshold,
                 mode=args.mode, replace=args.replace,
                 split_at_delrt=args.split_at_delrt,
                 window_time_ms=getattr(args, "window_time", None),
+                byte_delay=getattr(args, "byte_delay", 109),
                 inplace=args.inplace, verbose=verbose, **io_kw)
     else:
         raise SystemExit(f"unknown stage-1 command {cmd!r}")

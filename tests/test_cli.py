@@ -434,3 +434,82 @@ def test_checkpointed_pocs_runtime_csv(tmp_path):
                              str(tmp_path / "ck"), batch=4, runtime_csv=csv)
     rt = pd.read_csv(csv)
     assert {"niterations", "cost"} <= set(rt.columns) and len(rt) == 12
+
+
+def test_binning_factor_dist_flag(tmp_path):
+    """--factor-dist reaches BinningGeometry.idw_power (reference
+    --factor_dist), on both the flat and the --geometry-yaml path."""
+    import yaml
+
+    from pseudo_3d_interpolation_tpu.cli import _geometry_from_args, build_parser
+
+    ap = build_parser()
+    args = ap.parse_args(["binning", "in", "out.nc", "--extent",
+                          "0", "0", "100", "100", "--stack", "idw",
+                          "--factor-dist", "2.5"])
+    assert _geometry_from_args(args).idw_power == 2.5
+    y = tmp_path / "g.yml"
+    y.write_text(yaml.safe_dump({"extent": [0, 0, 50, 50],
+                                 "factor_dist": 3.0, "stack": "idw"}))
+    args = ap.parse_args(["binning", "in", "out.nc",
+                          "--geometry-yaml", str(y)])
+    geom = _geometry_from_args(args)
+    assert geom.idw_power == 3.0 and geom.stacking_method == "idw"
+    # explicit flag overrides the YAML spelling
+    args = ap.parse_args(["binning", "in", "out.nc", "--geometry-yaml",
+                          str(y), "--factor-dist", "1.5"])
+    assert _geometry_from_args(args).idw_power == 1.5
+
+
+def test_segy2cube_suffix_filters(tmp_path):
+    """segy2cube --suffix/--filename-suffix select directory inputs
+    (reference cnv_segy2netcdf.py:22-25)."""
+    import numpy as np
+
+    from pseudo_3d_interpolation_tpu.cli import main
+    from pseudo_3d_interpolation_tpu.io.segy import write_segy
+
+    d = tmp_path / "in"
+    d.mkdir()
+    for name in ("l1_despk.segy", "l2_despk.segy", "l3_raw.segy"):
+        write_segy(str(d / name), np.zeros((4, 16), np.float32), dt_us=250)
+    out = tmp_path / "out"
+    rc = main(["segy2cube", str(d), "--output-dir", str(out),
+               "--suffix", "segy", "--filename-suffix", "despk"])
+    assert rc in (0, None)
+    got = sorted(p.name for p in out.glob("*.nc"))
+    assert got == ["l1_despk.nc", "l2_despk.nc"]
+
+
+def test_mistie_coords_text_suffix_filters_sidecars(tmp_path):
+    """--coords-text-suffix selects among navigation sidecars by basename
+    suffix (reference --coords_text_suffix, mistie_correction_segy.py:67-69):
+    decoy .nav files without the suffix must not be read at all."""
+    import pandas as pd
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    pa = str(survey / "A_UTM.sgy")
+    pb = str(survey / "B_UTM.sgy")
+    make_profile(pa, ntr=60, seafloor_ms=np.full(60, 42.0), seed=41,
+                 x0=0, y0=0, heading=(0, 0), spacing=0)
+    make_profile(pb, ntr=60, seafloor_ms=np.full(60, 44.0), seed=42,
+                 x0=0, y0=0, heading=(0, 0), spacing=0,
+                 times_start="2023-05-01T12:00:00")
+    nav = tmp_path / "nav"
+    nav.mkdir()
+    pd.DataFrame({"tracl": np.arange(1, 61),
+                  "x": np.linspace(0, 295, 60), "y": np.full(60, 100.0)}
+                 ).to_csv(nav / "A_UTM_good.nav", index=False)
+    pd.DataFrame({"tracl": np.arange(1, 61),
+                  "x": np.full(60, 150.0), "y": np.linspace(0, 295, 60)}
+                 ).to_csv(nav / "B_UTM_good.nav", index=False)
+    # decoys with the wrong schema: reading them would crash the nav join
+    (nav / "A_UTM.nav").write_text("garbage,columns\n1,2\n")
+    (nav / "B_UTM.nav").write_text("garbage,columns\n1,2\n")
+    from pseudo_3d_interpolation_tpu.pipeline import stage1
+
+    outs = stage1.mistie_correct(str(survey), min_correlation=0.3,
+                                 coords_origin="aux", coords_path=str(nav),
+                                 coords_fnsuffix="good")
+    assert len(outs) == 2

@@ -328,3 +328,25 @@ def test_no_spurious_dt_warning_with_preserved_binary_header(tmp_path):
     raw_zero[3217 - 3201:3219 - 3201] = 0
     with pytest.warns(UserWarning, match="dt_us == 0"):
         write_segy(str(tmp_path / "c.sgy"), d, raw_binary_header=raw_zero)
+
+
+def test_header_tuple_spec_roundtrip(tmp_path):
+    """(offset, dtype) field specs read/write arbitrary header bytes —
+    the transport for the reference's --byte_delay option."""
+    from pseudo_3d_interpolation_tpu.io.segy import SegyFile, write_segy
+
+    p = str(tmp_path / "t.sgy")
+    vals = np.arange(-3, 4, dtype=np.int64)
+    write_segy(p, np.zeros((7, 16), np.float32), dt_us=250,
+               headers={(233, "i2"): vals, (181, "i4"): vals * 100000})
+    with SegyFile(p) as f:
+        np.testing.assert_array_equal(f.header((233, "i2")), vals)
+        np.testing.assert_array_equal(f.header((181, "i4")), vals * 100000)
+        # a tuple spec over a standard field agrees with the named read
+        np.testing.assert_array_equal(f.header((109, "i2")),
+                                      f.header("DelayRecordingTime"))
+    # range check still applies to tuple-keyed i2 fields
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="16-bit"):
+        write_segy(p, np.zeros((1, 16), np.float32), dt_us=250,
+                   headers={(233, "i2"): 70000})

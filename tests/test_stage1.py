@@ -813,3 +813,37 @@ def test_merge_and_delrt_pad_skip_zero_trace_files(tmp_path):
     assert len(outs) == 1
     outs = stage1.merge_small_files(str(tmp_path), min_kb=1.0)
     assert len(outs) >= 1
+
+
+def test_byte_delay_nonstandard_field(tmp_path):
+    """--byte-delay routes the recording delay to a custom i2 header byte
+    (reference delrt_correction_segy.py:45-46 / delrt_padding_segy.py:39-40):
+    delrt_pad must READ the delay there and WRITE the re-based delay back to
+    the same byte, leaving the standard byte-109 field untouched."""
+    delays = np.r_[np.full(40, 20), np.full(40, 60)]
+    p = str(tmp_path / "prof.sgy")
+    # standard field stays 0; real delay lives at byte 233 (i2)
+    make_profile(p, delrt_ms=0, extra_headers={(233, "i2"): delays})
+    outs = stage1.delrt_pad(p, byte_delay=233)
+    with SegyFile(outs[0]) as f:
+        np.testing.assert_array_equal(f.header((233, "i2")),
+                                      np.full(80, 20))
+        assert (f.header("DelayRecordingTime") == 0).all()
+        # padded onto the global axis: 20..(60 + 400*0.25) ms
+        assert f.n_samples == int(round((60 + 400 * 0.25 - 20) / 0.25))
+        data = f.trace_data()
+    # the late-delay half starts 160 samples (40 ms) in
+    assert np.abs(data[60, :160]).max() == 0.0
+    assert np.abs(data[60, 160:]).max() > 0.0
+
+
+def test_merge_txt_suffix_names_output(tmp_path):
+    """merge --txt-suffix controls the merged filename (reference
+    merge_segys.py:174 out_name = f'{basename}_{txt_suffix}{suffix}')."""
+    p1 = str(tmp_path / "a.sgy")
+    p2 = str(tmp_path / "b.sgy")
+    make_profile(p1, ntr=30, times_start="2023-05-01T10:00:00")
+    make_profile(p2, ntr=4, times_start="2023-05-01T10:00:31")
+    outs = stage1.merge_small_files([p1, p2], min_kb=100.0,
+                                    txt_suffix="mrg")
+    assert len(outs) == 1 and outs[0].endswith("a_mrg.sgy")
