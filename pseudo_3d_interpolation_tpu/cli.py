@@ -10,6 +10,7 @@ metadata).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -28,6 +29,29 @@ def _bad_spacing(spacing):
         f"--spacing takes one value or an (iline, xline) pair, got {spacing}")
 
 
+def _resolve_spatial_ref(spec):
+    """--spatial-ref value -> CRS spec: '@file' or a .yml/.yaml path loads
+    the contained WKT (the reference's --params_spatial_ref is a YAML whose
+    body is the WKT string, cube_binning_3D.py:1476-1478); anything else is
+    passed to parse_crs as-is."""
+    if spec is None or not isinstance(spec, str):
+        return spec
+    s = spec.strip()
+    if s.startswith("@"):
+        with open(s[1:]) as fh:
+            return fh.read().strip()
+    if s.lower().endswith((".yml", ".yaml")) and os.path.exists(s):
+        import yaml
+
+        with open(s) as fh:
+            loaded = yaml.safe_load(fh)
+        if isinstance(loaded, dict):
+            # tolerate a {spatial_ref: <wkt>}-style mapping
+            loaded = loaded.get("spatial_ref", loaded.get("crs", loaded))
+        return loaded
+    return s
+
+
 def _geometry_from_args(args) -> "object":
     from .pipeline.binning import BinningGeometry
     from .pipeline.orchestrator import geometry_from_dict
@@ -42,7 +66,9 @@ def _geometry_from_args(args) -> "object":
                          ("rotation_center", args.rotation_center),
                          ("twt_limits", args.twt_limits),
                          ("stack", args.stack),
-                         ("idw_power", getattr(args, "factor_dist", None))):
+                         ("idw_power", getattr(args, "factor_dist", None)),
+                         ("crs", _resolve_spatial_ref(
+                             getattr(args, "spatial_ref", None)))):
             if val is not None:
                 flat[key] = list(val) if isinstance(val, (tuple, list)) else val
         return geometry_from_dict(flat)
@@ -60,6 +86,7 @@ def _geometry_from_args(args) -> "object":
         stacking_method=args.stack or "average",
         idw_power=(1.0 if getattr(args, "factor_dist", None) is None
                    else float(args.factor_dist)),
+        crs=_resolve_spatial_ref(getattr(args, "spatial_ref", None)),
     )
 
 
@@ -283,6 +310,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--factor-dist", type=float, default=None,
                    help="IDW distance exponent for --stack idw "
                         "(reference --factor_dist, cube_binning_3D.py)")
+    p.add_argument("--spatial-ref", default=None,
+                   help="cube CRS stamped into the output attrs "
+                        "(spatial_ref/epsg/measurement_system): EPSG code, "
+                        "'EPSG:xxxx', WKT/proj string, @file, or a YAML "
+                        "containing the WKT (reference --params_spatial_ref)")
     p.add_argument("--attrs-yaml", default=None,
                    help="netCDF attrs/encodings YAML (reference format: "
                         "attrs_time/attrs_freq/encodings families)")

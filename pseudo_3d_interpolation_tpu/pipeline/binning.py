@@ -52,6 +52,36 @@ class BinningGeometry:
     region_extent: tuple | None = None
     region_corner_points: np.ndarray | None = None
     region_spacing: tuple[float, float] | float | None = None
+    # cube CRS (reference --params_spatial_ref, cube_binning_3D.py:1363,
+    # :1183-1191): any parse_crs spec — EPSG int, 'EPSG:xxxx', WKT, proj
+    # string. Stamped into the cube attrs (spatial_ref/epsg/
+    # measurement_system); geometry math is CRS-agnostic.
+    crs: object | None = None
+
+    def crs_attrs(self) -> dict:
+        """Reference-parity CRS/bin metadata for the cube attrs
+        (cube_binning_3D.py:1184-1199)."""
+        attrs = {}
+        si, sx = self._pair(self.spacing)
+        if si == sx:
+            attrs["bin_size"] = si
+        else:
+            attrs["bin_size_iline"] = si
+            attrs["bin_size_xline"] = sx
+        if self.crs is None:
+            return attrs
+        from ..utils.crs import GEOGRAPHIC, crs_label, parse_crs
+
+        proj = parse_crs(self.crs)  # validates the spec
+        projected = proj is not GEOGRAPHIC
+        attrs["measurement_system"] = "m" if projected else "deg"
+        attrs["bin_units"] = "m" if projected else "deg"
+        attrs["spatial_ref"] = (self.crs if isinstance(self.crs, str)
+                                else crs_label(self.crs))
+        label = crs_label(self.crs)
+        if label.upper().startswith("EPSG:"):
+            attrs["epsg"] = int(label.split(":", 1)[1])
+        return attrs
 
     def _pair(self, s):
         return (float(s[0]), float(s[1])) if isinstance(s, (tuple, list)) else (float(s), float(s))
@@ -301,6 +331,7 @@ def bin_cube(
             "bin_spacing": str(geometry.spacing),
             "stacking_method": method,
             "coverage": coverage,
+            **geometry.crs_attrs(),
         }
         entry = (f"cube_binning: {len(files)} files, {method} stack, "
                  f"{n_il}x{n_xl}x{ns_out} (out-of-core)")
@@ -404,6 +435,7 @@ def bin_cube(
             "bin_spacing": str(geometry.spacing),
             "stacking_method": method,
             "coverage": coverage,
+            **geometry.crs_attrs(),
         },
         coord_attrs={"twt": {"units": "s", "long_name": "two-way traveltime"}},
     )

@@ -54,7 +54,7 @@ def geometry_from_dict(g: dict):
     from .binning import BinningGeometry
 
     _ALIAS = {"stack": "stacking_method", "bin_size": "spacing",
-              "factor_dist": "idw_power"}
+              "factor_dist": "idw_power", "spatial_ref": "crs"}
     # canonicalize aliases EVERYWHERE (the caller's dict AND the YAML's own
     # keys) before merging — a YAML that spells `bin_size:` must not shadow
     # an explicit flat `spacing` override after the merge (the override used
@@ -98,6 +98,7 @@ def geometry_from_dict(g: dict):
                               if g.get("region_corner_points") is not None
                               else None),
         region_spacing=g.get("region_spacing"),
+        crs=g.get("crs"),
     )
 
 

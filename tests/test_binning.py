@@ -360,3 +360,67 @@ def test_assign_bins_indexed_local_step_tolerance():
         __import__("pseudo_3d_interpolation_tpu.ops.binning",
                    fromlist=["x"]).assign_bins_indexed(
             [1.0], [1.0], t, [5, 3, 1], [1, 2])
+
+
+def test_cube_crs_attrs_stamped(tmp_path):
+    """BinningGeometry.crs stamps the reference's CRS/bin metadata into the
+    cube attrs (cube_binning_3D.py:1184-1199: spatial_ref, epsg,
+    measurement_system, bin_units, bin_size)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+
+    from pseudo_3d_interpolation_tpu.pipeline.binning import (BinningGeometry,
+                                                              bin_cube)
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=8, ns=32, seed=1,
+                 x0=10.0, y0=4.0, heading=(0, 1), spacing=5.0)
+    geom = BinningGeometry(spacing=20.0, extent=(0.0, 20.0, 0.0, 40.0),
+                           crs="EPSG:32633")
+    cube = bin_cube(str(survey), geom)
+    assert cube.attrs["spatial_ref"] == "EPSG:32633"
+    assert cube.attrs["epsg"] == 32633
+    assert cube.attrs["measurement_system"] == "m"
+    assert cube.attrs["bin_size"] == 20.0
+    # geographic CRS -> degrees; anisotropic bins -> per-axis sizes
+    g2 = BinningGeometry(spacing=(10.0, 5.0), extent=(0, 1, 0, 1), crs=4326)
+    a2 = g2.crs_attrs()
+    assert a2["measurement_system"] == "deg"
+    assert a2["bin_size_iline"] == 10.0 and a2["bin_size_xline"] == 5.0
+    # a bogus spec fails loudly at geometry time, not at write time
+    import pytest
+
+    with pytest.raises(ValueError):
+        BinningGeometry(spacing=1.0, extent=(0, 1, 0, 1),
+                        crs="EPSG:999999").crs_attrs()
+
+
+def test_spatial_ref_cli_resolution(tmp_path):
+    """--spatial-ref accepts a YAML file whose body is the WKT (reference
+    --params_spatial_ref), an @file, or a direct spec."""
+    import yaml
+
+    from pseudo_3d_interpolation_tpu.cli import _resolve_spatial_ref
+    from pseudo_3d_interpolation_tpu.utils.crs import parse_crs
+
+    wkt = ('PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",'
+           'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["latitude_of_origin",0],'
+           'PARAMETER["central_meridian",15],'
+           'PARAMETER["scale_factor",0.9996],'
+           'PARAMETER["false_easting",500000],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    y = tmp_path / "crs.yml"
+    y.write_text(yaml.safe_dump(wkt))
+    got = _resolve_spatial_ref(str(y))
+    assert got == wkt and parse_crs(got) is not None
+    at = tmp_path / "crs.wkt"
+    at.write_text(wkt)
+    assert _resolve_spatial_ref(f"@{at}") == wkt
+    assert _resolve_spatial_ref("EPSG:32633") == "EPSG:32633"
