@@ -408,6 +408,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = cmd("postprocess", 15, "upsample/footprint-removal/smoothing/AGC")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("--upsample", nargs="?", const="linear", default=None,
+                   choices=["linear", "nearest", "slinear", "cubic",
+                            "polynomial"],
+                   help="upsample to EQUAL bin size along ilines/xlines, "
+                        "factors derived from the cube's bin_size attrs; "
+                        "the optional value is the interpolation method "
+                        "(reference --upsample)")
     p.add_argument("--upsample-iline", type=int, default=1)
     p.add_argument("--upsample-xline", type=int, default=1)
     p.add_argument("--upsample-method", default="linear",
@@ -458,9 +465,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--var", default=None)
     p.add_argument("--format", type=int, default=5, choices=[1, 5])
-    p.add_argument("--scalar-coords", type=int, default=-100,
-                   help="SourceGroupScalar for exported coordinates "
-                        "(reference --scalar_coords)")
+    p.add_argument("--scalar-coords", default=-100,
+                   help="SourceGroupScalar for exported coordinates: ±10^k "
+                        "(k 0..4), 0, or 'auto' (reference --scalar_coords)")
 
     p = sub.add_parser("qc", help="write QC figures for a SEG-Y profile or cube")
     _add_common(p)
@@ -764,7 +771,15 @@ def main(argv=None) -> int:
     elif cmd == "postprocess":
         from .pipeline.postprocess import postprocess
 
-        up = {"iline": args.upsample_iline, "xline": args.upsample_xline}
+        if args.upsample is not None:
+            if args.upsample_iline != 1 or args.upsample_xline != 1:
+                raise SystemExit("--upsample (auto equal-bin) and explicit "
+                                 "--upsample-iline/--upsample-xline are "
+                                 "mutually exclusive")
+            up = "auto"
+            args.upsample_method = args.upsample
+        else:
+            up = {"iline": args.upsample_iline, "xline": args.upsample_xline}
         footprint = None
         if args.remove_footprint or args.footprint_sigma is not None:
             footprint = {"sigma": args.footprint_sigma or 7,
@@ -790,7 +805,8 @@ def main(argv=None) -> int:
                          "rescale_percentiles": rescale_p}
         postprocess(
             args.input,
-            upsample_factors=up if max(up.values()) > 1 else None,
+            upsample_factors=(up if up == "auto"
+                              else up if max(up.values()) > 1 else None),
             upsample_method=args.upsample_method,
             antialias=not args.no_spatial_dealiasing,
             footprint=footprint,

@@ -24,10 +24,15 @@ def cube_to_segy(
     out_path: str,
     var: str | None = None,
     ilxl_to_coords: Affine | None = None,
-    coordinate_scalar: int = -100,
+    coordinate_scalar: int | str = -100,
     fmt: int = 5,
     verbose: int = 0,
 ) -> str:
+    from ..io.headers import check_coordinate_scalar
+
+    # 'auto' and the ±10^k ladder validated like the reference
+    # (--scalar_coords, cube_cnv_netcdf2segy_3D.py:41-45)
+    coordinate_scalar = check_coordinate_scalar(coordinate_scalar)
     if isinstance(cube, str):
         cube = read_cube(cube)
     if var is None:

@@ -215,10 +215,40 @@ def _agc_kernel(x, win, kind, squared):
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
+def equal_bin_factors(cube: Cube) -> dict:
+    """Upsample factors that refine the coarser line axis onto the finer
+    one's bin size — the reference's bare ``--upsample`` semantics
+    ('upsample to equal bin size along ilines and xlines',
+    cube_postprocessing_3D.py:350-488). Reads the bin_size attrs the
+    binning step stamps."""
+    a = cube.attrs
+    bi, bx = a.get("bin_size_iline"), a.get("bin_size_xline")
+    if bi is None or bx is None:
+        if a.get("bin_size") is not None:
+            bi = bx = float(a["bin_size"])
+        else:
+            raise ValueError(
+                "upsample='auto' needs bin_size_iline/bin_size_xline (or "
+                "bin_size) cube attrs — rebin with a cube CRS/geometry that "
+                "stamps them, or pass explicit upsample_factors")
+    bi, bx = float(bi), float(bx)
+    if bi == bx:
+        return {}
+    ratio = max(bi, bx) / min(bi, bx)
+    f = int(round(ratio))
+    if abs(ratio - f) > 1e-6:
+        raise ValueError(
+            f"bin sizes {bi} x {bx} are not an integer ratio — pass "
+            "explicit upsample_factors")
+    # the axis with the LARGER spacing is the coarser one: refining it by
+    # the ratio makes both axes share the finer bin size
+    return {"iline": f} if bi > bx else {"xline": f}
+
+
 def postprocess(
     cube: Cube | str,
     var: str | None = None,
-    upsample_factors: dict | None = None,  # {'iline': f, 'xline': f}
+    upsample_factors: dict | str | None = None,  # {'iline': f, 'xline': f} | 'auto'
     upsample_method: str = "linear",  # reference --upsample choices
     antialias: bool = True,
     footprint: dict | None = None,  # kwargs for footprint_filter
@@ -240,6 +270,8 @@ def postprocess(
     slices = np.moveaxis(data, -1, 0)
 
     fy = fx = 1
+    if upsample_factors == "auto":
+        upsample_factors = equal_bin_factors(cube)
     if upsample_factors:
         fy = int(upsample_factors.get("iline", 1))
         fx = int(upsample_factors.get("xline", 1))
@@ -249,6 +281,10 @@ def postprocess(
             if f > 1:
                 c = np.asarray(cube.coords[dim], np.float64)
                 cube.coords[dim] = np.linspace(c[0], c[-1], len(c) * f)
+                # keep the stamped bin metadata truthful on the refined axis
+                if f"bin_size_{dim}" in cube.attrs:
+                    cube.attrs[f"bin_size_{dim}"] = (
+                        float(cube.attrs[f"bin_size_{dim}"]) / f)
         if antialias and fy != fx:
             direction = "iline" if fy > fx else "xline"
             ff = antialias_filter(slices.shape[-2], slices.shape[-1], direction,

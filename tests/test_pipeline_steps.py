@@ -252,3 +252,41 @@ def test_get_transform_rejects_typo_options():
     # cross-basis keys from a shared YAML stay tolerated
     t = get_transform("SHEARLET", wavelet="db4", n_scales=3)
     assert t.n_scales == 3
+
+
+def test_postprocess_auto_equal_bin_upsample():
+    """upsample_factors='auto' derives the factor from the bin_size attrs
+    the binning step stamps, refining the COARSER axis (reference bare
+    --upsample: 'upsample to equal bin size', cube_postprocessing_3D.py:
+    350-488)."""
+    c = small_cube()
+    c.attrs["bin_size_iline"] = 10.0  # coarser -> refine ilines x2
+    c.attrs["bin_size_xline"] = 5.0
+    out = post.postprocess(c, var="amp", upsample_factors="auto")
+    assert out["amp"].shape == (20, 8, 64)
+    assert out.attrs["bin_size_iline"] == 5.0  # attrs stay truthful
+    # equal bins already -> no-op (fold survives)
+    c2 = small_cube()
+    c2.attrs["bin_size"] = 5.0
+    out2 = post.postprocess(c2, var="amp", upsample_factors="auto")
+    assert out2["amp"].shape == (10, 8, 64) and "fold" in out2.data_vars
+    # missing attrs and non-integer ratios fail loudly
+    with pytest.raises(ValueError, match="bin_size"):
+        post.postprocess(small_cube(), var="amp", upsample_factors="auto")
+    c3 = small_cube()
+    c3.attrs["bin_size_iline"] = 10.0
+    c3.attrs["bin_size_xline"] = 4.0
+    with pytest.raises(ValueError, match="integer ratio"):
+        post.postprocess(c3, var="amp", upsample_factors="auto")
+
+
+def test_cube2segy_auto_scalar(tmp_path):
+    """--scalar-coords 'auto' resolves through check_coordinate_scalar like
+    the reference (cube_cnv_netcdf2segy_3D.py:41-45)."""
+    c = small_cube(n_il=3, n_xl=2, ns=16)
+    p = str(tmp_path / "o.sgy")
+    cube_to_segy(c, p, var="amp", coordinate_scalar="auto")
+    with SegyFile(p) as f:
+        assert (f.header("SourceGroupScalar") == -100).all()
+    with pytest.raises(ValueError, match="scalar"):
+        cube_to_segy(c, p, var="amp", coordinate_scalar=37)
