@@ -247,8 +247,9 @@ def run_pipeline(config: str | dict, verbose: int = 1,
             geom_keys = ("geometry_yaml", "spacing", "bin_size", "extent",
                          "corner_points", "rotation", "rotation_angle",
                          "rotation_center", "twt_limits", "stacking_method",
-                         "stack", "idw_power", "region_extent",
-                         "region_corner_points", "region_spacing")
+                         "stack", "idw_power", "factor_dist",
+                         "region_extent", "region_corner_points",
+                         "region_spacing", "crs", "spatial_ref")
             geom = geometry_from_dict(
                 {k: opts.pop(k) for k in list(opts) if k in geom_keys})
             bin_cube(cur, geom, out_path=out_path, verbose=verbose, **opts)

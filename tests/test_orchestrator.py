@@ -300,3 +300,33 @@ def test_cli_spacing_overrides_yaml_bin_size(tmp_path):
     assert geom2.spacing == 5.0
     # direct dict callers may use either spelling too
     assert geometry_from_dict({"bin_size": 7.5}).spacing == 7.5
+
+
+def test_binning_step_accepts_crs_and_factor_dist(tmp_path):
+    """An orchestrator binning step may carry spatial_ref/factor_dist keys
+    (they must route into the geometry, not crash bin_cube)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_stage1 import make_profile
+
+    from pseudo_3d_interpolation_tpu.io.ncio import read_cube
+    from pseudo_3d_interpolation_tpu.pipeline.orchestrator import run_pipeline
+
+    survey = tmp_path / "survey"
+    survey.mkdir()
+    make_profile(str(survey / "a_UTM.sgy"), ntr=8, ns=32, seed=1,
+                 x0=10.0, y0=4.0, heading=(0, 1), spacing=5.0)
+    cfg = {
+        "input": str(survey),
+        "workdir": str(tmp_path / "wk"),
+        "steps": [{"binning": {
+            "spacing": 20.0, "extent": [0, 20, 0, 40],
+            "stack": "idw", "factor_dist": 2.0,
+            "spatial_ref": "EPSG:32633"}}],
+    }
+    out = run_pipeline(cfg)
+    cube = read_cube(out)
+    assert cube.attrs["epsg"] == 32633
+    assert cube.attrs["stacking_method"] == "idw"
