@@ -88,18 +88,57 @@ def _mm_right(x, m, precision):
 _FAST_MIN_M = 128
 
 
+_SPLIT_PREFERENCE: dict | None = None  # parsed once from P3D_RADIX_SPLIT
+
+
+def _split_preference() -> dict:
+    """Per-axis-length radix preference, parsed ONCE per process from the
+    ``P3D_RADIX_SPLIT`` env var (``"1024:4,512:2"`` -> prefer R=4 at
+    n=1024, R=2 at n=512). The split choice fixes the permuted spectral
+    layout (radix_perm) that kernels, window packs, and compiled programs
+    share, so it must stay constant for the life of the process — hence
+    env-var (not runtime-argument) plumbing; tools/probe_split.py probes
+    candidates in subprocesses."""
+    global _SPLIT_PREFERENCE
+    if _SPLIT_PREFERENCE is None:
+        import os
+
+        table = {}
+        for part in os.environ.get("P3D_RADIX_SPLIT", "").split(","):
+            if ":" in part:
+                n_s, r_s = part.split(":", 1)
+                try:
+                    table[int(n_s)] = int(r_s)
+                except ValueError:
+                    raise ValueError(
+                        f"P3D_RADIX_SPLIT entry {part!r} is not 'N:R'")
+        _SPLIT_PREFERENCE = table
+    return _SPLIT_PREFERENCE
+
+
 def fast_split(n: int):
     """(M, R) for the fast path, or None when the dense matmul is better
-    (n < 256 or no divisor with M >= 128 and R <= 8)."""
+    (n < 256 or no divisor with M >= 128 and R <= 8).
+
+    The default prefers the largest R (fewest MXU MACs: per-axis dot work
+    is n²·M = n³/R); ``P3D_RADIX_SPLIT`` overrides R per axis length for
+    hardware where the O(n²·R) VPU butterfly stage dominates instead
+    (candidates probed by tools/probe_split.py)."""
     if n < 2 * _FAST_MIN_M:
         return None
+    r_pref = _split_preference().get(n)
+    if r_pref is not None:
+        if r_pref < 2 or n % r_pref or n // r_pref < _FAST_MIN_M:
+            raise ValueError(
+                f"P3D_RADIX_SPLIT asks R={r_pref} at n={n}, but n must "
+                f"split as M*R with M >= {_FAST_MIN_M} and R >= 2")
+        return n // r_pref, r_pref
     for r in (8, 7, 6, 5, 4, 3, 2):
         if n % r == 0 and n // r >= _FAST_MIN_M:
             return n // r, r
     return None
 
 
-@functools.lru_cache(maxsize=64)
 def _radix_constants(n: int):
     """Host-precomputed constants for the N = M·R split of axis length n.
 
@@ -107,6 +146,14 @@ def _radix_constants(n: int):
     F_M f32 pair).
     """
     m, r = fast_split(n)
+    return _radix_constants_for(n, m, r)
+
+
+@functools.lru_cache(maxsize=64)
+def _radix_constants_for(n: int, m: int, r: int):
+    # cached on the FULL split (not just n) so a test-scoped
+    # P3D_RADIX_SPLIT change can never serve constants that disagree with
+    # a freshly computed radix_perm(n)
     st = np.outer(np.arange(r), np.arange(r)).astype(np.float64)
     w_r = np.exp(-2j * np.pi * st / r)  # butterfly coefficients
     # snap near-exact values so the unrolled butterfly emits adds/swaps

@@ -121,6 +121,49 @@ def test_fast_split_selection():
     assert dft.fast_split(250) is None   # 125 < 128 for R=2
 
 
+def test_fast_split_override(monkeypatch):
+    """P3D_RADIX_SPLIT overrides R per axis length; other lengths keep the
+    default; invalid factors are named errors (ops/dft.py::fast_split)."""
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", {1024: 4, 512: 2})
+    assert dft.fast_split(1024) == (256, 4)
+    assert dft.fast_split(512) == (256, 2)
+    assert dft.fast_split(384) == (128, 3)  # untouched length -> default
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", {512: 5})
+    with pytest.raises(ValueError):  # 512 % 5 != 0
+        dft.fast_split(512)
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", {512: 8})
+    with pytest.raises(ValueError):  # M = 64 < 128
+        dft.fast_split(512)
+
+
+def test_fast_split_env_parse(monkeypatch):
+    monkeypatch.setenv("P3D_RADIX_SPLIT", "1024:4,512:2")
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", None)  # force re-parse
+    assert dft.fast_split(1024) == (256, 4)
+    monkeypatch.setenv("P3D_RADIX_SPLIT", "512:nope")
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", None)
+    with pytest.raises(ValueError):
+        dft.fast_split(512)
+
+
+def test_fft2_correct_under_split_override(monkeypatch):
+    """The overridden split is the same DFT: fft2/ifft2 and the permuted
+    pair stay numpy-exact with R=2 at n=512 (default is R=4)."""
+    monkeypatch.setattr(dft, "_SPLIT_PREFERENCE", {512: 2})
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal((512, 512))
+         + 1j * rng.standard_normal((512, 512))).astype(np.complex64)
+    z = cplx.from_complex(x)
+    ref = np.fft.fft2(x)
+    scale = np.abs(ref).max()
+    assert np.abs(cplx.to_complex(dft.fft2(z)) - ref).max() / scale < 2e-6
+    perm = dft.radix_perm(512)
+    zp = dft.fft2_permuted(z)
+    assert np.abs(cplx.to_complex(zp) - ref[np.ix_(perm, perm)]).max() / scale < 2e-6
+    back = cplx.to_complex(dft.ifft2_from_permuted(zp))
+    assert np.abs(back - x).max() / np.abs(x).max() < 2e-6
+
+
 def test_fast_and_dense_paths_agree():
     rng = np.random.default_rng(4)
     x = (rng.standard_normal((8, 256, 256))
