@@ -201,13 +201,14 @@ def inverse_shearlet_transform(coeffs: Cplx, psi, precision=dft.Precision.HIGHES
 class _ScaleGroup:
     """Static per-scale plan entry: frequency-box indices + cropped Psi."""
 
-    __slots__ = ("idx_h", "idx_w", "psi", "_psi_dev")
+    __slots__ = ("idx_h", "idx_w", "psi", "_psi_dev", "_box_mats")
 
     def __init__(self, idx_h, idx_w, psi):
         self.idx_h = idx_h  # (sr,) int32 fft-layout row indices, or None=full
         self.idx_w = idx_w
         self.psi = psi      # (Lg, sr, sc) f32
         self._psi_dev = None
+        self._box_mats = None
 
     def psi_device(self):
         """Device copy of the window stack, materialized EAGERLY (outside
@@ -220,6 +221,29 @@ class _ScaleGroup:
             with jax.ensure_compile_time_eval():
                 self._psi_dev = jnp.asarray(self.psi)
         return self._psi_dev
+
+    def box_mats_device(self, h: int, w: int):
+        """Constant partial-DFT matrices for the fused box kernel
+        (ops/pallas/subband.py::box_group_update_fused): A = F[idx] rows
+        and their transposes, (ahr, ahi, ahtr, ahti, awr, awi, awtr,
+        awti), device-materialized eagerly like :meth:`psi_device`."""
+        if self._box_mats is None:
+            fhr, fhi = dft.dft_matrices(h)
+            fwr, fwi = (fhr, fhi) if w == h else dft.dft_matrices(w)
+            ahr = np.ascontiguousarray(fhr[self.idx_h])
+            ahi = np.ascontiguousarray(fhi[self.idx_h])
+            awr = np.ascontiguousarray(fwr[self.idx_w])
+            awi = np.ascontiguousarray(fwi[self.idx_w])
+            with jax.ensure_compile_time_eval():
+                self._box_mats = tuple(
+                    jnp.asarray(a) for a in (
+                        ahr, ahi,
+                        np.ascontiguousarray(ahr.T),
+                        np.ascontiguousarray(ahi.T),
+                        awr, awi,
+                        np.ascontiguousarray(awr.T),
+                        np.ascontiguousarray(awi.T)))
+        return self._box_mats
 
 
 class Plan(tuple):
@@ -549,9 +573,25 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
     out = inv(acc, precision=precision)
 
+    from .pallas.subband import box_group_supported, box_group_update_fused
+
     for l0, lg, g in boxes:
-        out = out + _box_group_spatial(z, tau2[..., l0:l0 + lg], g, h, w,
-                                       thresh_op, precision)
+        tau_g = tau2[..., l0:l0 + lg]
+        if box_group_supported(len(g.idx_h), len(g.idx_w), h, w, thresh_op):
+            # fused box kernel: the whole per-subband backproject ->
+            # threshold -> project round trip VMEM-resident; only the
+            # group's (B, sr, sc) box spectrum and its psi-weighted sum
+            # touch HBM (same math as _box_group_spatial, pinned in
+            # tests/test_shearlet.py)
+            xbox = _partial_fft2(z, g.idx_h, g.idx_w, precision)
+            m = box_group_update_fused(
+                xbox, g.psi_device(), tau_g, g.box_mats_device(h, w),
+                h, w, thresh_op=thresh_op, precision=precision,
+                interpret=interpret)
+            out = out + _partial_ifft2(m, g.idx_h, g.idx_w, h, w, precision)
+        else:
+            out = out + _box_group_spatial(z, tau_g, g, h, w,
+                                           thresh_op, precision)
     return out
 
 

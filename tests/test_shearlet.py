@@ -275,6 +275,45 @@ class TestPallasSubbandKernel:
         d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
         assert d / scale < 3e-6, d
 
+    def test_box_groups_ride_the_fused_kernel(self, monkeypatch):
+        """The support-cropped groups take box_group_update_fused (not the
+        XLA spatial path) on aligned shapes — and the result still matches
+        the XLA streamed apply."""
+        from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+        from pseudo_3d_interpolation_tpu.ops.pallas import subband as sb
+
+        calls = []
+        real = sb.box_group_update_fused
+
+        def spy(*a, **k):
+            calls.append(a[0].re.shape)
+            return real(*a, **k)
+
+        monkeypatch.setattr(sb, "box_group_update_fused", spy)
+        # seed 1 == test_kernel_matches_streamed's draw: no coefficient
+        # magnitude sits within f32 rounding of its tau, so the hard
+        # threshold can't flip between the kernel's mag² >= tau² test and
+        # the XLA path's sqrt(mag²) >= tau (seed 7 hits such a flip)
+        rng = np.random.default_rng(1)
+        n = 256
+        z = Cplx(jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)),
+                 jnp.asarray(rng.normal(size=(2, n, n)).astype(np.float32)))
+        plan = sh.shearlet_plan(n, n)
+        n_boxes = sum(1 for g in plan
+                      if g.idx_h is not None
+                      and not (len(g.idx_h) * 4 >= n and len(g.idx_w) * 4 >= n))
+        assert n_boxes >= 2  # the 16- and 40-side groups at 256²
+        L = sh.n_subbands(sh.default_scales(n, n))
+        tau = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, L)).astype(np.float32))
+        a = sh.pocs_subband_apply(z, plan, tau, "hard")
+        b = sh.pocs_subband_apply(z, plan, tau, "hard", use_pallas=True,
+                                  pallas_interpret=True)
+        assert len(calls) == n_boxes, calls
+        scale = float(jnp.max(jnp.abs(a.re))) or 1.0
+        d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
+        assert d / scale < 3e-6, d
+
     @pytest.mark.parametrize("op", ["hard", "soft", "garrote"])
     def test_kernel_matches_streamed(self, op):
         from pseudo_3d_interpolation_tpu.ops import shearlet as sh
