@@ -210,7 +210,14 @@ def box_group_supported(sr: int, sc: int, n_h: int, n_w: int,
                         thresh_op: str) -> bool:
     """Whether the fused box-group kernel supports this configuration:
     sublane-aligned box sides (the plan's _box_indices pads to multiples
-    of 8 with zero-psi frequencies) on lane-aligned slices."""
+    of 8 with zero-psi frequencies) on lane-aligned slices.
+    ``P3D_NO_BOX_KERNEL=1`` force-disables it (XLA spatial-projection
+    fallback) — operational escape hatch for hardware/toolchain versions
+    where the small-box dot shapes fail Mosaic lowering."""
+    import os
+
+    if os.environ.get("P3D_NO_BOX_KERNEL"):
+        return False
     return (_PALLAS_OK and thresh_op in _KERNEL_THRESH_OPS
             and sr % 8 == 0 and sc % 8 == 0
             and n_h % 128 == 0 and n_w % 128 == 0)
