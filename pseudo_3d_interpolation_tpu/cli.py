@@ -29,27 +29,25 @@ def _bad_spacing(spacing):
         f"--spacing takes one value or an (iline, xline) pair, got {spacing}")
 
 
-def _resolve_spatial_ref(spec):
-    """--spatial-ref value -> CRS spec: '@file' or a .yml/.yaml path loads
-    the contained WKT (the reference's --params_spatial_ref is a YAML whose
-    body is the WKT string, cube_binning_3D.py:1476-1478); anything else is
-    passed to parse_crs as-is."""
-    if spec is None or not isinstance(spec, str):
-        return spec
-    s = spec.strip()
-    if s.startswith("@"):
-        with open(s[1:]) as fh:
-            return fh.read().strip()
-    if s.lower().endswith((".yml", ".yaml")) and os.path.exists(s):
-        import yaml
+def _scalar_arg(v):
+    """argparse type for SourceGroupScalar flags: 'auto', 0, or ±10^k —
+    invalid values become clean usage errors instead of a traceback from
+    check_coordinate_scalar after the command has started running."""
+    try:
+        from .io.headers import check_coordinate_scalar
 
-        with open(s) as fh:
-            loaded = yaml.safe_load(fh)
-        if isinstance(loaded, dict):
-            # tolerate a {spatial_ref: <wkt>}-style mapping
-            loaded = loaded.get("spatial_ref", loaded.get("crs", loaded))
-        return loaded
-    return s
+        check_coordinate_scalar(v)
+    except ValueError as e:
+        raise argparse.ArgumentTypeError(str(e))
+    return v if v == "auto" else int(v)
+
+
+def _resolve_spatial_ref(spec):
+    """--spatial-ref value -> CRS spec ('@file' / .yml indirection;
+    shared implementation in utils/crs.py::resolve_crs_spec)."""
+    from .utils.crs import resolve_crs_spec
+
+    return resolve_crs_spec(spec)
 
 
 def _geometry_from_args(args) -> "object":
@@ -143,7 +141,7 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("XBYTE", "YBYTE"),
                    help="trace-header byte positions of x/y (reference "
                         "--src_coords)")
-    p.add_argument("--scalar", default=-100,
+    p.add_argument("--scalar", default=-100, type=_scalar_arg,
                    help="output SourceGroupScalar: ±10^k (k 0..4), 0, or "
                         "'auto' (reference --scalar_coords; validated by "
                         "io.headers.check_coordinate_scalar)")
@@ -417,11 +415,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference --upsample)")
     p.add_argument("--upsample-iline", type=int, default=1)
     p.add_argument("--upsample-xline", type=int, default=1)
-    p.add_argument("--upsample-method", default="linear",
+    p.add_argument("--upsample-method", default=None,
                    choices=["linear", "nearest", "slinear", "cubic",
                             "polynomial"],
-                   help="interpolation for the refined grid "
-                        "(reference --upsample)")
+                   help="interpolation for the refined grid, default "
+                        "linear (reference --upsample)")
     p.add_argument("--no-spatial-dealiasing", action="store_true",
                    help="skip the kx-ky anti-alias filter after uneven "
                         "upsampling (reference --spatial-dealiasing, "
@@ -465,7 +463,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("output")
     p.add_argument("--var", default=None)
     p.add_argument("--format", type=int, default=5, choices=[1, 5])
-    p.add_argument("--scalar-coords", default=-100,
+    p.add_argument("--scalar-coords", default=-100, type=_scalar_arg,
                    help="SourceGroupScalar for exported coordinates: ±10^k "
                         "(k 0..4), 0, or 'auto' (reference --scalar_coords)")
 
@@ -777,9 +775,17 @@ def main(argv=None) -> int:
                                  "--upsample-iline/--upsample-xline are "
                                  "mutually exclusive")
             up = "auto"
-            args.upsample_method = args.upsample
+            # --upsample's optional value IS a method; an explicit
+            # --upsample-method must not be silently discarded
+            if args.upsample_method is None:
+                args.upsample_method = args.upsample
+            elif args.upsample not in ("linear", args.upsample_method):
+                raise SystemExit(
+                    f"--upsample {args.upsample} and --upsample-method "
+                    f"{args.upsample_method} disagree — pass just one")
         else:
             up = {"iline": args.upsample_iline, "xline": args.upsample_xline}
+        args.upsample_method = args.upsample_method or "linear"
         footprint = None
         if args.remove_footprint or args.footprint_sigma is not None:
             footprint = {"sigma": args.footprint_sigma or 7,

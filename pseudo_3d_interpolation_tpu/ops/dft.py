@@ -128,10 +128,15 @@ def fast_split(n: int):
         return None
     r_pref = _split_preference().get(n)
     if r_pref is not None:
-        if r_pref < 2 or n % r_pref or n // r_pref < _FAST_MIN_M:
+        if (r_pref < 2 or r_pref > 8 or n % r_pref
+                or n // r_pref < _FAST_MIN_M):
+            # R <= 8 is a hard bound: the Pallas kernels pack the R
+            # twiddle rows into 16-row VMEM blocks (pocs_iter.py::
+            # _radix_kernel_constants) and the O(n²R) butterfly cost is
+            # the reason to override DOWNWARD in the first place
             raise ValueError(
                 f"P3D_RADIX_SPLIT asks R={r_pref} at n={n}, but n must "
-                f"split as M*R with M >= {_FAST_MIN_M} and R >= 2")
+                f"split as M*R with M >= {_FAST_MIN_M} and 2 <= R <= 8")
         return n // r_pref, r_pref
     for r in (8, 7, 6, 5, 4, 3, 2):
         if n % r == 0 and n // r >= _FAST_MIN_M:

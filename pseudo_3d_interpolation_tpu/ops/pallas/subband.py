@@ -169,18 +169,24 @@ def _box_kernel(tau_ref, xbr_ref, xbi_ref, psi_ref, ahr_ref, ahi_ref,
     tau = tau_ref[b, l]
     ahr = ahr_ref[...]
     ahi = ahi_ref[...]
+    ahtr = ahtr_ref[...]
+    ahti = ahti_ref[...]
+    awr = awr_ref[...]
+    awi = awi_ref[...]
     awtr = awtr_ref[...]
     awti = awti_ref[...]
     p = psi_ref[...]
-    dot = _make_dot(precision, ahr, ahi, awtr, awti)
+    # every constant matrix goes into the dot's identity-keyed cache so the
+    # HIGH (bf16x3) path splits each one into hi/lo bf16 parts ONCE
+    dot = _make_dot(precision, ahr, ahi, ahtr, ahti, awr, awi, awtr, awti)
 
     vr = xbr_ref[...] * p
     vi = xbi_ref[...] * p
     # c = A_h^H V A_w^*  (inverse DFT restricted to the box's frequencies)
-    yr = dot(ahtr_ref[...], vr) + dot(ahti_ref[...], vi)
-    yi = dot(ahtr_ref[...], vi) - dot(ahti_ref[...], vr)
-    cr = dot(yr, awr_ref[...]) + dot(yi, awi_ref[...])
-    ci = dot(yi, awr_ref[...]) - dot(yr, awi_ref[...])
+    yr = dot(ahtr, vr) + dot(ahti, vi)
+    yi = dot(ahtr, vi) - dot(ahti, vr)
+    cr = dot(yr, awr) + dot(yi, awi)
+    ci = dot(yi, awr) - dot(yr, awi)
     scale = 1.0 / (n_h * n_w)
     cr = cr * scale
     ci = ci * scale

@@ -52,6 +52,7 @@ def geometry_from_dict(g: dict):
     """Build a BinningGeometry from a config mapping (the geometry-YAML
     schema of ``p3d binning --geometry-yaml``, plus flat CLI-style keys)."""
     from .binning import BinningGeometry
+    from ..utils.crs import resolve_crs_spec as _resolve_crs
 
     _ALIAS = {"stack": "stacking_method", "bin_size": "spacing",
               "factor_dist": "idw_power", "spatial_ref": "crs"}
@@ -98,7 +99,9 @@ def geometry_from_dict(g: dict):
                               if g.get("region_corner_points") is not None
                               else None),
         region_spacing=g.get("region_spacing"),
-        crs=g.get("crs"),
+        # same '@file'/.yml indirection as `p3d binning --spatial-ref` so
+        # the two documented entry points accept identical specs
+        crs=_resolve_crs(g.get("crs")),
     )
 
 

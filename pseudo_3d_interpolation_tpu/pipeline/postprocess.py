@@ -128,11 +128,14 @@ def apply_kxky_filter(slices: np.ndarray, ffilter: np.ndarray) -> np.ndarray:
 def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int,
                            method: str = "linear") -> np.ndarray:
     """Separable interpolation of (..., ny, nx) slices onto a grid
-    ``factor`` times finer (the reference's ``interp_like`` refinement,
-    :350-488): new coords span the same extent with n*f points. ``method``
-    matches the reference's ``--upsample`` choices (linear/nearest/slinear/
-    cubic/polynomial); linear runs on device, the scipy families host-side
-    (a once-per-cube boundary op)."""
+    ``factor`` times finer: new coords span the same extent with
+    ``(n-1)*f + 1`` points — every original sample stays on the grid and
+    the new spacing is EXACTLY bin/f, matching the reference's step-1
+    line-index refinement (``np.arange(il[0], il[-1] + 1, 1)``,
+    cube_postprocessing_3D.py:408). ``method`` matches the reference's
+    ``--upsample`` choices (linear/nearest/slinear/cubic/polynomial);
+    linear runs on device, the scipy families host-side (a once-per-cube
+    boundary op)."""
     out = np.asarray(slices, np.float32)
 
     if method == "linear":
@@ -148,7 +151,7 @@ def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int,
 
         def interp_axis(a, f):
             n = a.shape[-1]
-            new = np.linspace(0.0, n - 1.0, n * int(f))
+            new = np.linspace(0.0, n - 1.0, (n - 1) * int(f) + 1)
             fn = scipy.interpolate.interp1d(np.arange(n), a, kind=kind, axis=-1)
             return fn(new).astype(np.float32)
 
@@ -163,7 +166,7 @@ def upsample_slices_linear(slices: np.ndarray, factor_y: int, factor_x: int,
 def _interp_last(x, f):
     n = x.shape[-1]
     old = jnp.arange(n, dtype=jnp.float32)
-    new = jnp.linspace(0.0, n - 1.0, n * f)
+    new = jnp.linspace(0.0, n - 1.0, (n - 1) * f + 1)
     return jnp.apply_along_axis(lambda v: jnp.interp(new, old, v), -1, x)
 
 
@@ -277,11 +280,21 @@ def postprocess(
         fx = int(upsample_factors.get("xline", 1))
     if fy > 1 or fx > 1:  # all-ones factors must be a no-op (keep fold!)
         slices = upsample_slices_linear(slices, fy, fx, method=upsample_method)
+        if "bin_size" in cube.attrs:
+            # the refinement makes bins anisotropic unless both factors
+            # match — expand the equal-bin key to per-axis keys so the
+            # stamped metadata stays truthful (and a later 'auto' upsample
+            # sees the real spacings)
+            bs = float(cube.attrs.pop("bin_size"))
+            cube.attrs["bin_size_iline"] = bs
+            cube.attrs["bin_size_xline"] = bs
         for dim, f in (("iline", fy), ("xline", fx)):
             if f > 1:
                 c = np.asarray(cube.coords[dim], np.float64)
-                cube.coords[dim] = np.linspace(c[0], c[-1], len(c) * f)
-                # keep the stamped bin metadata truthful on the refined axis
+                # (n-1)*f + 1 points: original samples stay on the grid,
+                # spacing is exactly bin/f (reference's step-1 line-index
+                # law, cube_postprocessing_3D.py:408)
+                cube.coords[dim] = np.linspace(c[0], c[-1], (len(c) - 1) * f + 1)
                 if f"bin_size_{dim}" in cube.attrs:
                     cube.attrs[f"bin_size_{dim}"] = (
                         float(cube.attrs[f"bin_size_{dim}"]) / f)

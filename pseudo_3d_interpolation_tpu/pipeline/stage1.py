@@ -1309,13 +1309,7 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                           txt_suffix=getattr(args, "txt_suffix", None),
                           verbose=verbose)
     elif cmd == "reproject":
-        def _crs_arg(spec):
-            # '@file' reads a WKT (or proj string) from a file — WKTs are
-            # unwieldy on a command line
-            if isinstance(spec, str) and spec.startswith("@"):
-                with open(spec[1:]) as fh:
-                    return fh.read().strip()
-            return spec
+        from ..utils.crs import resolve_crs_spec as _crs_arg
 
         reproject(inp, _crs_arg(args.src_epsg), _crs_arg(args.dst_epsg),
                   smooth_window=args.smooth_window,

@@ -21,6 +21,7 @@ tests/test_tide_crs.py.
 from __future__ import annotations
 
 import functools
+import os
 import re
 
 import numpy as np
@@ -1167,6 +1168,33 @@ def parse_crs(spec):
     if hasattr(spec, "forward") and hasattr(spec, "inverse"):
         return spec
     raise TypeError(f"unsupported CRS spec type {type(spec).__name__}")
+
+
+def resolve_crs_spec(spec):
+    """User-surface CRS spec -> a :func:`parse_crs`-ready spec.
+
+    ONE implementation of the file-indirection conventions every entry
+    point shares (CLI flags, pipeline configs): ``'@path'`` reads the file
+    body (WKTs are unwieldy on a command line), an existing ``.yml/.yaml``
+    path loads the YAML — the reference's ``--params_spatial_ref`` is a
+    YAML whose body is the WKT string (cube_binning_3D.py:1476-1478),
+    tolerating a ``{spatial_ref: <wkt>}``-style mapping. Anything else
+    passes through untouched."""
+    if spec is None or not isinstance(spec, str):
+        return spec
+    s = spec.strip()
+    if s.startswith("@"):
+        with open(s[1:]) as fh:
+            return fh.read().strip()
+    if s.lower().endswith((".yml", ".yaml")) and os.path.exists(s):
+        import yaml
+
+        with open(s) as fh:
+            loaded = yaml.safe_load(fh)
+        if isinstance(loaded, dict):
+            loaded = loaded.get("spatial_ref", loaded.get("crs", loaded))
+        return loaded
+    return s
 
 
 def crs_label(spec) -> str:

@@ -257,7 +257,60 @@ def test_postprocess_option_depth_via_cli(tmp_path):
     assert main(["postprocess", p0, p2, "--upsample-iline", "2",
                  "--upsample-xline", "2", "--upsample-method", "cubic"]) == 0
     up = read_cube(p2)
-    assert up["amp"].shape[:2] == (32, 32)
+    # (n-1)*f + 1 endpoint-preserving refinement (reference line-index law)
+    assert up["amp"].shape[:2] == (31, 31)
+
+
+def test_postprocess_upsample_method_not_discarded(tmp_path):
+    """Bare --upsample must not overwrite an explicit --upsample-method
+    with its 'linear' const; contradictory values are a usage error
+    (round-3 review)."""
+    from pseudo_3d_interpolation_tpu.cli import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(["postprocess", "in.nc", "out.nc",
+                              "--upsample", "--upsample-method", "cubic"])
+    assert args.upsample == "linear" and args.upsample_method == "cubic"
+    # the handler resolution itself is exercised via main() on a real cube
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube, read_cube, write_cube
+
+    rng = np.random.default_rng(3)
+    c = Cube(
+        coords={"iline": np.arange(1, 9), "xline": np.arange(1, 5),
+                "twt": np.arange(16) * 1e-3},
+        data_vars={"amp": (("iline", "xline", "twt"),
+                           rng.normal(size=(8, 4, 16)).astype(np.float32))},
+        attrs={"bin_size_iline": 10.0, "bin_size_xline": 5.0},
+    )
+    p0 = str(tmp_path / "c.nc")
+    write_cube(p0, c)
+    p1 = str(tmp_path / "up.nc")
+    assert main(["postprocess", p0, p1, "--upsample",
+                 "--upsample-method", "cubic"]) == 0
+    assert read_cube(p1)["amp"].shape[:2] == (15, 4)  # cubic auto x2 ilines
+    with pytest.raises(SystemExit):
+        main(["postprocess", p0, p1, "--upsample", "cubic",
+              "--upsample-method", "nearest"])
+
+
+def test_scalar_coords_usage_error():
+    """Non-numeric --scalar-coords/--scalar values exit with an argparse
+    usage error instead of a mid-run int() traceback (round-3 review)."""
+    from pseudo_3d_interpolation_tpu.cli import build_parser
+
+    parser = build_parser()
+    for argv in (["cube2segy", "a.nc", "b.sgy", "--scalar-coords", "ten"],
+                 ["cube2segy", "a.nc", "b.sgy", "--scalar-coords", "7"],
+                 ["reproject", "a.sgy", "--src-epsg", "4326",
+                  "--dst-epsg", "32633", "--scalar", "ten"]):
+        with pytest.raises(SystemExit):
+            parser.parse_args(argv)
+    ok = parser.parse_args(["cube2segy", "a.nc", "b.sgy",
+                            "--scalar-coords", "auto"])
+    assert ok.scalar_coords == "auto"
+    ok = parser.parse_args(["cube2segy", "a.nc", "b.sgy",
+                            "--scalar-coords", "-1000"])
+    assert ok.scalar_coords == -1000
 
 
 def test_preprocess_resample_variants_via_cli(tmp_path):

@@ -66,6 +66,23 @@ def test_geometry_from_dict_flat_and_yaml(tmp_path):
     assert g2.rotation_center == (1.0, 2.0)
 
 
+def test_geometry_from_dict_resolves_crs_file_specs(tmp_path):
+    """spatial_ref in a pipeline/geometry config accepts the same '@file'
+    and .yml WKT indirection as `p3d binning --spatial-ref` (round-3
+    review: the orchestrator path bypassed the CLI's resolver)."""
+    wkt = tmp_path / "crs.txt"
+    wkt.write_text("EPSG:32633\n")
+    g = geometry_from_dict({"spacing": 10.0, "extent": [0, 10, 0, 10],
+                            "spatial_ref": f"@{wkt}"})
+    assert g.crs == "EPSG:32633"
+    assert g.crs_attrs()["epsg"] == 32633
+    y = tmp_path / "crs.yml"
+    y.write_text(yaml.safe_dump({"spatial_ref": "EPSG:25832"}))
+    g2 = geometry_from_dict({"spacing": 10.0, "extent": [0, 10, 0, 10],
+                             "crs": str(y)})
+    assert g2.crs == "EPSG:25832"
+
+
 def test_run_pipeline_end_to_end(tmp_path):
     """despike -> static -> delrt-pad -> binning -> preprocess -> fft ->
     pocs -> ifft -> postprocess -> cube2segy from ONE config."""

@@ -60,8 +60,12 @@ def test_preprocess_gain():
 def test_postprocess_upsample():
     c = small_cube()
     out = post.postprocess(c, var="amp", upsample_factors={"iline": 2, "xline": 1})
-    assert out["amp"].shape == (20, 8, 64)
-    assert len(out.coords["iline"]) == 20
+    # (n-1)*f + 1 points: original samples stay on the grid, spacing is
+    # exactly bin/f (reference line-index law)
+    assert out["amp"].shape == (19, 8, 64)
+    assert len(out.coords["iline"]) == 19
+    il = np.asarray(out.coords["iline"])
+    assert np.allclose(np.diff(il), 0.5)
     assert "fold" not in out.data_vars
 
 
@@ -263,8 +267,11 @@ def test_postprocess_auto_equal_bin_upsample():
     c.attrs["bin_size_iline"] = 10.0  # coarser -> refine ilines x2
     c.attrs["bin_size_xline"] = 5.0
     out = post.postprocess(c, var="amp", upsample_factors="auto")
-    assert out["amp"].shape == (20, 8, 64)
+    assert out["amp"].shape == (19, 8, 64)
     assert out.attrs["bin_size_iline"] == 5.0  # attrs stay truthful
+    # and the refined axis spacing really IS the finer bin (5 m over the
+    # 10 m original): exactly 0.5 iline units
+    assert np.allclose(np.diff(np.asarray(out.coords["iline"])), 0.5)
     # equal bins already -> no-op (fold survives)
     c2 = small_cube()
     c2.attrs["bin_size"] = 5.0
@@ -278,6 +285,24 @@ def test_postprocess_auto_equal_bin_upsample():
     c3.attrs["bin_size_xline"] = 4.0
     with pytest.raises(ValueError, match="integer ratio"):
         post.postprocess(c3, var="amp", upsample_factors="auto")
+
+
+def test_postprocess_upsample_expands_equal_bin_size_attr():
+    """An explicit anisotropic upsample of an equal-bin cube must expand
+    the 'bin_size' attr to truthful per-axis keys — leaving it stale made
+    a later upsample_factors='auto' silently no-op on the now-anisotropic
+    cube (round-3 review)."""
+    c = small_cube()
+    c.attrs["bin_size"] = 10.0
+    out = post.postprocess(c, var="amp",
+                           upsample_factors={"iline": 2, "xline": 1})
+    assert "bin_size" not in out.attrs
+    assert out.attrs["bin_size_iline"] == 5.0
+    assert out.attrs["bin_size_xline"] == 10.0
+    # and 'auto' now refines the xlines to match, instead of no-opping
+    out2 = post.postprocess(out, var="amp", upsample_factors="auto")
+    assert out2.attrs["bin_size_xline"] == 5.0
+    assert out2["amp"].shape == (19, 15, 64)
 
 
 def test_cube2segy_auto_scalar(tmp_path):
