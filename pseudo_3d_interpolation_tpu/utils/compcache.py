@@ -17,6 +17,24 @@ _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "p3d-jax-cache")
 _active_dir: str | None = None
 
 
+def _cpu_forced() -> bool:
+    """True when this process is pinned to the CPU backend — via the
+    ``JAX_PLATFORMS`` env var or an already-applied ``jax_platforms``
+    config (tests/conftest.py does the latter). Reads config only if jax
+    is already imported; never initializes a backend."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return True
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            return (jax.config.jax_platforms or "").lower() == "cpu"
+        except Exception:
+            return False
+    return False
+
+
 def enable_persistent_cache(path: str | None = None) -> str:
     """Point jax at an on-disk compilation cache (idempotent).
 
@@ -26,6 +44,15 @@ def enable_persistent_cache(path: str | None = None) -> str:
     global _active_dir
     env = os.environ.get("P3D_COMPILATION_CACHE")
     if env is not None and env.lower() in ("0", "off", "none", ""):
+        return ""
+    if path is None and env is None and _cpu_forced():
+        # CPU-forced process (tests, the driver's virtual-mesh dryrun) and
+        # nobody asked for a cache: skip it. CPU compiles are fast, and
+        # XLA:CPU AOT entries bake in the *compiling* host's CPU features —
+        # loading them on a different host warns "could lead to execution
+        # errors such as SIGILL". The cache exists for the remote TPU's
+        # minutes-long directional compiles; opt CPU runs in explicitly via
+        # P3D_COMPILATION_CACHE or a path argument.
         return ""
     path = path or env or _DEFAULT
     # idempotent only for the SAME dir — a later call with a different dir

@@ -78,6 +78,39 @@ def test_profile_writes_stats(tmp_path, capsys):
     assert st.total_calls > 0
 
 
+def test_compcache_cpu_forced_default_noop(monkeypatch, tmp_path):
+    """A CPU-forced process (JAX_PLATFORMS=cpu) with no explicit cache
+    request must NOT enable the default cache: XLA:CPU AOT entries bake in
+    the compiling host's CPU features, so a shared default dir risks SIGILL
+    when the loading host differs (the driver's virtual-mesh dryrun runs
+    exactly this configuration). Explicit path/env still opt in."""
+    import pseudo_3d_interpolation_tpu.utils.compcache as cc
+
+    monkeypatch.setattr(cc, "_active_dir", None)
+    monkeypatch.delenv("P3D_COMPILATION_CACHE", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert cc.enable_persistent_cache() == ""
+    # explicit opt-ins still work under CPU
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    prev_min_t = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_min_b = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        path = str(tmp_path / "cpu-cache")
+        assert cc.enable_persistent_cache(path) == path
+        monkeypatch.setattr(cc, "_active_dir", None)
+        path2 = str(tmp_path / "cpu-cache-env")
+        monkeypatch.setenv("P3D_COMPILATION_CACHE", path2)
+        assert cc.enable_persistent_cache() == path2
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min_t)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          prev_min_b)
+
+
 def test_compcache_idempotent_and_disable(monkeypatch, tmp_path):
     import jax
 
