@@ -112,6 +112,65 @@ def _make_dot(precision, fr, fi, *extra_consts):
     return dot
 
 
+def _gauss_enabled() -> bool:
+    """Gauss 3-multiplication complex products in the kernels (default on).
+
+    Every complex matmul against a constant DFT-matrix pair costs 4 real
+    dots in the textbook form; Gauss's identity does it in 3 (t1 = a_r·b_r,
+    t2 = a_i·b_i, t3 = (a_r ± a_i)·(b_r + b_i)) at the price of one VPU add
+    of the variable operand and a subtraction cancellation in the imaginary
+    part (a few f32 ulps on DFT-sized dots — measured harmless on the SNR
+    gates; the XLA scan keeps the exact 4-dot form, so instrumented runs
+    and the reference-parity gate are untouched). The kernels are measured
+    MXU-pass-bound (docs/perf.md round 3g), so the 25% MAC cut is a direct
+    throughput win at every precision. ``P3D_NO_GAUSS=1`` restores the
+    4-dot form (read at trace time, like P3D_NO_BOX_KERNEL)."""
+    import os
+
+    return not os.environ.get("P3D_NO_GAUSS")
+
+
+def _cmul_left(dot, fr, fi, fs, br, bi):
+    """(fr + i·fi) @ (br + i·bi); ``fs = fr + fi`` enables the 3-dot form
+    (pass ``None`` for the exact 4-dot form)."""
+    if fs is None:
+        return dot(fr, br) - dot(fi, bi), dot(fr, bi) + dot(fi, br)
+    t1 = dot(fr, br)
+    t2 = dot(fi, bi)
+    t3 = dot(fs, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_left_conj(dot, fr, fi, fd, br, bi):
+    """conj(fr + i·fi) @ (br + i·bi); ``fd = fr - fi`` or ``None``."""
+    if fd is None:
+        return dot(fr, br) + dot(fi, bi), dot(fr, bi) - dot(fi, br)
+    t1 = dot(fr, br)
+    t2 = dot(fi, bi)
+    t3 = dot(fd, br + bi)
+    return t1 + t2, t3 - t1 + t2
+
+
+def _cmul_right(dot, br, bi, fr, fi, fs):
+    """(br + i·bi) @ (fr + i·fi); ``fs = fr + fi`` or ``None``."""
+    if fs is None:
+        return dot(br, fr) - dot(bi, fi), dot(br, fi) + dot(bi, fr)
+    t1 = dot(br, fr)
+    t2 = dot(bi, fi)
+    t3 = dot(br + bi, fs)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_right_conj(dot, br, bi, fr, fi, fd):
+    """(br + i·bi) @ conj(fr + i·fi); ``fd = fr - fi`` or ``None``."""
+    if fd is None:
+        return dot(br, fr) + dot(bi, fi), dot(bi, fr) - dot(br, fi)
+    t1 = dot(br, fr)
+    t2 = dot(bi, fi)
+    t3 = dot(br + bi, fd)
+    return t1 + t2, t3 - t1 + t2
+
+
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
             fr_ref, fi_ref, outr_ref, outi_ref, *, n: int, alpha: float,
             op: str, precision, rect_refs=None, hw=None):
@@ -129,13 +188,21 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
         e0, e1 = fr, fi
     n_scale = float(hw[0] * hw[1]) if hw is not None else float(n * n)
 
-    dot = _make_dot(precision, fr, fi, e0, e1)
+    gauss = _gauss_enabled()
+    fs = fr + fi if gauss else None
+    fd = fr - fi if gauss else None
+    if e0 is fr:
+        es, ed = fs, fd
+    else:
+        es = e0 + e1 if gauss else None
+        ed = e0 - e1 if gauss else None
+    sums = [fs, fd] + ([es, ed] if es is not fs else [])
+    dot = _make_dot(precision, fr, fi, e0, e1,
+                    *[c for c in sums if c is not None])
 
     # forward: Y = F_h @ x ; X = Y @ F_w (F symmetric -> use F directly)
-    yr = dot(fr, xr) - dot(fi, xi)
-    yi = dot(fr, xi) + dot(fi, xr)
-    Xr = dot(yr, e0) - dot(yi, e1)
-    Xi = dot(yr, e1) + dot(yi, e0)
+    yr, yi = _cmul_left(dot, fr, fi, fs, xr, xi)
+    Xr, Xi = _cmul_right(dot, yr, yi, e0, e1, es)
 
     # magnitude threshold (phase preserving)
     shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
@@ -143,10 +210,8 @@ def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,
     Xi = Xi * shrink
 
     # inverse: conj(F_h) @ X̂ @ conj(F_w) / (H·W), conj(F) = (fr, −fi)
-    yr = dot(fr, Xr) + dot(fi, Xi)
-    yi = dot(fr, Xi) - dot(fi, Xr)
-    rr = dot(yr, e0) + dot(yi, e1)
-    ri = dot(yi, e0) - dot(yr, e1)
+    yr, yi = _cmul_left_conj(dot, fr, fi, fd, Xr, Xi)
+    rr, ri = _cmul_right_conj(dot, yr, yi, e0, e1, ed)
     scale = 1.0 / n_scale
     rr = rr * scale
     ri = ri * scale
@@ -260,8 +325,9 @@ def pocs_iteration_fused(
 # ---------------------------------------------------------------------------
 
 
-def _fast_fwd_left(xr, xi, dot, fmr, fmi, twl, w_r, m, r):
-    """Forward DFT along rows via the split; output rows permuted."""
+def _fast_fwd_left(xr, xi, dot, fmr, fmi, twl, w_r, m, r, fms=None):
+    """Forward DFT along rows via the split; output rows permuted.
+    ``fms = fmr + fmi`` engages the 3-dot complex product (None: 4-dot)."""
     outs_r, outs_i = [], []
     for s in range(r):
         acc = (None, None)
@@ -273,19 +339,20 @@ def _fast_fwd_left(xr, xi, dot, fmr, fmi, twl, w_r, m, r):
         ci = twl[:, 8 + s:9 + s]      # (m, 1) twiddle sin
         vr = ur * cr - ui * ci
         vi = ur * ci + ui * cr
-        outs_r.append(dot(fmr, vr) - dot(fmi, vi))
-        outs_i.append(dot(fmr, vi) + dot(fmi, vr))
+        or_, oi_ = _cmul_left(dot, fmr, fmi, fms, vr, vi)
+        outs_r.append(or_)
+        outs_i.append(oi_)
     return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
 
 
-def _fast_inv_left(Xr, Xi, dot, fmr, fmi, twl, w_r, m, r):
-    """Unnormalized (N x) inverse along rows from the permuted layout."""
+def _fast_inv_left(Xr, Xi, dot, fmr, fmi, twl, w_r, m, r, fmd=None):
+    """Unnormalized (N x) inverse along rows from the permuted layout.
+    ``fmd = fmr - fmi`` engages the 3-dot complex product (None: 4-dot)."""
     ds = []
     for s in range(r):
         Xr_s = Xr[s * m:(s + 1) * m, :]
         Xi_s = Xi[s * m:(s + 1) * m, :]
-        cr_ = dot(fmr, Xr_s) + dot(fmi, Xi_s)
-        ci_ = dot(fmr, Xi_s) - dot(fmi, Xr_s)
+        cr_, ci_ = _cmul_left_conj(dot, fmr, fmi, fmd, Xr_s, Xi_s)
         tr = twl[:, s:s + 1]
         ti = twl[:, 8 + s:9 + s]
         ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))  # conj(tw)·c
@@ -300,7 +367,7 @@ def _fast_inv_left(Xr, Xi, dot, fmr, fmi, twl, w_r, m, r):
     return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
 
 
-def _fast_fwd_right(xr, xi, dot, fmr, fmi, twr, w_r, m, r):
+def _fast_fwd_right(xr, xi, dot, fmr, fmi, twr, w_r, m, r, fms=None):
     """Forward DFT along columns via the split; output columns permuted."""
     outs_r, outs_i = [], []
     for s in range(r):
@@ -313,19 +380,19 @@ def _fast_fwd_right(xr, xi, dot, fmr, fmi, twr, w_r, m, r):
         ci = twr[8 + s:9 + s, :]
         vr = ur * cr - ui * ci
         vi = ur * ci + ui * cr
-        outs_r.append(dot(vr, fmr) - dot(vi, fmi))
-        outs_i.append(dot(vi, fmr) + dot(vr, fmi))
+        or_, oi_ = _cmul_right(dot, vr, vi, fmr, fmi, fms)
+        outs_r.append(or_)
+        outs_i.append(oi_)
     return jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1)
 
 
-def _fast_inv_right(Xr, Xi, dot, fmr, fmi, twr, w_r, m, r):
+def _fast_inv_right(Xr, Xi, dot, fmr, fmi, twr, w_r, m, r, fmd=None):
     """Unnormalized (N x) inverse along columns from the permuted layout."""
     ds = []
     for s in range(r):
         Xr_s = Xr[:, s * m:(s + 1) * m]
         Xi_s = Xi[:, s * m:(s + 1) * m]
-        cr_ = dot(Xr_s, fmr) + dot(Xi_s, fmi)
-        ci_ = dot(Xi_s, fmr) - dot(Xr_s, fmi)
+        cr_, ci_ = _cmul_right_conj(dot, Xr_s, Xi_s, fmr, fmi, fmd)
         tr = twr[s:s + 1, :]
         ti = twr[8 + s:9 + s, :]
         ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))
@@ -408,7 +475,22 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
         twl = twl_ref[...]
         twr_ = twr_ref[...]
 
+    # Gauss 3-dot complex products (FFT paths only — DCT/wavelet transform
+    # re/im independently with real matrices): precompute the constant-pair
+    # sum/diff ONCE, outside the iteration loop, and register them in the
+    # dot's split cache so the HIGH (bf16x3) path decomposes each only once
+    fs = fd = es = ed = None
+    if basis not in ("dct", "wavelet") and _gauss_enabled():
+        fs = fr + fi
+        fd = fr - fi
+        if e0 is fr:
+            es, ed = fs, fd
+        else:
+            es = e0 + e1
+            ed = e0 - e1
+    sums = [fs, fd] + ([es, ed] if es is not fs else [])
     dot = _make_dot(precision, fr, fi, e0, e1,
+                    *[c for c in sums if c is not None],
                     *(wv_a[1:] + wv_at[1:] if basis == "wavelet" else ()))
 
     def one(j, carry):
@@ -481,13 +563,13 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             Xi = dot(dot(fr, yi_in), e0)
         elif split is not None:
             # Cooley-Tukey split: R M-deep dots per axis, permuted spectrum
-            ar, ai = _fast_fwd_left(yr_in, yi_in, dot, fr, fi, twl, w_r, m_, r_)
-            Xr, Xi = _fast_fwd_right(ar, ai, dot, fr, fi, twr_, w_r, m_, r_)
+            ar, ai = _fast_fwd_left(yr_in, yi_in, dot, fr, fi, twl, w_r,
+                                    m_, r_, fs)
+            Xr, Xi = _fast_fwd_right(ar, ai, dot, fr, fi, twr_, w_r,
+                                     m_, r_, fs)
         else:
-            yr = dot(fr, yr_in) - dot(fi, yi_in)
-            yi = dot(fr, yi_in) + dot(fi, yr_in)
-            Xr = dot(yr, e0) - dot(yi, e1)
-            Xi = dot(yr, e1) + dot(yi, e0)
+            yr, yi = _cmul_left(dot, fr, fi, fs, yr_in, yi_in)
+            Xr, Xi = _cmul_right(dot, yr, yi, e0, e1, es)
 
         shrink = _shrink(Xr * Xr + Xi * Xi, tau, op)
         Xr = Xr * shrink
@@ -502,14 +584,14 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             ri = dot(dot(fi, Xi), e1)
             scale = 1.0
         elif split is not None:
-            br, bi = _fast_inv_right(Xr, Xi, dot, fr, fi, twr_, w_r, m_, r_)
-            rr, ri = _fast_inv_left(br, bi, dot, fr, fi, twl, w_r, m_, r_)
+            br, bi = _fast_inv_right(Xr, Xi, dot, fr, fi, twr_, w_r,
+                                     m_, r_, fd)
+            rr, ri = _fast_inv_left(br, bi, dot, fr, fi, twl, w_r,
+                                    m_, r_, fd)
             scale = 1.0 / n_scale
         else:
-            yr = dot(fr, Xr) + dot(fi, Xi)
-            yi = dot(fr, Xi) - dot(fi, Xr)
-            rr = dot(yr, e0) + dot(yi, e1)
-            ri = dot(yi, e0) - dot(yr, e1)
+            yr, yi = _cmul_left_conj(dot, fr, fi, fd, Xr, Xi)
+            rr, ri = _cmul_right_conj(dot, yr, yi, e0, e1, ed)
             scale = 1.0 / n_scale
         new_r = rr * scale * keep + alpha * obr
         new_i = ri * scale * keep + alpha * obi

@@ -34,9 +34,11 @@ import jax.numpy as jnp
 
 from .. import dft
 from ..cplx import Cplx
-from .pocs_iter import (_KERNEL_THRESH_OPS, _PALLAS_OK, _fast_fwd_left,
-                        _fast_fwd_right, _fast_inv_left, _fast_inv_right,
-                        _make_dot, _radix_kernel_constants, _shrink)
+from .pocs_iter import (_KERNEL_THRESH_OPS, _PALLAS_OK, _cmul_left,
+                        _cmul_left_conj, _cmul_right, _cmul_right_conj,
+                        _fast_fwd_left, _fast_fwd_right, _fast_inv_left,
+                        _fast_inv_right, _gauss_enabled, _make_dot,
+                        _radix_kernel_constants, _shrink)
 
 if _PALLAS_OK:  # pragma: no branch
     from jax.experimental import pallas as pl
@@ -73,13 +75,18 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
     twl = twl_ref[...]
     twr = twr_ref[...]
     p = psi_ref[...]
-    dot = _make_dot(precision, fmr, fmi)
+    gauss = _gauss_enabled()
+    fms = fmr + fmi if gauss else None
+    fmd = fmr - fmi if gauss else None
+    dot = _make_dot(precision, fmr, fmi,
+                    *[c for c in (fms, fmd) if c is not None])
 
     prod_r = xr_ref[...] * p
     prod_i = xi_ref[...] * p
     # natural-order spatial coefficients (inverse from permuted layout)
-    br, bi = _fast_inv_right(prod_r, prod_i, dot, fmr, fmi, twr, w_r, m, r)
-    cr, ci = _fast_inv_left(br, bi, dot, fmr, fmi, twl, w_r, m, r)
+    br, bi = _fast_inv_right(prod_r, prod_i, dot, fmr, fmi, twr, w_r, m, r,
+                             fmd)
+    cr, ci = _fast_inv_left(br, bi, dot, fmr, fmi, twl, w_r, m, r, fmd)
     scale = 1.0 / (n * n)
     cr = cr * scale
     ci = ci * scale
@@ -88,8 +95,8 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
     cr = cr * shrink
     ci = ci * shrink
 
-    ar, ai = _fast_fwd_left(cr, ci, dot, fmr, fmi, twl, w_r, m, r)
-    vr, vi = _fast_fwd_right(ar, ai, dot, fmr, fmi, twr, w_r, m, r)
+    ar, ai = _fast_fwd_left(cr, ci, dot, fmr, fmi, twl, w_r, m, r, fms)
+    vr, vi = _fast_fwd_right(ar, ai, dot, fmr, fmi, twr, w_r, m, r, fms)
 
     @pl.when(l == 0)
     def _init():
@@ -115,15 +122,23 @@ def _kernel_dense(tau_ref, xr_ref, xi_ref, psi_ref, fhr_ref, fhi_ref,
     fwr = fwr_ref[...]
     fwi = fwi_ref[...]
     p = psi_ref[...]
-    dot = _make_dot(precision, fhr, fhi, fwr, fwi)
+    gauss = _gauss_enabled()
+    fhs = fhr + fhi if gauss else None
+    fhd = fhr - fhi if gauss else None
+    if fwr is fhr:
+        fws, fwd_ = fhs, fhd
+    else:
+        fws = fwr + fwi if gauss else None
+        fwd_ = fwr - fwi if gauss else None
+    sums = [fhs, fhd] + ([fws, fwd_] if fws is not fhs else [])
+    dot = _make_dot(precision, fhr, fhi, fwr, fwi,
+                    *[c for c in sums if c is not None])
 
     xr = xr_ref[...] * p
     xi = xi_ref[...] * p
     # ifft2: conj(F_h) @ X @ conj(F_w) / (H·W)
-    yr = dot(fhr, xr) + dot(fhi, xi)
-    yi = dot(fhr, xi) - dot(fhi, xr)
-    cr = dot(yr, fwr) + dot(yi, fwi)
-    ci = dot(yi, fwr) - dot(yr, fwi)
+    yr, yi = _cmul_left_conj(dot, fhr, fhi, fhd, xr, xi)
+    cr, ci = _cmul_right_conj(dot, yr, yi, fwr, fwi, fwd_)
     scale = 1.0 / (h * w)
     cr = cr * scale
     ci = ci * scale
@@ -133,10 +148,8 @@ def _kernel_dense(tau_ref, xr_ref, xi_ref, psi_ref, fhr_ref, fhi_ref,
     ci = ci * shrink
 
     # fft2: F_h @ ĉ @ F_w
-    yr = dot(fhr, cr) - dot(fhi, ci)
-    yi = dot(fhr, ci) + dot(fhi, cr)
-    vr = dot(yr, fwr) - dot(yi, fwi)
-    vi = dot(yr, fwi) + dot(yi, fwr)
+    yr, yi = _cmul_left(dot, fhr, fhi, fhs, cr, ci)
+    vr, vi = _cmul_right(dot, yr, yi, fwr, fwi, fws)
 
     @pl.when(l == 0)
     def _init():
@@ -176,17 +189,24 @@ def _box_kernel(tau_ref, xbr_ref, xbi_ref, psi_ref, ahr_ref, ahi_ref,
     awtr = awtr_ref[...]
     awti = awti_ref[...]
     p = psi_ref[...]
+    gauss = _gauss_enabled()
+    # only the sum/diff each product form actually needs: the backprojection
+    # uses conj forms of (aht, aw), the forward projection plain forms of
+    # (ah, awt)
+    ahtd = ahtr - ahti if gauss else None
+    awd = awr - awi if gauss else None
+    ahs = ahr + ahi if gauss else None
+    awts = awtr + awti if gauss else None
     # every constant matrix goes into the dot's identity-keyed cache so the
     # HIGH (bf16x3) path splits each one into hi/lo bf16 parts ONCE
-    dot = _make_dot(precision, ahr, ahi, ahtr, ahti, awr, awi, awtr, awti)
+    dot = _make_dot(precision, ahr, ahi, ahtr, ahti, awr, awi, awtr, awti,
+                    *[c for c in (ahtd, awd, ahs, awts) if c is not None])
 
     vr = xbr_ref[...] * p
     vi = xbi_ref[...] * p
     # c = A_h^H V A_w^*  (inverse DFT restricted to the box's frequencies)
-    yr = dot(ahtr, vr) + dot(ahti, vi)
-    yi = dot(ahtr, vi) - dot(ahti, vr)
-    cr = dot(yr, awr) + dot(yi, awi)
-    ci = dot(yi, awr) - dot(yr, awi)
+    yr, yi = _cmul_left_conj(dot, ahtr, ahti, ahtd, vr, vi)
+    cr, ci = _cmul_right_conj(dot, yr, yi, awr, awi, awd)
     scale = 1.0 / (n_h * n_w)
     cr = cr * scale
     ci = ci * scale
@@ -196,10 +216,8 @@ def _box_kernel(tau_ref, xbr_ref, xbi_ref, psi_ref, ahr_ref, ahi_ref,
     ci = ci * shrink
 
     # W = A_h ĉ A_w^T  (forward DFT evaluated only at the box)
-    yr = dot(ahr, cr) - dot(ahi, ci)
-    yi = dot(ahr, ci) + dot(ahi, cr)
-    wr = dot(yr, awtr) - dot(yi, awti)
-    wi = dot(yr, awti) + dot(yi, awtr)
+    yr, yi = _cmul_left(dot, ahr, ahi, ahs, cr, ci)
+    wr, wi = _cmul_right(dot, yr, yi, awtr, awti, awts)
 
     @pl.when(l == 0)
     def _init():

@@ -403,3 +403,109 @@ class TestFusedWavelet:
         assert _wavelet_cascade_aligned(640, 3, interpret=True)
         assert _wavelet_cascade_aligned(128, 3, interpret=True)
         assert not _wavelet_cascade_aligned(20, 2, interpret=True)  # 10
+
+
+class TestGaussComplexProducts:
+    """The Gauss 3-dot complex products (default) must agree with the
+    exact 4-dot form (P3D_NO_GAUSS=1) to a few f32 ulps per dot — the
+    imaginary-part cancellation (t3 - t1 - t2) is the only new rounding
+    source. Both forms run everywhere the equality tests above run; these
+    pin the forms against EACH OTHER so a regression in either is named."""
+
+    def _solve(self, monkeypatch, gauss, *, n=256, b=2, niter=5,
+               use_split=True, thresh="soft", seed=7):
+        from pseudo_3d_interpolation_tpu.ops.pallas.pocs_iter import (
+            pocs_solve_fused,
+        )
+
+        if gauss:
+            monkeypatch.delenv("P3D_NO_GAUSS", raising=False)
+        else:
+            monkeypatch.setenv("P3D_NO_GAUSS", "1")
+        rng = np.random.default_rng(seed)
+        obs = from_complex(
+            (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))
+             ).astype(np.complex64))
+        mask = ((rng.uniform(size=n) < 0.5).astype(np.float32)[None, :]
+                * np.ones((n, n), np.float32))
+        decay = np.linspace(2.0, 0.05, niter)[:, None].repeat(b, 1)
+        return pocs_solve_fused(obs, mask, decay.astype(np.float32),
+                                version="fast", thresh_op=thresh,
+                                interpret=True, use_split=use_split)
+
+    @pytest.mark.parametrize("use_split", [True, False])
+    def test_solve_gauss_matches_4dot(self, monkeypatch, use_split):
+        r1, c1 = self._solve(monkeypatch, gauss=False, use_split=use_split)
+        r2, c2 = self._solve(monkeypatch, gauss=True, use_split=use_split)
+        scale = float(jnp.max(jnp.abs(r1.re)))
+        np.testing.assert_allclose(np.asarray(r2.re), np.asarray(r1.re),
+                                   atol=5e-5 * scale)
+        np.testing.assert_allclose(np.asarray(r2.im), np.asarray(r1.im),
+                                   atol=5e-5 * scale)
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                                   atol=1e-6)
+
+    def test_subband_kernel_gauss_matches_4dot(self, monkeypatch):
+        from pseudo_3d_interpolation_tpu.ops import dft as dft_mod
+        from pseudo_3d_interpolation_tpu.ops.pallas.subband import (
+            subband_update_fused,
+        )
+
+        rng = np.random.default_rng(11)
+        b, n, L = 2, 256, 3
+        z = from_complex(
+            (rng.normal(size=(b, n, n)) + 1j * rng.normal(size=(b, n, n))
+             ).astype(np.complex64))
+        zf = dft_mod.fft2_permuted(z)
+        psi = np.asarray(rng.uniform(0.0, 1.0, size=(L, n, n)), np.float32)
+        perm = dft_mod.radix_perm(n)
+        psi = psi[:, perm][:, :, perm]
+        tau = np.asarray(rng.uniform(0.05, 0.2, size=(b, L)), np.float32)
+
+        monkeypatch.setenv("P3D_NO_GAUSS", "1")
+        a1 = subband_update_fused(zf, psi, tau, thresh_op="soft",
+                                  interpret=True)
+        monkeypatch.delenv("P3D_NO_GAUSS")
+        a2 = subband_update_fused(zf, psi, tau, thresh_op="soft",
+                                  interpret=True)
+        scale = float(jnp.max(jnp.abs(a1.re)))
+        np.testing.assert_allclose(np.asarray(a2.re), np.asarray(a1.re),
+                                   atol=5e-5 * scale)
+        np.testing.assert_allclose(np.asarray(a2.im), np.asarray(a1.im),
+                                   atol=5e-5 * scale)
+
+    def test_box_kernel_gauss_matches_4dot(self, monkeypatch):
+        from pseudo_3d_interpolation_tpu.ops import dft as dft_mod
+        from pseudo_3d_interpolation_tpu.ops.cplx import Cplx
+        from pseudo_3d_interpolation_tpu.ops.pallas.subband import (
+            box_group_update_fused,
+        )
+
+        rng = np.random.default_rng(13)
+        b, sr, sc, lg, nh, nw = 2, 16, 16, 3, 128, 128
+        xb = Cplx(np.asarray(rng.normal(size=(b, sr, sc)), np.float32),
+                  np.asarray(rng.normal(size=(b, sr, sc)), np.float32))
+        psi = np.asarray(rng.uniform(0.0, 1.0, size=(lg, sr, sc)), np.float32)
+        tau = np.asarray(rng.uniform(0.05, 0.2, size=(b, lg)), np.float32)
+        fr_h, fi_h = dft_mod.dft_matrices(nh)
+        idx_h = np.arange(sr)
+        idx_w = np.arange(sc)
+        ahr = np.ascontiguousarray(fr_h[idx_h])
+        ahi = np.ascontiguousarray(fi_h[idx_h])
+        awr = np.ascontiguousarray(fr_h[idx_w])
+        awi = np.ascontiguousarray(fi_h[idx_w])
+        # _box_kernel's operand convention: (ah, aht, aw, awt) pairs
+        mats = (ahr, ahi, ahr.T.copy(), ahi.T.copy(),
+                awr, awi, awr.T.copy(), awi.T.copy())
+
+        monkeypatch.setenv("P3D_NO_GAUSS", "1")
+        m1 = box_group_update_fused(xb, psi, tau, mats, nh, nw,
+                                    thresh_op="soft", interpret=True)
+        monkeypatch.delenv("P3D_NO_GAUSS")
+        m2 = box_group_update_fused(xb, psi, tau, mats, nh, nw,
+                                    thresh_op="soft", interpret=True)
+        scale = float(jnp.max(jnp.abs(m1.re)))
+        np.testing.assert_allclose(np.asarray(m2.re), np.asarray(m1.re),
+                                   atol=5e-5 * scale)
+        np.testing.assert_allclose(np.asarray(m2.im), np.asarray(m1.im),
+                                   atol=5e-5 * scale)
