@@ -176,6 +176,59 @@ def _radix_constants_for(n: int, m: int, r: int):
     return m, r, w_r, twr, twi, fr, fi
 
 
+def _gauss_enabled() -> bool:
+    """Gauss 3-multiplication complex products (default on; see
+    ops/pallas/pocs_iter.py for the numerics discussion — the identical
+    identity is applied both in-kernel and on the XLA split/partial-DFT
+    paths). ``P3D_NO_GAUSS=1`` restores the exact 4-dot form everywhere,
+    read at trace time."""
+    import os
+
+    return not os.environ.get("P3D_NO_GAUSS")
+
+
+def _cmul_left(dot, fr, fi, fs, br, bi):
+    """(fr + i·fi) @ (br + i·bi); ``fs = fr + fi`` enables the 3-dot form
+    (pass ``None`` for the exact 4-dot form). ``dot(a, b)`` contracts with
+    the constant pair as the FIRST operand."""
+    if fs is None:
+        return dot(fr, br) - dot(fi, bi), dot(fr, bi) + dot(fi, br)
+    t1 = dot(fr, br)
+    t2 = dot(fi, bi)
+    t3 = dot(fs, br + bi)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_left_conj(dot, fr, fi, fd, br, bi):
+    """conj(fr + i·fi) @ (br + i·bi); ``fd = fr - fi`` or ``None``."""
+    if fd is None:
+        return dot(fr, br) + dot(fi, bi), dot(fr, bi) - dot(fi, br)
+    t1 = dot(fr, br)
+    t2 = dot(fi, bi)
+    t3 = dot(fd, br + bi)
+    return t1 + t2, t3 - t1 + t2
+
+
+def _cmul_right(dot, br, bi, fr, fi, fs):
+    """(br + i·bi) @ (fr + i·fi); constant pair as the SECOND operand."""
+    if fs is None:
+        return dot(br, fr) - dot(bi, fi), dot(br, fi) + dot(bi, fr)
+    t1 = dot(br, fr)
+    t2 = dot(bi, fi)
+    t3 = dot(br + bi, fs)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _cmul_right_conj(dot, br, bi, fr, fi, fd):
+    """(br + i·bi) @ conj(fr + i·fi); ``fd = fr - fi`` or ``None``."""
+    if fd is None:
+        return dot(br, fr) + dot(bi, fi), dot(bi, fr) - dot(br, fi)
+    t1 = dot(br, fr)
+    t2 = dot(bi, fi)
+    t3 = dot(br + bi, fd)
+    return t1 + t2, t3 - t1 + t2
+
+
 def _cmac(acc, c: complex, xr, xi):
     """acc += c·(xr + i·xi) with 0/±1/±i coefficients emitted as adds/swaps."""
     ar, ai = acc
@@ -230,26 +283,28 @@ def _ifft1_fast_axis_from_perm(z: Cplx, axis: int, precision) -> Cplx:
     n = z.shape[axis]
     m, r, w_r, twr, twi, fr, fi = _radix_constants(n)
     last = axis == -1 or axis == z.re.ndim - 1
+    fd = jnp.asarray(fr - fi) if _gauss_enabled() else None  # conj sum
     fr = jnp.asarray(fr)
     fi = jnp.asarray(fi)  # conj(F_M) = (fr, -fi)
 
     def blk(a, s):
         return a[..., s * m:(s + 1) * m] if last else a[..., s * m:(s + 1) * m, :]
 
+    if last:
+        def e_r(a, mm):
+            return jnp.einsum("...p,mp->...m", a, mm, precision=precision)
+    else:
+        def e_l(mm, a):
+            return jnp.einsum("mp,...pw->...mw", mm, a, precision=precision)
+
     ds = []
     for s in range(r):
         zr_s, zi_s = blk(z.re, s), blk(z.im, s)
         if last:
-            cr_ = (jnp.einsum("...p,mp->...m", zr_s, fr, precision=precision)
-                   + jnp.einsum("...p,mp->...m", zi_s, fi, precision=precision))
-            ci_ = (jnp.einsum("...p,mp->...m", zi_s, fr, precision=precision)
-                   - jnp.einsum("...p,mp->...m", zr_s, fi, precision=precision))
+            cr_, ci_ = _cmul_right_conj(e_r, zr_s, zi_s, fr, fi, fd)
             tr_, ti_ = jnp.asarray(twr[s]), jnp.asarray(twi[s])
         else:
-            cr_ = (jnp.einsum("mp,...pw->...mw", fr, zr_s, precision=precision)
-                   + jnp.einsum("mp,...pw->...mw", fi, zi_s, precision=precision))
-            ci_ = (jnp.einsum("mp,...pw->...mw", fr, zi_s, precision=precision)
-                   - jnp.einsum("mp,...pw->...mw", fi, zr_s, precision=precision))
+            cr_, ci_ = _cmul_left_conj(e_l, fr, fi, fd, zr_s, zi_s)
             tr_, ti_ = jnp.asarray(twr[s])[:, None], jnp.asarray(twi[s])[:, None]
         # multiply by conj(twiddle) = (tr, -ti)
         ds.append((cr_ * tr_ + ci_ * ti_, ci_ * tr_ - cr_ * ti_))
@@ -273,41 +328,51 @@ def fft2_permuted(z: Cplx, precision=Precision.HIGHEST) -> Cplx:
     :func:`fft2` (skips the interleave) and the layout elementwise ops
     don't care about; invert with :func:`ifft2_from_permuted`."""
     h, w = z.shape[-2], z.shape[-1]
+    gauss = _gauss_enabled()
     out = z
     if fast_split(w):
         out = _fft1_fast_axis(out, -1, precision, permuted=True)
     else:
-        fwr, fwi = (jnp.asarray(mm) for mm in dft_matrices(w))
-        outr = _mm_right(out.re, fwr, precision) - _mm_right(out.im, fwi, precision)
-        outi = _mm_right(out.re, fwi, precision) + _mm_right(out.im, fwr, precision)
-        out = Cplx(outr, outi)
+        fw_np = dft_matrices(w)
+        fws = jnp.asarray(fw_np[0] + fw_np[1]) if gauss else None
+        fwr, fwi = (jnp.asarray(mm) for mm in fw_np)
+        out = Cplx(*_cmul_right(lambda a, mm: _mm_right(a, mm, precision),
+                                out.re, out.im, fwr, fwi, fws))
     if fast_split(h):
         out = _fft1_fast_axis(out, -2, precision, permuted=True)
     else:
-        fhr, fhi = (jnp.asarray(mm) for mm in dft_matrices(h))
-        outr = _mm_left(fhr, out.re, precision) - _mm_left(fhi, out.im, precision)
-        outi = _mm_left(fhr, out.im, precision) + _mm_left(fhi, out.re, precision)
-        out = Cplx(outr, outi)
+        fh_np = dft_matrices(h)
+        fhs = jnp.asarray(fh_np[0] + fh_np[1]) if gauss else None
+        fhr, fhi = (jnp.asarray(mm) for mm in fh_np)
+        out = Cplx(*_cmul_left(lambda mm, a: _mm_left(mm, a, precision),
+                               fhr, fhi, fhs, out.re, out.im))
     return out
 
 
 def ifft2_from_permuted(z: Cplx, precision=Precision.HIGHEST) -> Cplx:
     """Inverse of :func:`fft2_permuted`; scaled by 1/(H·W)."""
     h, w = z.shape[-2], z.shape[-1]
+    gauss = _gauss_enabled()
     out = z
     if fast_split(h):
         out = _ifft1_fast_axis_from_perm(out, -2, precision)
     else:
-        fhr, fhi = (jnp.asarray(mm) for mm in dft_matrices(h))
-        outr = (_mm_left(fhr, out.re, precision) + _mm_left(fhi, out.im, precision))
-        outi = (_mm_left(fhr, out.im, precision) - _mm_left(fhi, out.re, precision))
+        fh_np = dft_matrices(h)
+        fhd = jnp.asarray(fh_np[0] - fh_np[1]) if gauss else None
+        fhr, fhi = (jnp.asarray(mm) for mm in fh_np)
+        outr, outi = _cmul_left_conj(
+            lambda mm, a: _mm_left(mm, a, precision),
+            fhr, fhi, fhd, out.re, out.im)
         out = Cplx(outr / h, outi / h)
     if fast_split(w):
         out = _ifft1_fast_axis_from_perm(out, -1, precision)
     else:
-        fwr, fwi = (jnp.asarray(mm) for mm in dft_matrices(w))
-        outr = (_mm_right(out.re, fwr, precision) + _mm_right(out.im, fwi, precision))
-        outi = (_mm_right(out.im, fwr, precision) - _mm_right(out.re, fwi, precision))
+        fw_np = dft_matrices(w)
+        fwd = jnp.asarray(fw_np[0] - fw_np[1]) if gauss else None
+        fwr, fwi = (jnp.asarray(mm) for mm in fw_np)
+        outr, outi = _cmul_right_conj(
+            lambda a, mm: _mm_right(a, mm, precision),
+            out.re, out.im, fwr, fwi, fwd)
         out = Cplx(outr / w, outi / w)
     return out
 
@@ -334,8 +399,16 @@ def _fft1_fast_axis(z: Cplx, axis: int, precision, permuted: bool = False) -> Cp
         blk = lambda a, t: a[..., t, :, :]  # noqa: E731
 
     tw = [(jnp.asarray(twr[s]), jnp.asarray(twi[s])) for s in range(r)]
+    fs = jnp.asarray(fr + fi) if _gauss_enabled() else None
     fr = jnp.asarray(fr)
     fi = jnp.asarray(fi)
+
+    if last:
+        def e_r(a, mm):
+            return jnp.einsum("...m,pm->...p", a, mm, precision=precision)
+    else:
+        def e_l(mm, a):
+            return jnp.einsum("pm,...mw->...pw", mm, a, precision=precision)
 
     outs_r, outs_i = [], []
     for s in range(r):
@@ -352,15 +425,9 @@ def _fft1_fast_axis(z: Cplx, axis: int, precision, permuted: bool = False) -> Cp
         vi = ur * ci + ui * cr
         # length-M DFT as one MXU matmul (contraction dim M >= 128)
         if last:
-            yr = (jnp.einsum("...m,pm->...p", vr, fr, precision=precision)
-                  - jnp.einsum("...m,pm->...p", vi, fi, precision=precision))
-            yi = (jnp.einsum("...m,pm->...p", vr, fi, precision=precision)
-                  + jnp.einsum("...m,pm->...p", vi, fr, precision=precision))
+            yr, yi = _cmul_right(e_r, vr, vi, fr, fi, fs)
         else:
-            yr = (jnp.einsum("pm,...mw->...pw", fr, vr, precision=precision)
-                  - jnp.einsum("pm,...mw->...pw", fi, vi, precision=precision))
-            yi = (jnp.einsum("pm,...mw->...pw", fr, vi, precision=precision)
-                  + jnp.einsum("pm,...mw->...pw", fi, vr, precision=precision))
+            yr, yi = _cmul_left(e_l, fr, fi, fs, vr, vi)
         outs_r.append(yr)
         outs_i.append(yi)
 

@@ -112,63 +112,18 @@ def _make_dot(precision, fr, fi, *extra_consts):
     return dot
 
 
-def _gauss_enabled() -> bool:
-    """Gauss 3-multiplication complex products in the kernels (default on).
-
-    Every complex matmul against a constant DFT-matrix pair costs 4 real
-    dots in the textbook form; Gauss's identity does it in 3 (t1 = a_r·b_r,
-    t2 = a_i·b_i, t3 = (a_r ± a_i)·(b_r + b_i)) at the price of one VPU add
-    of the variable operand and a subtraction cancellation in the imaginary
-    part (a few f32 ulps on DFT-sized dots — measured harmless on the SNR
-    gates; the XLA scan keeps the exact 4-dot form, so instrumented runs
-    and the reference-parity gate are untouched). The kernels are measured
-    MXU-pass-bound (docs/perf.md round 3g), so the 25% MAC cut is a direct
-    throughput win at every precision. ``P3D_NO_GAUSS=1`` restores the
-    4-dot form (read at trace time, like P3D_NO_BOX_KERNEL)."""
-    import os
-
-    return not os.environ.get("P3D_NO_GAUSS")
-
-
-def _cmul_left(dot, fr, fi, fs, br, bi):
-    """(fr + i·fi) @ (br + i·bi); ``fs = fr + fi`` enables the 3-dot form
-    (pass ``None`` for the exact 4-dot form)."""
-    if fs is None:
-        return dot(fr, br) - dot(fi, bi), dot(fr, bi) + dot(fi, br)
-    t1 = dot(fr, br)
-    t2 = dot(fi, bi)
-    t3 = dot(fs, br + bi)
-    return t1 - t2, t3 - t1 - t2
-
-
-def _cmul_left_conj(dot, fr, fi, fd, br, bi):
-    """conj(fr + i·fi) @ (br + i·bi); ``fd = fr - fi`` or ``None``."""
-    if fd is None:
-        return dot(fr, br) + dot(fi, bi), dot(fr, bi) - dot(fi, br)
-    t1 = dot(fr, br)
-    t2 = dot(fi, bi)
-    t3 = dot(fd, br + bi)
-    return t1 + t2, t3 - t1 + t2
-
-
-def _cmul_right(dot, br, bi, fr, fi, fs):
-    """(br + i·bi) @ (fr + i·fi); ``fs = fr + fi`` or ``None``."""
-    if fs is None:
-        return dot(br, fr) - dot(bi, fi), dot(br, fi) + dot(bi, fr)
-    t1 = dot(br, fr)
-    t2 = dot(bi, fi)
-    t3 = dot(br + bi, fs)
-    return t1 - t2, t3 - t1 - t2
-
-
-def _cmul_right_conj(dot, br, bi, fr, fi, fd):
-    """(br + i·bi) @ conj(fr + i·fi); ``fd = fr - fi`` or ``None``."""
-    if fd is None:
-        return dot(br, fr) + dot(bi, fi), dot(bi, fr) - dot(br, fi)
-    t1 = dot(br, fr)
-    t2 = dot(bi, fi)
-    t3 = dot(br + bi, fd)
-    return t1 + t2, t3 - t1 + t2
+# Gauss 3-multiplication complex products: the identity, its numerics,
+# and the P3D_NO_GAUSS escape hatch live in ops/dft.py — the same helpers
+# serve the kernels here and the XLA split/partial-DFT paths. In-kernel
+# the constant-pair sums/diffs are computed once per kernel body (outside
+# the iteration loop) and registered in _make_dot's bf16x3 split cache;
+# the kernels are measured MXU-pass-bound (docs/perf.md round 3g), so the
+# 25% MAC cut is a direct throughput win at every precision.
+_gauss_enabled = dft._gauss_enabled
+_cmul_left = dft._cmul_left
+_cmul_left_conj = dft._cmul_left_conj
+_cmul_right = dft._cmul_right
+_cmul_right_conj = dft._cmul_right_conj
 
 
 def _kernel(tau_ref, xr_ref, xi_ref, obr_ref, obi_ref, mask_ref,

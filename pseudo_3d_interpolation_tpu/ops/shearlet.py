@@ -387,19 +387,23 @@ def _partial_ifft2(v: Cplx, idx_h, idx_w, h: int, w: int, precision) -> Cplx:
     """
     fhr, fhi = dft.dft_matrices(h)
     fwr, fwi = dft.dft_matrices(w)
+    gauss = dft._gauss_enabled()
     # inverse matrix = conj(F)/n: columns restricted to the box indices
-    mhr = jnp.asarray(fhr[:, idx_h])
-    mhi = jnp.asarray(-fhi[:, idx_h])
-    mwr = jnp.asarray(fwr[:, idx_w])
-    mwi = jnp.asarray(-fwi[:, idx_w])
-    yr = (jnp.einsum("hr,...rc->...hc", mhr, v.re, precision=precision)
-          - jnp.einsum("hr,...rc->...hc", mhi, v.im, precision=precision))
-    yi = (jnp.einsum("hr,...rc->...hc", mhr, v.im, precision=precision)
-          + jnp.einsum("hr,...rc->...hc", mhi, v.re, precision=precision))
-    outr = (jnp.einsum("...hc,wc->...hw", yr, mwr, precision=precision)
-            - jnp.einsum("...hc,wc->...hw", yi, mwi, precision=precision))
-    outi = (jnp.einsum("...hc,wc->...hw", yr, mwi, precision=precision)
-            + jnp.einsum("...hc,wc->...hw", yi, mwr, precision=precision))
+    mh_np = (fhr[:, idx_h], -fhi[:, idx_h])
+    mw_np = (fwr[:, idx_w], -fwi[:, idx_w])
+    mhs = jnp.asarray(mh_np[0] + mh_np[1]) if gauss else None
+    mws = jnp.asarray(mw_np[0] + mw_np[1]) if gauss else None
+    mhr, mhi = jnp.asarray(mh_np[0]), jnp.asarray(mh_np[1])
+    mwr, mwi = jnp.asarray(mw_np[0]), jnp.asarray(mw_np[1])
+
+    def e_l(mm, a):
+        return jnp.einsum("hr,...rc->...hc", mm, a, precision=precision)
+
+    def e_r(a, mm):
+        return jnp.einsum("...hc,wc->...hw", a, mm, precision=precision)
+
+    yr, yi = dft._cmul_left(e_l, mhr, mhi, mhs, v.re, v.im)
+    outr, outi = dft._cmul_right(e_r, yr, yi, mwr, mwi, mws)
     s = 1.0 / (h * w)
     return Cplx(outr * s, outi * s)
 
@@ -409,18 +413,22 @@ def _partial_fft2(x: Cplx, idx_h, idx_w, precision) -> Cplx:
     h, w = x.shape[-2], x.shape[-1]
     fhr, fhi = dft.dft_matrices(h)
     fwr, fwi = dft.dft_matrices(w)
+    gauss = dft._gauss_enabled()
+    mhs = jnp.asarray(fhr[idx_h] + fhi[idx_h]) if gauss else None
+    mws = jnp.asarray(fwr[idx_w] + fwi[idx_w]) if gauss else None
     mhr = jnp.asarray(fhr[idx_h])   # (sr, H)
     mhi = jnp.asarray(fhi[idx_h])
     mwr = jnp.asarray(fwr[idx_w])   # (sc, W)
     mwi = jnp.asarray(fwi[idx_w])
-    yr = (jnp.einsum("rh,...hw->...rw", mhr, x.re, precision=precision)
-          - jnp.einsum("rh,...hw->...rw", mhi, x.im, precision=precision))
-    yi = (jnp.einsum("rh,...hw->...rw", mhr, x.im, precision=precision)
-          + jnp.einsum("rh,...hw->...rw", mhi, x.re, precision=precision))
-    outr = (jnp.einsum("...rw,cw->...rc", yr, mwr, precision=precision)
-            - jnp.einsum("...rw,cw->...rc", yi, mwi, precision=precision))
-    outi = (jnp.einsum("...rw,cw->...rc", yr, mwi, precision=precision)
-            + jnp.einsum("...rw,cw->...rc", yi, mwr, precision=precision))
+
+    def e_l(mm, a):
+        return jnp.einsum("rh,...hw->...rw", mm, a, precision=precision)
+
+    def e_r(a, mm):
+        return jnp.einsum("...rw,cw->...rc", a, mm, precision=precision)
+
+    yr, yi = dft._cmul_left(e_l, mhr, mhi, mhs, x.re, x.im)
+    outr, outi = dft._cmul_right(e_r, yr, yi, mwr, mwi, mws)
     return Cplx(outr, outi)
 
 

@@ -244,7 +244,19 @@ class TestPallasSubbandKernel:
             Xp = dft.fft2_permuted(z)
             X = to_complex(dft.fft2(z))
             gathered = X[:, dft.radix_perm(h)][:, :, dft.radix_perm(w)]
-            np.testing.assert_array_equal(np.asarray(to_complex(Xp)), gathered)
+            if dft.fast_split(h) and dft.fast_split(w):
+                # both axes ride _fft1_fast_axis in both functions — the
+                # graphs are identical up to output ordering, so the gather
+                # is bit-equal
+                np.testing.assert_array_equal(np.asarray(to_complex(Xp)),
+                                              gathered)
+            else:
+                # a no-split axis runs fft2_permuted's dense arm, which uses
+                # the Gauss 3-dot form (hot-path-only; fft2's dense arm keeps
+                # the exact 4-dot form for the reference-parity surface) —
+                # equal to a few f32 ulps per dot, not bitwise
+                np.testing.assert_allclose(np.asarray(to_complex(Xp)),
+                                           gathered, rtol=5e-4, atol=1e-3)
             back = to_complex(dft.ifft2_from_permuted(Xp))
             np.testing.assert_allclose(np.asarray(back),
                                        np.asarray(to_complex(z)), atol=1e-5)
@@ -353,9 +365,20 @@ class TestPallasSubbandKernel:
                               dataclasses.replace(cfg, use_pallas=True,
                                                   pallas_interpret=True))
         # hard-threshold flips near tau amplify f32 rounding over the
-        # iterations; agreement is elementwise-tight otherwise
-        np.testing.assert_allclose(np.asarray(r1.data.re),
-                                   np.asarray(r2.data.re), atol=3e-4)
+        # iterations (the two paths build different-but-equivalent Gauss
+        # product graphs): agreement is elementwise-tight except for a
+        # handful of boundary-flip coefficients, which stay bounded
+        d = np.abs(np.asarray(r1.data.re) - np.asarray(r2.data.re))
+        assert (d > 3e-4).mean() < 2e-3, f"{(d > 3e-4).mean():%} outliers"
+        assert d.max() < 5e-3, f"max diff {d.max()}"
+        # with a CONTINUOUS threshold the paths agree tightly everywhere
+        cfg_s = dataclasses.replace(cfg, thresh_op="soft")
+        s1 = pocs_interpolate(z, jnp.asarray(mask), tr, cfg_s)
+        s2 = pocs_interpolate(z, jnp.asarray(mask), tr,
+                              dataclasses.replace(cfg_s, use_pallas=True,
+                                                  pallas_interpret=True))
+        np.testing.assert_allclose(np.asarray(s1.data.re),
+                                   np.asarray(s2.data.re), atol=3e-4)
 
 
 def test_plan_sizes_where_finest_scale_reaches_the_corner():
