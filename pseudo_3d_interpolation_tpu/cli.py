@@ -172,7 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("--mode", choices=["amp", "swdep"], default="amp")
     p.add_argument("--win-samples", type=int, default=30)
-    p.add_argument("--savgol-window", type=int, default=41,
+    p.add_argument("--savgol-window", type=int, default=7,
                    help="horizon smoothing window (reference --win_sg)")
     p.add_argument("--nsta", type=int, default=None,
                    help="STA window, samples (reference --nsta)")
@@ -182,15 +182,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MAD outlier window, traces (reference --win_mad)")
     p.add_argument("--win-median", type=int, default=11,
                    help="median filter window, traces (reference --win_median)")
-    p.add_argument("--limit-shift", type=float, default=None, metavar="MS",
-                   help="clip statics to +/- this many ms (reference --limit_shift)")
+    p.add_argument("--limit-shift", type=int, default=12, metavar="N",
+                   help="clip statics to +/- N samples ('amp' mode) / "
+                        "meters ('swdep' mode) — the reference --limit_shift "
+                        "semantics and default")
     p.add_argument("--n-amp-samples", type=int, default=5,
                    help="n largest amplitudes per seafloor search window "
                         "(reference --n_amp_samples)")
-    p.add_argument("--limit-depressions", type=int, nargs=3, default=None,
+    p.add_argument("--limit-depressions", type=int, nargs=3,
+                   default=(10, 10, 5),
                    metavar=("NPAD", "MAX_EDGES", "MAX_CENTER"),
                    help="relaxed shift clamp across seafloor depressions "
-                        "(reference --limit_depressions, e.g. 10 10 5)")
+                        "(reference --limit_depressions, default on like "
+                        "the reference)")
     p.add_argument("--write-seafloor2trace", action="store_true",
                    help="store picked seafloor TWT in the trace header "
                         "(bytes 237/233; amp mode only, like the reference "

@@ -460,7 +460,7 @@ def delrt_correct(path, n_neighbors: int = 3, win_samples: int = 100,
 # 05 — static correction (reference static_correction_segy.py:93-545)
 # ===========================================================================
 def _limit_depression_shifts(static: np.ndarray, horizon_smooth: np.ndarray,
-                             limits) -> np.ndarray:
+                             limits):
     """Relax the static clamp over seafloor depressions (pockmarks).
 
     reference static_correction_segy.py:182-238: depressions are detected
@@ -469,20 +469,24 @@ def _limit_depression_shifts(static: np.ndarray, horizon_smooth: np.ndarray,
     to a trapezoid limit profile — ``limits = (npad, max_edges,
     max_center)`` ramps from ``max_edges`` at the transition-zone boundary
     down to ``max_center`` over the depression itself.
+
+    Returns ``(static, applied)``: when no depression is detected the
+    reference RETURNS EARLY from ``get_static`` (:188-201), skipping every
+    subsequent clip — ``applied=False`` lets the caller mirror that.
     """
     npad, limit_outer, limit_center = (int(v) for v in limits)
     detrend = -np.asarray(flt.polynomial_filter(horizon_smooth, order=11))
     try:
         idx = flt.mad_filter(detrend, threshold=3, mad_mode="double")
     except ValueError:  # a zero one-sided MAD (flat detrend): no depressions
-        return static
+        return static, False
     idx = idx[detrend[idx] < 0]
     if idx.size == 0:
-        return static
+        return static, False
     runs = [r for r in np.split(idx, np.nonzero(np.diff(idx) > 1)[0] + 1)
             if r.size >= 3]
     if not runs:
-        return static
+        return static, False
     pos = np.concatenate(
         [np.arange(r[0] - npad, r[-1] + npad + 1) for r in runs])
     lim = np.concatenate(
@@ -494,31 +498,42 @@ def _limit_depression_shifts(static: np.ndarray, horizon_smooth: np.ndarray,
     pos, lim = pos[ok], lim[ok]
     static[pos] = np.where(np.abs(static[pos]) > lim,
                            lim * np.sign(static[pos]), static[pos])
-    return static
+    return static, True
 
 
 def compute_static(horizon_samples: np.ndarray, dt_ms: float,
-                   savgol_window: int = 41, savgol_order: int = 3,
+                   savgol_window: int = 7, savgol_order: int = 1,
                    clip_samples: int | None = 10,
                    clip_percentile: float | None = 99.0,
                    clip_mad: float | None = None,
-                   limit_depressions=None) -> np.ndarray:
-    """static (samples) = lowpassed(horizon) − filtered horizon
-    (reference :93-256).
+                   limit_depressions=None,
+                   win_mad: int | None = None,
+                   integer: bool = True) -> np.ndarray:
+    """static = lowpassed(horizon) − filtered horizon (the reference's
+    ``get_static``, static_correction_segy.py:93-256, mirrored exactly).
 
     The static is measured against the MAD-repaired horizon — a mispicked
-    trace must not inherit its full pick error as a shift. Clipping limits
-    default to the reference's (99th percentile + ±10 samples,
-    static_correction_segy.py:166-174); ``clip_mad`` adds a k·MAD bound and
-    ``limit_depressions=(npad, max_edges, max_center)`` the reference's
-    pockmark-aware trapezoid clamp (applied first, like the reference).
+    trace must not inherit its full pick error as a shift. Defaults and
+    semantics match the reference: ``savgol_window``/``savgol_order`` are
+    its ``win_sg=7``/polyorder 1 (kind='diff'); the robust pre-filter
+    window ``win_mad`` defaults to 5% of the series (odd, ≥7 traces,
+    :164-167); limits apply in the reference's order — depressions clamp
+    (``(npad, max_edges, max_center)`` trapezoid, :182-238), percentile
+    (:242-244), hard ``clip_samples`` bound (:247-248), then the MAD-style
+    clamp ``|static| ≤ ceil(median(|static|)·clip_mad)`` (:251-254 — the
+    reference clips toward zero by a scaled median-of-abs, not around the
+    median). ``integer=False`` returns the unrounded float statics (the
+    swdep workflow converts depth→samples BEFORE rounding, :406-408).
     """
     import scipy.signal as ss
 
     h = horizon_samples.astype(np.float64)
+    if win_mad is None:
+        win_mad = int(len(h) * 0.05)  # reference :164-167
+    win_mad = max(win_mad | 1, 7)
     # outlier-robust pre-filter, as the reference chains r_doubleMAD+interp
     h_f = flt.filter_interp_1d(h, method="r_doubleMAD", kind="cubic",
-                               win=max(7, (len(h) // 50) | 1))
+                               win=win_mad)
     win = min(savgol_window | 1, len(h) - (1 - len(h) % 2))
     if win <= savgol_order:
         smooth = h_f
@@ -526,62 +541,94 @@ def compute_static(horizon_samples: np.ndarray, dt_ms: float,
         smooth = ss.savgol_filter(h_f, win, savgol_order)
     static = smooth - h_f
     if limit_depressions is not None:
-        static = _limit_depression_shifts(static, smooth, limit_depressions)
+        static, applied = _limit_depression_shifts(static, smooth,
+                                                   limit_depressions)
+        if not applied:
+            # reference quirk mirrored exactly: with limit_depressions
+            # enabled but NO depression detected, get_static returns
+            # before every subsequent clip (static_correction_segy.py:
+            # 188-201) — percentile/samples/MAD limits never run
+            return static if not integer else np.rint(static).astype(np.int32)
     if clip_percentile is not None:
         bound = np.percentile(np.abs(static), clip_percentile)
         static = np.clip(static, -bound, bound)
-    if clip_mad is not None:
-        mad = flt.median_abs_deviation(static)
-        bound = clip_mad * (mad if mad > 0 else 1.0)
-        med = np.median(static)
-        static = np.clip(static, med - bound, med + bound)
     if clip_samples is not None:
         static = np.clip(static, -clip_samples, clip_samples)
+    if clip_mad is not None:
+        bound = np.ceil(np.median(np.abs(static)) * clip_mad)
+        static = np.clip(static, -bound, bound)
+    if not integer:
+        return static
     return np.rint(static).astype(np.int32)
 
 
 def static_correct(path, mode: str = "amp", win_samples: int = 30,
-                   savgol_window: int = 41, inplace: bool = False,
+                   savgol_window: int = 7, inplace: bool = False,
                    output_dir=None, txt_suffix: str | None = None, verbose: int = 0,
                    nsta: int | None = None, nlta: int | None = None,
                    win_mad: int | None = None, win_median: int = 11,
-                   limit_shift_ms: float | None = None,
+                   limit_shift: int = 12,
                    n_amp_samples: int = 5,
-                   limit_depressions=None,
+                   limit_depressions=(10, 10, 5),
+                   velocity: float = 1500.0,
                    write_aux_file: bool = True,
                    write_seafloor2trace: bool = False) -> list[str]:
-    """Seafloor-static correction; picker knobs map to the reference's
+    """Seafloor-static correction; knobs map to the reference's
     ``--nsta/--nlta/--win_mad/--win_median/--limit_shift/--n_amp_samples/
-    --limit_depressions/--write_aux/--write_seafloor2trace`` flags
-    (static_correction_segy.py:666-714). ``write_seafloor2trace`` stores the
-    picked seafloor TWT (ms x 1000) in UnassignedInt2 (byte 237) with the
-    -1000 scalar in UnassignedInt1 (byte 233), the reference's convention
-    (:505-536)."""
+    --limit_depressions/--write_aux/--write_seafloor2trace`` flags with the
+    reference wrapper's defaults and clip chain (no percentile, hard
+    ``limit_shift`` bound, median-of-abs×3 clamp, depressions trapezoid
+    (10, 10, 5) — static_correction_segy.py:390-400,473-481).
+
+    ``mode='swdep'`` mirrors the reference exactly: the static is computed
+    on the ElevationScalar-scaled SourceWaterDepth VALUES (meters — so
+    ``limit_shift`` clips meters there, samples in 'amp' mode, like the
+    reference's --limit_shift), then converted depth→samples with
+    ``velocity`` and rounded (:390-408). Headers follow the reference
+    convention (:504-536): TotalStaticApplied (byte 103) holds the applied
+    static in ms×1000 with the -1000 scalar in UnassignedInt1 (byte 233);
+    ``write_seafloor2trace`` additionally stores the picked seafloor TWT
+    (ms×1000) in UnassignedInt2 (byte 237)."""
     def _one(p):
         with SegyFile(p) as f:
             data = f.trace_data()
             dt_ms = f.dt_us / 1000.0
             delrt = f.header("DelayRecordingTime").astype(np.float64)
+            clip_kw = dict(savgol_window=savgol_window,
+                           win_mad=win_mad,
+                           clip_percentile=None,
+                           clip_samples=limit_shift,
+                           clip_mad=3,
+                           limit_depressions=limit_depressions)
             if mode == "swdep":
                 swdep = f.header("SourceWaterDepth").astype(np.float64)
-                scal = int(f.header("ElevationScalar")[0]) or 1
-                depth = swdep / abs(scal) if scal < 0 else swdep * scal
-                horizon = (2.0 * depth / 1500.0 * 1e3 - delrt) / dt_ms
+                scalel = f.header("ElevationScalar").astype(np.int64)
+                if np.all(scalel > 0):
+                    swdep = swdep * np.abs(scalel)
+                elif np.all(scalel < 0):
+                    swdep = swdep / np.abs(scalel)
+                # static in DEPTH units; depth -> samples BEFORE rounding
+                static_depth = compute_static(swdep, dt_ms, integer=False,
+                                              **clip_kw)
+                static = np.rint(
+                    static_depth * 2.0 / (velocity * dt_ms * 1e-3)
+                ).astype(np.int32)
+                horizon = swdep
             else:
                 horizon = flt.detect_seafloor_reflection(
                     data.T, win=win_samples, nsta=nsta, nlta=nlta,
                     win_mad=win_mad, win_median=win_median, n=n_amp_samples)
-            static = compute_static(horizon, dt_ms, savgol_window,
-                                    limit_depressions=limit_depressions)
-            if limit_shift_ms is not None:
-                lim = int(round(limit_shift_ms / dt_ms))
-                static = np.clip(static, -lim, lim)
+                static = compute_static(horizon, dt_ms, **clip_kw)
             shifted = _shift_traces(data, static)
             out = _output_path(p, inplace, txt_suffix or "sta", output_dir)
             header_updates = {
-                # rint like DelayRecordingTime: astype truncates toward
-                # zero and understates sub-ms statics asymmetrically
-                "TotalStaticApplied": np.rint(static * dt_ms).astype(np.int64)}
+                # reference convention: ms x 1000 with a -1000 scalar in
+                # byte 233 (static_correction_segy.py:520-530) — an integer
+                # ms field would lose sub-ms statics entirely at the
+                # sub-bottom profiler dt of 0.25 ms
+                "TotalStaticApplied": np.rint(
+                    static * dt_ms * 1000.0).astype(np.int64),
+                "UnassignedInt1": np.full(len(static), -1000, np.int64)}
             note = f"STATIC CORRECTION ({mode}, sg{savgol_window})"
             if write_seafloor2trace and mode == "amp":
                 twt_seafloor_ms = delrt + horizon.astype(np.float64) * dt_ms
@@ -1330,9 +1377,10 @@ def run_cli(cmd: str, args, verbose: int = 0) -> int:
                        savgol_window=args.savgol_window, nsta=args.nsta,
                        nlta=args.nlta, win_mad=args.win_mad,
                        win_median=args.win_median,
-                       limit_shift_ms=args.limit_shift,
+                       limit_shift=args.limit_shift,
                        n_amp_samples=getattr(args, "n_amp_samples", 5),
-                       limit_depressions=getattr(args, "limit_depressions", None),
+                       limit_depressions=getattr(args, "limit_depressions",
+                                                 (10, 10, 5)),
                        write_aux_file=not getattr(args, "no_aux", False),
                        write_seafloor2trace=getattr(args, "write_seafloor2trace", False),
                        inplace=args.inplace, verbose=verbose, **io_kw)

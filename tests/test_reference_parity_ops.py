@@ -506,14 +506,19 @@ class TestFilterParity:
 
 
 # ===========================================================================
-# header.py (coordinate scalars; pure functions, segyio stubbed for import)
+# header.py (coordinate scalars; segyio resolved by the functional shim —
+# an EMPTY module stub would poison pseudo_3D_interpolation.functions.header
+# for the whole session: the module binds `segyio` at first import, and the
+# workflow-parity gate (test_reference_parity_workflow.py) then calls
+# header.write_textual_header through it)
 # ===========================================================================
 class TestHeaderParity:
     @pytest.fixture(scope="class")
     def ref_hdr(self, request):
-        if "segyio" not in sys.modules:
-            sys.modules["segyio"] = types.ModuleType("segyio")
-            request.addfinalizer(lambda: sys.modules.pop("segyio", None))
+        from pseudo_3d_interpolation_tpu.io import segyio_compat
+
+        segyio_compat.install()
+        request.addfinalizer(segyio_compat.uninstall)
         sys.path.insert(0, REF_ROOT)
         try:
             from pseudo_3D_interpolation.functions import header as rh
@@ -624,9 +629,10 @@ class TestAffineParity:
 class TestAuxIOParity:
     @pytest.fixture(scope="class")
     def ref_io(self, request):
-        if "segyio" not in sys.modules:
-            sys.modules["segyio"] = types.ModuleType("segyio")
-            request.addfinalizer(lambda: sys.modules.pop("segyio", None))
+        from pseudo_3d_interpolation_tpu.io import segyio_compat
+
+        segyio_compat.install()
+        request.addfinalizer(segyio_compat.uninstall)
         sys.path.insert(0, REF_ROOT)
         try:
             from pseudo_3D_interpolation.functions import utils_IO as rio

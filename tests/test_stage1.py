@@ -595,10 +595,11 @@ def test_static_limit_depressions():
     horizon = horizon.copy()
     horizon[pm] += 15 * np.hanning(21)
     static_plain = stage1.compute_static(horizon, 0.25, savgol_window=101,
-                                         clip_samples=None,
+                                         savgol_order=3, clip_samples=None,
                                          clip_percentile=None)
     static_lim = stage1.compute_static(horizon, 0.25, savgol_window=101,
-                                       clip_samples=None, clip_percentile=None,
+                                       savgol_order=3, clip_samples=None,
+                                       clip_percentile=None,
                                        limit_depressions=(10, 10, 3))
     # without the clamp, the savgol smooth tries to fill the depression
     assert np.abs(static_plain[pm]).max() >= 10
