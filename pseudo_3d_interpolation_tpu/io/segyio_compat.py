@@ -120,6 +120,12 @@ class _HeaderField:
         for k, v in dict(mapping).items():
             self[k] = v
 
+    def get(self, field, default=None):
+        try:
+            return self[field]
+        except KeyError:
+            return default
+
     def keys(self):
         return tracefield.keys.values()
 

@@ -1157,6 +1157,8 @@ def parse_crs(spec):
         return GEOGRAPHIC if code in _GEOGRAPHIC_EPSG else get_projection(code)
     if isinstance(spec, str):
         s = spec.strip()
+        if s == GEOGRAPHIC:  # idempotence: parse_crs(parse_crs(x)) == parse_crs(x)
+            return GEOGRAPHIC
         if s.upper().startswith("EPSG:"):
             code = int(s.split(":", 1)[1])
             return GEOGRAPHIC if code in _GEOGRAPHIC_EPSG else get_projection(code)

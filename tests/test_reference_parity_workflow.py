@@ -26,11 +26,16 @@ Gates (each reference wrapper from /root/reference):
 Args are built via each script's own ``define_input_args().parse_args``
 so reference defaults apply verbatim.
 
+  - 02 reproject (reproject_segy.wrapper_reproject_segy, over the
+    additional pyproj-compatible facade utils/pyproj_compat): coordinate
+    headers byte-identical to `p3d reproject`.
+
 Not gated here: 01 merge — the reference's ``wrapper_merge_segys`` cannot
 run on pandas ≥ 2 at all (``pd.isnull(df).any(1)`` positional-axis call,
 merge_segys.py:321 — removed in pandas 2.0), independent of any segyio
 question; merge behavior is pinned by tests/test_stage1.py::test_merge.
-02 reproject / 06 tide need pyproj / tpxo-tide-prediction at import time.
+06 tide needs tpxo-tide-prediction (and its TPXO9 atlas data files) at
+import time — tide physics is pinned by tests/test_tide_crs.py instead.
 """
 
 from __future__ import annotations
@@ -310,3 +315,78 @@ def test_shim_roundtrip(tmp_path):
     with SegyFile(out) as g:
         assert g.header("SourceX")[0] == 123456
         np.testing.assert_allclose(g.trace_data()[0, :4], 9.0)
+
+
+# ---------------------------------------------------------------------------
+# 02 — reproject (via the pyproj-compatible facade)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_reproject(ref, request):
+    """The reference reproject script additionally needs pyproj — resolved
+    by utils/pyproj_compat (same analytic CRS engine as `p3d reproject`)."""
+    from pseudo_3d_interpolation_tpu.utils import pyproj_compat
+
+    pyproj_compat.install()
+    request.addfinalizer(pyproj_compat.uninstall)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from pseudo_3D_interpolation import reproject_segy as rr
+    finally:
+        sys.path.remove(REF_ROOT)
+    return rr
+
+
+def test_reproject_matches_reference(ref_reproject, tmp_path):
+    """EPSG:32633 (UTM 33N) -> EPSG:3035 (LAEA Europe): the reference
+    script run over the segyio+pyproj shims must write byte-identical
+    coordinate headers to `p3d reproject` (same engine, independent
+    plumbing: scale/unscale, per-trace header writes, units, scalar)."""
+    ntr = 50
+    xs = 500000.0 + np.arange(ntr) * 12.5
+    pa, pb = _twin_inputs(tmp_path, "reproj", ntr=ntr, ns=64, delrt_ms=20,
+                          seafloor_ms=np.full(ntr, 10.0), seed=9,
+                          x0=500000.0, y0=5761000.0, heading=(1.0, 0.2),
+                          spacing=12.5)
+    del xs
+
+    args = ref_reproject.define_input_args().parse_args(
+        [pa, "--crs_src", "EPSG:32633", "--crs_dst", "EPSG:3035",
+         "--inplace"])
+    ref_reproject.wrapper_reproject_segy(pa, (73, 77), (73, 77), args)
+
+    (out_repo,) = stage1.reproject(pb, "EPSG:32633", "EPSG:3035",
+                                   inplace=True)
+    assert out_repo == pb
+
+    fields = ("SourceX", "SourceY", "SourceGroupScalar", "CoordinateUnits")
+    h_ref = _headers(pa, fields)
+    h_repo = _headers(pb, fields)
+    for name in fields:
+        np.testing.assert_array_equal(h_ref[name], h_repo[name], err_msg=name)
+    # coordinates actually moved into the LAEA frame
+    assert abs(h_ref["SourceX"][0] / 100.0 - 4664000) < 50000
+    # traces untouched by a pure header step
+    d_ref, _ = _data_bin(pa)
+    d_repo, _ = _data_bin(pb)
+    np.testing.assert_array_equal(d_ref, d_repo)
+
+
+def test_pyproj_shim_surface():
+    """The facade's own surface: CRS flags, to_epsg, transform round trip."""
+    from pseudo_3d_interpolation_tpu.utils import pyproj_compat as pp
+
+    wgs = pp.CRS("epsg:4326")
+    utm = pp.CRS(32633)
+    assert wgs.is_geographic and not wgs.is_projected
+    assert utm.is_projected and utm.to_epsg() == 32633
+    assert pp.CRS("EPSG:3035").to_epsg() == 3035
+    t = pp.Transformer.from_crs(wgs, utm, always_xy=True)
+    x, y = t.transform(np.array([15.0]), np.array([52.0]), errcheck=True)
+    assert abs(x[0] - 500000.0) < 1e-3
+    back = pp.Transformer.from_crs(utm, wgs, always_xy=True)
+    lon, lat = back.transform(x, y)
+    assert abs(lon[0] - 15.0) < 1e-9 and abs(lat[0] - 52.0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        pp.Transformer.from_crs(wgs, utm)
