@@ -36,6 +36,10 @@ merge_segys.py:321 — removed in pandas 2.0), independent of any segyio
 question; merge behavior is pinned by tests/test_stage1.py::test_merge.
 06 tide needs tpxo-tide-prediction (and its TPXO9 atlas data files) at
 import time — tide physics is pinned by tests/test_tide_crs.py instead.
+07 mistie imports geopandas + shapely 2's vectorized geometry API at
+module level; the network solve is pinned value-level by
+tests/test_stage1.py::test_mistie_network (crossing-lines scenario with
+a known mistie) instead.
 """
 
 from __future__ import annotations
