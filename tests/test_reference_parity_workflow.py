@@ -19,16 +19,18 @@ Gates (each reference wrapper from /root/reference):
   - 05 static correction, ``--mode swdep``
     (static_correction_segy.wrapper_static_correction_segy): identical
     integer sample shifts (TotalStaticApplied headers) and shifted traces.
+  - 05 static correction, ``--mode amp``: the STA/LTA picker feeds the
+    same chain — identical shifts/headers/traces on a clean wavelet
+    seafloor.
   - 08 despike (despiking_2D_segy.wrapper_despiking_2D_segy): both
     remove the injected bursts with a bounded fraction of samples
     modified (the detectors differ in documented ways).
-
-Args are built via each script's own ``define_input_args().parse_args``
-so reference defaults apply verbatim.
-
   - 02 reproject (reproject_segy.wrapper_reproject_segy, over the
     additional pyproj-compatible facade utils/pyproj_compat): coordinate
     headers byte-identical to `p3d reproject`.
+
+Args are built via each script's own ``define_input_args().parse_args``
+so reference defaults apply verbatim.
 
 Not gated here: 01 merge — the reference's ``wrapper_merge_segys`` cannot
 run on pandas ≥ 2 at all (``pd.isnull(df).any(1)`` positional-axis call,
@@ -394,3 +396,32 @@ def test_pyproj_shim_surface():
     assert abs(lon[0] - 15.0) < 1e-9 and abs(lat[0] - 52.0) < 1e-9
     with pytest.raises(NotImplementedError):
         pp.Transformer.from_crs(wgs, utm)
+
+
+def test_static_amp_matches_reference(ref, tmp_path):
+    """'amp' mode end-to-end: STA/LTA seafloor picking feeds the static
+    chain in both implementations. On a clean wavelet seafloor the picks
+    agree exactly (the ops-parity gate pins the picker), so shifts,
+    headers, and traces must match like the swdep gate."""
+    ntr, ns = 64, 400
+    rng = np.random.default_rng(21)
+    seafloor = (42.0 + 2.5 * np.sin(np.linspace(0, 2.0 * np.pi, ntr))
+                + rng.normal(0.0, 0.5, ntr))
+    pa, pb = _twin_inputs(tmp_path, "statamp", ntr=ntr, ns=ns, delrt_ms=20,
+                          seafloor_ms=seafloor, seed=23)
+
+    args = ref.static.define_input_args().parse_args(
+        [pa, "--mode", "amp", "--inplace", "--nsta", "4", "--nlta", "30",
+         "--win_samples", "30"])
+    ref.static.wrapper_static_correction_segy(pa, args)
+    (out_repo,) = stage1.static_correct(pb, mode="amp", inplace=True,
+                                        nsta=4, nlta=30, win_samples=30)
+    assert out_repo == pb
+
+    h_ref = _headers(pa, ("TotalStaticApplied",))["TotalStaticApplied"]
+    h_repo = _headers(pb, ("TotalStaticApplied",))["TotalStaticApplied"]
+    assert np.any(h_ref != 0)
+    np.testing.assert_array_equal(h_ref, h_repo)
+    d_ref, _ = _data_bin(pa)
+    d_repo, _ = _data_bin(pb)
+    np.testing.assert_array_equal(d_ref, d_repo)
