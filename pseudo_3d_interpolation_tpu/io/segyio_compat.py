@@ -93,7 +93,14 @@ def _get(buf: np.ndarray, off: int, dt: str) -> int:
 
 def _set(buf: np.ndarray, off: int, dt: str, value) -> None:
     size = int(dt[-1])
-    enc = np.asarray(int(value)).astype(">" + dt)
+    v = int(value)
+    # loud range check, matching io/segy.write_segy's semantics — a bare
+    # astype would wrap two's-complement and silently flip signs
+    info = np.iinfo(np.dtype(dt))
+    if not (info.min <= v <= info.max):
+        raise ValueError(
+            f"value {v} exceeds the {8 * size}-bit SEG-Y field at byte {off}")
+    enc = np.asarray(v).astype(">" + dt)
     buf[off - 1:off - 1 + size] = np.frombuffer(enc.tobytes(), np.uint8)
 
 
@@ -105,8 +112,9 @@ def _set(buf: np.ndarray, off: int, dt: str, value) -> None:
 class _HeaderField:
     """Mutable mapping view of one trace's 240-byte header."""
 
-    def __init__(self, row: np.ndarray):
+    def __init__(self, row: np.ndarray, file: "SegyFile | None" = None):
         self._row = row  # uint8 view into the file's header block
+        self._file = file
 
     def __getitem__(self, field) -> int:
         off = int(field)
@@ -115,6 +123,8 @@ class _HeaderField:
     def __setitem__(self, field, value) -> None:
         off = int(field)
         _set(self._row, off, _tr_dtype(off), value)
+        if self._file is not None:
+            self._file._headers_dirty = True
 
     def update(self, mapping) -> None:
         for k, v in dict(mapping).items():
@@ -149,7 +159,7 @@ class _HeaderAccessor:
     def __getitem__(self, i):
         if isinstance(i, slice):
             return [self[j] for j in range(*i.indices(len(self)))]
-        return _HeaderField(self._file._headers[i])
+        return _HeaderField(self._file._headers[i], self._file)
 
     def __setitem__(self, i, mapping):
         self[i].update(mapping)
@@ -182,6 +192,7 @@ class _TraceAccessor:
 
     def __setitem__(self, i, values):
         self._file._data[i] = np.asarray(values, np.float32)
+        self._file._data_dirty = True
 
     def __iter__(self):
         for i in range(len(self)):
@@ -201,6 +212,7 @@ class _BinAccessor:
     def __setitem__(self, field, value) -> None:
         off = int(field)
         _set(self._file._bin, off - 3200, _BIN_OFF2DT[off], value)
+        self._file._bin_dirty = True
 
     def update(self, mapping) -> None:
         for k, v in dict(mapping).items():
@@ -245,6 +257,7 @@ class _TextAccessor:
         if len(raw) != _segy.TEXT_SIZE:
             raise ValueError(f"textual header must be {_segy.TEXT_SIZE} bytes")
         self._file._text = np.frombuffer(raw, np.uint8).copy()
+        self._file._text_dirty = True
 
 
 class _Attributes:
@@ -293,10 +306,13 @@ class SegyFile:
         self._path = path
         self._mode = mode
         self._closed = False
+        self._text_dirty = self._bin_dirty = False
+        self._headers_dirty = self._data_dirty = False
         if _new_spec is not None:
             ns = len(_new_spec.samples)
             ntr = int(_new_spec.tracecount)
             self._text = np.full(_segy.TEXT_SIZE, 0x20, np.uint8)
+            self._ext = np.zeros(0, np.uint8)
             self._bin = np.zeros(_segy.BIN_SIZE, np.uint8)
             self._headers = np.zeros((ntr, _segy.TRACE_HEADER_SIZE), np.uint8)
             self._data = np.zeros((ntr, ns), np.float32)
@@ -307,15 +323,29 @@ class SegyFile:
                 dt_us = round((_new_spec.samples[1]
                                - _new_spec.samples[0]) * 1000.0)
                 self.bin[BinField.Interval] = int(dt_us)
+            # a brand-new file must always be written, whatever the flags
+            self._text_dirty = self._bin_dirty = True
+            self._headers_dirty = self._data_dirty = True
+            self._fresh = True
             return
+        self._fresh = False
+        (self._text, self._ext, self._bin, self._headers, self._data,
+         self._format) = self._read_sections(path)
+
+    @staticmethod
+    def _read_sections(path: str):
+        """Read every file section through the repo codec (extended
+        textual stanzas preserved verbatim — dropping them while keeping
+        the binary ExtendedHeaders count would shift the trace block)."""
         with _segy.SegyFile(path) as f:
-            self._text = np.frombuffer(f.text_raw, np.uint8).copy() \
+            text = np.frombuffer(f.text_raw, np.uint8).copy() \
                 if isinstance(f.text_raw, (bytes, bytearray)) \
                 else np.asarray(f.text_raw, np.uint8).copy()
-            self._bin = f.binary_header_raw().astype(np.uint8)
-            self._headers = f.trace_headers_raw().copy()
-            self._data = f.trace_data().astype(np.float32)
-            self._format = f.format
+            ext = np.asarray(f._mm[_segy.TEXT_SIZE + _segy.BIN_SIZE:
+                                   f._data_start], np.uint8).copy()
+            return (text, ext, f.binary_header_raw().astype(np.uint8),
+                    f.trace_headers_raw().copy(),
+                    f.trace_data().astype(np.float32), f.format)
 
     # -- segyio surface --
     @property
@@ -339,7 +369,7 @@ class SegyFile:
 
     @property
     def ext_headers(self) -> int:
-        return 0
+        return int(self._ext.size) // _segy.TEXT_SIZE
 
     @property
     def header(self) -> _HeaderAccessor:
@@ -347,6 +377,7 @@ class SegyFile:
 
     @header.setter
     def header(self, value) -> None:
+        self._headers_dirty = True
         if isinstance(value, _HeaderAccessor):
             src = value._file._headers
             n = min(len(src), len(self._headers))
@@ -369,6 +400,7 @@ class SegyFile:
             raise ValueError(
                 f"trace block shape {arr.shape} != file {self._data.shape}")
         self._data = arr.copy()
+        self._data_dirty = True
 
     @property
     def bin(self) -> _BinAccessor:
@@ -376,6 +408,7 @@ class SegyFile:
 
     @bin.setter
     def bin(self, value) -> None:
+        self._bin_dirty = True
         if isinstance(value, _BinAccessor):
             self._bin = value._file._bin.copy()
         else:
@@ -408,16 +441,44 @@ class SegyFile:
 
     # -- write-back --
     def _write(self) -> None:
-        ntr, ns = self._data.shape
-        enc = _segy._encode_samples(self._data, self._format)
+        import os
+
+        # The codec is whole-file, not byte-patching, so a close() from a
+        # stale in-memory snapshot would clobber writes other handles made
+        # while this one was open (the reference's static wrapper updates
+        # the textual header through a SECOND handle inside its own 'r+'
+        # block, static_correction_segy.py:473-481). Merge: re-read the
+        # file and keep every section this handle did NOT modify.
+        text, ext, binh, headers, data = (self._text, self._ext, self._bin,
+                                          self._headers, self._data)
+        if not self._fresh and os.path.isfile(self._path):
+            try:
+                f_text, f_ext, f_bin, f_headers, f_data, _fmt = \
+                    self._read_sections(self._path)
+            except Exception:
+                f_headers = f_data = None  # unreadable: write our snapshot
+            else:
+                if not self._text_dirty:
+                    text = f_text
+                ext = f_ext  # never modified through this API
+                if not self._bin_dirty:
+                    binh = f_bin
+                if (not self._headers_dirty
+                        and f_headers.shape == headers.shape):
+                    headers = f_headers
+                if not self._data_dirty and f_data.shape == data.shape:
+                    data = f_data
+        ntr, ns = data.shape
+        enc = _segy._encode_samples(data, self._format)
         sample_bytes = enc.reshape(ntr, -1)
-        out = np.empty(_segy.TEXT_SIZE + _segy.BIN_SIZE
-                       + ntr * (_segy.TRACE_HEADER_SIZE
-                                + sample_bytes.shape[1]), np.uint8)
-        out[:_segy.TEXT_SIZE] = self._text
-        out[_segy.TEXT_SIZE:_segy.TEXT_SIZE + _segy.BIN_SIZE] = self._bin
-        body = out[_segy.TEXT_SIZE + _segy.BIN_SIZE:].reshape(ntr, -1)
-        body[:, :_segy.TRACE_HEADER_SIZE] = self._headers
+        head = _segy.TEXT_SIZE + _segy.BIN_SIZE + ext.size
+        out = np.empty(head + ntr * (_segy.TRACE_HEADER_SIZE
+                                     + sample_bytes.shape[1]), np.uint8)
+        out[:_segy.TEXT_SIZE] = text
+        out[_segy.TEXT_SIZE:_segy.TEXT_SIZE + _segy.BIN_SIZE] = binh
+        out[_segy.TEXT_SIZE + _segy.BIN_SIZE:head] = ext
+        body = out[head:].reshape(ntr, -1)
+        body[:, :_segy.TRACE_HEADER_SIZE] = headers
         body[:, _segy.TRACE_HEADER_SIZE:] = sample_bytes
         out.tofile(self._path)
 

@@ -613,7 +613,10 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
                 static = np.rint(
                     static_depth * 2.0 / (velocity * dt_ms * 1e-3)
                 ).astype(np.int32)
-                horizon = swdep
+                # sidecar 'horizon_sample' column stays a SAMPLE index in
+                # both modes: convert the depth horizon like the pre-static
+                # trace geometry does (2d/v seconds -> ms -> samples)
+                horizon = (2.0 * swdep / velocity * 1e3 - delrt) / dt_ms
             else:
                 horizon = flt.detect_seafloor_reflection(
                     data.T, win=win_samples, nsta=nsta, nlta=nlta,
@@ -621,13 +624,19 @@ def static_correct(path, mode: str = "amp", win_samples: int = 30,
                 static = compute_static(horizon, dt_ms, **clip_kw)
             shifted = _shift_traces(data, static)
             out = _output_path(p, inplace, txt_suffix or "sta", output_dir)
+            # reference convention: ms x 1000 with a -1000 scalar in byte
+            # 233 (static_correction_segy.py:520-530) — an integer ms field
+            # would lose sub-ms statics entirely at the sub-bottom profiler
+            # dt of 0.25 ms. Truncation toward zero mirrors the reference's
+            # astype('int32') exactly (float dt values like 0.29 ms land a
+            # hair under the product, and the reference truncates).
+            tsa = (static.astype(np.float64) * dt_ms * 1000.0).astype(np.int64)
+            # byte 103 is i2: saturate beyond +-32.767 ms (the codec raises
+            # on out-of-range header ints; the reference wraps silently
+            # through segyio's C cast, which corrupts the sign instead)
+            tsa = np.clip(tsa, -32767, 32767)
             header_updates = {
-                # reference convention: ms x 1000 with a -1000 scalar in
-                # byte 233 (static_correction_segy.py:520-530) — an integer
-                # ms field would lose sub-ms statics entirely at the
-                # sub-bottom profiler dt of 0.25 ms
-                "TotalStaticApplied": np.rint(
-                    static * dt_ms * 1000.0).astype(np.int64),
+                "TotalStaticApplied": tsa,
                 "UnassignedInt1": np.full(len(static), -1000, np.int64)}
             note = f"STATIC CORRECTION ({mode}, sg{savgol_window})"
             if write_seafloor2trace and mode == "amp":

@@ -568,34 +568,20 @@ def test_mistie_coords_text_suffix_filters_sidecars(tmp_path):
     assert len(outs) == 2
 
 
-def test_cli_reference_doc_in_sync(monkeypatch):
+def test_cli_reference_doc_in_sync():
     """docs/cli.md is generated from the argparse definitions
-    (tools/gen_cli_docs.py); regenerating must reproduce it byte-for-byte
-    so the option reference can never drift from the code."""
+    (tools/gen_cli_docs.py); re-rendering through the generator's own
+    render() (which pins the terminal width) must reproduce it
+    byte-for-byte so the option reference can never drift from the code."""
     import importlib.util
-    import io
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    monkeypatch.setenv("COLUMNS", "80")  # argparse wraps to terminal width
     spec = importlib.util.spec_from_file_location(
         "gen_cli_docs", os.path.join(root, "tools", "gen_cli_docs.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-
-    parser = build_parser()
-    sub = next(a for a in parser._actions
-               if a.__class__.__name__ == "_SubParsersAction")
-    out = io.StringIO()
-    out.write(mod.HEADER)
-    seen = set()
-    for name, sp in sub.choices.items():
-        if id(sp) in seen:
-            continue
-        seen.add(id(sp))
-        out.write(f"\n## `p3d {name}`\n\n")
-        out.write("```text\n" + sp.format_help().rstrip() + "\n```\n")
     with open(os.path.join(root, "docs", "cli.md")) as f:
-        assert f.read() == out.getvalue(), (
-            "docs/cli.md is stale - re-run: JAX_PLATFORMS=cpu COLUMNS=80 "
+        assert f.read() == mod.render(), (
+            "docs/cli.md is stale - re-run: JAX_PLATFORMS=cpu "
             "python tools/gen_cli_docs.py")

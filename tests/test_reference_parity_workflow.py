@@ -425,3 +425,86 @@ def test_static_amp_matches_reference(ref, tmp_path):
     d_ref, _ = _data_bin(pa)
     d_repo, _ = _data_bin(pb)
     np.testing.assert_array_equal(d_ref, d_repo)
+
+
+def test_shim_preserves_extended_textual_stanzas(tmp_path):
+    """A rewrite through the shim must carry extended textual stanzas
+    along (dropping them while the binary header still counts them would
+    shift the trace block by 3200 bytes)."""
+    from pseudo_3d_interpolation_tpu.io import segyio_compat as sgy
+
+    p = str(tmp_path / "ext.sgy")
+    make_profile(p, ntr=6, ns=64, delrt_ms=20,
+                 seafloor_ms=np.full(6, 10.0), seed=2)
+    raw = np.fromfile(p, np.uint8)
+    stanza = np.frombuffer(
+        ("SEG: EndText" + " " * 3188).encode("ascii"), np.uint8)
+    spliced = np.concatenate([raw[:3600], stanza, raw[3600:]])
+    # ExtendedHeaders (byte 3505, i2) = 1
+    spliced[3504:3506] = np.frombuffer(
+        np.asarray(1).astype(">i2").tobytes(), np.uint8)
+    spliced.tofile(p)
+
+    with SegyFile(p) as f:
+        before = f.trace_data()
+    with sgy.open(p, "r+") as f:
+        assert f.ext_headers == 1
+        f.header[0][sgy.TraceField.FieldRecord] = 42
+    with SegyFile(p) as f:  # still structurally valid through the codec
+        assert f.n_traces == 6
+        assert f.header("FieldRecord")[0] == 42
+        np.testing.assert_array_equal(f.trace_data(), before)
+
+
+def test_shim_merges_second_handle_writes(tmp_path):
+    """Writes made through a second handle while an 'r+' handle is open
+    survive the outer close (the reference's static wrapper updates the
+    textual header exactly this way, static_correction_segy.py:473-481)."""
+    from pseudo_3d_interpolation_tpu.io import segyio_compat as sgy
+
+    p = str(tmp_path / "merge2.sgy")
+    make_profile(p, ntr=6, ns=64, delrt_ms=20,
+                 seafloor_ms=np.full(6, 10.0), seed=4)
+    with sgy.open(p, "r+") as outer:
+        t = outer.trace[0]
+        t[:] = 7.0
+        outer.trace[0] = t
+        with sgy.open(p, "r+") as inner:  # e.g. write_textual_header
+            inner.text[0] = b"PROVENANCE".ljust(3200)
+    with SegyFile(p) as f:
+        assert "PROVENANCE" in f.text      # inner write survived
+        np.testing.assert_allclose(f.trace_data()[0], 7.0)  # outer too
+
+
+def test_shim_header_write_range_checked(tmp_path):
+    """Out-of-range header values fail loudly (write_segy semantics), not
+    by silent two's-complement wrap."""
+    from pseudo_3d_interpolation_tpu.io import segyio_compat as sgy
+
+    p = str(tmp_path / "rng.sgy")
+    make_profile(p, ntr=4, ns=32, delrt_ms=20,
+                 seafloor_ms=np.full(4, 5.0), seed=6)
+    with sgy.open(p, "r+") as f:
+        with pytest.raises(ValueError, match="16-bit"):
+            f.header[0][sgy.TraceField.TotalStaticApplied] = 48000
+
+
+def test_static_saturates_i2_header(tmp_path):
+    """ms x 1000 statics beyond +-32.767 ms saturate byte 103 instead of
+    failing the write (coarse-dt profiles: 10 samples at dt 4 ms = 40 ms)."""
+    ntr = 64
+    rng = np.random.default_rng(31)
+    seafloor = 600.0 + 80.0 * np.sin(np.linspace(0, 2 * np.pi, ntr)) \
+        + rng.normal(0, 45.0, ntr)  # wild heave in ms at dt 4 ms
+    p = str(tmp_path / "coarse.sgy")
+    make_profile(p, ntr=ntr, ns=400, dt_us=4000, delrt_ms=0,
+                 seafloor_ms=seafloor, seed=31,
+                 extra_headers={"SourceWaterDepth":
+                                np.rint(seafloor * 100).astype(np.int64),
+                                "ElevationScalar": -100})
+    (out,) = stage1.static_correct(p, mode="swdep", inplace=True,
+                                   limit_shift=1000)
+    with SegyFile(out) as f:
+        tsa = f.header("TotalStaticApplied")
+        sta = np.asarray([int(x) for x in tsa])
+    assert np.abs(sta).max() == 32767  # saturated, not wrapped/failed
