@@ -508,3 +508,50 @@ def test_static_saturates_i2_header(tmp_path):
         tsa = f.header("TotalStaticApplied")
         sta = np.asarray([int(x) for x in tsa])
     assert np.abs(sta).max() == 32767  # saturated, not wrapped/failed
+
+
+def test_shim_ibm_format_roundtrip(tmp_path):
+    """create() honors spec.format=1 (IBM float): bytes written through
+    the shim decode identically through the repo codec."""
+    from pseudo_3d_interpolation_tpu.io import segyio_compat as sgy
+
+    rng = np.random.default_rng(17)
+    data = (rng.normal(0, 1.0, (6, 128)).astype(np.float32)
+            * np.float32(2.0) ** rng.integers(-10, 10, (6, 1)))
+    spec = sgy.Spec()
+    spec.samples = np.arange(128) * 0.25
+    spec.tracecount = 6
+    spec.format = 1
+    p = str(tmp_path / "ibm.sgy")
+    with sgy.create(p, spec) as dst:
+        dst.trace = data
+        for i, h in enumerate(dst.header):
+            h.update({sgy.TraceField.TRACE_SEQUENCE_FILE: i + 1,
+                      sgy.TraceField.TRACE_SAMPLE_COUNT: 128,
+                      sgy.TraceField.TRACE_SAMPLE_INTERVAL: 250})
+    with SegyFile(p) as f:
+        assert f.format == 1
+        got = f.trace_data()
+    # IBM has a 24-bit mantissa: 2^-21 relative quantization bound
+    np.testing.assert_allclose(got, data, rtol=2 ** -20, atol=0)
+    with sgy.open(p) as f:  # and back through the shim
+        np.testing.assert_allclose(f.trace.raw[:], got, rtol=0, atol=0)
+
+
+def test_shim_metadata_roundtrip(tmp_path):
+    """tools.metadata -> create preserves dt, sample count, and format."""
+    from pseudo_3d_interpolation_tpu.io import segyio_compat as sgy
+
+    p = str(tmp_path / "meta.sgy")
+    make_profile(p, ntr=5, ns=100, dt_us=500, delrt_ms=30,
+                 seafloor_ms=np.full(5, 40.0), seed=19)
+    with sgy.open(p) as f:
+        spec = sgy.tools.metadata(f)
+        assert len(spec.samples) == 100 and spec.tracecount == 5
+        np.testing.assert_allclose(np.diff(spec.samples), 0.5)
+    out = str(tmp_path / "meta2.sgy")
+    with sgy.create(out, spec) as dst:
+        dst.trace = np.zeros((5, 100), np.float32)
+    with sgy.open(out) as g:
+        assert sgy.tools.dt(g) == 500.0
+        assert g.tracecount == 5 and g.trace.raw[:].shape == (5, 100)
