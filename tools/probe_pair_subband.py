@@ -159,6 +159,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--interleave", action="store_true",
+                    help="rep-level A/B interleave (drift-robust)")
     ap.add_argument("--precision", default="highest",
                     choices=["default", "high", "highest"])
     args = ap.parse_args()
@@ -206,6 +208,27 @@ def main():
         dt = (time.time() - t0) / args.reps
         print(f"{label:8} {dt * 1e3:8.2f} ms/apply")
         return dt
+
+    if args.interleave:
+        # rep-level A/B interleave: tunnel drift hits both programs
+        # equally inside one window (probe_gauss methodology, finer)
+        for f in (f1, f2):  # compile + burn ramp
+            for _ in range(4):
+                float(jnp.sum(f(x, psi, tau).re))
+        t1 = t2 = 0.0
+        for _ in range(args.reps):
+            t0 = time.time()
+            float(jnp.sum(f1(x, psi, tau).re))
+            t1 += time.time() - t0
+            t0 = time.time()
+            float(jnp.sum(f2(x, psi, tau).re))
+            t2 += time.time() - t0
+        d1, d2 = t1 / args.reps, t2 / args.reps
+        print(f"single {d1 * 1e3:8.2f} ms/apply")
+        print(f"pair   {d2 * 1e3:8.2f} ms/apply")
+        print(f"interleaved: single/pair = {d1 / d2:.3f}x "
+              f"({'pair wins' if d2 < d1 else 'single wins'})")
+        return
 
     for round_ in range(2):
         d1 = rate(f1, "single")
