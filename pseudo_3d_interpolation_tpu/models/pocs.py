@@ -79,6 +79,13 @@ class POCSConfig:
     # XLA path when unsupported
     use_pallas: bool = False
     pallas_interpret: bool = False  # interpret mode for CPU testing
+    # cube drivers (parallel/solver.interpolate_cube[_resident]) zero-pad
+    # slices spatially to the next 128-multiple before the solve (observed-
+    # zero frame: amplitude 0, mask 1 — utils/pad.pad_slices_to_tile) and
+    # crop after, so arbitrary survey grids ride the fused Pallas kernels
+    # (which require %128 sides). The transform sees the padded grid, so
+    # numerics differ slightly from the unpadded solve; off by default.
+    pad_to_tile: bool = False
 
 
 class POCSResult(NamedTuple):

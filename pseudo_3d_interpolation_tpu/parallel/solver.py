@@ -21,6 +21,7 @@ import numpy as np
 from ..models.pocs import POCSConfig, POCSResult, pocs_interpolate
 from ..models.transforms import get_transform
 from ..ops.cplx import Cplx, from_complex, to_complex
+from ..utils.pad import pad_slices_to_tile
 from . import mesh as mesh_lib
 
 
@@ -114,6 +115,9 @@ def interpolate_cube(
         return (np.empty(data.shape, np.complex64 if was_complex
                          else np.float32),
                 np.empty((0,), np.int32), np.empty((0,), np.float32))
+    crop = None
+    if config.pad_to_tile:
+        data, mask, crop = pad_slices_to_tile(data, mask)
     batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
 
     out = np.empty(data.shape, np.complex64 if was_complex else np.float32)
@@ -152,6 +156,8 @@ def interpolate_cube(
         in_flight = nxt
     if in_flight is not None:
         _collect(in_flight)
+    if crop is not None:
+        out = np.ascontiguousarray(out[..., :crop[0], :crop[1]])
     return out, n_iters, costs
 
 
@@ -186,6 +192,9 @@ def interpolate_cube_resident(
         return (np.empty(data.shape, np.complex64 if was_complex
                          else np.float32),
                 np.empty((0,), np.int32), np.empty((0,), np.float32))
+    crop = None
+    if config.pad_to_tile:
+        data, mask, crop = pad_slices_to_tile(data, mask)
     batch = min(batch, f_total)
     npad = mesh_lib.pad_to_multiple(f_total, batch)
     if npad != f_total:
@@ -225,6 +234,8 @@ def interpolate_cube_resident(
         if progress is not None:
             progress(min(s + batch, f_total), f_total)
     out = to_complex(rec) if was_complex else np.asarray(rec.re)
+    if crop is not None:
+        out = np.ascontiguousarray(out[..., :crop[0], :crop[1]])
     return out[:f_total], np.asarray(iters)[:f_total], np.asarray(cost)[:f_total]
 
 

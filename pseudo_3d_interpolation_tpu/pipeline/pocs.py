@@ -380,13 +380,20 @@ def interpolate(
     # a multiscale basis expands each batch slice into L subband
     # coefficients (~50-61 for SHEARLET/CURVELET), so the budget scales
     # the batch term by the subband count rather than assuming L == 1
-    expansion = _transform_subbands(transform, moved.shape[-2:], config)
+    # budget against the shape the driver will ACTUALLY solve: with
+    # pad_to_tile the drivers pad slices to %128 sides before the solve
+    h_b, w_b = moved.shape[-2], moved.shape[-1]
+    if config.pad_to_tile:
+        from ..utils.pad import next_multiple
+
+        h_b, w_b = next_multiple(h_b, 128), next_multiple(w_b, 128)
+    expansion = _transform_subbands(transform, (h_b, w_b), config)
     resident_batch = min(batch, 32)  # the batch the driver will ACTUALLY use
     # budget in DEVICE bytes, not input bytes: the solver materializes an
     # (re, im) f32 pair (8 B/sample) whether the host array is complex64
     # or real float32 — moved.nbytes would under-budget real cubes 2x and
     # select the resident driver into an OOM
-    slice_dev_bytes = moved[0].size * 8
+    slice_dev_bytes = h_b * w_b * 8
     batch_bytes = resident_batch * slice_dev_bytes * 4 * expansion
     resident = (mesh is None and _jax.device_count() == 1
                 and moved.shape[0] * slice_dev_bytes * 4 + batch_bytes
@@ -487,8 +494,16 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     # too-big cube would OOM right here)
     b_res = min(batch, 32)
     f_total = int(n_slices) if n_slices else b_res
-    slice_bytes = h * w * 8  # complex64 as an (re, im) f32 pair
-    expansion = _transform_subbands(transform, (h, w), config)
+    # mirror interpolate()'s budget: with pad_to_tile the drivers solve the
+    # %128-padded shape (warmup passes the UNPADDED production shape and
+    # the drivers pad internally, exactly like the production run)
+    h_b, w_b = h, w
+    if config.pad_to_tile:
+        from ..utils.pad import next_multiple as _nm
+
+        h_b, w_b = _nm(h, 128), _nm(w, 128)
+    slice_bytes = h_b * w_b * 8  # complex64 as an (re, im) f32 pair
+    expansion = _transform_subbands(transform, (h_b, w_b), config)
     fits = (f_total * slice_bytes * 4
             + b_res * slice_bytes * 4 * expansion) < 8 * 2**30
     if mesh is None and _jax.device_count() == 1 and fits:

@@ -74,3 +74,29 @@ def next_multiple(n: int, m: int) -> int:
 def next_pow2(n: int) -> int:
     """Smallest power of two >= n (host-side; FFT-friendly padding)."""
     return 1 << int(np.ceil(np.log2(max(int(n), 1))))
+
+
+def pad_slices_to_tile(data, mask, multiple: int = 128):
+    """Zero-pad a (..., H, W) slice stack and its shared (H, W) mask to the
+    next ``multiple``-aligned sides, host-side.
+
+    The frame is an *observed-zero* border: amplitude 0 with mask 1, so the
+    POCS reinsertion keeps pinning it toward zero every iteration instead of
+    treating it as missing traces to hallucinate into. Purpose: the fused
+    Pallas kernels require %128 sides (the MXU/VREG tile —
+    ops/pallas/pocs_iter.py), which real survey grids rarely bin to; padding
+    lets any grid ride them. The transform then sees the padded grid, so the
+    solve is a (slightly) different — equally valid — POCS problem; callers
+    crop back to ``(h, w)`` with the returned original sides. No-op (inputs
+    returned unchanged) when both sides are already aligned.
+    """
+    data = np.asarray(data)
+    h, w = data.shape[-2:]
+    hp, wp = next_multiple(h, multiple), next_multiple(w, multiple)
+    if (hp, wp) == (h, w):
+        return data, mask, (h, w)
+    padded = np.zeros(data.shape[:-2] + (hp, wp), data.dtype)
+    padded[..., :h, :w] = data
+    mask_p = np.ones((hp, wp), np.float32)
+    mask_p[:h, :w] = np.asarray(mask, np.float32)
+    return padded, mask_p, (h, w)
