@@ -131,6 +131,11 @@ def pocs_interpolate(
 
     Trace-once: this function is pure and shape-static — wrap in ``jax.jit``
     (or use the pre-jitted :func:`pocs_interpolate_jit`).
+
+    Note: ``config.pad_to_tile`` is a *driver-level* option, honored by the
+    cube drivers (parallel/solver.interpolate_cube[_resident]) which pad
+    host-side before calling in; at this layer the slices are solved at
+    exactly the shape given (non-%128 shapes take the XLA path).
     """
     cfg = config
     if transform is None:

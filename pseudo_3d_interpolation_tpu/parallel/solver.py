@@ -64,6 +64,9 @@ def pocs_interpolate_sharded(
     ``z`` is a ``Cplx`` of shape (B, H, W); B must divide evenly across the
     mesh (pad with zero slices host-side — they short-circuit to zero output,
     reference POCS.py:515-521, so padding is free).
+
+    ``config.pad_to_tile`` is ignored at this layer (driver-level option —
+    the cube drivers pad host-side before calling in).
     """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
@@ -265,7 +268,9 @@ def pocs_interpolate_scanned(
 
     ``z``: (F, H, W) pair with F divisible by ``batch`` (pad with zero
     slices — they short-circuit). Returns (data, n_iterations, cost) like
-    :func:`pocs_interpolate`, but F-length.
+    :func:`pocs_interpolate`, but F-length. ``config.pad_to_tile`` is
+    ignored at this layer (driver-level option — the cube drivers pad
+    host-side before calling in).
     """
     if transform is None:
         transform = get_transform(config.transform_kind)

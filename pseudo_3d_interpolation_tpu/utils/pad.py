@@ -89,12 +89,19 @@ def pad_slices_to_tile(data, mask, multiple: int = 128):
     solve is a (slightly) different — equally valid — POCS problem; callers
     crop back to ``(h, w)`` with the returned original sides. No-op (inputs
     returned unchanged) when both sides are already aligned.
+
+    Memory note: this materializes a full padded HOST copy of ``data``. The
+    blowup factor is ``(ceil(h/128)*128 * ceil(w/128)*128) / (h*w)`` — up to
+    ~6x host RAM + device upload for small strongly non-aligned grids (e.g.
+    60x45 -> 128x128). For large cubes with non-aligned grids prefer the
+    checkpointed streaming driver (pipeline/pocs.interpolate_checkpointed),
+    which pads per-slab rather than whole-cube.
     """
     data = np.asarray(data)
     h, w = data.shape[-2:]
     hp, wp = next_multiple(h, multiple), next_multiple(w, multiple)
     if (hp, wp) == (h, w):
-        return data, mask, (h, w)
+        return data, np.asarray(mask, np.float32), (h, w)
     padded = np.zeros(data.shape[:-2] + (hp, wp), data.dtype)
     padded[..., :h, :w] = data
     mask_p = np.ones((hp, wp), np.float32)
