@@ -13,3 +13,4 @@ from . import binning  # noqa: F401
 from . import fft  # noqa: F401
 from . import pocs  # noqa: F401
 from . import ifft  # noqa: F401
+from . import stage2  # noqa: F401  (sharded device-resident 12-14 span)
