@@ -1300,8 +1300,14 @@ def _fill_time_gaps(data: np.ndarray, raws: np.ndarray, factor: float = 1.5):
     if len(dts) == 0:
         return data, raws, 0
     med = np.median(dts[dts > 0]) if (dts > 0).any() else 1.0
+    # interpolate coordinates AND sequence counters for gap fillers — the
+    # reference linearly interpolates every header column of a gap record
+    # (merge_segys.py:325-331); coordinates and monotone counters are the
+    # ones where a stale copy of the previous trace would be wrong
     coord_cols = {name: col(name).astype(np.float64)
-                  for name in ("SourceX", "SourceY", "GroupX", "GroupY")}
+                  for name in ("SourceX", "SourceY", "GroupX", "GroupY",
+                               "TRACE_SEQUENCE_LINE", "FieldRecord",
+                               "ShotPoint")}
     out_data = [data[:1]]
     out_raws = [raws[:1]]
     n_ins = 0

@@ -29,19 +29,24 @@ Gates (each reference wrapper from /root/reference):
     additional pyproj-compatible facade utils/pyproj_compat): coordinate
     headers byte-identical to `p3d reproject`.
 
-Args are built via each script's own ``define_input_args().parse_args``
-so reference defaults apply verbatim.
+  - 01 merge (merge_segys.wrapper_merge_segys): identical merged traces,
+    gap zero-trace, interpolated counters/coords/timestamps. Runs with ONE
+    test-side patch: pandas ≥ 2 removed the positional-axis
+    ``pd.isnull(df).any(1)`` call (merge_segys.py:321).
+  - 06 tide (tide_compensation_segy.wrapper_tide_compensation): identical
+    compensated traces + sample shifts, with the reference's tpxo interface
+    stubbed by the repo's own TideAtlas engine over a shared synthetic
+    atlas (tide physics itself is pinned by tests/test_tide_crs.py).
+  - 07 mistie (mistie_correction_segy.main_misties + wrapper): identical
+    corrected traces on a crossing survey with an injected mistie, with
+    shapely/geopandas stubbed by the repo's vectorized segment-intersection
+    math, plus an alias for the reference's own case-sensitivity bug
+    (imports ``functions.utils_io``, file is ``utils_IO.py`` — unrunnable
+    as-is on any case-sensitive filesystem).
 
-Not gated here: 01 merge — the reference's ``wrapper_merge_segys`` cannot
-run on pandas ≥ 2 at all (``pd.isnull(df).any(1)`` positional-axis call,
-merge_segys.py:321 — removed in pandas 2.0), independent of any segyio
-question; merge behavior is pinned by tests/test_stage1.py::test_merge.
-06 tide needs tpxo-tide-prediction (and its TPXO9 atlas data files) at
-import time — tide physics is pinned by tests/test_tide_crs.py instead.
-07 mistie imports geopandas + shapely 2's vectorized geometry API at
-module level; the network solve is pinned value-level by
-tests/test_stage1.py::test_mistie_network (crossing-lines scenario with
-a known mistie) instead.
+Args are built via each script's own ``define_input_args().parse_args``
+so reference defaults apply verbatim. With these three, all 8 stage-1
+steps are workflow-diffed against the live reference scripts.
 """
 
 from __future__ import annotations
@@ -555,3 +560,433 @@ def test_shim_metadata_roundtrip(tmp_path):
     with sgy.open(out) as g:
         assert sgy.tools.dt(g) == 500.0
         assert g.tracecount == 5 and g.trace.raw[:].shape == (5, 100)
+
+
+# ---------------------------------------------------------------------------
+# 01 — merge (the reference script runs over the shim with ONE test-side
+# compatibility patch: pandas 2 removed the positional-axis DataFrame.any(1)
+# call its merge_segys.py:321 makes — restored for the duration of the test)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ref_merge(ref, monkeypatch):
+    import pandas as pd
+
+    orig_any = pd.DataFrame.any
+
+    def _any(self, *args, **kwargs):
+        if args and "axis" not in kwargs:
+            kwargs["axis"] = args[0]
+            args = args[1:]
+        return orig_any(self, *args, **kwargs)
+
+    monkeypatch.setattr(pd.DataFrame, "any", _any)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        from pseudo_3D_interpolation import merge_segys as rm
+    finally:
+        sys.path.remove(REF_ROOT)
+    return rm
+
+
+def _split_line(dirpath, gap_at=42, ntr_a=42, ntr_b=6, spacing=10.0):
+    """One line as two files with a single missing trace between them."""
+    os.makedirs(dirpath, exist_ok=True)
+    a = os.path.join(dirpath, "line_a_UTM.sgy")
+    b = os.path.join(dirpath, "line_b_UTM.sgy")
+    make_profile(a, ntr=ntr_a, ns=256, dt_us=250, delrt_ms=20,
+                 seafloor_ms=np.full(ntr_a, 40.0), seed=31,
+                 times_start="2023-05-01T10:00:00", x0=0.0, spacing=spacing,
+                 extra_headers={
+                     "TRACE_SEQUENCE_LINE": np.arange(1, ntr_a + 1),
+                     "FieldRecord": np.arange(1, ntr_a + 1)})
+    t0_b = gap_at + 1  # one trace (index gap_at, second gap_at) is missing
+    make_profile(b, ntr=ntr_b, ns=256, dt_us=250, delrt_ms=20,
+                 seafloor_ms=np.full(ntr_b, 40.0), seed=32,
+                 times_start=f"2023-05-01T10:00:{t0_b:02d}",
+                 x0=t0_b * spacing, spacing=spacing,
+                 extra_headers={
+                     "TRACE_SEQUENCE_LINE": np.arange(t0_b + 1, t0_b + ntr_b + 1),
+                     "FieldRecord": np.arange(t0_b + 1, t0_b + ntr_b + 1)})
+    return a, b
+
+
+def test_merge_matches_reference(ref_merge, tmp_path):
+    """Reference wrapper_merge_segys vs stage1.merge_small_files: identical
+    merged traces (incl. the inserted zero gap trace), coordinates,
+    interpolated sequence counters, timestamps, and renumbered
+    TRACE_SEQUENCE_FILE; .parts sidecars name the same sources."""
+    ra, rb = _split_line(str(tmp_path / "ref"))
+    pa, pb = _split_line(str(tmp_path / "repo"))
+
+    ref_merge.wrapper_merge_segys([ra, rb], verbosity=0)
+    ref_out = os.path.join(str(tmp_path / "ref"), "line_a_UTM_merge.sgy")
+    assert os.path.isfile(ref_out)
+
+    outs = stage1.merge_small_files(str(tmp_path / "repo"), min_kb=40.0,
+                                    max_gap_s=120.0)
+    repo_out = [o for o in outs if "merged" in o]
+    assert len(repo_out) == 1
+    repo_out = repo_out[0]
+
+    da, _ = _data_bin(ref_out)
+    db, _ = _data_bin(repo_out)
+    assert da.shape == db.shape == (49, 256)
+    np.testing.assert_array_equal(db, da)
+    assert not da[42].any()  # the gap filler is a zero trace in both
+
+    fields = ["TRACE_SEQUENCE_LINE", "TRACE_SEQUENCE_FILE", "FieldRecord",
+              "SourceX", "SourceY", "YearDataRecorded", "DayOfYear",
+              "HourOfDay", "MinuteOfHour", "SecondOfMinute",
+              "DelayRecordingTime"]
+    ha = _headers(ref_out, fields)
+    hb = _headers(repo_out, fields)
+    for name in fields:
+        np.testing.assert_array_equal(hb[name], ha[name], err_msg=name)
+    # the interpolated gap record carries the midpoint values
+    assert int(ha["TRACE_SEQUENCE_LINE"][42]) == 43
+    assert int(ha["SourceX"][42]) == 42000
+
+    # .parts sidecars reference the same source files
+    ref_parts = open(os.path.join(str(tmp_path / "ref"),
+                                  "line_a_UTM_merge.parts")).read()
+    repo_parts = open(repo_out.replace(".sgy", ".parts")).read()
+    for name in ("line_a_UTM", "line_b_UTM"):
+        assert name in ref_parts and name in repo_parts
+
+
+# ---------------------------------------------------------------------------
+# 06 — tide compensation (the reference script runs with its tpxo interface
+# stubbed by the repo's own TideAtlas harmonic engine — both pipelines then
+# predict from the SAME synthesized atlas, and the gate diffs the whole
+# compensation chain: per-trace prediction, sample shift, output traces)
+# ---------------------------------------------------------------------------
+
+
+def _make_atlas(path):
+    from pseudo_3d_interpolation_tpu.utils.tide import TideAtlas
+
+    lat = np.linspace(53.9, 54.4, 5)
+    lon = np.linspace(8.8, 9.2, 5)
+    glat, glon = np.meshgrid(lat, lon, indexing="ij")
+    atlas = TideAtlas(lat, lon, {
+        "M2": (0.2 + 0.4 * (glat - lat[0]) / (lat[-1] - lat[0]),
+               30.0 + 60.0 * (glon - lon[0]) / (lon[-1] - lon[0])),
+        "S2": (0.05 + 0.1 * (glat - lat[0]) / (lat[-1] - lat[0]),
+               100.0 + 40.0 * (glat - lat[0]) / (lat[-1] - lat[0])),
+    })
+    atlas.save(path)
+    return path
+
+
+@pytest.fixture()
+def ref_tide(ref, monkeypatch, tmp_path):
+    """Import the reference tide script over segyio + pyproj shims with
+    ``tpxo_tide_prediction`` stubbed by the repo's TideAtlas engine."""
+    import importlib
+    import importlib.machinery
+
+    from pseudo_3d_interpolation_tpu.utils import pyproj_compat
+    from pseudo_3d_interpolation_tpu.utils.tide import TideAtlas
+
+    stub = types.ModuleType("tpxo_tide_prediction")
+    stub.__spec__ = importlib.machinery.ModuleSpec("tpxo_tide_prediction", None)
+
+    def tide_predict(model_dir, lat, lon, times, constituents=None,
+                     correct_minor=False, mode="track"):
+        p = model_dir
+        if os.path.isdir(p):
+            p = os.path.join(p, "atlas.nc")
+        atlas = TideAtlas.from_file(p)
+        cons = [c.upper() for c in constituents] if constituents else None
+        return atlas.predict(np.asarray(times), np.asarray(lat),
+                             np.asarray(lon), constituents=cons,
+                             correct_minor=correct_minor)
+
+    stub.tide_predict = tide_predict
+    monkeypatch.setitem(sys.modules, "tpxo_tide_prediction", stub)
+    pyproj_compat.install()
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import pseudo_3D_interpolation.functions.backends as rb
+
+        importlib.reload(rb)  # re-evaluate find_spec with the stub present
+        assert rb.tpxo_tide_prediction_enabled
+        sys.modules.pop("pseudo_3D_interpolation.tide_compensation_segy", None)
+        from pseudo_3D_interpolation import tide_compensation_segy as rt
+    finally:
+        sys.path.remove(REF_ROOT)
+        pyproj_compat.uninstall()
+    yield rt
+    sys.modules.pop("pseudo_3D_interpolation.tide_compensation_segy", None)
+    importlib.reload(rb)  # restore honest flags for later tests
+
+
+def test_tide_matches_reference(ref_tide, tmp_path):
+    """Reference wrapper_tide_compensation vs stage1.tide_compensate over
+    one shared synthetic atlas: identical predicted tides, identical
+    integer shifts (opposite sign conventions in the aux files), identical
+    compensated traces."""
+    from pseudo_3d_interpolation_tpu.utils import pyproj_compat
+
+    atlas_path = _make_atlas(str(tmp_path / "atlas.nc"))
+    ntr = 48
+    floor = 12.0 + 1.5 * np.sin(0.3 * np.arange(ntr))
+    kwargs = dict(ntr=ntr, ns=256, dt_us=250, delrt_ms=0,
+                  seafloor_ms=floor, seed=41,
+                  times_start="2023-05-01T10:00:00",
+                  x0=500000.0, y0=6000000.0, heading=(0.0, 1.0), spacing=25.0)
+    pa, pb = _twin_inputs(tmp_path, "tideline", **kwargs)
+
+    parser = ref_tide.define_input_args()
+    args = parser.parse_args([
+        pa, str(tmp_path), "--crs_src", "epsg:32632",
+        "--constituents", "m2", "s2", "--src_coords", "source",
+        "--write_aux"])
+    args.verbose = 0
+    pyproj_compat.install()
+    try:
+        ref_tide.wrapper_tide_compensation(pa, args)
+    finally:
+        pyproj_compat.uninstall()
+    ref_out = pa.replace(".sgy", "_tide.sgy")
+    assert os.path.isfile(ref_out)
+
+    outs = stage1.tide_compensate(pb, atlas_path, src_epsg=32632)
+    repo_out = outs[0]
+
+    da, _ = _data_bin(ref_out)
+    db, _ = _data_bin(repo_out)
+    np.testing.assert_array_equal(db, da)
+
+    # aux parity: tide heights match to the reference's 6-dp dump; the
+    # sample columns are sign-mirrored conventions of the same shift
+    import pandas as pd
+
+    ref_aux = pd.read_csv(ref_out.replace(".sgy", ".tid"))
+    repo_aux = pd.read_csv(repo_out.replace(".sgy", ".tid"))
+    np.testing.assert_allclose(repo_aux["tide_m"], ref_aux["tide_m"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(-repo_aux["shift_samples"],
+                                  ref_aux["tide_samples"])
+    assert np.abs(repo_aux["shift_samples"]).max() >= 1  # shifts actually happened
+
+
+# ---------------------------------------------------------------------------
+# 07 — mistie (the reference script runs with shapely/geopandas stubbed by a
+# minimal geometry layer backed by the repo's own vectorized segment-
+# intersection math, plus a module alias for its case-sensitivity bug:
+# mistie_correction_segy.py:24 imports `functions.utils_io` while the file
+# on disk is `utils_IO.py` — unrunnable on any case-sensitive filesystem)
+# ---------------------------------------------------------------------------
+
+
+def _make_shapely_stub():
+    """Minimal shapely-2 surface for the reference mistie script, backed by
+    stage1._segment_intersections (transversal polyline crossings only)."""
+    import enum
+    import importlib.machinery
+
+    from pseudo_3d_interpolation_tpu.pipeline.stage1 import (
+        _segment_intersections,
+    )
+
+    mod = types.ModuleType("shapely")
+    mod.__spec__ = importlib.machinery.ModuleSpec("shapely", None)
+
+    class Point:
+        type_id = 0
+
+        def __init__(self, x, y):
+            self.x, self.y = float(x), float(y)
+
+    class LineString:
+        type_id = 1
+
+        def __init__(self, coords):
+            self.coords = np.asarray(coords, float)
+
+    class MultiPoint:
+        type_id = 4
+
+        def __init__(self, pts):
+            self.geoms = list(pts)
+
+    class GeometryType(enum.IntEnum):
+        MISSING = -1
+        POINT = 0
+        LINESTRING = 1
+        LINEARRING = 2
+        POLYGON = 3
+        MULTIPOINT = 4
+        MULTILINESTRING = 5
+        MULTIPOLYGON = 6
+        GEOMETRYCOLLECTION = 7
+
+    def _pair_intersection(a, b):
+        hits = _segment_intersections(a.coords, b.coords)
+        pts = [Point(*h[0]) for h in hits]
+        if not pts:
+            return None
+        return pts[0] if len(pts) == 1 else MultiPoint(pts)
+
+    def linestrings(coords, indices=None):
+        coords = np.asarray(coords, float)
+        if indices is None:
+            return LineString(coords)
+        idx = np.asarray(indices)
+        splits = np.nonzero(np.diff(idx))[0] + 1
+        return np.array([LineString(c) for c in np.split(coords, splits)],
+                        dtype=object)
+
+    class STRtree:
+        def __init__(self, geoms):
+            self._geoms = list(geoms)
+
+        def query(self, geoms, predicate=None):
+            assert predicate == "intersects"
+            rows, cols = [], []
+            for i, ga in enumerate(np.atleast_1d(geoms)):
+                for j, gb in enumerate(self._geoms):
+                    if i == j or _pair_intersection(ga, gb) is not None:
+                        rows.append(i)
+                        cols.append(j)
+            return np.asarray([rows, cols])
+
+    def intersection(a, b):
+        if isinstance(a, np.ndarray):
+            return np.array([_pair_intersection(x, y) for x, y in zip(a, b)],
+                            dtype=object)
+        return _pair_intersection(a, b)
+
+    def get_parts(geoms, return_index=False):
+        parts, idx = [], []
+        for k, g in enumerate(np.atleast_1d(geoms)):
+            if isinstance(g, MultiPoint):
+                parts.extend(g.geoms)
+                idx.extend([k] * len(g.geoms))
+            else:
+                parts.append(g)
+                idx.append(k)
+        parts = np.array(parts, dtype=object)
+        if return_index:
+            return parts, np.asarray(idx)
+        return parts
+
+    def _vec(fn):
+        def wrapped(g, *a):
+            if isinstance(g, np.ndarray):
+                return np.asarray([fn(x, *a) for x in g])
+            return fn(g, *a)
+
+        return wrapped
+
+    mod.GeometryType = GeometryType
+    mod.linestrings = linestrings
+    mod.prepare = lambda g: None
+    mod.STRtree = STRtree
+    mod.intersection = intersection
+    mod.get_parts = get_parts
+    mod.get_type_id = _vec(lambda g: g.type_id)
+    mod.get_num_points = _vec(
+        lambda g: len(g.coords) if isinstance(g, LineString) else 0)
+    mod.get_point = lambda g, j: Point(*g.coords[j])
+    mod.get_x = _vec(lambda g: g.x)
+    mod.get_y = _vec(lambda g: g.y)
+    mod.Point = Point
+    mod.LineString = LineString
+    mod.MultiPoint = MultiPoint
+    return mod
+
+
+@pytest.fixture()
+def ref_mistie(ref, monkeypatch):
+    import importlib
+    import importlib.machinery
+
+    shap = _make_shapely_stub()
+    gpd_stub = types.ModuleType("geopandas")
+    gpd_stub.__spec__ = importlib.machinery.ModuleSpec("geopandas", None)
+    monkeypatch.setitem(sys.modules, "shapely", shap)
+    monkeypatch.setitem(sys.modules, "geopandas", gpd_stub)
+    sys.path.insert(0, REF_ROOT)
+    try:
+        # the reference's own import bug: utils_io vs utils_IO.py
+        utils_io = importlib.import_module(
+            "pseudo_3D_interpolation.functions.utils_IO")
+        monkeypatch.setitem(
+            sys.modules, "pseudo_3D_interpolation.functions.utils_io",
+            utils_io)
+        sys.modules.pop("pseudo_3D_interpolation.mistie_correction_segy", None)
+        from pseudo_3D_interpolation import mistie_correction_segy as rm
+    finally:
+        sys.path.remove(REF_ROOT)
+    yield rm
+    sys.modules.pop("pseudo_3D_interpolation.mistie_correction_segy", None)
+
+
+def _crossing_survey(dirpath, mistie_ms=2.0):
+    """Three parallel inlines + one tie line with a known vertical mistie."""
+    os.makedirs(dirpath, exist_ok=True)
+    ntr, ns, dt_us = 48, 400, 250
+    # slowly varying floor: nonzero gradients exercise the geometry, but
+    # the depth difference between the two nearest traces of any crossing
+    # stays well under half a sample so both correlation conventions
+    # (the reference's raw-envelope argmax, the repo's demeaned xcorr)
+    # measure the exact injected mistie
+    floor = lambda x, y: (50.0 + 3.0 * np.sin(2 * np.pi * y / 3000.0)
+                          + 2.0 * np.cos(2 * np.pi * x / 4000.0))
+    for i in range(3):
+        x0 = 100.0 + 50.0 * i
+        ys = np.arange(ntr) * 10.0
+        make_profile(os.path.join(dirpath, f"line{i:02d}_UTM60S.sgy"),
+                     ntr=ntr, ns=ns, dt_us=dt_us, delrt_ms=0,
+                     seafloor_ms=floor(x0, ys), seed=60 + i,
+                     times_start=f"2023-05-01T{10 + i:02d}:00:00",
+                     x0=x0, y0=0.0, heading=(0.0, 1.0), spacing=10.0)
+    xs = 85.0 + np.arange(40) * 10.0
+    make_profile(os.path.join(dirpath, "tie00_UTM60S.sgy"),
+                 ntr=40, ns=ns, dt_us=dt_us, delrt_ms=0,
+                 seafloor_ms=floor(xs, 235.0) + mistie_ms, seed=70,
+                 times_start="2023-05-02T01:00:00",
+                 x0=85.0, y0=235.0, heading=(1.0, 0.0), spacing=10.0)
+
+
+def test_mistie_matches_reference(ref_mistie, tmp_path):
+    """Reference main_misties + wrapper_mistie_correction_segy vs
+    stage1.mistie_correct on a 3-inlines + 1-tie crossing survey with an
+    injected 2 ms mistie: the per-line integer shifts agree and the
+    corrected traces are identical."""
+    ref_dir = str(tmp_path / "ref")
+    repo_dir = str(tmp_path / "repo")
+    _crossing_survey(ref_dir)
+    _crossing_survey(repo_dir)
+
+    parser = ref_mistie.define_input_args()
+    args = parser.parse_args([
+        ref_dir, "--coords_path", ref_dir, "--coords_origin", "header",
+        "--quality_threshold", "0.2", "--write_aux"])
+    args.verbose = 0
+    list_segy, offsets, offsets_ms, residuals = ref_mistie.main_misties(args)
+    assert len(offsets) == 4 and np.abs(offsets).max() >= 1
+    # offsets are indexed by line_id = first-appearance order in the sorted
+    # navigation sweep; apply them to the files in that same order
+    for fname in sorted(list_segy):
+        line = fname.split("_UTM")[0]
+        k = sorted(f.split("_UTM")[0] for f in list_segy).index(line)
+        ref_mistie.wrapper_mistie_correction_segy(
+            os.path.join(ref_dir, fname), offsets[k], offsets_ms[k], args)
+
+    outs = stage1.mistie_correct(repo_dir, min_correlation=0.2)
+    assert len(outs) == 4
+
+    for fname in sorted(list_segy):
+        ref_out = os.path.join(
+            ref_dir, fname.replace(".sgy", "_mistie.sgy"))
+        repo_out = [o for o in outs
+                    if os.path.basename(o).startswith(fname.split("_UTM")[0])]
+        assert len(repo_out) == 1, (fname, outs)
+        da, _ = _data_bin(ref_out)
+        db, _ = _data_bin(repo_out[0])
+        np.testing.assert_array_equal(db, da, err_msg=fname)
