@@ -607,6 +607,59 @@ def _pocs_config_from_args(args, version: str):
     )
 
 
+def _dump_resolved_args(cmd: str, args, verbosity: int) -> str | None:
+    """Reproducibility sidecar: after a successful run, every subcommand
+    writes its RESOLVED arguments (post-parse, incl. YAML-merged and
+    in-dispatch-normalized values) as a timestamped YAML next to its
+    outputs — the reference writes the same artifact per script
+    (despiking_2D_segy.py:528-533). Gated on verbosity >= 1 like the
+    reference; ``p3d run`` additionally writes the orchestrator's own
+    resolved-config YAML."""
+    if cmd == "version" or verbosity < 1:
+        return None
+    target = None
+    out = getattr(args, "output", None)
+    if isinstance(out, str) and out:
+        target = os.path.dirname(os.path.abspath(out))
+    elif getattr(args, "output_dir", None):
+        target = args.output_dir
+    else:
+        inp = (getattr(args, "input", None) or getattr(args, "config", None)
+               or getattr(args, "like", None))
+        if isinstance(inp, (list, tuple)):
+            inp = inp[0] if inp else None
+        if isinstance(inp, str):
+            target = (inp if os.path.isdir(inp)
+                      else os.path.dirname(os.path.abspath(inp)))
+    if not target or not os.path.isdir(target):
+        return None
+
+    def _clean(v):
+        if isinstance(v, bool) or v is None:
+            return v
+        if isinstance(v, (str, int, float)):
+            return v
+        if isinstance(v, (list, tuple, set)):
+            return [_clean(x) for x in v]
+        if isinstance(v, dict):
+            return {str(k): _clean(x) for k, x in v.items()}
+        if isinstance(v, np.generic):
+            return v.item()
+        return str(v)
+
+    import datetime as _dt
+
+    ts = _dt.datetime.now().isoformat(timespec="seconds").replace(":", "")
+    path = os.path.join(target, f"{ts}_p3d_{cmd}_argparse_parameter.yml")
+    with open(path, "w", newline="\n") as f:
+        yaml.safe_dump({"command": cmd,
+                        "args": {k: _clean(v) for k, v in vars(args).items()
+                                 if k != "cmd"}}, f)
+    xprint(f"saved resolved arguments -> {path}", kind="debug",
+           verbosity=verbosity)
+    return path
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cmd = args.cmd.split("-", 1)[-1] if args.cmd[:2].isdigit() else args.cmd
@@ -846,9 +899,13 @@ def main(argv=None) -> int:
                  "tide", "mistie", "despike"):
         from .pipeline import stage1
 
-        return stage1.run_cli(cmd, args, verbose=v)
+        rc = stage1.run_cli(cmd, args, verbose=v)
+        if not rc:
+            _dump_resolved_args(cmd, args, v)
+        return rc
     else:
         raise SystemExit(f"unknown command {cmd!r}")
+    _dump_resolved_args(cmd, args, v)
     return 0
 
 
