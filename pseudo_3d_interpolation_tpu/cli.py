@@ -394,10 +394,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax profiler trace (TensorBoard/XProf)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable the fused Pallas kernels (XLA solve only)")
-    p.add_argument("--pad-to-tile", action="store_true",
+    p.add_argument("--pad-to-tile", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="zero-pad slices to %%128 sides before the solve "
                         "(observed-zero frame, cropped after) so non-"
-                        "128-multiple survey grids ride the fused kernels")
+                        "128-multiple survey grids ride the fused kernels; "
+                        "default: auto — engage when the measured policy "
+                        "says the padded kernel wins (pad-area <= 1.3x)")
 
     p = cmd("ifft", 14, "inverse FFT back to the time domain")
     p.add_argument("input")
@@ -533,9 +536,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true",
                    help="match a production run that disables the fused "
                         "Pallas kernels (the cache keys on the exact HLO)")
-    p.add_argument("--pad-to-tile", action="store_true",
+    p.add_argument("--pad-to-tile", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="match a production run that pads slices to %%128 "
-                        "sides (the cache keys on the exact HLO)")
+                        "sides (the cache keys on the exact HLO); default: "
+                        "the same auto policy the production drivers use")
 
     sub.add_parser("version", help="print version")
     return ap
@@ -589,8 +594,8 @@ def _pocs_config_from_args(args, version: str):
             meta["version"] = version
         if getattr(args, "no_pallas", False):
             meta["use_pallas"] = False
-        if getattr(args, "pad_to_tile", False):
-            meta["pad_to_tile"] = True
+        if getattr(args, "pad_to_tile", None) is not None:
+            meta["pad_to_tile"] = bool(args.pad_to_tile)
         return cfg
     transform = args.transform or "FFT"
     return POCSConfig(
@@ -603,7 +608,7 @@ def _pocs_config_from_args(args, version: str):
         # XLA solve automatically when the kernels don't support the
         # shape/threshold (models/pocs.py gating)
         use_pallas=not getattr(args, "no_pallas", False),
-        pad_to_tile=getattr(args, "pad_to_tile", False),
+        pad_to_tile=getattr(args, "pad_to_tile", None),
     )
 
 

@@ -84,8 +84,11 @@ class POCSConfig:
     # zero frame: amplitude 0, mask 1 — utils/pad.pad_slices_to_tile) and
     # crop after, so arbitrary survey grids ride the fused Pallas kernels
     # (which require %128 sides). The transform sees the padded grid, so
-    # numerics differ slightly from the unpadded solve; off by default.
-    pad_to_tile: bool = False
+    # numerics differ slightly from the unpadded solve. Tri-state:
+    # None (default) = AUTO — engage when the measured policy says the
+    # padded kernel beats the XLA fallback (pad-area ratio <= 1.3,
+    # utils/pad.auto_pad_to_tile); True/False force/forbid it.
+    pad_to_tile: bool | None = None
 
 
 class POCSResult(NamedTuple):

@@ -21,7 +21,7 @@ import numpy as np
 from ..models.pocs import POCSConfig, POCSResult, pocs_interpolate
 from ..models.transforms import get_transform
 from ..ops.cplx import Cplx, from_complex, to_complex
-from ..utils.pad import pad_slices_to_tile
+from ..utils.pad import auto_pad_to_tile, pad_slices_to_tile
 from . import mesh as mesh_lib
 
 
@@ -119,7 +119,7 @@ def interpolate_cube(
                          else np.float32),
                 np.empty((0,), np.int32), np.empty((0,), np.float32))
     crop = None
-    if config.pad_to_tile:
+    if auto_pad_to_tile(config, data.shape[-2], data.shape[-1], transform):
         data, mask, crop = pad_slices_to_tile(data, mask)
     batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
 
@@ -196,7 +196,7 @@ def interpolate_cube_resident(
                          else np.float32),
                 np.empty((0,), np.int32), np.empty((0,), np.float32))
     crop = None
-    if config.pad_to_tile:
+    if auto_pad_to_tile(config, data.shape[-2], data.shape[-1], transform):
         data, mask, crop = pad_slices_to_tile(data, mask)
     batch = min(batch, f_total)
     npad = mesh_lib.pad_to_multiple(f_total, batch)

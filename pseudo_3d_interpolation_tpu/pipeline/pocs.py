@@ -381,11 +381,12 @@ def interpolate(
     # coefficients (~50-61 for SHEARLET/CURVELET), so the budget scales
     # the batch term by the subband count rather than assuming L == 1
     # budget against the shape the driver will ACTUALLY solve: with
-    # pad_to_tile the drivers pad slices to %128 sides before the solve
+    # pad_to_tile (explicit or auto-resolved) the drivers pad slices to
+    # %128 sides before the solve
     h_b, w_b = moved.shape[-2], moved.shape[-1]
-    if config.pad_to_tile:
-        from ..utils.pad import next_multiple
+    from ..utils.pad import auto_pad_to_tile, next_multiple
 
+    if auto_pad_to_tile(config, h_b, w_b, transform):
         h_b, w_b = next_multiple(h_b, 128), next_multiple(w_b, 128)
     expansion = _transform_subbands(transform, (h_b, w_b), config)
     resident_batch = min(batch, 32)  # the batch the driver will ACTUALLY use
@@ -494,13 +495,14 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     # too-big cube would OOM right here)
     b_res = min(batch, 32)
     f_total = int(n_slices) if n_slices else b_res
-    # mirror interpolate()'s budget: with pad_to_tile the drivers solve the
-    # %128-padded shape (warmup passes the UNPADDED production shape and
-    # the drivers pad internally, exactly like the production run)
+    # mirror interpolate()'s budget: with pad_to_tile (explicit or auto)
+    # the drivers solve the %128-padded shape (warmup passes the UNPADDED
+    # production shape and the drivers pad internally, exactly like the
+    # production run)
     h_b, w_b = h, w
-    if config.pad_to_tile:
-        from ..utils.pad import next_multiple as _nm
+    from ..utils.pad import auto_pad_to_tile as _apt, next_multiple as _nm
 
+    if _apt(config, h, w, transform):
         h_b, w_b = _nm(h, 128), _nm(w, 128)
     slice_bytes = h_b * w_b * 8  # complex64 as an (re, im) f32 pair
     expansion = _transform_subbands(transform, (h_b, w_b), config)

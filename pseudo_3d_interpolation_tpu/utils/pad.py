@@ -76,6 +76,52 @@ def next_pow2(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(int(n), 1))))
 
 
+# measured engage threshold for the auto pad_to_tile policy (docs/perf.md
+# round 4, tools/probe_pad_policy.py on a v5e at the production batch 32):
+# padded-kernel/XLA-fallback speedup by pad-area ratio — 1.02x area -> 1.55x,
+# 1.03x -> 1.66x, 1.05x -> 1.27x, 1.15x -> 1.59x, 1.14x -> 1.05x,
+# 1.64x -> 1.00x (wash), 2.52x -> 0.93x, 5.69x -> 0.76x. Below 1.3 the
+# padded kernel never lost (and stayed >= 1.0 at batch 8 too).
+PAD_TO_TILE_MAX_AREA = 1.3
+
+
+def pad_area_ratio(h: int, w: int, multiple: int = 128) -> float:
+    """Compute overhead factor of tile padding: padded area / raw area."""
+    return (next_multiple(h, multiple) * next_multiple(w, multiple)
+            / float(int(h) * int(w)))
+
+
+def auto_pad_to_tile(config, h: int, w: int, transform=None,
+                     multiple: int = 128) -> bool:
+    """Resolve a POCSConfig's tri-state ``pad_to_tile`` for an (h, w) grid.
+
+    ``True``/``False`` are explicit overrides. ``None`` (the default) is
+    the measured auto policy: engage padding when the fused folded kernel
+    could actually run on the padded grid (use_pallas, FFT/DCT basis,
+    kernel-supported threshold op) AND the pad-area overhead is at most
+    :data:`PAD_TO_TILE_MAX_AREA` — the region where the padded kernel
+    measured never-worse and up to 1.66x faster than the XLA fallback
+    (tools/probe_pad_policy.py). The reference handles arbitrary bin grids
+    implicitly (cube_binning_3D.py:413-558); here arbitrary grids get the
+    fast path automatically when it pays.
+    """
+    if config.pad_to_tile is not None:
+        return bool(config.pad_to_tile)
+    if not config.use_pallas:
+        return False
+    if int(h) % multiple == 0 and int(w) % multiple == 0:
+        return False  # aligned: padding is a no-op
+    kind = getattr(transform, "kind", None) or config.transform_kind
+    if kind not in ("FFT", "DCT"):
+        # directional/wavelet bases have their own kernel gates; the
+        # measured policy covers the folded FFT/DCT kernels only
+        return False
+    op = "garrote" if config.thresh_op == "garotte" else config.thresh_op
+    if op not in ("hard", "soft", "garrote"):
+        return False
+    return pad_area_ratio(h, w, multiple) <= PAD_TO_TILE_MAX_AREA
+
+
 def pad_slices_to_tile(data, mask, multiple: int = 128):
     """Zero-pad a (..., H, W) slice stack and its shared (H, W) mask to the
     next ``multiple``-aligned sides, host-side.

@@ -141,3 +141,53 @@ def test_pad_to_tile_config_plumbing(tmp_path):
                              no_pallas=False, pad_to_tile=True)
     cfg3, _ = config_from_yaml(_pocs_config_from_args(ns2, "fast"))
     assert cfg3.pad_to_tile is True and cfg3.niter == 7
+
+
+def test_auto_pad_policy_rules():
+    """None = auto: engage only where the measured policy says the padded
+    kernel wins (pad-area <= 1.3, kernel-capable config)."""
+    from pseudo_3d_interpolation_tpu.utils.pad import (
+        auto_pad_to_tile, pad_area_ratio)
+
+    base = POCSConfig(use_pallas=True)  # pad_to_tile defaults to None
+    assert abs(pad_area_ratio(500, 380) - (512 * 384) / (500 * 380)) < 1e-12
+    assert auto_pad_to_tile(base, 500, 380)          # 1.03x — wins 1.66x
+    assert auto_pad_to_tile(base, 120, 120)          # 1.14x — wins
+    assert not auto_pad_to_tile(base, 72, 40)        # 5.69x — loses
+    assert not auto_pad_to_tile(base, 300, 200)      # 1.64x — wash
+    assert not auto_pad_to_tile(base, 512, 384)      # aligned: no-op
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, use_pallas=False), 500, 380)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, transform_kind="SHEARLET"), 500, 380)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, thresh_op="energy"), 500, 380)
+    # explicit overrides beat the policy in both directions
+    assert auto_pad_to_tile(
+        dataclasses.replace(base, pad_to_tile=True), 72, 40)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, pad_to_tile=False), 500, 380)
+
+
+def test_auto_pad_engages_fused_kernel_by_default(monkeypatch):
+    """A raw non-%128 grid inside the measured win region rides the fused
+    kernel BY DEFAULT (no flag), cropped back to the original shape."""
+    from pseudo_3d_interpolation_tpu.ops import pallas as pallas_pkg
+
+    calls = []
+    real = pallas_pkg.pocs_solve_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pallas_pkg, "pocs_solve_fused", spy)
+    truth, mask = _problem(f=2, h=120, w=120, seed=11)  # pad area 1.14x
+    obs = truth * mask
+    cfg = POCSConfig(niter=10, p_min=1e-3, version="fast", alpha=0.75,
+                     eps=0.0, use_pallas=True, pallas_interpret=True)
+    assert cfg.pad_to_tile is None
+    rec, _, _ = interpolate_cube_resident(obs, mask, cfg, batch=2)
+    assert calls, "auto policy must engage the padded fused kernel"
+    assert rec.shape == truth.shape
+    assert _snr(rec, truth) > _snr(obs, truth) + 2.0
