@@ -212,6 +212,24 @@ def main():
         "vs_baseline": round(slice_iters_per_sec / northstar_per_chip, 2),
     }), flush=True)
 
+    # driver-visible MFU (VERDICT r3 #6): exact rMAC roofline accounting
+    # (utils/roofline.py, derivation in tools/roofline.py) applied to the
+    # measured headline rate. Only meaningful for the standard 512x512 gate
+    # shape on the fused-kernel path.
+    if H == W == 512 and not path_note:
+        from pseudo_3d_interpolation_tpu.utils import roofline as rl
+
+        mfu = rl.mfu_pct(slice_iters_per_sec,
+                         2 * rl.full_transform_rmacs(H), "highest")
+        print(json.dumps({
+            "metric": "mfu_pct_512x512_fft_highest",
+            "value": round(mfu, 1),
+            "unit": ("% of the attainable f32 MXU ceiling (197 bf16 "
+                     "TFLOP/s / 6 passes; exact rMAC count from the "
+                     "transform plan — tools/roofline.py)"),
+            "vs_baseline": round(mfu / 100.0, 3),
+        }), flush=True)
+
     # --- per-basis tail (VERDICT r2 #5): directional-basis regressions must
     # be driver-visible, not only in the manual bench_detail study. One JSON
     # line per production basis, same schema, headline stays first. Skipped
@@ -248,15 +266,20 @@ def main():
 
     # p_min='adaptive' is shearlet-specific (reference POCS.py:302-324);
     # CURVELET/WAVELET run the numeric-p_min branch like the north-star
-    # runner. The FFT_HIGH entry re-runs the headline config with bf16x3
-    # in-kernel dots (Precision.HIGH) at the full headline batch: measured
-    # cube-SNR-neutral to 0.001 dB on the north-star cube (docs/perf.md
-    # precision table), so the production quality/speed sweet spot is
-    # driver-visible next to the f32 headline.
+    # runner. HIGH (bf16x3) rows are the PRODUCTION settings (round 4:
+    # cube-SNR-neutral on the north-star cube for FFT and the directional
+    # bases — docs/perf.md precision tables), listed first so the driver
+    # gate reports the rates the framework actually achieves at its
+    # recommended config; the f32-HIGHEST directional rows come last and
+    # are the first to be budget-skipped. Directional rows run batch 8 —
+    # the measured saturating batch (batch 16 LOSES at HIGH, perf.md
+    # round 3c); FFT_HIGH runs the full headline batch.
     tail = [("FFT_HIGH", {"precision": "high"}, "adaptive"),
+            ("SHEARLET_HIGH", {"precision": "high"}, "adaptive"),
+            ("CURVELET_HIGH", {"precision": "high"}, 1e-3),
+            ("WAVELET", {}, 1e-3),
             ("SHEARLET", {"precision": "highest"}, "adaptive"),
-            ("CURVELET", {"precision": "highest"}, 1e-3),
-            ("WAVELET", {}, 1e-3)]
+            ("CURVELET", {"precision": "highest"}, 1e-3)]
     for kind, kw, p_min in tail:
         if time.perf_counter() - t_start > budget_s:
             print(json.dumps({
@@ -268,7 +291,7 @@ def main():
             }), flush=True)
             continue
         try:
-            base_kind = "FFT" if kind == "FFT_HIGH" else kind
+            base_kind = kind.rsplit("_HIGH", 1)[0]
             tr = get_transform(base_kind, **kw)
             tcfg = POCSConfig(niter=NITER, thresh_op="hard",
                               thresh_model="exponential", p_min=p_min,
@@ -291,7 +314,7 @@ def main():
             # directional bases: smaller batch, same per-slice rate;
             # FFT_HIGH runs the full headline batch (throughput saturates
             # there, like the headline itself)
-            tb = B if kind == "FFT_HIGH" else min(8, B)
+            tb = B if kind == "FFT_HIGH" else min(8, B)  # saturating batches
             ztail = Cplx(z.re[:tb], z.im[:tb])
             tfn = make_tail_solver(tcfg)
             try:
@@ -313,14 +336,16 @@ def main():
                 acct = acct + tfn(ztail, m, jnp.float32(1.0 + 0.001 * i))
             float(acct)
             rate = tb * NITER / ((time.perf_counter() - t0) / reps_t)
+            prec_note = ("bf16x3-high (production default; cube-SNR-"
+                         "neutral, docs/perf.md)" if kind.endswith("_HIGH")
+                         else "f32-highest" if kw else "")
             print(json.dumps({
                 "metric": f"pocs_slice_iters_per_sec_512x512_{kind.lower()}",
                 "value": round(rate, 1),
-                "unit": ("slice-iterations/s (512x512 FPOCS, FFT basis, "
-                         "bf16x3-high (cube-SNR-neutral, docs/perf.md)"
-                         if kind == "FFT_HIGH" else
-                         f"slice-iterations/s (512x512 FPOCS, {kind} basis"
-                         + (", f32-highest" if kw else "")) + tnote + ")",
+                "unit": (f"slice-iterations/s (512x512 FPOCS, {base_kind} "
+                         f"basis, batch {tb}"
+                         + (", " + prec_note if prec_note else "")
+                         + tnote + ")"),
                 "vs_baseline": round(rate / northstar_per_chip, 2),
             }), flush=True)
         except Exception as e:  # never let a tail basis kill the headline run

@@ -50,59 +50,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def full_transform_rmacs(n: int) -> int:
-    """One full-size fft2 or ifft2 on an (n, n) slice, split + Gauss."""
-    from pseudo_3d_interpolation_tpu.ops import dft
-
-    sp = dft.fast_split(n)
-    if sp is None:
-        # dense matmul-DFT: 2 axes x cmul[(N,N)@(N,N)] = 6*N^3
-        return 6 * n * n * n
-    m, _r = sp
-    return 6 * m * n * n
-
-
-def partial_fft2_rmacs(n: int, sr: int, sc: int) -> int:
-    """Project an (n, n) field to an (sr, sc) frequency box (or back):
-    cmul[(sr,N)@(N,N)] + cmul[(sr,N)@(N,sc)] with Gauss 3-dot."""
-    return 3 * (sr * n * n + sr * n * sc)
-
-
-def box_subband_rmacs(n: int, sr: int, sc: int) -> int:
-    """One box subband's in-kernel round trip (backproject to full size,
-    threshold, project back): 3*(N^2*(sr+sc) + 2*N*sr*sc)."""
-    return 3 * (n * n * (sr + sc) + 2 * n * sr * sc)
-
-
-def plan_iteration_rmacs(plan, n: int) -> dict:
-    """rMACs of one directional POCS iteration on one (n, n) slice under
-    the fused-Pallas routing (_pocs_subband_apply_pallas)."""
-    full_bands = 0
-    box = 0
-    box_bands = []
-    for g in plan:
-        lg = g.psi.shape[0]
-        if g.idx_h is None:
-            full_bands += lg
-            continue
-        sr, sc = len(g.idx_h), len(g.idx_w)
-        if sr * 4 >= n and sc * 4 >= n:  # zero-padded to full size
-            full_bands += lg
-            continue
-        box_bands.append((lg, sr, sc))
-        box += partial_fft2_rmacs(n, sr, sc)          # box spectrum of z
-        box += lg * box_subband_rmacs(n, sr, sc)      # per-subband trip
-        box += partial_fft2_rmacs(n, sr, sc)          # invert summed box
-    base = 2 * full_transform_rmacs(n)                # fft2(z), ifft2(acc)
-    full = 2 * full_bands * full_transform_rmacs(n)   # per-band inv+fwd
-    return {
-        "full_bands": full_bands,
-        "box_groups": box_bands,
-        "rmacs": base + full + box,
-        "rmacs_base": base,
-        "rmacs_full": full,
-        "rmacs_box": box,
-    }
+from pseudo_3d_interpolation_tpu.utils.roofline import (  # noqa: E402
+    box_subband_rmacs,
+    full_transform_rmacs,
+    partial_fft2_rmacs,
+    plan_iteration_rmacs,
+    wavelet_iteration_rmacs,
+)
 
 
 def main() -> None:
@@ -112,6 +66,8 @@ def main() -> None:
                     help="measured FFT slice-iters/s at HIGHEST (bench.py)")
     ap.add_argument("--rate-shearlet", type=float, default=618.0)
     ap.add_argument("--rate-curvelet", type=float, default=715.0)
+    ap.add_argument("--rate-wavelet", type=float, default=8985.0,
+                    help="measured WAVELET (db4 folded kernel) slice-iters/s")
     ap.add_argument("--peak-bf16-tflops", type=float, default=197.0)
     ap.add_argument("--passes", type=int, default=6,
                     help="MXU passes per rMAC at the measured precision "
@@ -130,6 +86,8 @@ def main() -> None:
     ):
         acct = plan_iteration_rmacs(planfn(n, n), n)
         rows.append((name, acct["rmacs"], acct, rate))
+    rows.insert(1, ("WAVELET", wavelet_iteration_rmacs(n),
+                    {"full_bands": 0, "box_groups": []}, args.rate_wavelet))
 
     ceiling = args.peak_bf16_tflops / args.passes  # attainable TFLOP/s
     print(f"N={n}  ceiling at this precision: {ceiling:.1f} TFLOP/s "
