@@ -49,6 +49,17 @@ def main():
                          "remote tunnel costs ~0.5 s, so 65 per-batch "
                          "launches waste ~30 s; keep each launch under the "
                          "remote worker's ~60-90 s execution ceiling")
+    ap.add_argument("--no-download", action="store_true",
+                    help="directional bases: skip the result download + "
+                         "host SNR (rate-only sweeps over the slow tunnel)")
+    ap.add_argument("--eps", type=float, default=0.0,
+                    help="relative-cost convergence tolerance (0 = run all "
+                         "niter; reference production default 1e-16)")
+    ap.add_argument("--global-early-stop", action="store_true",
+                    help="stop each batch once EVERY slice converged "
+                         "(lax.while_loop; disables the fused kernel) "
+                         "instead of per-lane freezing — perf.md round 4 "
+                         "measurement")
     ap.add_argument("--sweep-k", type=int, nargs="+", default=None,
                     help="directional bases: run the solver stage once per "
                          "batches-per-launch value on the SAME uploaded "
@@ -92,7 +103,8 @@ def main():
     obs = cube * mask2d[:, :, None]
 
     cfg = POCSConfig(niter=args.niter, thresh_op="hard", p_min="adaptive",
-                     version="fast", alpha=0.75, eps=0.0,
+                     version="fast", alpha=0.75, eps=args.eps,
+                     global_early_stop=args.global_early_stop,
                      transform_kind=args.basis, use_pallas=args.pallas)
     if args.basis in ("WAVELET", "CURVELET"):
         # adaptive tau_min is shearlet-specific (reference POCS.py:302-324)
@@ -229,6 +241,10 @@ def main():
                   f"slices + irfft): "
                   f"{t_solve:.1f}s ({nslices * args.niter / t_solve:.0f} "
                   f"slice-iters/s, basis={args.basis})", flush=True)
+        if args.no_download:
+            print(f"upload {obs.nbytes / 2**20:.0f} MB: {t_up:.1f}s | "
+                  f"download skipped (--no-download; rate-only sweep)")
+            return
         t0 = time.time()
         out_h = np.asarray(out)        # ONE download of the result
         t_down = time.time() - t0

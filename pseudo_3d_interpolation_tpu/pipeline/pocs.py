@@ -24,7 +24,6 @@ import yaml
 
 from ..io.ncio import Cube, read_cube, write_cube
 from ..models.pocs import POCSConfig
-from ..models.transforms import get_transform
 from ..parallel.solver import interpolate_cube
 from ..utils.logging import xprint
 
@@ -39,6 +38,29 @@ from ..models.transforms import TRANSFORM_OPTION_KEYS as _TRANSFORM_KEYS
 
 def _transform_kwargs(extra: dict) -> dict:
     return {k: extra[k] for k in _TRANSFORM_KEYS if k in extra}
+
+
+# Production default precision per basis for the CUBE DRIVERS (applied only
+# when the user specifies none). Measured cube-level SNR on the north-star
+# 512x512x1024 cube (docs/perf.md round 4b): HIGH (bf16x3) is SNR-neutral
+# for FFT (45.037 vs 45.038 dB) and SHEARLET (41.6 vs 41.4 dB) at ~1.5x
+# the HIGHEST rate, so it IS the production setting; CURVELET measured a
+# real 0.5 dB drop at HIGH (37.8 vs 38.3 dB) and stays at f32-HIGHEST.
+# WAVELET is rate-neutral across precisions (memory-bound) — leave its
+# transform default. Explicit `precision:` in the POCS YAML/CLI overrides.
+_PRODUCTION_PRECISION = {"FFT": "high", "DCT": "high", "SHEARLET": "high"}
+
+
+def _production_transform(config: POCSConfig, extra: dict):
+    """Build the solve transform with driver-level precision defaults."""
+    kw = _transform_kwargs(extra)
+    if "precision" not in kw:
+        p = _PRODUCTION_PRECISION.get(config.transform_kind)
+        if p is not None:
+            kw["precision"] = p
+    from ..models.transforms import get_transform as _gt
+
+    return _gt(config.transform_kind, **kw), kw
 
 
 def _transform_subbands(transform, slice_shape, config=None) -> int:
@@ -144,7 +166,6 @@ def interpolate_checkpointed(
     ``out_path``. Passing an in-RAM :class:`Cube` keeps the convenience
     behavior of returning an assembled Cube.
     """
-    from ..models.transforms import get_transform as _get_transform
     from ..parallel.solver import interpolate_cube as _interpolate_cube
     from ..parallel import mesh as mesh_lib
     from ..io.ncio import CubeFile, CubeWriter
@@ -181,8 +202,7 @@ def interpolate_checkpointed(
             mesh = mesh_lib.make_mesh()
         n_dev = mesh.devices.size
         batch = mesh_lib.pad_to_multiple(min(batch, f_total), n_dev)
-        transform_kwargs = _transform_kwargs(extra)
-        transform = _get_transform(config.transform_kind, **transform_kwargs)
+        transform, transform_kwargs = _production_transform(config, extra)
 
         # refuse to resume against checkpoints from a DIFFERENT run:
         # filename-only reuse would silently merge results solved with the
@@ -359,8 +379,7 @@ def interpolate(
     slice_dim = dims[-1]
     moved = np.moveaxis(np.asarray(data), -1, 0)
 
-    transform_kwargs = _transform_kwargs(extra)
-    transform = get_transform(config.transform_kind, **transform_kwargs)
+    transform, transform_kwargs = _production_transform(config, extra)
     xprint(
         f"POCS: {moved.shape[0]} slices of {moved.shape[1]}x{moved.shape[2]}, "
         f"{config.transform_kind}/{config.version}, niter={config.niter}",
@@ -470,7 +489,6 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
 
     import jax as _jax
 
-    from ..models.transforms import get_transform
     from ..parallel import mesh as mesh_lib
     from ..parallel.solver import interpolate_cube as _ic
     from ..parallel.solver import interpolate_cube_resident as _icr
@@ -480,8 +498,7 @@ def warmup(config, shape, batch: int = 64, mesh=None, verbose: int = 0,
     extra = {}
     if not isinstance(config, POCSConfig):
         config, extra = config_from_yaml(config)
-    transform_kwargs = _transform_kwargs(extra)
-    transform = get_transform(config.transform_kind, **transform_kwargs)
+    transform, transform_kwargs = _production_transform(config, extra)
 
     h, w = int(shape[0]), int(shape[1])
     rng = np.random.default_rng(0)

@@ -31,7 +31,6 @@ import numpy as np
 
 from ..io.ncio import Cube, read_cube, write_cube
 from ..models.pocs import POCSConfig
-from ..models.transforms import get_transform
 from ..ops import spectral
 from ..ops.cplx import Cplx
 from ..parallel import mesh as mesh_lib
@@ -167,7 +166,10 @@ def interpolate_time_cube_sharded(
     inv = jax.jit(_inv, in_shardings=(f_sharded, f_sharded),
                   out_shardings=il_sharded)
 
-    transform = get_transform(config.transform_kind, **(transform_kwargs or {}))
+    # same driver-level production precision defaults as pipeline.pocs
+    from .pocs import _production_transform
+
+    transform, _ = _production_transform(config, transform_kwargs or {})
     xprint(
         f"stage2 sharded: {data.shape} cube -> {f_kept} freq slices "
         f"(pad {f_pad}) over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
