@@ -30,6 +30,7 @@ from pseudo_3d_interpolation_tpu.ops import shearlet as sh
 from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
 from pseudo_3d_interpolation_tpu.ops.pallas.subband import subband_update_fused
 from pseudo_3d_interpolation_tpu.utils.compcache import enable_persistent_cache
+from pseudo_3d_interpolation_tpu.utils.hoist import jit_hoisted
 
 
 def timed(jf, args, reps=10):
@@ -80,7 +81,7 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
         out = jax.lax.fori_loop(0, K, body, type(zz)(zz.re * s, zz.im * s))
         return jnp.sum(out.re) + jnp.sum(out.im)
 
-    t_a, c_a = timed(jax.jit(kern), (zf, tau_full))
+    t_a, c_a = timed(jit_hoisted(kern), (zf, tau_full))
     t_a /= K
 
     # --- B: full subband apply (kernel + boxes + spectral round trip) ----
@@ -93,7 +94,7 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
         out = jax.lax.fori_loop(0, K, body, type(zz)(zz.re * s, zz.im * s))
         return jnp.sum(out.re) + jnp.sum(out.im)
 
-    t_b, c_b = timed(jax.jit(apply_once), (z, tau))
+    t_b, c_b = timed(jit_hoisted(apply_once), (z, tau))
     t_b /= K
 
     # --- B2: same, with the biggest box group STREAMED over subbands ----
@@ -107,7 +108,7 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
         out = jax.lax.fori_loop(0, K, body, type(zz)(zz.re * s, zz.im * s))
         return jnp.sum(out.re) + jnp.sum(out.im)
 
-    t_b2, c_b2 = timed(jax.jit(apply_stream), (z, tau))
+    t_b2, c_b2 = timed(jit_hoisted(apply_stream), (z, tau))
     t_b2 /= K
 
     # --- C: full solve, amortized per iteration ---------------------------
@@ -120,7 +121,7 @@ def main(b=8, n=512, niter=50, prec_name="HIGH"):
         r = pocs_interpolate(type(zz)(zz.re * s, zz.im * s), mm, tr, cfg)
         return jnp.sum(r.data.re) + jnp.sum(r.data.im)
 
-    t_c, c_c = timed(jax.jit(solve), (z, m), reps=3)
+    t_c, c_c = timed(jit_hoisted(solve), (z, m), reps=3)
     t_c_iter = t_c / niter
 
     print(f"precision={prec_name} batch={b} n={n}")
