@@ -176,6 +176,11 @@ def main():
             float(f(*args))
             return True
         except Exception as e:
+            # retry only plausibly-transient transport/runtime failures —
+            # a deterministic lowering/gate failure would just pay a 5 s
+            # sleep plus a duplicate compile before the same fallback
+            if "RuntimeError" not in type(e).__name__:
+                raise
             import sys as _s
 
             print(f"bench: warmup attempt failed ({type(e).__name__}); "

@@ -394,6 +394,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax profiler trace (TensorBoard/XProf)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable the fused Pallas kernels (XLA solve only)")
+    p.add_argument("--eps", type=float, default=None,
+                   help="relative-cost convergence tolerance (reference "
+                        "metadata eps; default 0.0 = run all niter exactly "
+                        "— loose eps measured not quality-safe, docs/perf.md "
+                        "round 4d)")
     p.add_argument("--pad-to-tile", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="zero-pad slices to %%128 sides before the solve "
@@ -596,13 +601,22 @@ def _pocs_config_from_args(args, version: str):
             meta["use_pallas"] = False
         if getattr(args, "pad_to_tile", None) is not None:
             meta["pad_to_tile"] = bool(args.pad_to_tile)
+        if getattr(args, "eps", None) is not None:
+            meta["eps"] = args.eps
         return cfg
     transform = args.transform or "FFT"
     return POCSConfig(
         niter=50 if args.niter is None else args.niter,
         thresh_op="hard", thresh_model="exponential",
         p_min="adaptive" if transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-        version=version or "fast", alpha=0.75, eps=1e-16,
+        # eps=0.0 (exact never-stop), not the reference's 1e-16: at f32 the
+        # relative-cost change can only fall below 1e-16 by being exactly
+        # zero, so both mean "run all niter" — but only eps==0.0 is eligible
+        # for the fused folded kernel (models/pocs.py gate), and the cube-
+        # scale measurement showed loose eps criteria are not quality-safe
+        # anyway (docs/perf.md round 4d). YAML/--eps override.
+        version=version or "fast", alpha=0.75,
+        eps=0.0 if getattr(args, "eps", None) is None else args.eps,
         transform_kind=transform,
         # fastest verified production path on TPU; falls back to the
         # XLA solve automatically when the kernels don't support the
@@ -654,12 +668,23 @@ def _dump_resolved_args(cmd: str, args, verbosity: int) -> str | None:
 
     import datetime as _dt
 
-    ts = _dt.datetime.now().isoformat(timespec="seconds").replace(":", "")
-    path = os.path.join(target, f"{ts}_p3d_{cmd}_argparse_parameter.yml")
-    with open(path, "w", newline="\n") as f:
-        yaml.safe_dump({"command": cmd,
-                        "args": {k: _clean(v) for k, v in vars(args).items()
-                                 if k != "cmd"}}, f)
+    # microseconds + pid in the name: two runs of the same subcommand into
+    # one directory within a second must not clobber each other's record
+    ts = (_dt.datetime.now().isoformat(timespec="microseconds")
+          .replace(":", "").replace(".", ""))
+    path = os.path.join(
+        target, f"{ts}_p{os.getpid()}_p3d_{cmd}_argparse_parameter.yml")
+    try:
+        with open(path, "w", newline="\n") as f:
+            yaml.safe_dump({"command": cmd,
+                            "args": {k: _clean(v) for k, v in vars(args).items()
+                                     if k != "cmd"}}, f)
+    except OSError as e:
+        # best-effort reproducibility artifact: an unwritable target (e.g.
+        # read-only input mount) must not fail a command that succeeded
+        xprint(f"could not save resolved-arguments sidecar ({e})",
+               kind="warning", verbosity=verbosity)
+        return None
     xprint(f"saved resolved arguments -> {path}", kind="debug",
            verbosity=verbosity)
     return path

@@ -342,7 +342,10 @@ def interpolate(
     cube: Cube | str,
     config: POCSConfig | str | dict = POCSConfig(
         niter=50, thresh_op="hard", thresh_model="exponential",
-        p_min="adaptive", version="fast", alpha=0.75, eps=1e-16,
+        # eps=0.0 (exact never-stop): equivalent to the reference's 1e-16
+        # for f32 cost sequences, and the only value eligible for the
+        # fused folded kernel (models/pocs.py gate; docs/perf.md round 4d)
+        p_min="adaptive", version="fast", alpha=0.75, eps=0.0,
     ),
     var: str | None = None,
     mesh=None,

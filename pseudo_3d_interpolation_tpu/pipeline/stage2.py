@@ -89,6 +89,25 @@ def interpolate_time_cube_sharded(
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
 
+    # same driver-level production precision defaults as pipeline.pocs
+    from .pocs import _production_transform
+
+    transform, _ = _production_transform(config, transform_kwargs or {})
+
+    # same pad_to_tile policy as the single-device cube drivers (explicit
+    # or measured-auto): an observed-zero frame of zero TIME traces with
+    # mask 1 — a zero trace transforms to zero in every frequency slice,
+    # so the POCS problem is exactly the frequency-domain frame
+    # pad_slices_to_tile builds, and both chains stay tolerance-equal
+    from ..utils.pad import auto_pad_to_tile, next_multiple
+
+    il0, xl0 = data.shape[0], data.shape[1]
+    if auto_pad_to_tile(config, il0, xl0, transform):
+        il_t, xl_t = next_multiple(il0, 128), next_multiple(xl0, 128)
+        data = np.pad(data, ((0, il_t - il0), (0, xl_t - xl0), (0, 0)))
+        mask = np.pad(mask, ((0, il_t - il0), (0, xl_t - xl0)),
+                      constant_values=1.0)
+
     # ---- host-side spectral bookkeeping (mirrors ops/spectral exactly) ----
     n = data.shape[-1]
     if n % 2 != 0:
@@ -166,10 +185,6 @@ def interpolate_time_cube_sharded(
     inv = jax.jit(_inv, in_shardings=(f_sharded, f_sharded),
                   out_shardings=il_sharded)
 
-    # same driver-level production precision defaults as pipeline.pocs
-    from .pocs import _production_transform
-
-    transform, _ = _production_transform(config, transform_kwargs or {})
     xprint(
         f"stage2 sharded: {data.shape} cube -> {f_kept} freq slices "
         f"(pad {f_pad}) over mesh {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
@@ -181,7 +196,7 @@ def interpolate_time_cube_sharded(
     res = pocs_interpolate_sharded(Cplx(zre, zim), mask, mesh=mesh,
                                    transform=transform, config=config)
     x_rec = inv(res.data.re, res.data.im)
-    x_host = np.asarray(x_rec)[:il]
+    x_host = np.asarray(x_rec)[:il0, :xl0]  # crop tile frame + shard pad
     n_iters = np.asarray(res.n_iterations)[:f_kept]
     cost = np.asarray(res.cost)[:f_kept]
 

@@ -119,6 +119,13 @@ def auto_pad_to_tile(config, h: int, w: int, transform=None,
     op = "garrote" if config.thresh_op == "garotte" else config.thresh_op
     if op not in ("hard", "soft", "garrote"):
         return False
+    # mirror the folded-kernel eligibility gate (models/pocs.py): if the
+    # kernel could not engage on the PADDED grid either, padding buys
+    # nothing and costs up to the area ratio in extra XLA compute
+    if (config.eps != 0.0 or config.keep_cost_history
+            or config.global_early_stop
+            or config.version not in ("regular", "fast")):
+        return False
     return pad_area_ratio(h, w, multiple) <= PAD_TO_TILE_MAX_AREA
 
 

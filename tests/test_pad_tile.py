@@ -149,7 +149,7 @@ def test_auto_pad_policy_rules():
     from pseudo_3d_interpolation_tpu.utils.pad import (
         auto_pad_to_tile, pad_area_ratio)
 
-    base = POCSConfig(use_pallas=True)  # pad_to_tile defaults to None
+    base = POCSConfig(use_pallas=True, eps=0.0)  # pad_to_tile default None
     assert abs(pad_area_ratio(500, 380) - (512 * 384) / (500 * 380)) < 1e-12
     assert auto_pad_to_tile(base, 500, 380)          # 1.03x — wins 1.66x
     assert auto_pad_to_tile(base, 120, 120)          # 1.14x — wins
@@ -162,6 +162,16 @@ def test_auto_pad_policy_rules():
         dataclasses.replace(base, transform_kind="SHEARLET"), 500, 380)
     assert not auto_pad_to_tile(
         dataclasses.replace(base, thresh_op="energy"), 500, 380)
+    # the folded kernel only engages at eps==0 / no history / no global
+    # stop / regular|fast — padding without the kernel is a pure loss
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, eps=1e-9), 500, 380)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, global_early_stop=True), 500, 380)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, keep_cost_history=True), 500, 380)
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, version="adaptive"), 500, 380)
     # explicit overrides beat the policy in both directions
     assert auto_pad_to_tile(
         dataclasses.replace(base, pad_to_tile=True), 72, 40)

@@ -113,3 +113,37 @@ def test_stage2_sharded_freq_filter_drop(tmp_path):
     back_sh = interpolate_time_cube_sharded(pp, cfg, mesh=make_mesh(), **fargs)
     a, b = np.asarray(back[v]), np.asarray(back_sh[v])
     np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), rtol=1e-4)
+
+
+def test_stage2_sharded_pad_to_tile_parity(tmp_path):
+    """The sharded span applies the SAME pad_to_tile policy as the
+    single-device drivers: on a non-%128 grid with padding forced, both
+    chains solve the identical observed-zero-framed problem and agree."""
+    import jax.numpy as jnp  # noqa: F401  (jax initialized by conftest)
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube
+
+    rng = np.random.default_rng(23)
+    il, xl, nt = 120, 120, 32  # pad-area 1.14x — inside the auto-win region
+    amp = rng.normal(size=(il, xl, nt)).astype(np.float32)
+    fold = (rng.uniform(size=(il, xl)) < 0.6).astype(np.int32)
+    amp *= fold[:, :, None]
+    cube = Cube(
+        coords={"iline": np.arange(il), "xline": np.arange(xl),
+                "twt": np.arange(nt) * 0.25e-3},
+        data_vars={"amp": (("iline", "xline", "twt"), amp),
+                   "fold": (("iline", "xline"), fold)})
+    cfg = POCSConfig(niter=4, p_min=1e-3, version="fast", eps=0.0,
+                     use_pallas=True, pallas_interpret=True)
+    from pseudo_3d_interpolation_tpu.utils.pad import auto_pad_to_tile
+
+    assert auto_pad_to_tile(cfg, il, xl)  # policy engages on this grid
+
+    freq = apply_fft(cube)
+    interp = interpolate(freq, cfg, mesh=make_mesh(1), batch=8)
+    back = apply_ifft(interp, var="freq_amp_interp")
+
+    back_sh = interpolate_time_cube_sharded(cube, cfg, mesh=make_mesh())
+    a, b = np.asarray(back["amp"]), np.asarray(back_sh["amp"])
+    assert a.shape == b.shape == (il, xl, nt)
+    np.testing.assert_allclose(b, a, atol=2e-5 * np.abs(a).max(), rtol=1e-4)

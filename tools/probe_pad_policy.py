@@ -16,7 +16,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
