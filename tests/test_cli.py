@@ -642,3 +642,28 @@ def test_args_dump_sidecar_roundtrip(tmp_path):
               str(tmp_path / "x.nc"), "-V", "1"])
     assert not glob.glob(str(tmp_path / "*missing*parameter.yml"))
     assert len(glob.glob(str(tmp_path / "*_p3d_fft_argparse_parameter.yml"))) == 1
+
+
+def test_cli_default_pocs_config_is_fused_kernel_eligible():
+    """Regression guard (round-4 review): the CLI's default POCS config
+    must satisfy the folded-kernel eligibility gate (models/pocs.py) —
+    eps was 1e-16 for three rounds, which silently routed every default
+    CLI run onto the XLA path."""
+    import argparse
+
+    from pseudo_3d_interpolation_tpu.cli import _pocs_config_from_args
+
+    ns = argparse.Namespace(params=None, niter=None, transform=None,
+                            no_pallas=False, pad_to_tile=None, eps=None)
+    cfg = _pocs_config_from_args(ns, "fast")
+    assert cfg.use_pallas
+    assert cfg.eps == 0.0
+    assert not cfg.keep_cost_history and not cfg.global_early_stop
+    assert cfg.version in ("regular", "fast")
+    # same check for the pipeline driver's default config
+    import inspect
+
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import interpolate
+
+    default_cfg = inspect.signature(interpolate).parameters["config"].default
+    assert default_cfg.eps == 0.0 and default_cfg.version in ("regular", "fast")
