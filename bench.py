@@ -299,7 +299,8 @@ def main():
     # round 3c); FFT_HIGH runs the full headline batch.
     tail = [("FFT_HIGH", {"precision": "high"}, "adaptive"),
             ("SHEARLET_HIGH", {"precision": "high"}, "adaptive"),
-            ("CURVELET_HIGH", {"precision": "high"}, 1e-3),
+            ("CURVELET_HIGH",
+             {"precision": "high", "box_precision": "highest"}, 1e-3),
             ("WAVELET", {}, 1e-3),
             ("SHEARLET", {"precision": "highest"}, "adaptive"),
             ("CURVELET", {"precision": "highest"}, 1e-3)]

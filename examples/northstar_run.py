@@ -49,6 +49,11 @@ def main():
                          "remote tunnel costs ~0.5 s, so 65 per-batch "
                          "launches waste ~30 s; keep each launch under the "
                          "remote worker's ~60-90 s execution ceiling")
+    ap.add_argument("--box-precision", default=None,
+                    choices=["highest", "high", "default"],
+                    help="directional bases: matmul precision of the "
+                         "support-cropped box-group stages only (mixed-"
+                         "precision probe, docs/perf.md round 4b)")
     ap.add_argument("--no-download", action="store_true",
                     help="directional bases: skip the result download + "
                          "host SNR (rate-only sweeps over the slow tunnel)")
@@ -109,7 +114,10 @@ def main():
     if args.basis in ("WAVELET", "CURVELET"):
         # adaptive tau_min is shearlet-specific (reference POCS.py:302-324)
         cfg = POCSConfig(**{**cfg.__dict__, "p_min": 1e-3})
-    transform = get_transform(args.basis, precision=args.precision)
+    tkw = {}
+    if args.box_precision and args.basis in ("SHEARLET", "CURVELET"):
+        tkw["box_precision"] = args.box_precision
+    transform = get_transform(args.basis, precision=args.precision, **tkw)
 
     from pseudo_3d_interpolation_tpu.models.pocs import pocs_interpolate
     from pseudo_3d_interpolation_tpu.utils.hoist import jit_hoisted

@@ -217,10 +217,12 @@ class _SpectralStackMixin:
         ``use_pallas`` engages the fused VMEM-resident subband kernel."""
         from ..ops import shearlet as sh
 
+        bp = getattr(self, "box_precision", None)
         return sh.pocs_subband_apply(
             z, self._plan(z.shape[-2], z.shape[-1]), t, op,
             precision=_resolve_precision(self.precision),
-            use_pallas=use_pallas, pallas_interpret=pallas_interpret)
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            box_precision=_resolve_precision(bp) if bp else None)
 
     def _streamed_stats(self, z: Cplx):
         """Per-subband (max|c|, Σ|c|²) straight from the input slice —
@@ -252,6 +254,9 @@ class ShearletTransform(_SpectralStackMixin):
 
     n_scales: int | None = None
     precision: str = "highest"
+    # matmul precision for the support-cropped box-group stages only
+    # (None = same as `precision`); see ops/shearlet.pocs_subband_apply
+    box_precision: str | None = None
     kind: str = "SHEARLET"
 
     def _plan(self, h, w):
@@ -336,6 +341,9 @@ class CurveletTransform(_SpectralStackMixin):
     nbangles_coarse: int = 16
     allcurvelets: bool = False
     precision: str = "highest"
+    # matmul precision for the support-cropped box-group stages only
+    # (None = same as `precision`); see ops/shearlet.pocs_subband_apply
+    box_precision: str | None = None
     kind: str = "CURVELET"
 
     def _plan(self, h, w):
@@ -406,17 +414,19 @@ register_transform(
 )
 register_transform(
     "SHEARLET",
-    lambda n_scales=None, precision="highest", **kw: ShearletTransform(
-        n_scales=n_scales, precision=precision),
+    lambda n_scales=None, precision="highest", box_precision=None,
+    **kw: ShearletTransform(
+        n_scales=n_scales, precision=precision, box_precision=box_precision),
 )
 
 
 register_transform(
     "CURVELET",
     lambda nbscales=None, nbangles_coarse=16, allcurvelets=False,
-    precision="highest", **kw: CurveletTransform(
+    precision="highest", box_precision=None, **kw: CurveletTransform(
         nbscales=nbscales, nbangles_coarse=nbangles_coarse,
-        allcurvelets=allcurvelets, precision=precision),
+        allcurvelets=allcurvelets, precision=precision,
+        box_precision=box_precision),
 )
 
 
@@ -427,6 +437,7 @@ register_transform(
 # silently configure the solver's quality levers to defaults.
 # pipeline/pocs.py filters YAML extras with this same tuple.
 TRANSFORM_OPTION_KEYS = ("wavelet", "level", "n_scales", "precision",
+                         "box_precision",
                          "nbscales", "nbangles_coarse", "allcurvelets")
 
 

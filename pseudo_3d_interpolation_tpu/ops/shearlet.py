@@ -554,7 +554,8 @@ def _box_group_spatial(y: Cplx, tau_g, g, h: int, w: int, thresh_op: str,
 
 
 def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
-                               precision, interpret: bool) -> Cplx:
+                               precision, interpret: bool,
+                               box_precision=None) -> Cplx:
     """Fused-Pallas pipeline for full-size subbands (ops/pallas/subband.py);
     box groups run in the gather-free spatial-projection form
     (:func:`_box_group_spatial`), so nothing indexes into the kernel's
@@ -562,6 +563,8 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     streamed path (pinned in tests/test_shearlet.py)."""
     from .pallas.subband import subband_layout, subband_update_fused
 
+    if box_precision is None:
+        box_precision = precision
     h, w = z.shape[-2], z.shape[-1]
     layout = subband_layout(z.shape)
     psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w, layout)
@@ -591,15 +594,16 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
             # group's (B, sr, sc) box spectrum and its psi-weighted sum
             # touch HBM (same math as _box_group_spatial, pinned in
             # tests/test_shearlet.py)
-            xbox = _partial_fft2(z, g.idx_h, g.idx_w, precision)
+            xbox = _partial_fft2(z, g.idx_h, g.idx_w, box_precision)
             m = box_group_update_fused(
                 xbox, g.psi_device(), tau_g, g.box_mats_device(h, w),
-                h, w, thresh_op=thresh_op, precision=precision,
+                h, w, thresh_op=thresh_op, precision=box_precision,
                 interpret=interpret)
-            out = out + _partial_ifft2(m, g.idx_h, g.idx_w, h, w, precision)
+            out = out + _partial_ifft2(m, g.idx_h, g.idx_w, h, w,
+                                       box_precision)
         else:
             out = out + _box_group_spatial(z, tau_g, g, h, w,
-                                           thresh_op, precision)
+                                           thresh_op, box_precision)
     return out
 
 
@@ -607,7 +611,8 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
                        precision=dft.Precision.HIGHEST,
                        stream_min_side: int = 192,
                        use_pallas: bool = False,
-                       pallas_interpret: bool = False) -> Cplx:
+                       pallas_interpret: bool = False,
+                       box_precision=None) -> Cplx:
     """inverse(threshold(forward(z))) with large subband groups STREAMED.
 
     The planned transform pair materializes the full (..., L, H, W)
@@ -627,8 +632,16 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     the transform's ``decay`` emits per iteration). ``use_pallas`` routes
     full-size subbands through the fused VMEM-resident kernel
     (ops/pallas/subband.py) when the shape/threshold support it.
+    ``box_precision`` (default: ``precision``) sets the matmul precision
+    of the support-cropped BOX-group stages only (partial DFTs + box
+    round trips) — mixed-precision probe lever for bases whose HIGH-vs-
+    HIGHEST quality delta may live in the boxes (docs/perf.md round 4b:
+    CURVELET measured a 0.5 dB cube-level drop at uniform HIGH).
     """
     from . import threshold as threshold_ops
+
+    if box_precision is None:
+        box_precision = precision
 
     h, w = z.shape[-2], z.shape[-1]
     if use_pallas and z.re.ndim == 3:
@@ -638,7 +651,8 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
                 and _plan_pallas_pack(plan, h, w,
                                       subband_layout(z.shape))[0] is not None):
             return _pocs_subband_apply_pallas(
-                z, plan, tau, thresh_op, precision, pallas_interpret)
+                z, plan, tau, thresh_op, precision, pallas_interpret,
+                box_precision)
     batch = z.shape[:-2]
     zf = dft.fft2(z, precision=precision)
     acc_re = jnp.zeros(batch + (h, w), z.re.dtype)
@@ -658,7 +672,7 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
             # full-size psi_device() materialization belongs to the
             # full-size branches below only
             contrib = _box_group_spatial(z, tau_g, g, h, w, thresh_op,
-                                         precision,
+                                         box_precision,
                                          stream=side >= stream_min_side)
             extra = contrib if extra is None else extra + contrib
             continue

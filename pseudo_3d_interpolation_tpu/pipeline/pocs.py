@@ -41,23 +41,30 @@ def _transform_kwargs(extra: dict) -> dict:
 
 
 # Production default precision per basis for the CUBE DRIVERS (applied only
-# when the user specifies none). Measured cube-level SNR on the north-star
-# 512x512x1024 cube (docs/perf.md round 4b): HIGH (bf16x3) is SNR-neutral
-# for FFT (45.037 vs 45.038 dB) and SHEARLET (41.6 vs 41.4 dB) at ~1.5x
-# the HIGHEST rate, so it IS the production setting; CURVELET measured a
-# real 0.5 dB drop at HIGH (37.8 vs 38.3 dB) and stays at f32-HIGHEST.
-# WAVELET is rate-neutral across precisions (memory-bound) — leave its
-# transform default. Explicit `precision:` in the POCS YAML/CLI overrides.
-_PRODUCTION_PRECISION = {"FFT": "high", "DCT": "high", "SHEARLET": "high"}
+# for options the user leaves unset). Measured cube-level SNR on the
+# north-star 512x512x1024 cube (docs/perf.md round 4b + addendum): HIGH
+# (bf16x3) is SNR-neutral for FFT (45.037 vs 45.038 dB) and SHEARLET
+# (41.6 vs 41.4 dB) at ~1.5x the HIGHEST rate. CURVELET at uniform HIGH
+# measured a real 0.5 dB drop (37.8 vs 38.3 dB) — and the follow-up
+# isolation run showed ALL of it lives in the support-cropped box-group
+# stages: HIGH full-size bands + HIGHEST boxes reads the full 38.3 dB at
+# the HIGH rate, so THAT mix is curvelet's production default. WAVELET is
+# rate-neutral across precisions (memory-bound) — leave its transform
+# default. Explicit YAML/CLI options override per key.
+_PRODUCTION_PRECISION = {
+    "FFT": {"precision": "high"},
+    "DCT": {"precision": "high"},
+    "SHEARLET": {"precision": "high"},
+    "CURVELET": {"precision": "high", "box_precision": "highest"},
+}
 
 
 def _production_transform(config: POCSConfig, extra: dict):
     """Build the solve transform with driver-level precision defaults."""
     kw = _transform_kwargs(extra)
-    if "precision" not in kw:
-        p = _PRODUCTION_PRECISION.get(config.transform_kind)
-        if p is not None:
-            kw["precision"] = p
+    for key, val in _PRODUCTION_PRECISION.get(config.transform_kind,
+                                              {}).items():
+        kw.setdefault(key, val)
     from ..models.transforms import get_transform as _gt
 
     return _gt(config.transform_kind, **kw), kw

@@ -260,3 +260,22 @@ def test_yaml_config_rejects_unknown_metadata_keys(tmp_path):
                                      "verbose": False}}, f)
     cfg, extra = config_from_yaml(p)
     assert cfg.transform_kind == "SHEARLET" and extra["n_scales"] == 4
+
+
+def test_production_precision_defaults():
+    """Driver-level precision defaults are the measured production mix
+    (docs/perf.md round 4b + addendum); explicit options override per key."""
+    from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import _production_transform
+
+    t, _ = _production_transform(POCSConfig(transform_kind="SHEARLET"), {})
+    assert t.precision == "high" and t.box_precision is None
+    t, _ = _production_transform(POCSConfig(transform_kind="CURVELET"), {})
+    assert t.precision == "high" and t.box_precision == "highest"
+    t, _ = _production_transform(POCSConfig(transform_kind="FFT"), {})
+    assert t.precision == "high"
+    # explicit YAML options win per key
+    t, _ = _production_transform(
+        POCSConfig(transform_kind="CURVELET"),
+        {"precision": "highest", "box_precision": "high"})
+    assert t.precision == "highest" and t.box_precision == "high"
