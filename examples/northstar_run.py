@@ -115,7 +115,11 @@ def main():
         # adaptive tau_min is shearlet-specific (reference POCS.py:302-324)
         cfg = POCSConfig(**{**cfg.__dict__, "p_min": 1e-3})
     tkw = {}
-    if args.box_precision and args.basis in ("SHEARLET", "CURVELET"):
+    if args.box_precision:
+        if args.basis not in ("SHEARLET", "CURVELET"):
+            raise SystemExit(
+                f"--box-precision applies to directional bases only "
+                f"(SHEARLET/CURVELET), not {args.basis}")
         tkw["box_precision"] = args.box_precision
     transform = get_transform(args.basis, precision=args.precision, **tkw)
 

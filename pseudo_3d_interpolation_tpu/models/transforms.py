@@ -233,9 +233,11 @@ class _SpectralStackMixin:
         kinds / inverse-proportional), signalling the generic fallback."""
         from ..ops import shearlet as sh
 
+        bp = getattr(self, "box_precision", None)
         return sh.subband_stats(
             z, self._plan(z.shape[-2], z.shape[-1]),
-            precision=_resolve_precision(self.precision))
+            precision=_resolve_precision(self.precision),
+            box_precision=_resolve_precision(bp) if bp else None)
 
     @staticmethod
     def _needs_full_forward(model, decay_kind) -> bool:

@@ -555,7 +555,7 @@ def _box_group_spatial(y: Cplx, tau_g, g, h: int, w: int, thresh_op: str,
 
 def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
                                precision, interpret: bool,
-                               box_precision=None) -> Cplx:
+                               box_precision) -> Cplx:
     """Fused-Pallas pipeline for full-size subbands (ops/pallas/subband.py);
     box groups run in the gather-free spatial-projection form
     (:func:`_box_group_spatial`), so nothing indexes into the kernel's
@@ -563,8 +563,6 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     streamed path (pinned in tests/test_shearlet.py)."""
     from .pallas.subband import subband_layout, subband_update_fused
 
-    if box_precision is None:
-        box_precision = precision
     h, w = z.shape[-2], z.shape[-1]
     layout = subband_layout(z.shape)
     psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w, layout)
@@ -711,7 +709,7 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
 
 
 def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
-                  stream_min_side: int = 192):
+                  stream_min_side: int = 192, box_precision=None):
     """Per-subband (max |c|, Σ|c|²) of the transform of ``z``, STREAMED.
 
     The decay schedule (exponential/linear + adaptive tau_min) needs only
@@ -719,8 +717,14 @@ def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
     the planned forward transform materializes (..., L, H, W) in HBM,
     which costs more than a whole POCS iteration per batch at 512². This
     streams the same per-subband reductions at an (..., H, W) working set.
-    Returns two ``(..., L)`` arrays in plan order.
+    Returns two ``(..., L)`` arrays in plan order. ``box_precision``
+    (default: ``precision``) matches pocs_subband_apply's box-stage
+    precision so the tau schedule is derived at the same accuracy the
+    apply runs (the full-forward decay FALLBACK for data-driven /
+    non-'values' kinds runs uniformly at ``precision`` — documented gap).
     """
+    if box_precision is None:
+        box_precision = precision
     h, w = z.shape[-2], z.shape[-1]
     zf = dft.fft2(z, precision=precision)
     maxes, sumsqs = [], []
@@ -737,7 +741,7 @@ def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
 
             def coeff_of(p, box=box, g=g):
                 return _partial_ifft2(Cplx(box.re * p, box.im * p),
-                                      g.idx_h, g.idx_w, h, w, precision)
+                                      g.idx_h, g.idx_w, h, w, box_precision)
 
         if side < stream_min_side:
             # small group: batched, (..., Lg, H, W) stack is tiny
@@ -748,7 +752,8 @@ def subband_stats(z: Cplx, plan, precision=dft.Precision.HIGHEST,
             else:
                 prod = Cplx(box.re[..., None, :, :] * p_stack,
                             box.im[..., None, :, :] * p_stack)
-                c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w, precision)
+                c = _partial_ifft2(prod, g.idx_h, g.idx_w, h, w,
+                                   box_precision)
             a2 = c.abs2()
             maxes.append(jnp.sqrt(jnp.max(a2, axis=(-2, -1))))
             sumsqs.append(jnp.sum(a2, axis=(-2, -1)))

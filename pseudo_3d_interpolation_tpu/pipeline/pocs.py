@@ -60,11 +60,18 @@ _PRODUCTION_PRECISION = {
 
 
 def _production_transform(config: POCSConfig, extra: dict):
-    """Build the solve transform with driver-level precision defaults."""
+    """Build the solve transform with driver-level precision defaults.
+
+    The defaults apply ONLY when the user left ``precision`` unset: an
+    explicit uniform ``precision:`` request (e.g. to reproduce a uniform-
+    precision measurement) must not get ``box_precision`` silently
+    injected on top — set both keys to mix precisions deliberately.
+    """
     kw = _transform_kwargs(extra)
-    for key, val in _PRODUCTION_PRECISION.get(config.transform_kind,
-                                              {}).items():
-        kw.setdefault(key, val)
+    if "precision" not in kw:
+        for key, val in _PRODUCTION_PRECISION.get(config.transform_kind,
+                                                  {}).items():
+            kw.setdefault(key, val)
     from ..models.transforms import get_transform as _gt
 
     return _gt(config.transform_kind, **kw), kw
@@ -351,8 +358,11 @@ def interpolate(
         niter=50, thresh_op="hard", thresh_model="exponential",
         # eps=0.0 (exact never-stop): equivalent to the reference's 1e-16
         # for f32 cost sequences, and the only value eligible for the
-        # fused folded kernel (models/pocs.py gate; docs/perf.md round 4d)
+        # fused folded kernel (models/pocs.py gate; docs/perf.md round 4d).
+        # use_pallas=True: the fused kernels are the measured production
+        # path; the models/pocs.py gates fall back to XLA when unsupported
         p_min="adaptive", version="fast", alpha=0.75, eps=0.0,
+        use_pallas=True,
     ),
     var: str | None = None,
     mesh=None,

@@ -667,3 +667,4 @@ def test_cli_default_pocs_config_is_fused_kernel_eligible():
 
     default_cfg = inspect.signature(interpolate).parameters["config"].default
     assert default_cfg.eps == 0.0 and default_cfg.version in ("regular", "fast")
+    assert default_cfg.use_pallas  # without it the eligibility gate is moot

@@ -279,3 +279,8 @@ def test_production_precision_defaults():
         POCSConfig(transform_kind="CURVELET"),
         {"precision": "highest", "box_precision": "high"})
     assert t.precision == "highest" and t.box_precision == "high"
+    # an explicit UNIFORM precision request suppresses the driver mix —
+    # box_precision must not be silently injected on top
+    t, _ = _production_transform(
+        POCSConfig(transform_kind="CURVELET"), {"precision": "high"})
+    assert t.precision == "high" and t.box_precision is None
