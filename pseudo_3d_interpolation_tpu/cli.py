@@ -609,12 +609,15 @@ def _pocs_config_from_args(args, version: str):
         niter=50 if args.niter is None else args.niter,
         thresh_op="hard", thresh_model="exponential",
         p_min="adaptive" if transform in ("FFT", "DCT", "SHEARLET") else 1e-3,
-        # eps=0.0 (exact never-stop), not the reference's 1e-16: at f32 the
-        # relative-cost change can only fall below 1e-16 by being exactly
-        # zero, so both mean "run all niter" — but only eps==0.0 is eligible
-        # for the fused folded kernel (models/pocs.py gate), and the cube-
-        # scale measurement showed loose eps criteria are not quality-safe
-        # anyway (docs/perf.md round 4d). YAML/--eps override.
+        # eps=0.0 (never stop), not the reference's 1e-16: the chosen
+        # default runs all niter iterations — measured quality-safe at cube
+        # scale where every loose eps criterion loses dB (docs/perf.md
+        # round 4d) — and is the only value eligible for the fused folded
+        # kernel (models/pocs.py gate). Not strictly identical to 1e-16
+        # (a cost = (Σ(|x|-|x_old|))²/(Σ|x|)² lands below 1e-16 whenever
+        # the relative signed sum is under 1e-8, representable in f32),
+        # but such near-converged slices only run extra decaying-threshold
+        # iterations. YAML/--eps override.
         version=version or "fast", alpha=0.75,
         eps=0.0 if getattr(args, "eps", None) is None else args.eps,
         transform_kind=transform,

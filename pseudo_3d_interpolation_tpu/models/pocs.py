@@ -60,7 +60,13 @@ class POCSConfig:
     niter: int = 50
     thresh_op: str = "hard"
     thresh_model: str = "exponential"
-    eps: float = 1e-9
+    # eps=0.0: run all niter iterations (no early stop). This is what YAML
+    # configs omitting 'eps:' resolve to via pipeline/pocs.config_from_yaml,
+    # so it must match the CLI/pipeline default: the measured quality-safe
+    # choice (loose eps loses up to 8 dB cube SNR — docs/perf.md round 4d)
+    # and the only value eligible for the fused folded kernel + auto
+    # pad_to_tile policy.
+    eps: float = 0.0
     alpha: float = 1.0
     p_max: float = 0.99
     p_min: Any = 1e-5
@@ -111,6 +117,152 @@ def _wavelet_cascade_aligned(n: int, level: int, interpret: bool) -> bool:
     return deepest > 0 and deepest % align == 0
 
 
+class SolverRoute(NamedTuple):
+    """Resolved solver path for a (shape, mask, config, transform) combo.
+
+    ``route`` is one of:
+      - ``'fused-folded'``: the whole solve in ONE Pallas launch per batch
+        (ops/pallas/pocs_iter.pocs_solve_fused)
+      - ``'fused-periter'``: XLA scan driving the one-iteration Pallas
+        kernel (history/early-stop configs on the FFT basis)
+      - ``'streamed-subband'``: directional (SHEARLET/CURVELET) scan whose
+        subband/box kernels engage inside ops/shearlet.py per plan group
+      - ``'xla-scan'``: the pure-XLA batched scan
+    ``basis``: folded-kernel basis ('fft'/'dct'/'wavelet', '' otherwise).
+    ``reason``: the FIRST failed fused-kernel gate condition ('' when the
+    folded kernel runs). The cube drivers log this line so silent
+    fallbacks are visible (the round-4 eps incident — default CLI runs
+    quietly ineligible for the folded kernel — cost ~30% and slipped
+    past review; tests/test_pallas_kernel.py asserts the route for the
+    CLI-default config).
+    """
+
+    route: str
+    basis: str
+    reason: str
+
+
+def solver_route(shape, mask_shape, config: POCSConfig,
+                 transform=None) -> SolverRoute:
+    """THE solver-path decision for :func:`pocs_interpolate`.
+
+    ``pocs_interpolate`` dispatches on this function's result and the cube
+    drivers log it — one implementation, so the log can never drift from
+    the dispatch. ``shape``/``mask_shape`` are the slice-batch and mask
+    shapes; ``transform`` is the (already shape-resolved) transform
+    instance, or None to resolve from ``config.transform_kind``.
+    """
+    cfg = config
+    if transform is None:
+        transform = get_transform(cfg.transform_kind)
+    if hasattr(transform, "with_shape"):
+        transform = transform.with_shape(tuple(shape))
+    from .transforms import DCTTransform, FFTTransform, WaveletTransform
+
+    op = "garrote" if cfg.thresh_op == "garotte" else cfg.thresh_op
+    h, w = int(shape[-2]), int(shape[-1])
+    batch_ndim = len(shape) - 2
+    directional = hasattr(transform, "apply_threshold")
+
+    def _fallback(reason: str, basis: str = "") -> SolverRoute:
+        if directional:
+            return SolverRoute("streamed-subband", basis, reason)
+        return SolverRoute("xla-scan", basis, reason)
+
+    if not cfg.use_pallas:
+        return _fallback("use_pallas=False")
+
+    from ..ops.pallas.pocs_iter import (_KERNEL_THRESH_OPS,
+                                        tpu_lowering_available)
+
+    if directional:
+        # the per-group subband/box kernel decisions live in
+        # ops/shearlet.py (they depend on the plan); report the
+        # top-level shape/op/backend gate they all share
+        from ..ops.pallas.subband import subband_supported
+
+        if subband_supported(shape, op, cfg.pallas_interpret):
+            return SolverRoute("streamed-subband", "", "")
+        if op not in _KERNEL_THRESH_OPS:
+            return SolverRoute(
+                "streamed-subband", "",
+                f"threshold {cfg.thresh_op!r} has no kernel "
+                "(hard/soft/garrote only)")
+        if not tpu_lowering_available(cfg.pallas_interpret):
+            return SolverRoute(
+                "streamed-subband", "",
+                f"backend {jax.default_backend()!r} has no Mosaic "
+                "lowering (TPU only)")
+        return SolverRoute("streamed-subband", "",
+                           f"slice sides {h}x{w} not both %128")
+
+    if isinstance(transform, (FFTTransform, DCTTransform)):
+        basis = "dct" if isinstance(transform, DCTTransform) else "fft"
+        wavelet_ok = True
+    elif isinstance(transform, WaveletTransform):
+        basis = "wavelet"
+        wavelet_ok = (
+            transform.target is None
+            and h == w
+            and _wavelet_cascade_aligned(w, transform.level,
+                                         cfg.pallas_interpret))
+    else:
+        return _fallback(
+            f"transform {getattr(transform, 'kind', type(transform).__name__)!r}"
+            " has no fused kernel")
+
+    # shared eligibility gate, first-failure order mirrors the historical
+    # inline checks exactly
+    full_mask = (len(mask_shape) == 2
+                 and tuple(mask_shape) == (shape[-2], shape[-1]))
+    if not full_mask:
+        return _fallback("mask must be the exact 2-D (H, W) slice mask",
+                         basis)
+    if batch_ndim != 1:
+        return _fallback(f"batch must be 1-D (got {batch_ndim}-D leading "
+                         "axes)", basis)
+    if op not in _KERNEL_THRESH_OPS:
+        return _fallback(f"threshold {cfg.thresh_op!r} has no kernel "
+                         "(hard/soft/garrote only)", basis)
+    if not tpu_lowering_available(cfg.pallas_interpret):
+        return _fallback(f"backend {jax.default_backend()!r} has no Mosaic "
+                         "lowering (TPU only)", basis)
+    if h % 128 or w % 128:
+        return _fallback(f"slice sides {h}x{w} not both %128", basis)
+    if basis == "wavelet" and not wavelet_ok:
+        return _fallback(
+            "wavelet cascade not kernel-eligible (needs square slices, "
+            "no resize target, and 128-aligned cascade boundaries — "
+            f"n={w}, level={transform.level})", basis)
+
+    # folded-solve-only conditions; an FFT basis that fails them still
+    # rides the per-iteration kernel inside the scan
+    def _periter(reason: str) -> SolverRoute:
+        if basis == "fft":
+            return SolverRoute("fused-periter", basis, reason)
+        return _fallback(reason, basis)
+
+    if cfg.eps != 0.0:
+        return _periter(f"eps={cfg.eps!r} != 0.0 (early stopping needs the "
+                        "scan)")
+    if cfg.keep_cost_history:
+        return _periter("keep_cost_history=True")
+    if cfg.global_early_stop:
+        return _periter("global_early_stop=True")
+    if cfg.version not in ("regular", "fast"):
+        return _periter(f"version={cfg.version!r} (folded kernel supports "
+                        "regular/fast)")
+    return SolverRoute("fused-folded", basis, "")
+
+
+def describe_route(route: SolverRoute) -> str:
+    """One-line human description of a :class:`SolverRoute` for driver logs."""
+    name = route.route + (f"[{route.basis}]" if route.basis else "")
+    if route.reason:
+        return f"{name} — fused-kernel fallback: {route.reason}"
+    return name
+
+
 def pocs_interpolate(
     z: Cplx,
     mask: jnp.ndarray,
@@ -148,62 +300,32 @@ def pocs_interpolate(
 
     batch_shape = z.shape[:-2]
     mask_in = jnp.asarray(mask, z.dtype)
-    use_fused = False
-    use_fused_wavelet = False
-    fused_precision = None
-    fused_basis = "fft"
     # normalize threshold_pair's accepted 'garotte' alias ONCE: every
     # kernel-eligibility gate downstream (the folded kernels here, the
     # fused subband kernel behind apply_threshold) dispatches on the
     # canonical spelling — the raw alias would silently drop those paths
     fused_op = "garrote" if cfg.thresh_op == "garotte" else cfg.thresh_op
-    if cfg.use_pallas:
-        from ..ops.pallas import pallas_supported
-        from .transforms import (DCTTransform, FFTTransform, WaveletTransform,
-                                 _resolve_precision)
+    # the ONE solver-path decision (gates on the transform actually in
+    # use, the exact 2-D mask shape — the kernels read a full (H, W) mask
+    # block, a merely broadcastable mask would read out of bounds — the
+    # batch rank, the threshold kind, the backend, and the %128 tiles);
+    # the cube drivers log this same route, see solver_route's docstring
+    route = solver_route(z.shape, mask_in.shape, cfg, transform)
+    use_fused = (route.basis in ("fft", "dct")
+                 and route.route in ("fused-folded", "fused-periter"))
+    use_fused_wavelet = (route.basis == "wavelet"
+                        and route.route == "fused-folded")
+    fused_basis = route.basis if route.basis in ("fft", "dct") else "fft"
+    fused_precision = None
+    if use_fused or use_fused_wavelet:
+        from .transforms import _resolve_precision
 
-        # gate on the transform actually in use, not the config string —
-        # an explicitly passed unsupported transform must never be silently
-        # replaced by the fused kernel's basis
-        # the kernels read a FULL (H, W) mask block — a merely
-        # broadcastable 2-D mask (e.g. (1, W)) would read out of bounds and
-        # return NaN, so require the exact slice shape (the XLA path below
-        # broadcasts fine). 'garotte' is threshold_pair's accepted alias.
-        full_mask = tuple(mask_in.shape) == tuple(z.shape[-2:])
-        kernel_op = fused_op in ("hard", "soft", "garrote")
-        use_fused = (
-            isinstance(transform, (FFTTransform, DCTTransform))
-            and mask_in.ndim == 2 and full_mask
-            and len(batch_shape) == 1
-            and kernel_op
-            and pallas_supported(z.shape)
-        )
-        if use_fused:
-            fused_basis = "dct" if isinstance(transform, DCTTransform) else "fft"
-            fused_precision = _resolve_precision(
-                getattr(transform, "precision", None))
-            # All three precisions run in-kernel: Mosaic lowers DEFAULT and
-            # HIGHEST natively; HIGH (bf16x3) has no Mosaic dot lowering, so
-            # the kernel implements the 3-pass error-corrected decomposition
-            # by hand (ops/pallas/pocs_iter.py::_solve_kernel).
-        # WAVELET rides the folded kernel in matmul form (Mallat cascade of
-        # orthogonal periodized analysis matrices) when the slice is square,
-        # unpadded, and the deepest-level matrix still fills an MXU tile
-        # (interpret mode lifts the tile floor for CPU tests)
-        use_fused_wavelet = (
-            isinstance(transform, WaveletTransform)
-            and transform.target is None
-            and mask_in.ndim == 2 and full_mask
-            and len(batch_shape) == 1
-            and kernel_op
-            and pallas_supported(z.shape)
-            and z.shape[-2] == z.shape[-1]
-            and _wavelet_cascade_aligned(z.shape[-1], transform.level,
-                                         cfg.pallas_interpret)
-        )
-        if use_fused_wavelet:
-            fused_precision = _resolve_precision(
-                getattr(transform, "precision", None))
+        # All three precisions run in-kernel: Mosaic lowers DEFAULT and
+        # HIGHEST natively; HIGH (bf16x3) has no Mosaic dot lowering, so
+        # the kernel implements the 3-pass error-corrected decomposition
+        # by hand (ops/pallas/pocs_iter.py::_solve_kernel).
+        fused_precision = _resolve_precision(
+            getattr(transform, "precision", None))
     mask = jnp.broadcast_to(mask_in, z.shape)
     alpha = jnp.asarray(cfg.alpha, z.dtype)
 
@@ -232,10 +354,7 @@ def pocs_interpolate(
     # DCT/HIGHEST, ~10x faster compiles (docs/perf.md). Requires no early
     # stopping / history (telemetry reduces to the final cost, which the
     # kernel reports identically to the scan's).
-    if ((use_fused or use_fused_wavelet) and cfg.eps == 0.0
-            and not cfg.keep_cost_history
-            and not cfg.global_early_stop
-            and cfg.version in ("regular", "fast")):
+    if route.route == "fused-folded":
         from ..ops.pallas import pocs_solve_fused
 
         if use_fused_wavelet:
@@ -307,7 +426,7 @@ def pocs_interpolate(
         else:
             raise ValueError(f"unknown POCS version {cfg.version!r}")
 
-        if use_fused and fused_basis == "fft":
+        if route.route == "fused-periter":
             # the per-iteration kernel implements DFT math only; DCT configs
             # that miss the folded path run the XLA branch below
             from ..ops.pallas import pocs_iteration_fused

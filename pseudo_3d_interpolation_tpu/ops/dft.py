@@ -258,6 +258,99 @@ def _cmac(acc, c: complex, xr, xi):
     return ar, ai
 
 
+def _butterfly_recursion_enabled() -> bool:
+    """Mixed-radix recursive butterflies (default on; measurement escape
+    hatch ``P3D_NO_BUTTERFLY_RECURSION=1`` restores the direct single-level
+    form), read at trace time."""
+    import os
+
+    return not os.environ.get("P3D_NO_BUTTERFLY_RECURSION")
+
+
+@functools.lru_cache(maxsize=64)
+def _wr_snapped(r: int) -> np.ndarray:
+    """Exactified ``W_R[s, t] = exp(-2πi·st/R)`` (same snapping as
+    :func:`_radix_constants_for`, shared so every butterfly form emits
+    identical adds/swaps for 0/±1/±i coefficients)."""
+    st = np.outer(np.arange(r), np.arange(r)).astype(np.float64)
+    w = np.exp(-2j * np.pi * st / r)
+    w.real[np.abs(w.real) < 1e-12] = 0.0
+    w.imag[np.abs(w.imag) < 1e-12] = 0.0
+    w.real[np.abs(w.real - 1) < 1e-12] = 1.0
+    w.real[np.abs(w.real + 1) < 1e-12] = -1.0
+    w.imag[np.abs(w.imag - 1) < 1e-12] = 1.0
+    w.imag[np.abs(w.imag + 1) < 1e-12] = -1.0
+    return w
+
+
+def _smallest_factor(r: int) -> int:
+    for p in (2, 3, 5, 7):
+        if r % p == 0:
+            return p
+    return r
+
+
+def butterfly_dft(pairs, r: int, inverse: bool = False):
+    """R-point DFT across ``r`` (re, im) block pairs, outputs natural order.
+
+    Computes ``u_s = Σ_t W_R^{∓st}·x_t`` (forward: ``-``; ``inverse=True``
+    conjugates the kernel — unnormalized). The direct single-level form
+    costs O(R²) block-MACs; for composite R this recurses through the
+    mixed-radix Cooley-Tukey factorization R = R1·R2 (t = R2·t1 + t2,
+    s = s1 + R1·s2):
+
+        A[s1, t2] = Σ_t1 W_{R1}^{∓s1·t1} · x[R2·t1 + t2]   (R2 small DFTs)
+        B[s1, t2] = W_R^{∓s1·t2} · A[s1, t2]               (twiddles)
+        u[s1 + R1·s2] = Σ_t2 W_{R2}^{∓s2·t2} · B[s1, t2]   (R1 small DFTs)
+
+    which brings the R=8 butterfly from 64 block-MACs (16 of them full
+    complex multiplies) to 24 adds + 2 complex multiplies — the O(n²·R)
+    VPU stage measured as the 1024² fused-kernel efficiency cliff
+    (docs/perf.md round 4c: kernel at 59% of the HIGH ceiling at R=8 vs
+    77% at R=4). All coefficients snap through :func:`_wr_snapped`, so
+    trivial factors emit adds/swaps; outputs stay in NATURAL s order, so
+    the s-block permuted layout (``radix_perm``) and every window pack
+    are unchanged. ``P3D_NO_BUTTERFLY_RECURSION=1`` restores the direct
+    form for A/B measurement.
+    """
+    if r == 1:
+        return [tuple(p) for p in pairs]
+    r1 = _smallest_factor(r)
+    if r1 == r or not _butterfly_recursion_enabled():
+        # prime radix (or recursion disabled): direct coefficient form
+        w = _wr_snapped(r)
+        outs = []
+        for s in range(r):
+            acc = (None, None)
+            for t in range(r):
+                c = complex(w[s, t])
+                if inverse:
+                    c = c.conjugate()
+                acc = _cmac(acc, c, pairs[t][0], pairs[t][1])
+            outs.append(acc)
+        return outs
+    r2 = r // r1
+    # inner: r2 independent r1-point DFTs over stride-r2 inputs
+    inner = [
+        butterfly_dft([pairs[r2 * t1 + t2] for t1 in range(r1)], r1, inverse)
+        for t2 in range(r2)
+    ]
+    w = _wr_snapped(r)
+    outs = [None] * r
+    for s1 in range(r1):
+        col = []
+        for t2 in range(r2):
+            c = complex(w[s1, t2])
+            if inverse:
+                c = c.conjugate()
+            xr, xi = inner[t2][s1]
+            col.append(_cmac((None, None), c, xr, xi))
+        sub = butterfly_dft(col, r2, inverse)
+        for s2 in range(r2):
+            outs[s1 + r1 * s2] = sub[s2]
+    return outs
+
+
 def radix_perm(n: int) -> np.ndarray:
     """σ: permuted position -> natural frequency index under the fast
     split's s-block layout (identity when no split applies).
@@ -309,13 +402,10 @@ def _ifft1_fast_axis_from_perm(z: Cplx, axis: int, precision) -> Cplx:
         # multiply by conj(twiddle) = (tr, -ti)
         ds.append((cr_ * tr_ + ci_ * ti_, ci_ * tr_ - cr_ * ti_))
 
-    outs_r, outs_i = [], []
-    for t in range(r):
-        acc = (None, None)
-        for s in range(r):
-            acc = _cmac(acc, complex(w_r[s, t]).conjugate(), ds[s][0], ds[s][1])
-        outs_r.append(acc[0])
-        outs_i.append(acc[1])
+    # inverse butterfly: out_t = Σ_s W_R^{+st}·d_s (mixed-radix recursion)
+    outs = butterfly_dft(ds, r, inverse=True)
+    outs_r = [o[0] for o in outs]
+    outs_i = [o[1] for o in outs]
     ax = -1 if last else -2
     scale = 1.0 / n
     return Cplx(jnp.concatenate(outs_r, ax) * scale,
@@ -410,13 +500,12 @@ def _fft1_fast_axis(z: Cplx, axis: int, precision, permuted: bool = False) -> Cp
         def e_l(mm, a):
             return jnp.einsum("pm,...mw->...pw", mm, a, precision=precision)
 
+    # butterfly: u_s = Σ_t w_R^{st} · x_t (mixed-radix recursion;
+    # adds/swaps for 0/±1/±i coefficients)
+    us = butterfly_dft([(blk(xr, t), blk(xi, t)) for t in range(r)], r)
     outs_r, outs_i = [], []
     for s in range(r):
-        # butterfly: u_s = Σ_t w_R^{st} · x_t  (adds/swaps for 0/±1/±i)
-        acc = (None, None)
-        for t in range(r):
-            acc = _cmac(acc, complex(w_r[s, t]), blk(xr, t), blk(xi, t))
-        ur, ui = acc
+        ur, ui = us[s]
         # twiddle by w_N^{ms} (per-s constant vector along the m axis)
         cr, ci = tw[s]
         if not last:

@@ -43,12 +43,30 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 
-def pallas_supported(shape) -> bool:
+def tpu_lowering_available(interpret: bool = False) -> bool:
+    """Whether the fused kernels can actually execute here: Mosaic lowering
+    requires a TPU backend (``interpret=True`` runs the kernels anywhere,
+    which is how the CPU test suite exercises them). Without this check a
+    default CPU/GPU run with an eligible grid would reach ``pallas_call``
+    with ``interpret=False`` and fail at lowering instead of falling back
+    to the XLA path as the config contract promises."""
+    if interpret:
+        return True
+    if not _PALLAS_OK:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
+def pallas_supported(shape, interpret: bool = False) -> bool:
     """Whether the fused kernel supports slices of this shape (each spatial
     side a multiple of 128 — the MXU/VREG tile; rectangular slices run the
     dense per-axis-matrix path, square ones additionally get the
-    Cooley-Tukey split)."""
-    if not _PALLAS_OK:
+    Cooley-Tukey split) on the active backend (TPU, or any backend under
+    ``interpret``)."""
+    if not _PALLAS_OK or not tpu_lowering_available(interpret):
         return False
     h, w = shape[-2], shape[-1]
     return h % 128 == 0 and w % 128 == 0
@@ -282,14 +300,16 @@ def pocs_iteration_fused(
 
 def _fast_fwd_left(xr, xi, dot, fmr, fmi, twl, w_r, m, r, fms=None):
     """Forward DFT along rows via the split; output rows permuted.
-    ``fms = fmr + fmi`` engages the 3-dot complex product (None: 4-dot)."""
+    ``fms = fmr + fmi`` engages the 3-dot complex product (None: 4-dot).
+    The R-point butterfly runs the mixed-radix recursion
+    (ops/dft.py::butterfly_dft) — the single-level O(n²·R) form was the
+    measured 1024² efficiency cliff (docs/perf.md round 4c)."""
+    us = dft.butterfly_dft(
+        [(xr[t * m:(t + 1) * m, :], xi[t * m:(t + 1) * m, :])
+         for t in range(r)], r)
     outs_r, outs_i = [], []
     for s in range(r):
-        acc = (None, None)
-        for t in range(r):
-            acc = dft._cmac(acc, complex(w_r[s, t]),
-                            xr[t * m:(t + 1) * m, :], xi[t * m:(t + 1) * m, :])
-        ur, ui = acc
+        ur, ui = us[s]
         cr = twl[:, s:s + 1]          # (m, 1) twiddle cos
         ci = twl[:, 8 + s:9 + s]      # (m, 1) twiddle sin
         vr = ur * cr - ui * ci
@@ -311,26 +331,19 @@ def _fast_inv_left(Xr, Xi, dot, fmr, fmi, twl, w_r, m, r, fmd=None):
         tr = twl[:, s:s + 1]
         ti = twl[:, 8 + s:9 + s]
         ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))  # conj(tw)·c
-    outs_r, outs_i = [], []
-    for t in range(r):
-        acc = (None, None)
-        for s in range(r):
-            acc = dft._cmac(acc, complex(w_r[s, t]).conjugate(),
-                            ds[s][0], ds[s][1])
-        outs_r.append(acc[0])
-        outs_i.append(acc[1])
-    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+    outs = dft.butterfly_dft(ds, r, inverse=True)
+    return (jnp.concatenate([o[0] for o in outs], 0),
+            jnp.concatenate([o[1] for o in outs], 0))
 
 
 def _fast_fwd_right(xr, xi, dot, fmr, fmi, twr, w_r, m, r, fms=None):
     """Forward DFT along columns via the split; output columns permuted."""
+    us = dft.butterfly_dft(
+        [(xr[:, t * m:(t + 1) * m], xi[:, t * m:(t + 1) * m])
+         for t in range(r)], r)
     outs_r, outs_i = [], []
     for s in range(r):
-        acc = (None, None)
-        for t in range(r):
-            acc = dft._cmac(acc, complex(w_r[s, t]),
-                            xr[:, t * m:(t + 1) * m], xi[:, t * m:(t + 1) * m])
-        ur, ui = acc
+        ur, ui = us[s]
         cr = twr[s:s + 1, :]          # (1, m)
         ci = twr[8 + s:9 + s, :]
         vr = ur * cr - ui * ci
@@ -351,15 +364,9 @@ def _fast_inv_right(Xr, Xi, dot, fmr, fmi, twr, w_r, m, r, fmd=None):
         tr = twr[s:s + 1, :]
         ti = twr[8 + s:9 + s, :]
         ds.append((cr_ * tr + ci_ * ti, ci_ * tr - cr_ * ti))
-    outs_r, outs_i = [], []
-    for t in range(r):
-        acc = (None, None)
-        for s in range(r):
-            acc = dft._cmac(acc, complex(w_r[s, t]).conjugate(),
-                            ds[s][0], ds[s][1])
-        outs_r.append(acc[0])
-        outs_i.append(acc[1])
-    return jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1)
+    outs = dft.butterfly_dft(ds, r, inverse=True)
+    return (jnp.concatenate([o[0] for o in outs], 1),
+            jnp.concatenate([o[1] for o in outs], 1))
 
 
 def _radix_kernel_constants(n: int):

@@ -38,16 +38,19 @@ from .pocs_iter import (_KERNEL_THRESH_OPS, _PALLAS_OK, _cmul_left,
                         _cmul_left_conj, _cmul_right, _cmul_right_conj,
                         _fast_fwd_left, _fast_fwd_right, _fast_inv_left,
                         _fast_inv_right, _gauss_enabled, _make_dot,
-                        _radix_kernel_constants, _shrink)
+                        _radix_kernel_constants, _shrink,
+                        tpu_lowering_available)
 
 if _PALLAS_OK:  # pragma: no branch
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
 
-def subband_supported(shape, thresh_op: str) -> bool:
-    """Whether the fused subband kernel supports this configuration."""
-    if not _PALLAS_OK or thresh_op not in _KERNEL_THRESH_OPS:
+def subband_supported(shape, thresh_op: str, interpret: bool = False) -> bool:
+    """Whether the fused subband kernel supports this configuration on the
+    active backend (TPU, or any backend under ``interpret``)."""
+    if (not _PALLAS_OK or thresh_op not in _KERNEL_THRESH_OPS
+            or not tpu_lowering_available(interpret)):
         return False
     h, w = shape[-2], shape[-1]
     return h % 128 == 0 and w % 128 == 0
@@ -231,10 +234,11 @@ def _box_kernel(tau_ref, xbr_ref, xbi_ref, psi_ref, ahr_ref, ahi_ref,
 
 
 def box_group_supported(sr: int, sc: int, n_h: int, n_w: int,
-                        thresh_op: str) -> bool:
+                        thresh_op: str, interpret: bool = False) -> bool:
     """Whether the fused box-group kernel supports this configuration:
     sublane-aligned box sides (the plan's _box_indices pads to multiples
-    of 8 with zero-psi frequencies) on lane-aligned slices.
+    of 8 with zero-psi frequencies) on lane-aligned slices, on the active
+    backend (TPU, or any backend under ``interpret``).
     ``P3D_NO_BOX_KERNEL=1`` force-disables it (XLA spatial-projection
     fallback) — operational escape hatch for hardware/toolchain versions
     where the small-box dot shapes fail Mosaic lowering."""
@@ -243,6 +247,7 @@ def box_group_supported(sr: int, sc: int, n_h: int, n_w: int,
     if os.environ.get("P3D_NO_BOX_KERNEL"):
         return False
     return (_PALLAS_OK and thresh_op in _KERNEL_THRESH_OPS
+            and tpu_lowering_available(interpret)
             and sr % 8 == 0 and sc % 8 == 0
             and n_h % 128 == 0 and n_w % 128 == 0)
 

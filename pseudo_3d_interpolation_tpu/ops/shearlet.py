@@ -586,7 +586,8 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
 
     for l0, lg, g in boxes:
         tau_g = tau2[..., l0:l0 + lg]
-        if box_group_supported(len(g.idx_h), len(g.idx_w), h, w, thresh_op):
+        if box_group_supported(len(g.idx_h), len(g.idx_w), h, w, thresh_op,
+                               interpret):
             # fused box kernel: the whole per-subband backproject ->
             # threshold -> project round trip VMEM-resident; only the
             # group's (B, sr, sc) box spectrum and its psi-weighted sum
@@ -645,7 +646,7 @@ def pocs_subband_apply(z: Cplx, plan, tau, thresh_op: str,
     if use_pallas and z.re.ndim == 3:
         from .pallas.subband import subband_layout, subband_supported
 
-        if (subband_supported(z.shape, thresh_op)
+        if (subband_supported(z.shape, thresh_op, pallas_interpret)
                 and _plan_pallas_pack(plan, h, w,
                                       subband_layout(z.shape))[0] is not None):
             return _pocs_subband_apply_pallas(

@@ -245,6 +245,18 @@ def interpolate_checkpointed(
             with open(meta_path, "w") as fh:
                 _json.dump(fingerprint, fh)
 
+        # solver-path observability (same contract as interpolate())
+        from ..models.pocs import describe_route, solver_route
+        from ..utils.pad import auto_pad_to_tile as _apt
+        from ..utils.pad import next_multiple as _nm
+
+        h_b, w_b = (int(s) for s in fingerprint["slice_shape"])
+        if _apt(config, h_b, w_b, transform):
+            h_b, w_b = _nm(h_b, 128), _nm(w_b, 128)
+        rt = solver_route((batch, h_b, w_b), (h_b, w_b), config, transform)
+        xprint(f"solver path: {describe_route(rt)}",
+               kind="info", verbosity=verbose)
+
         n_iters = np.zeros(f_total, np.int32)
         costs = np.zeros(f_total, np.float32)
         ck_paths = []
@@ -356,9 +368,11 @@ def interpolate(
     cube: Cube | str,
     config: POCSConfig | str | dict = POCSConfig(
         niter=50, thresh_op="hard", thresh_model="exponential",
-        # eps=0.0 (exact never-stop): equivalent to the reference's 1e-16
-        # for f32 cost sequences, and the only value eligible for the
-        # fused folded kernel (models/pocs.py gate; docs/perf.md round 4d).
+        # eps=0.0 (never stop): runs all niter — measured quality-safe at
+        # cube scale (docs/perf.md round 4d; loose eps loses dB) — and the
+        # only value eligible for the fused folded kernel (models/pocs.py
+        # gate). Near-equivalent to the reference's 1e-16 (not bit-equal:
+        # near-converged slices keep iterating under the decayed threshold).
         # use_pallas=True: the fused kernels are the measured production
         # path; the models/pocs.py gates fall back to XLA when unsupported
         p_min="adaptive", version="fast", alpha=0.75, eps=0.0,
@@ -438,6 +452,18 @@ def interpolate(
     resident = (mesh is None and _jax.device_count() == 1
                 and moved.shape[0] * slice_dev_bytes * 4 + batch_bytes
                 < 8 * 2**30)
+    # name the solver path actually taken (and the first failed fused-
+    # kernel gate on a fallback) — silent fallbacks have cost ~30% before
+    # (round-4 eps incident); solver_route IS the dispatch decision, so
+    # this line cannot drift from what runs (models/pocs.py)
+    from ..models.pocs import describe_route, solver_route
+
+    rt = solver_route((resident_batch, h_b, w_b), (h_b, w_b), config,
+                      transform)
+    pad_note = (" (pad_to_tile engaged)"
+                if (h_b, w_b) != moved.shape[-2:] else "")
+    xprint(f"solver path: {describe_route(rt)}{pad_note}",
+           kind="info", verbosity=verbose)
     with prof:
         if resident:
             from ..parallel.solver import interpolate_cube_resident

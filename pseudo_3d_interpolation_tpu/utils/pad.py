@@ -126,6 +126,13 @@ def auto_pad_to_tile(config, h: int, w: int, transform=None,
             or config.global_early_stop
             or config.version not in ("regular", "fast")):
         return False
+    # padding without the kernel is a pure loss: on a non-TPU backend
+    # (no Mosaic lowering, unless interpreting) the padded grid would
+    # run the XLA path over up to 1.3x the area for nothing
+    from ..ops.pallas.pocs_iter import tpu_lowering_available
+
+    if not tpu_lowering_available(config.pallas_interpret):
+        return False
     return pad_area_ratio(h, w, multiple) <= PAD_TO_TILE_MAX_AREA
 
 

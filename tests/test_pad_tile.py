@@ -106,8 +106,8 @@ def test_pad_to_tile_enables_fused_kernel(monkeypatch):
 
     # gate check: 72x40 is NOT kernel-eligible, 128x128 is
     from pseudo_3d_interpolation_tpu.ops.pallas import pallas_supported
-    assert not pallas_supported((2, 72, 40))
-    assert pallas_supported((2, 128, 128))
+    assert not pallas_supported((2, 72, 40), interpret=True)
+    assert pallas_supported((2, 128, 128), interpret=True)
 
     interpolate_cube_resident(obs, mask, base, batch=2)
     assert not calls, "unpadded 72x40 must fall back to the XLA path"
@@ -149,8 +149,14 @@ def test_auto_pad_policy_rules():
     from pseudo_3d_interpolation_tpu.utils.pad import (
         auto_pad_to_tile, pad_area_ratio)
 
-    base = POCSConfig(use_pallas=True, eps=0.0)  # pad_to_tile default None
+    # pad_to_tile default None; pallas_interpret=True passes the backend
+    # gate on this CPU suite the way a real TPU run would
+    base = POCSConfig(use_pallas=True, eps=0.0, pallas_interpret=True)
     assert abs(pad_area_ratio(500, 380) - (512 * 384) / (500 * 380)) < 1e-12
+    # backend gate: on a non-TPU backend without interpret, the kernel
+    # can't run, so auto-padding would be a pure loss — policy declines
+    assert not auto_pad_to_tile(
+        dataclasses.replace(base, pallas_interpret=False), 500, 380)
     assert auto_pad_to_tile(base, 500, 380)          # 1.03x — wins 1.66x
     assert auto_pad_to_tile(base, 120, 120)          # 1.14x — wins
     assert not auto_pad_to_tile(base, 72, 40)        # 5.69x — loses

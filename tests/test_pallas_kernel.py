@@ -44,11 +44,16 @@ def test_fused_iteration_matches_reference(op):
 
 
 def test_supported_shapes():
-    assert pallas_supported((4, 128, 128))
-    assert pallas_supported((512, 512))
-    assert pallas_supported((4, 128, 256))  # rectangular since round 3
-    assert not pallas_supported((100, 100))
-    assert not pallas_supported((4, 128, 200))
+    # interpret=True: the CPU suite has no Mosaic lowering; shape rules only
+    assert pallas_supported((4, 128, 128), interpret=True)
+    assert pallas_supported((512, 512), interpret=True)
+    assert pallas_supported((4, 128, 256), interpret=True)  # rectangular since round 3
+    assert not pallas_supported((100, 100), interpret=True)
+    assert not pallas_supported((4, 128, 200), interpret=True)
+    # backend gate: an eligible shape is NOT supported for compiled (non-
+    # interpret) execution on this CPU backend — it must fall back to XLA
+    # instead of crashing in Mosaic lowering (ADVICE r4)
+    assert not pallas_supported((4, 128, 128), interpret=False)
 
 
 @pytest.mark.parametrize("basis", ["FFT", "DCT"])
