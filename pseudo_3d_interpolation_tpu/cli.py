@@ -363,6 +363,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="netCDF attrs/encodings YAML, attrs_time family "
                         "(reference --params_netcdf)")
     p.add_argument("--envelope", action="store_true")
+    p.add_argument("--out-of-core", action="store_true", default=None,
+                   help="stream iline slabs with bounded memory "
+                        "(auto-enabled when the cube exceeds ~2 GiB)")
 
     p = cmd("fft", 12, "forward FFT along the time axis")
     p.add_argument("input")
@@ -470,6 +473,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--agc-kind", default="rms",
                    choices=["rms", "mean", "median"],
                    help="AGC statistic (reference --agc-kind)")
+    p.add_argument("--out-of-core", action="store_true", default=None,
+                   help="stream the chain through bounded-memory passes "
+                        "(auto-enabled when the upsampled cube exceeds "
+                        "~2 GiB; reference ran this step under a dask "
+                        "client, cube_postprocessing_3D.py:707-711)")
     p.add_argument("--agc-sqrt", action="store_true",
                    help="squared AGC, enhances strong amplitudes "
                         "(reference --agc-sqrt)")
@@ -733,7 +741,8 @@ def main(argv=None) -> int:
                    resample_method="poly" if args.resample_function == "poly" else "fft",
                    resample_window=args.window_resample,
                    envelope=args.envelope, attrs_config=args.attrs_yaml,
-                   out_path=args.output, verbose=v)
+                   out_path=args.output, out_of_core=args.out_of_core,
+                   verbose=v)
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "fft":
         from .pipeline.fft import apply_fft
@@ -919,7 +928,7 @@ def main(argv=None) -> int:
             smoothing=smoothing,
             agc_win=args.agc_win, agc_kind=args.agc_kind,
             agc_sqrt=args.agc_sqrt,
-            out_path=args.output, verbose=v,
+            out_path=args.output, out_of_core=args.out_of_core, verbose=v,
         )
         xprint(f"wrote {args.output}", kind="success", verbosity=v)
     elif cmd == "cube2segy":
