@@ -371,7 +371,10 @@ def _fast_inv_right(Xr, Xi, dot, fmr, fmi, twr, w_r, m, r, fmd=None):
 
 def _radix_kernel_constants(n: int):
     """Twiddle/packing for the in-kernel split: (m, r, w_r, F_M pair,
-    twl (m,16) [cols 0:r cos, 8:8+r sin], twr (16,m) [rows likewise])."""
+    twl (m,16) [cols 0:r cos, 8:8+r sin], twr (16,m) [rows likewise]).
+
+    Retained for the probe tools; the production kernels use the FOLDED
+    constants below (twiddles pre-multiplied into per-s DFT matrices)."""
     m, r, w_r, twr_np, twi_np, fmr, fmi = dft._radix_constants(n)
     assert r <= 8, "split radix must fit the 16-row twiddle packing"
     twl = np.zeros((m, 16), np.float32)
@@ -381,6 +384,141 @@ def _radix_kernel_constants(n: int):
     twr_pack[:r] = twr_np
     twr_pack[8:8 + r] = twi_np
     return m, r, w_r, fmr, fmi, twl, twr_pack
+
+
+# ---------------------------------------------------------------------------
+# Folded radix constants (round 5)
+#
+# The split's per-s twiddle stage (v = tw_s ⊙ u before/after each M-deep
+# dot) is pure VPU work on full (M, n) blocks — measured as part of the
+# 1024² efficiency cliff alongside the butterflies (docs/perf.md round 4c).
+# It folds into the constant DFT matrix at ZERO MXU cost: with
+# G_s = F_M·diag(tw_s) (and Gt_s = G_s^T = diag(tw_s)·F_M, F symmetric),
+#
+#   forward left :  F_M @ (tw_s ⊙ u_s)        =  G_s @ u_s
+#   forward right:  (u_s ⊙ tw_s) @ F_M        =  u_s @ Gt_s
+#   inverse left :  conj(tw_s) ⊙ (conj(F_M)@X) = conj(Gt_s) @ X_s
+#   inverse right:  (X @ conj(F_M)) ⊙ conj(tw_s) = X_s @ conj(G_s)
+#
+# so each of the 4 axis passes loses one complex multiply per element per
+# block plus the twiddle loads. Cost: R (M, M) constant matrices per form
+# instead of one + a twiddle vector — ~4 MB VMEM at N=1024 (R=8), well
+# inside the kernel's budget. The products are formed in float64 on host
+# and rounded once, which is slightly MORE accurate than the runtime f32
+# twiddle multiply they replace.
+# ---------------------------------------------------------------------------
+
+_FOLDED_KEYS = ("gre", "gim", "gtre", "gtim")
+
+
+@functools.lru_cache(maxsize=64)
+def _radix_folded_for(n: int, m: int, r: int):
+    jk = np.outer(np.arange(m), np.arange(m)).astype(np.float64)
+    f = np.exp(-2j * np.pi * jk / m)
+    ms = np.outer(np.arange(r), np.arange(m)).astype(np.float64)
+    tw = np.exp(-2j * np.pi * ms / n)  # (r, m) twiddles w_N^{ms}
+    gre = np.empty((r * m, m), np.float32)
+    gim = np.empty((r * m, m), np.float32)
+    gtre = np.empty((r * m, m), np.float32)
+    gtim = np.empty((r * m, m), np.float32)
+    for s in range(r):
+        g = f * tw[s][None, :]  # G_s[p, m] = F[p, m]·tw_s[m]
+        gre[s * m:(s + 1) * m] = g.real
+        gim[s * m:(s + 1) * m] = g.imag
+        gtre[s * m:(s + 1) * m] = g.real.T
+        gtim[s * m:(s + 1) * m] = g.imag.T
+    return {"gre": gre, "gim": gim, "gtre": gtre, "gtim": gtim}
+
+
+def _radix_kernel_constants_folded(n: int):
+    """(m, r, stacks) with ``stacks[k]`` the (R·M, M) f32 stack for each
+    key in :data:`_FOLDED_KEYS` (per-s matrices in row blocks)."""
+    m, r = dft.fast_split(n)
+    return m, r, _radix_folded_for(n, m, r)
+
+
+def _folded_slices(gre, gim, gtre, gtim, m: int, r: int, gauss: bool):
+    """Slice the 4 read stacks into per-s (M, M) lists; Gauss sum/diff
+    stacks are formed by ONE whole-stack add/sub then sliced (identical
+    f32 values to per-slice sums). Sum/diff lists are None when Gauss
+    products are disabled."""
+    def _sl(a):
+        return [a[s * m:(s + 1) * m, :] for s in range(r)]
+
+    g = {"gre": _sl(gre), "gim": _sl(gim), "gtre": _sl(gtre),
+         "gtim": _sl(gtim)}
+    if gauss:
+        g["gsum"] = _sl(gre + gim)
+        g["gdiff"] = _sl(gre - gim)
+        g["gtsum"] = _sl(gtre + gtim)
+        g["gtdiff"] = _sl(gtre - gtim)
+    else:
+        g["gsum"] = g["gdiff"] = g["gtsum"] = g["gtdiff"] = None
+    return g
+
+
+def _fast_fwd_left_folded(xr, xi, dot, g, m, r):
+    """Forward DFT along rows via the split with folded twiddles; output
+    rows permuted."""
+    us = dft.butterfly_dft(
+        [(xr[t * m:(t + 1) * m, :], xi[t * m:(t + 1) * m, :])
+         for t in range(r)], r)
+    outs_r, outs_i = [], []
+    for s in range(r):
+        or_, oi_ = _cmul_left(dot, g["gre"][s], g["gim"][s],
+                              None if g["gsum"] is None else g["gsum"][s],
+                              us[s][0], us[s][1])
+        outs_r.append(or_)
+        outs_i.append(oi_)
+    return jnp.concatenate(outs_r, 0), jnp.concatenate(outs_i, 0)
+
+
+def _fast_fwd_right_folded(xr, xi, dot, g, m, r):
+    """Forward DFT along columns via the split with folded twiddles."""
+    us = dft.butterfly_dft(
+        [(xr[:, t * m:(t + 1) * m], xi[:, t * m:(t + 1) * m])
+         for t in range(r)], r)
+    outs_r, outs_i = [], []
+    for s in range(r):
+        or_, oi_ = _cmul_right(dot, us[s][0], us[s][1], g["gtre"][s],
+                               g["gtim"][s],
+                               None if g["gtsum"] is None else g["gtsum"][s])
+        outs_r.append(or_)
+        outs_i.append(oi_)
+    return jnp.concatenate(outs_r, 1), jnp.concatenate(outs_i, 1)
+
+
+def _fast_inv_left_folded(Xr, Xi, dot, g, m, r):
+    """Unnormalized inverse along rows from the permuted layout."""
+    ds = []
+    for s in range(r):
+        ds.append(_cmul_left_conj(
+            dot, g["gtre"][s], g["gtim"][s],
+            None if g["gtdiff"] is None else g["gtdiff"][s],
+            Xr[s * m:(s + 1) * m, :], Xi[s * m:(s + 1) * m, :]))
+    outs = dft.butterfly_dft(ds, r, inverse=True)
+    return (jnp.concatenate([o[0] for o in outs], 0),
+            jnp.concatenate([o[1] for o in outs], 0))
+
+
+def _fast_inv_right_folded(Xr, Xi, dot, g, m, r):
+    """Unnormalized inverse along columns from the permuted layout."""
+    ds = []
+    for s in range(r):
+        ds.append(_cmul_right_conj(
+            dot, Xr[:, s * m:(s + 1) * m], Xi[:, s * m:(s + 1) * m],
+            g["gre"][s], g["gim"][s],
+            None if g["gdiff"] is None else g["gdiff"][s]))
+    outs = dft.butterfly_dft(ds, r, inverse=True)
+    return (jnp.concatenate([o[0] for o in outs], 1),
+            jnp.concatenate([o[1] for o in outs], 1))
+
+
+def _folded_dot_consts(g, gauss: bool):
+    """Every per-s constant slice, for _make_dot's bf16x3 split cache."""
+    keys = (("gre", "gim", "gtre", "gtim")
+            + (("gsum", "gdiff", "gtsum", "gtdiff") if gauss else ()))
+    return [a for k in keys for a in g[k]]
 
 
 # ---------------------------------------------------------------------------
@@ -397,8 +535,8 @@ def _radix_kernel_constants(n: int):
 def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
                   outr_ref, outi_ref, cost_ref, *, n: int, alpha: float,
                   op: str, niter: int, precision, fast: bool,
-                  basis: str = "fft", split=None, twl_ref=None, twr_ref=None,
-                  rect_refs=None, hw=None, wv_level: int = 0):
+                  basis: str = "fft", split=None, gtre_ref=None,
+                  gtim_ref=None, rect_refs=None, hw=None, wv_level: int = 0):
     i = pl.program_id(0)
     fr = fr_ref[...]
     fi = fi_ref[...]
@@ -432,17 +570,20 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
     obi = xi_ref[...]
     mask = mask_ref[...]
     keep = 1.0 - alpha * mask
+    gfold = None
     if split is not None:
-        m_, r_, w_r = split
-        twl = twl_ref[...]
-        twr_ = twr_ref[...]
+        # folded split constants: fr/fi carry the G = F_M·diag(tw) stacks,
+        # gt refs their transposes (see the folded-constants section above)
+        m_, r_ = split
+        gfold = _folded_slices(fr, fi, gtre_ref[...], gtim_ref[...],
+                               m_, r_, _gauss_enabled())
 
     # Gauss 3-dot complex products (FFT paths only — DCT/wavelet transform
     # re/im independently with real matrices): precompute the constant-pair
     # sum/diff ONCE, outside the iteration loop, and register them in the
     # dot's split cache so the HIGH (bf16x3) path decomposes each only once
     fs = fd = es = ed = None
-    if basis not in ("dct", "wavelet") and _gauss_enabled():
+    if basis not in ("dct", "wavelet") and split is None and _gauss_enabled():
         fs = fr + fi
         fd = fr - fi
         if e0 is fr:
@@ -451,9 +592,13 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             es = e0 + e1
             ed = e0 - e1
     sums = [fs, fd] + ([es, ed] if es is not fs else [])
-    dot = _make_dot(precision, fr, fi, e0, e1,
-                    *[c for c in sums if c is not None],
-                    *(wv_a[1:] + wv_at[1:] if basis == "wavelet" else ()))
+    if gfold is not None:
+        consts = _folded_dot_consts(gfold, _gauss_enabled())
+        dot = _make_dot(precision, consts[0], consts[1], *consts[2:])
+    else:
+        dot = _make_dot(precision, fr, fi, e0, e1,
+                        *[c for c in sums if c is not None],
+                        *(wv_a[1:] + wv_at[1:] if basis == "wavelet" else ()))
 
     def one(j, carry):
         xr_prev, xi_prev, xr, xi, v, cost_prev = carry
@@ -524,11 +669,10 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             Xr = dot(dot(fr, yr_in), e0)
             Xi = dot(dot(fr, yi_in), e0)
         elif split is not None:
-            # Cooley-Tukey split: R M-deep dots per axis, permuted spectrum
-            ar, ai = _fast_fwd_left(yr_in, yi_in, dot, fr, fi, twl, w_r,
-                                    m_, r_, fs)
-            Xr, Xi = _fast_fwd_right(ar, ai, dot, fr, fi, twr_, w_r,
-                                     m_, r_, fs)
+            # Cooley-Tukey split: R M-deep dots per axis (twiddles folded
+            # into the per-s matrices), permuted spectrum
+            ar, ai = _fast_fwd_left_folded(yr_in, yi_in, dot, gfold, m_, r_)
+            Xr, Xi = _fast_fwd_right_folded(ar, ai, dot, gfold, m_, r_)
         else:
             yr, yi = _cmul_left(dot, fr, fi, fs, yr_in, yi_in)
             Xr, Xi = _cmul_right(dot, yr, yi, e0, e1, es)
@@ -546,10 +690,8 @@ def _solve_kernel(tau_ref, xr_ref, xi_ref, mask_ref, fr_ref, fi_ref,
             ri = dot(dot(fi, Xi), e1)
             scale = 1.0
         elif split is not None:
-            br, bi = _fast_inv_right(Xr, Xi, dot, fr, fi, twr_, w_r,
-                                     m_, r_, fd)
-            rr, ri = _fast_inv_left(br, bi, dot, fr, fi, twl, w_r,
-                                    m_, r_, fd)
+            br, bi = _fast_inv_right_folded(Xr, Xi, dot, gfold, m_, r_)
+            rr, ri = _fast_inv_left_folded(br, bi, dot, gfold, m_, r_)
             scale = 1.0 / n_scale
         else:
             yr, yi = _cmul_left_conj(dot, fr, fi, fd, Xr, Xi)
@@ -667,14 +809,19 @@ def pocs_solve_fused(
             cw = dft.dct2_matrix(w)
             extra_inputs = [jnp.asarray(cw.T.copy()), jnp.asarray(cw)]
     elif not rect and use_split and dft.fast_split(n):
-        # Cooley-Tukey split path: fr/fi hold the M-point DFT matrices and
-        # two packed twiddle tables ride along (see _radix_kernel_constants)
-        m_, r_, w_r, fr, fi, twl, twr_pack = _radix_kernel_constants(n)
-        split = (m_, r_, w_r)
-        extra_inputs = [jnp.asarray(twl), jnp.asarray(twr_pack)]
+        # folded Cooley-Tukey split path: fr/fi hold the stacked
+        # G = F_M·diag(tw) per-s matrices, the transpose stacks ride along
+        # (see the folded-constants section above)
+        m_, r_, stacks = _radix_kernel_constants_folded(n)
+        split = (m_, r_)
+        fr, fi = stacks["gre"], stacks["gim"]
+        extra_inputs = [jnp.asarray(stacks["gtre"]),
+                        jnp.asarray(stacks["gtim"])]
         extra_specs = [
-            pl.BlockSpec((m_, 16), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, m_), lambda i, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_ * m_, m_), lambda i, tau: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_ * m_, m_), lambda i, tau: (0, 0),
+                         memory_space=pltpu.VMEM),
         ]
     else:
         fr, fi = dft.dft_matrices(h)
@@ -722,8 +869,8 @@ def pocs_solve_fused(
             fast=(version == "fast"),
             basis=basis,
             split=split,
-            twl_ref=ex_refs[0] if split else None,
-            twr_ref=ex_refs[1] if split else None,
+            gtre_ref=ex_refs[0] if split else None,
+            gtim_ref=ex_refs[1] if split else None,
             rect_refs=ex_refs if (rect or wv_level > 1) else None,
             hw=(h, w) if rect else None,
             wv_level=wv_level,

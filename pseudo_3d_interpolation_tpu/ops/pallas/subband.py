@@ -36,9 +36,7 @@ from .. import dft
 from ..cplx import Cplx
 from .pocs_iter import (_KERNEL_THRESH_OPS, _PALLAS_OK, _cmul_left,
                         _cmul_left_conj, _cmul_right, _cmul_right_conj,
-                        _fast_fwd_left, _fast_fwd_right, _fast_inv_left,
-                        _fast_inv_right, _gauss_enabled, _make_dot,
-                        _radix_kernel_constants, _shrink,
+                        _gauss_enabled, _make_dot, _shrink,
                         tpu_lowering_available)
 
 if _PALLAS_OK:  # pragma: no branch
@@ -67,29 +65,26 @@ def subband_layout(shape) -> str:
     return "natural"
 
 
-def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
-            twr_ref, accr_ref, acci_ref, *, n: int, m: int, r: int, w_r,
-            op: str, precision):
+def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, g_refs, accr_ref, acci_ref,
+            *, n: int, m: int, r: int, op: str, precision):
+    from .pocs_iter import (_fast_fwd_left_folded, _fast_fwd_right_folded,
+                            _fast_inv_left_folded, _fast_inv_right_folded,
+                            _folded_dot_consts, _folded_slices)
+
     b = pl.program_id(0)
     l = pl.program_id(1)
     tau = tau_ref[b, l]
-    fmr = fmr_ref[...]
-    fmi = fmi_ref[...]
-    twl = twl_ref[...]
-    twr = twr_ref[...]
     p = psi_ref[...]
     gauss = _gauss_enabled()
-    fms = fmr + fmi if gauss else None
-    fmd = fmr - fmi if gauss else None
-    dot = _make_dot(precision, fmr, fmi,
-                    *[c for c in (fms, fmd) if c is not None])
+    g = _folded_slices(*(ref[...] for ref in g_refs), m, r, gauss)
+    consts = _folded_dot_consts(g, gauss)
+    dot = _make_dot(precision, consts[0], consts[1], *consts[2:])
 
     prod_r = xr_ref[...] * p
     prod_i = xi_ref[...] * p
     # natural-order spatial coefficients (inverse from permuted layout)
-    br, bi = _fast_inv_right(prod_r, prod_i, dot, fmr, fmi, twr, w_r, m, r,
-                             fmd)
-    cr, ci = _fast_inv_left(br, bi, dot, fmr, fmi, twl, w_r, m, r, fmd)
+    br, bi = _fast_inv_right_folded(prod_r, prod_i, dot, g, m, r)
+    cr, ci = _fast_inv_left_folded(br, bi, dot, g, m, r)
     scale = 1.0 / (n * n)
     cr = cr * scale
     ci = ci * scale
@@ -98,8 +93,8 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, fmr_ref, fmi_ref, twl_ref,
     cr = cr * shrink
     ci = ci * shrink
 
-    ar, ai = _fast_fwd_left(cr, ci, dot, fmr, fmi, twl, w_r, m, r, fms)
-    vr, vi = _fast_fwd_right(ar, ai, dot, fmr, fmi, twr, w_r, m, r, fms)
+    ar, ai = _fast_fwd_left_folded(cr, ci, dot, g, m, r)
+    vr, vi = _fast_fwd_right_folded(ar, ai, dot, g, m, r)
 
     @pl.when(l == 0)
     def _init():
@@ -356,21 +351,21 @@ def subband_update_fused(
     if layout == "permuted":
         assert h == w, "permuted layout requires square slices"
         n = h
-        m, r, w_r, fmr, fmi, twl, twr_pack = _radix_kernel_constants(n)
-        const_inputs = [jnp.asarray(fmr), jnp.asarray(fmi),
-                        jnp.asarray(twl), jnp.asarray(twr_pack)]
+        from .pocs_iter import (_FOLDED_KEYS, _radix_kernel_constants_folded)
+
+        m, r, stacks = _radix_kernel_constants_folded(n)
+        const_inputs = [jnp.asarray(stacks[k]) for k in _FOLDED_KEYS]
         const_specs = [
-            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, 16), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, m), lambda i, j, tau: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r * m, m), lambda i, j, tau: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in _FOLDED_KEYS
         ]
 
-        def kernel(tau_ref, xr, xi, psi_r, fmr_r, fmi_r, twl_r, twr_r,
-                   accr, acci):
-            _kernel(tau_ref, xr.at[0], xi.at[0], psi_r.at[0], fmr_r, fmi_r,
-                    twl_r, twr_r, accr.at[0], acci.at[0],
-                    n=n, m=m, r=r, w_r=w_r, op=thresh_op, precision=prec)
+        def kernel(tau_ref, xr, xi, psi_r, *rest):
+            *g_refs, accr, acci = rest
+            _kernel(tau_ref, xr.at[0], xi.at[0], psi_r.at[0], g_refs,
+                    accr.at[0], acci.at[0],
+                    n=n, m=m, r=r, op=thresh_op, precision=prec)
     elif layout == "natural":
         fhr, fhi = dft.dft_matrices(h)
         fwr, fwi = (fhr, fhi) if w == h else dft.dft_matrices(w)

@@ -2,7 +2,8 @@
 
 ``models.pocs.solver_route`` IS the dispatch decision of
 ``pocs_interpolate`` (not a parallel re-implementation), so these tests pin
-(a) the documented config -> path routing table (docs/cli.md), (b) the
+(a) the documented config -> path routing table (docs/workflow.md,
+"Solver path routing"), (b) the
 first-failure reasons, (c) dispatch consistency via kernel spies, and
 (d) the driver log line — the round-4 eps incident (default CLI runs
 silently ineligible for the fused kernel, ~30% lost) is the regression
@@ -33,7 +34,8 @@ S = (4, 128, 128)  # eligible batch shape
 M = (128, 128)
 
 
-# The documented routing table (docs/cli.md "Solver path routing") — each
+# The documented routing table (docs/workflow.md "Solver path routing")
+# — each
 # row here must match the docs and the dispatch. Format:
 # (config override dict, shape, expected route, expected basis,
 #  substring expected in the reason)
@@ -174,3 +176,32 @@ def test_describe_route_strings():
     assert describe_route(rt) == "fused-folded[fft]"
     rt2 = solver_route(S, M, dataclasses.replace(CLI_DEFAULT, eps=1e-9))
     assert describe_route(rt2).startswith("fused-periter[fft] — ")
+
+
+def test_profile_dir_produces_trace(tmp_path):
+    """`p3d pocs --profile-dir` analog: pipeline interpolate(profile_dir=...)
+    writes a jax.profiler trace directory — the TPU-equivalent of the
+    reference's dask performance_report HTML
+    (cube_POCS_interpolation_3D.py:378-383)."""
+    import os
+
+    from pseudo_3d_interpolation_tpu.io.ncio import Cube
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import interpolate
+
+    rng = np.random.default_rng(2)
+    il, xl, f = 16, 16, 2
+    cube = Cube(
+        coords={"iline": np.arange(il), "xline": np.arange(xl),
+                "freq": np.arange(f, dtype=np.float32)},
+        data_vars={"amp": (("iline", "xline", "freq"),
+                           rng.normal(size=(il, xl, f)).astype(np.float32)),
+                   "fold": (("iline", "xline"), np.ones((il, xl),
+                                                        np.float32))},
+    )
+    prof = tmp_path / "trace"
+    cfg = dataclasses.replace(CLI_DEFAULT, niter=2, use_pallas=False)
+    interpolate(cube, cfg, profile_dir=str(prof))
+    files = [os.path.join(r, fn) for r, _, fns in os.walk(prof) for fn in fns]
+    assert files, "profile_dir must contain trace artifacts"
+    assert any("trace" in fn or fn.endswith((".pb", ".json.gz", ".xplane.pb"))
+               for fn in files), files
