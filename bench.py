@@ -280,7 +280,9 @@ def main():
             }), flush=True)
             os._exit(0)
 
-        tail_watchdog = threading.Timer(budget_s + 300.0, _tail_fire)
+        # covers the per-basis tail AND the 1024² production row below
+        # (a cold 1024² directional compile alone can take ~2 min)
+        tail_watchdog = threading.Timer(budget_s + 900.0, _tail_fire)
         tail_watchdog.daemon = True
         tail_watchdog.start()
     else:
@@ -381,6 +383,117 @@ def main():
                         f"{str(e)[:120]}]",
                 "vs_baseline": 0.0,
             }), flush=True)
+    # --- production-scale row (VERDICT r4 #2): 1024² SHEARLET HIGH -------
+    # 1024² is the slice size the reference's field data actually uses and
+    # where the measured efficiency gap lives (docs/perf.md round 4c);
+    # keeping it driver-visible makes any 1024² regression show up in
+    # BENCH_r{N}.json instead of only in perf.md prose. Skipped on CPU
+    # smoke shapes (BENCH_N != 512), over budget, or BENCH_SKIP_1024=1.
+    if H == W == 512 and os.environ.get("BENCH_SKIP_1024") != "1":
+        metric_1024 = "pocs_slice_iters_per_sec_1024x1024_shearlet_high"
+        # per-chip rate for a < 60 s v5p-8 solve of the production
+        # 1024x1024x512 cube (257 rfft slices x 50 iterations)
+        northstar_1024 = 257 * 50 / 60.0 / 8.0
+        if time.perf_counter() - t_start > budget_s + 240.0:
+            print(json.dumps({
+                "metric": metric_1024,
+                "value": 0.0,
+                "unit": "slice-iterations/s [SKIPPED: bench time budget "
+                        "spent — run tools/probe_subband.py at n=1024]",
+                "vs_baseline": 0.0,
+            }), flush=True)
+        else:
+            try:
+                N2, B2 = 1024, 2  # measured-best production batch (rnd 4c)
+                yy2, xx2 = np.mgrid[0:N2, 0:N2]
+                truth2 = np.zeros((B2, N2, N2), np.complex64)
+                for i in range(B2):
+                    r = np.random.default_rng(100 + i)
+                    for _ in range(6):
+                        fy, fx = r.integers(1, 24, size=2)
+                        truth2[i] += r.uniform(0.5, 2.0) * np.exp(
+                            2j * np.pi * (fy * yy2 / N2 + fx * xx2 / N2)
+                            + 1j * r.uniform(0, 6.28))
+                m2np = (np.random.default_rng(9).uniform(size=N2)
+                        < 0.5).astype(np.float32)
+                m2np = np.ascontiguousarray(
+                    np.broadcast_to(m2np[None, :], (N2, N2)))
+                z2 = from_complex(truth2 * m2np)
+                m2 = jnp.asarray(m2np)
+                tr2 = get_transform("SHEARLET", precision="high")
+                cfg2 = POCSConfig(niter=NITER, thresh_op="hard",
+                                  thresh_model="exponential",
+                                  p_min="adaptive", version="fast",
+                                  alpha=0.75, eps=0.0, use_pallas=True)
+                note2 = ""
+
+                def make_1024_solver(c):
+                    def s1024(z, m, scale):
+                        z = type(z)(z.re * scale, z.im * scale)
+                        r = pocs_interpolate(z, m, tr2, c)
+                        return jnp.sum(r.data.re) + jnp.sum(r.data.im)
+
+                    return jit_hoisted(s1024)
+
+                f2 = make_1024_solver(cfg2)
+                try:
+                    _warm_with_retry(f2, z2, m2, jnp.float32(1.0))
+                except Exception as e:
+                    import dataclasses as _dc
+                    import sys as _sys
+
+                    print(f"bench[1024]: Pallas warmup failed "
+                          f"({type(e).__name__}); XLA fallback",
+                          file=_sys.stderr, flush=True)
+                    note2 = f"; XLA fallback ({type(e).__name__})"
+                    f2 = make_1024_solver(_dc.replace(cfg2,
+                                                      use_pallas=False))
+                    float(f2(z2, m2, jnp.float32(1.0)))
+                # ramp burn, then timed reps (same discipline as the tail)
+                float(f2(z2, m2, jnp.float32(1.0))
+                      + f2(z2, m2, jnp.float32(1.0001)))
+                reps2 = 3
+                t0 = time.perf_counter()
+                acc2 = f2(z2, m2, jnp.float32(1.0))
+                for i in range(1, reps2):
+                    acc2 = acc2 + f2(z2, m2, jnp.float32(1.0 + 0.001 * i))
+                float(acc2)
+                rate2 = B2 * NITER / ((time.perf_counter() - t0) / reps2)
+                cube_s = 257 * NITER / rate2
+                print(json.dumps({
+                    "metric": metric_1024,
+                    "value": round(rate2, 1),
+                    "unit": (f"slice-iterations/s (1024x1024 FPOCS, "
+                             f"SHEARLET basis, batch {B2}, bf16x3-high "
+                             f"production default; whole 1024x1024x512 "
+                             f"cube = {cube_s:.1f} s on this chip"
+                             + note2 + ")"),
+                    "vs_baseline": round(rate2 / northstar_1024, 2),
+                }), flush=True)
+                if not note2:
+                    from pseudo_3d_interpolation_tpu.ops import shearlet as sh
+                    from pseudo_3d_interpolation_tpu.utils import roofline as rl
+
+                    rmacs2 = rl.plan_iteration_rmacs(
+                        sh.shearlet_plan(N2, N2), N2)["rmacs"]
+                    mfu2 = rl.mfu_pct(rate2, rmacs2, "high")
+                    print(json.dumps({
+                        "metric": "mfu_pct_1024x1024_shearlet_high",
+                        "value": round(mfu2, 1),
+                        "unit": ("% of the attainable bf16x3 MXU ceiling "
+                                 "(197/3 TFLOP/s; exact rMACs from the "
+                                 "1024² shearlet plan — tools/roofline.py)"),
+                        "vs_baseline": round(mfu2 / 100.0, 3),
+                    }), flush=True)
+            except Exception as e:
+                print(json.dumps({
+                    "metric": metric_1024,
+                    "value": 0.0,
+                    "unit": f"slice-iterations/s [FAILED: "
+                            f"{type(e).__name__}: {str(e)[:120]}]",
+                    "vs_baseline": 0.0,
+                }), flush=True)
+
     if tail_watchdog is not None:
         # disarm: leaving a live os._exit(0) timer would kill an importing
         # caller minutes after a perfectly successful tail

@@ -94,15 +94,25 @@ def _make_dot(precision, fr, fi, *extra_consts):
 
     Mosaic lowers DEFAULT (bf16) and HIGHEST (f32 6-pass) natively but has
     no HIGH (bf16x3) lowering — for HIGH we implement the standard
-    error-corrected 3-pass decomposition by hand:
+    error-corrected 3-pass decomposition
 
         a·b ≈ hi(a)·hi(b) + hi(a)·lo(b) + lo(a)·hi(b)
 
     with hi = bf16 round, lo = bf16(residual); the lo·lo term is below f32
-    rounding. Matches XLA's HIGH quality (quality-neutral to 0.001 dB on
-    the north-star cube, docs/perf.md) at ~2x the HIGHEST rate. The
-    constant DFT matrices ``fr``/``fi`` are split once and the splits are
-    reused for every dot that passes them by identity.
+    rounding. The three passes are CONCATENATED along the contraction
+    axis into ONE MXU dot — ``[a_hi | a_hi | a_lo] @ [b_hi; b_lo; b_hi]``
+    — so the partial sums accumulate inside the MXU's f32 accumulator
+    instead of as VPU adds over the full output (two f32 output-sized
+    adds per dot eliminated; the 3x-deep contraction also amortizes the
+    systolic fill better). Measured as part of the 1024² VPU overhead
+    (docs/perf.md round 5). Matches XLA's HIGH quality (quality-neutral
+    to 0.001 dB on the north-star cube) at ~2x the HIGHEST rate.
+
+    Constants passed by identity get their bf16 splits AND both
+    concatenated orientations prepared ONCE at dot-construction time
+    (outside any iteration loop); non-const operands are split and
+    stacked per call (3 cheap elementwise ops on the operand, in place
+    of the 2-op split plus the removed output adds).
     """
     if precision != jax.lax.Precision.HIGH:
         return functools.partial(jnp.dot, preferred_element_type=jnp.float32,
@@ -113,17 +123,31 @@ def _make_dot(precision, fr, fi, *extra_consts):
         return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     _raw = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
-    cache = [(c, _split(c)) for c in (fr, fi, *extra_consts)]
+    cache = []
+    for c in (fr, fi, *extra_consts):
+        hi, lo = _split(c)
+        cache.append((c,
+                      jnp.concatenate([hi, hi, lo], axis=1),   # const FIRST
+                      jnp.concatenate([hi, hi, lo], axis=0)))  # const SECOND
 
-    def _lookup(a):
-        for c, s in cache:
+    def _find(a):
+        for c, cat1, cat0 in cache:
             if a is c:
-                return s
-        return _split(a)
+                return cat1, cat0
+        return None
 
     def dot(a, b):
-        a_s = _lookup(a)
-        b_s = _lookup(b)
+        fa = _find(a)
+        fb = _find(b)
+        if fa is not None and fb is None:
+            hi, lo = _split(b)
+            return _raw(fa[0], jnp.concatenate([hi, lo, hi], axis=0))
+        if fb is not None and fa is None:
+            hi, lo = _split(a)
+            return _raw(jnp.concatenate([hi, lo, hi], axis=1), fb[1])
+        # const×const / non-const×non-const: explicit 3-pass form
+        a_s = _split(a)
+        b_s = _split(b)
         return (_raw(a_s[0], b_s[0]) + _raw(a_s[0], b_s[1])
                 + _raw(a_s[1], b_s[0]))
 
