@@ -204,3 +204,129 @@ def curvelet_plan(h: int, w: int, nbscales: int | None = None,
     bounds = [int(np.ceil(2.0 * emax * 2.0 ** (s - r + 1))) for s in range(r)]
     bounds[-1] = None  # finest ring is flat-topped to the corner: full grid
     return build_plan(psi, counts, bounds, split_threshold)
+
+
+# ---------------------------------------------------------------------------
+# Decimated (wrapped) coefficient representation (round 5, VERDICT r4 #7)
+#
+# CurveLab stores each wedge's coefficients on a wrapped parallelogram grid
+# ~the size of the wedge's frequency support (fdct_wrapping); the default
+# transform here keeps full H×W resolution per wedge (exactly tight,
+# documented deviation — module docstring). This section provides the
+# memory-parity variant: each band's coefficients live on its own wrapped
+# grid — the band's (padded) frequency-support index boxes become a small
+# grid, and the coefficient field is the plain ifft2 ON that grid (this IS
+# the "wrapping": frequencies map onto the small grid modulo its size).
+#
+#   forward:  c_l = ifft2_{sr×sc}( X[rows_l × cols_l] · ψ_l )
+#   inverse:  X  += scatter_{rows_l × cols_l}( fft2_{sr×sc}(c_l) · ψ_l )
+#
+# Perfect reconstruction is EXACT for any index sets (fft∘ifft is the
+# identity on the small grid and Σ_l ψ_l² = 1 by symmetrize_and_tighten);
+# Parseval holds per band up to the grid-size scale (‖c_l‖² =
+# ‖X·ψ_l‖²/(sr·sc)), so threshold-and-reinsert POCS behaves like the
+# undecimated frame with per-band thresholds derived from the SAME decay
+# law (the decay normalizes by each band's own coefficient maximum).
+# Box-group bands reuse the plan's padded box indices; full-resolution
+# groups (the isotropic finest ring, the zero-padded-to-full rings) crop
+# each band to its exact nonzero row/col support, padded to a multiple of
+# 8 with ψ-zero frequencies (values unchanged, TPU-aligned shapes).
+# ---------------------------------------------------------------------------
+
+
+def _pad_index_set(idx: np.ndarray, n: int, mult: int = 8) -> np.ndarray:
+    """Extend a frequency index set to a multiple of ``mult`` with indices
+    OUTSIDE the set (ψ is zero there, so coefficients are unchanged)."""
+    idx = np.asarray(idx, np.int64)
+    need = (-len(idx)) % mult
+    if need == 0:
+        return idx
+    free = np.setdiff1d(np.arange(n, dtype=np.int64), idx,
+                        assume_unique=False)
+    return np.concatenate([idx, free[:need]])
+
+
+@functools.lru_cache(maxsize=8)
+def decimated_layout(h: int, w: int, nbscales: int | None = None,
+                     nbangles_coarse: int = 16, allcurvelets: bool = False):
+    """Per-band wrapped grids for the plan: list (plan band order) of
+    ``(rows, cols, psi_np)`` with ``psi_np`` the (len(rows), len(cols))
+    window crop; ``rows``/``cols`` None for bands kept at full resolution
+    (support covering ~the whole grid — the flat-topped finest ring)."""
+    plan = curvelet_plan(h, w, nbscales, nbangles_coarse, allcurvelets)
+    layout = []
+    for g in plan:
+        lg = g.psi.shape[0]
+        if g.idx_h is not None:
+            for l in range(lg):
+                layout.append((np.asarray(g.idx_h, np.int64),
+                               np.asarray(g.idx_w, np.int64),
+                               np.asarray(g.psi[l], np.float32)))
+            continue
+        for l in range(lg):
+            nz = np.abs(g.psi[l]) > 0
+            rows = np.nonzero(nz.any(axis=1))[0]
+            cols = np.nonzero(nz.any(axis=0))[0]
+            rows = _pad_index_set(rows, h)
+            cols = _pad_index_set(cols, w)
+            if len(rows) * len(cols) * 2 >= h * w:
+                layout.append((None, None, np.asarray(g.psi[l], np.float32)))
+            else:
+                layout.append((rows, cols,
+                               np.asarray(g.psi[l][np.ix_(rows, cols)],
+                                          np.float32)))
+    return layout
+
+
+def decimated_coeff_elements(h: int, w: int, nbscales: int | None = None,
+                             nbangles_coarse: int = 16,
+                             allcurvelets: bool = False) -> tuple[int, int]:
+    """(decimated, undecimated) coefficient element counts per slice."""
+    lay = decimated_layout(h, w, nbscales, nbangles_coarse, allcurvelets)
+    dec = sum((len(r) * len(c)) if r is not None else h * w
+              for r, c, _ in lay)
+    return dec, len(lay) * h * w
+
+
+def decimated_forward(z, layout, precision):
+    """Wrapped-coefficient forward: ``z`` (..., H, W) pair -> list of
+    per-band (..., sr_l, sc_l) pairs in plan band order."""
+    import jax.numpy as jnp
+
+    from . import dft
+
+    zf = dft.fft2(z, precision=precision)
+    outs = []
+    for rows, cols, psi in layout:
+        p = jnp.asarray(psi)
+        if rows is None:
+            sub_re, sub_im = zf.re, zf.im
+        else:
+            sub_re = zf.re[..., rows[:, None], cols[None, :]]
+            sub_im = zf.im[..., rows[:, None], cols[None, :]]
+        prod = type(zf)(sub_re * p, sub_im * p)
+        outs.append(dft.ifft2(prod, precision=precision))
+    return outs
+
+
+def decimated_inverse(coeffs, layout, h: int, w: int, precision):
+    """Inverse of :func:`decimated_forward` -> (..., H, W) pair."""
+    import jax.numpy as jnp
+
+    from . import dft
+    from .cplx import Cplx
+
+    batch = coeffs[0].re.shape[:-2]
+    acc_re = jnp.zeros(batch + (h, w), coeffs[0].re.dtype)
+    acc_im = jnp.zeros(batch + (h, w), coeffs[0].re.dtype)
+    for c, (rows, cols, psi) in zip(coeffs, layout):
+        p = jnp.asarray(psi)
+        v = dft.fft2(c, precision=precision)
+        vr, vi = v.re * p, v.im * p
+        if rows is None:
+            acc_re = acc_re + vr
+            acc_im = acc_im + vi
+        else:
+            acc_re = acc_re.at[..., rows[:, None], cols[None, :]].add(vr)
+            acc_im = acc_im.at[..., rows[:, None], cols[None, :]].add(vi)
+    return dft.ifft2(Cplx(acc_re, acc_im), precision=precision)
