@@ -399,6 +399,89 @@ class CurveletTransform(_SpectralStackMixin):
         return decay_ops.schedule(model, niter, p_max * amax, p_min * amax)
 
 
+@dataclasses.dataclass(frozen=True)
+class DecimatedCurveletTransform:
+    """CurveLab-memory-parity curvelet: wrapped/decimated coefficients.
+
+    The default :class:`CurveletTransform` keeps full H×W resolution per
+    wedge (undecimated tight frame — documented deviation from CurveLab's
+    fdct_wrapping, whose coefficients live on wrapped grids ~the wedge
+    support size; reference cube_POCS_interpolation_3D.py:277-286). This
+    variant matches CurveLab's coefficient STORAGE: each band's
+    coefficients are the plain ifft2 on its own (padded) support grid —
+    2.8× / 3.6× fewer coefficient elements at 512²/1024²
+    (ops/curvelet.py decimated section; exact perfect reconstruction).
+    Select with ``decimated: true`` in the transform options. Runs the
+    generic XLA solve branch (per-band wrapped thresholding is a
+    different — CurveLab-conventional — nonlinearity from the undecimated
+    full-grid threshold, so the streamed/fused directional paths do not
+    apply); intended for coefficient-storage-bound workflows, not peak
+    throughput.
+    """
+
+    nbscales: int | None = None
+    nbangles_coarse: int = 16
+    allcurvelets: bool = False
+    precision: str = "highest"
+    shape: tuple | None = None  # bound by with_shape (the solver calls it)
+    kind: str = "CURVELET"
+    decimated: bool = True
+
+    def with_shape(self, shape):
+        return dataclasses.replace(
+            self, shape=(int(shape[-2]), int(shape[-1])))
+
+    def _layout(self, h, w):
+        from ..ops import curvelet as cv
+
+        return cv.decimated_layout(h, w, self.nbscales,
+                                   self.nbangles_coarse, self.allcurvelets)
+
+    def forward(self, z: Cplx):
+        from ..ops import curvelet as cv
+
+        return cv.decimated_forward(
+            z, self._layout(z.shape[-2], z.shape[-1]),
+            _resolve_precision(self.precision))
+
+    def inverse(self, coeffs):
+        from ..ops import curvelet as cv
+
+        if self.shape is None:
+            raise ValueError("DecimatedCurveletTransform.inverse needs the "
+                             "slice shape — call with_shape first (the "
+                             "solver does)")
+        h, w = self.shape
+        return cv.decimated_inverse(coeffs, self._layout(h, w), h, w,
+                                    _resolve_precision(self.precision))
+
+    def threshold(self, coeffs, t, op: str):
+        # t: (..., L) per-band thresholds in plan band order
+        return [threshold_ops.threshold_pair(c, t[..., l, None, None],
+                                             kind=op)
+                for l, c in enumerate(coeffs)]
+
+    def decay(self, coeffs, model, niter, p_max, p_min, decay_kind):
+        if isinstance(p_min, str):
+            raise ValueError(
+                "p_min='adaptive' is shearlet-specific (reference "
+                "functions/POCS.py:302-324); use a numeric p_min for "
+                "CURVELET")
+        if model == "data-driven":
+            raise ValueError(
+                "data-driven decay needs the full coefficient distribution "
+                "— unsupported for the decimated curvelet representation; "
+                "use the default (undecimated) CURVELET transform")
+        # per-band maxima drive the same decay law as the stacked
+        # transform; the (1, 1) trailing axes satisfy threshold_decay's
+        # (..., H, W) reduction contract
+        mags = jnp.stack([c.abs().max(axis=(-2, -1)) for c in coeffs],
+                         axis=-1)
+        return decay_ops.threshold_decay(
+            mags[..., None, None], model, niter, p_max=p_max, p_min=p_min,
+            kind=decay_kind)
+
+
 _REGISTRY = {}
 
 
@@ -422,14 +505,20 @@ register_transform(
 )
 
 
-register_transform(
-    "CURVELET",
-    lambda nbscales=None, nbangles_coarse=16, allcurvelets=False,
-    precision="highest", box_precision=None, **kw: CurveletTransform(
+def _curvelet_factory(nbscales=None, nbangles_coarse=16, allcurvelets=False,
+                      precision="highest", box_precision=None,
+                      decimated=False, **kw):
+    if decimated:
+        return DecimatedCurveletTransform(
+            nbscales=nbscales, nbangles_coarse=nbangles_coarse,
+            allcurvelets=allcurvelets, precision=precision)
+    return CurveletTransform(
         nbscales=nbscales, nbangles_coarse=nbangles_coarse,
         allcurvelets=allcurvelets, precision=precision,
-        box_precision=box_precision),
-)
+        box_precision=box_precision)
+
+
+register_transform("CURVELET", _curvelet_factory)
 
 
 # the union of constructor options across all built-in bases: a config may
@@ -440,7 +529,8 @@ register_transform(
 # pipeline/pocs.py filters YAML extras with this same tuple.
 TRANSFORM_OPTION_KEYS = ("wavelet", "level", "n_scales", "precision",
                          "box_precision",
-                         "nbscales", "nbangles_coarse", "allcurvelets")
+                         "nbscales", "nbangles_coarse", "allcurvelets",
+                         "decimated")
 
 
 def get_transform(kind: str, **kwargs):

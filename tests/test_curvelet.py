@@ -178,3 +178,85 @@ def test_fused_kernel_matches_streamed_on_curvelet_plan(op):
     scale = float(jnp.max(jnp.abs(a.re))) or 1.0
     d = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
     assert d / scale < 3e-6, d
+
+
+# ---------------------------------------------------------------------------
+# Decimated (wrapped) coefficient representation (VERDICT r4 #7)
+# ---------------------------------------------------------------------------
+def test_decimated_perfect_reconstruction():
+    from pseudo_3d_interpolation_tpu.ops import curvelet as cv
+    from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
+
+    h = w = 128
+    lay = cv.decimated_layout(h, w)
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(2, h, w))
+         + 1j * rng.normal(size=(2, h, w))).astype(np.complex64)
+    z = from_complex(x)
+    import jax
+
+    prec = jax.lax.Precision.HIGHEST
+    co = cv.decimated_forward(z, lay, prec)
+    # per-band wrapped grids, all smaller than or equal to the slice
+    assert all(c.re.shape[-2] <= h and c.re.shape[-1] <= w for c in co)
+    back = cv.decimated_inverse(co, lay, h, w, prec)
+    np.testing.assert_allclose(np.asarray(back.re), x.real, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(back.im), x.imag, atol=2e-5)
+
+
+def test_decimated_storage_parity():
+    """The wrapped grids deliver the CurveLab-like storage cut: >= 2.5x
+    fewer coefficient elements at 512^2 (measured 2.8x; 3.6x at 1024^2)."""
+    from pseudo_3d_interpolation_tpu.ops import curvelet as cv
+
+    dec, und = cv.decimated_coeff_elements(512, 512)
+    assert und / dec >= 2.5, (dec, und)
+
+
+def test_decimated_pocs_solve_quality():
+    """POCS through the decimated representation (generic XLA branch)
+    reconstructs about as well as the undecimated frame (same recipe as
+    test_curvelet_pocs_reconstruction)."""
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=8)
+    obs = x * mask
+    cfg = POCSConfig(niter=40, thresh_op="hard", thresh_model="exponential",
+                     version="fast", alpha=0.75, transform_kind="CURVELET")
+    snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
+    outs = {}
+    for decimated in (False, True):
+        tr = get_transform("CURVELET", decimated=decimated)
+        rec, _, _ = pocs_interpolate_numpy(obs, mask, cfg, transform=tr)
+        outs[decimated] = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert outs[True] > snr_in + 5, (snr_in, outs)
+    assert outs[True] > outs[False] - 3.0, outs
+
+
+def test_decimated_yaml_and_routing():
+    import dataclasses
+
+    from pseudo_3d_interpolation_tpu.models.pocs import solver_route
+    from pseudo_3d_interpolation_tpu.models.transforms import (
+        DecimatedCurveletTransform, get_transform)
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import config_from_yaml
+
+    cfg, extra = config_from_yaml({"metadata": {
+        "transform_kind": "CURVELET", "decimated": True, "niter": 5,
+        "p_min": 1e-3}})
+    assert extra["decimated"] is True
+    tr = get_transform("CURVELET", decimated=True)
+    assert isinstance(tr, DecimatedCurveletTransform)
+    cfg = dataclasses.replace(cfg, use_pallas=True, pallas_interpret=True)
+    rt = solver_route((2, 128, 128), (128, 128), cfg, tr)
+    assert rt.route == "xla-scan" and "no fused kernel" in rt.reason
+
+
+def test_decimated_data_driven_decay_raises():
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+    from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
+
+    tr = get_transform("CURVELET", decimated=True)
+    z = from_complex(np.zeros((1, 64, 64), np.complex64))
+    co = tr.forward(z)
+    with pytest.raises(ValueError, match="data-driven"):
+        tr.decay(co, "data-driven", 5, 0.99, 1e-3, "values")
