@@ -48,12 +48,16 @@ def _transform_kwargs(extra: dict) -> dict:
 # measured a real 0.5 dB drop (37.8 vs 38.3 dB) — and the follow-up
 # isolation run showed ALL of it lives in the support-cropped box-group
 # stages: HIGH full-size bands + HIGHEST boxes reads the full 38.3 dB at
-# the HIGH rate, so THAT mix is curvelet's production default. WAVELET is
-# rate-neutral across precisions (memory-bound) — leave its transform
-# default. Explicit YAML/CLI options override per key.
+# the HIGH rate, so THAT mix is curvelet's production default. WAVELET
+# measured SNR-neutral AND rate-neutral at north-star scale (27.1 dB /
+# ~1165 slice-iters/s for both HIGH and HIGHEST, docs/perf.md round 5) —
+# HIGH keeps it consistent with the rest of the family and ahead of any
+# future compute-bound batch shape. Explicit YAML/CLI options override
+# per key.
 _PRODUCTION_PRECISION = {
     "FFT": {"precision": "high"},
     "DCT": {"precision": "high"},
+    "WAVELET": {"precision": "high"},
     "SHEARLET": {"precision": "high"},
     "CURVELET": {"precision": "high", "box_precision": "highest"},
 }

@@ -296,3 +296,49 @@ def test_coif5_pocs_reconstruction():
     snr_in = float(metrics.snr(np.abs(x), np.abs(obs)))
     snr_out = float(metrics.snr(np.abs(x), np.abs(rec)))
     assert snr_out > snr_in + 8, (snr_in, snr_out)
+
+
+def test_wavelet_high_precision_neutral():
+    """bf16x3 HIGH is quality-neutral for the fused WAVELET solve (north-
+    star-scale measurement: 27.1 dB for both HIGH and HIGHEST, docs/perf.md
+    round 5 — WAVELET is in pipeline/pocs._PRODUCTION_PRECISION at HIGH).
+    CPU-scale regression: the interpret-mode fused kernel at HIGH must stay
+    within a few tenths of a dB of HIGHEST."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_pocs import random_mask, synthetic_slice
+
+    from pseudo_3d_interpolation_tpu.models.pocs import (POCSConfig,
+                                                         pocs_interpolate)
+    from pseudo_3d_interpolation_tpu.models.transforms import WaveletTransform
+    from pseudo_3d_interpolation_tpu.ops import metrics
+    from pseudo_3d_interpolation_tpu.ops.cplx import from_complex
+
+    x = synthetic_slice()
+    mask = random_mask(frac=0.5, seed=4)
+    obs = (x * mask)[None]
+    cfg = POCSConfig(niter=30, thresh_op="hard", thresh_model="exponential",
+                     p_min=1e-3, version="fast", alpha=0.75, eps=0.0,
+                     use_pallas=True, pallas_interpret=True)
+    snrs = {}
+    for prec in ("highest", "high"):
+        tr = WaveletTransform(precision=prec).with_shape(obs.shape)
+        res = pocs_interpolate(from_complex(obs), mask, tr, cfg)
+        rec = np.asarray(res.data.re)[0] + 1j * np.asarray(res.data.im)[0]
+        snrs[prec] = float(metrics.snr(np.abs(x), np.abs(rec)))
+    assert abs(snrs["high"] - snrs["highest"]) < 0.5, snrs
+
+
+def test_wavelet_production_precision_default():
+    """The cube drivers resolve WAVELET to bf16x3 HIGH when the user leaves
+    precision unset; an explicit precision wins."""
+    from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+        _production_transform)
+
+    cfg = POCSConfig(transform_kind="WAVELET")
+    tr, kw = _production_transform(cfg, {})
+    assert tr.precision == "high"
+    tr2, _ = _production_transform(cfg, {"precision": "highest"})
+    assert tr2.precision == "highest"
