@@ -509,6 +509,11 @@ def _curvelet_factory(nbscales=None, nbangles_coarse=16, allcurvelets=False,
                       precision="highest", box_precision=None,
                       decimated=False, **kw):
     if decimated:
+        if box_precision is not None:
+            raise ValueError(
+                "box_precision does not apply to decimated=True: EVERY "
+                "band is a wrapped/support-cropped grid there — set "
+                "'precision' (uniform) instead")
         return DecimatedCurveletTransform(
             nbscales=nbscales, nbangles_coarse=nbangles_coarse,
             allcurvelets=allcurvelets, precision=precision)

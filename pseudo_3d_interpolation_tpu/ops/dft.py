@@ -154,20 +154,28 @@ def _radix_constants(n: int):
     return _radix_constants_for(n, m, r)
 
 
+def _snap_roots(w: np.ndarray) -> np.ndarray:
+    """Snap near-exact root-of-unity values so unrolled butterflies emit
+    adds/swaps for 0/±1/±i coefficients. ONE implementation shared by the
+    direct (`_radix_constants_for`) and recursive (`_wr_snapped`) butterfly
+    forms — they must emit identical coefficients for the
+    P3D_NO_BUTTERFLY_RECURSION A/B to be meaningful."""
+    w.real[np.abs(w.real) < 1e-12] = 0.0
+    w.imag[np.abs(w.imag) < 1e-12] = 0.0
+    w.real[np.abs(w.real - 1) < 1e-12] = 1.0
+    w.real[np.abs(w.real + 1) < 1e-12] = -1.0
+    w.imag[np.abs(w.imag - 1) < 1e-12] = 1.0
+    w.imag[np.abs(w.imag + 1) < 1e-12] = -1.0
+    return w
+
+
 @functools.lru_cache(maxsize=64)
 def _radix_constants_for(n: int, m: int, r: int):
     # cached on the FULL split (not just n) so a test-scoped
     # P3D_RADIX_SPLIT change can never serve constants that disagree with
     # a freshly computed radix_perm(n)
     st = np.outer(np.arange(r), np.arange(r)).astype(np.float64)
-    w_r = np.exp(-2j * np.pi * st / r)  # butterfly coefficients
-    # snap near-exact values so the unrolled butterfly emits adds/swaps
-    w_r.real[np.abs(w_r.real) < 1e-12] = 0.0
-    w_r.imag[np.abs(w_r.imag) < 1e-12] = 0.0
-    w_r.real[np.abs(w_r.real - 1) < 1e-12] = 1.0
-    w_r.real[np.abs(w_r.real + 1) < 1e-12] = -1.0
-    w_r.imag[np.abs(w_r.imag - 1) < 1e-12] = 1.0
-    w_r.imag[np.abs(w_r.imag + 1) < 1e-12] = -1.0
+    w_r = _snap_roots(np.exp(-2j * np.pi * st / r))  # butterfly coefficients
     ms = np.outer(np.arange(r), np.arange(m)).astype(np.float64)
     ang = -2.0 * np.pi * ms / n
     twr = np.cos(ang).astype(np.float32)
@@ -269,18 +277,11 @@ def _butterfly_recursion_enabled() -> bool:
 
 @functools.lru_cache(maxsize=64)
 def _wr_snapped(r: int) -> np.ndarray:
-    """Exactified ``W_R[s, t] = exp(-2πi·st/R)`` (same snapping as
-    :func:`_radix_constants_for`, shared so every butterfly form emits
-    identical adds/swaps for 0/±1/±i coefficients)."""
+    """Exactified ``W_R[s, t] = exp(-2πi·st/R)`` (via the shared
+    :func:`_snap_roots`, so every butterfly form emits identical
+    adds/swaps for 0/±1/±i coefficients)."""
     st = np.outer(np.arange(r), np.arange(r)).astype(np.float64)
-    w = np.exp(-2j * np.pi * st / r)
-    w.real[np.abs(w.real) < 1e-12] = 0.0
-    w.imag[np.abs(w.imag) < 1e-12] = 0.0
-    w.real[np.abs(w.real - 1) < 1e-12] = 1.0
-    w.real[np.abs(w.real + 1) < 1e-12] = -1.0
-    w.imag[np.abs(w.imag - 1) < 1e-12] = 1.0
-    w.imag[np.abs(w.imag + 1) < 1e-12] = -1.0
-    return w
+    return _snap_roots(np.exp(-2j * np.pi * st / r))
 
 
 def _smallest_factor(r: int) -> int:

@@ -49,11 +49,13 @@ def tpu_lowering_available(interpret: bool = False) -> bool:
     which is how the CPU test suite exercises them). Without this check a
     default CPU/GPU run with an eligible grid would reach ``pallas_call``
     with ``interpret=False`` and fail at lowering instead of falling back
-    to the XLA path as the config contract promises."""
-    if interpret:
-        return True
+    to the XLA path as the config contract promises. A failed pallas
+    import (_PALLAS_OK) disqualifies interpret mode too — interpret still
+    needs ``pl.pallas_call`` itself."""
     if not _PALLAS_OK:
         return False
+    if interpret:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - backend init failure

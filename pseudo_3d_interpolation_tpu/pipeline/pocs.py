@@ -72,7 +72,11 @@ def _production_transform(config: POCSConfig, extra: dict):
     injected on top — set both keys to mix precisions deliberately.
     """
     kw = _transform_kwargs(extra)
-    if "precision" not in kw:
+    # the decimated curvelet variant is exactly the support-cropped stage
+    # class where uniform HIGH measured a real 0.5 dB cube-SNR loss
+    # (round 4b) — keep its own f32-HIGHEST default rather than injecting
+    # the stacked-frame mix
+    if "precision" not in kw and not kw.get("decimated"):
         for key, val in _PRODUCTION_PRECISION.get(config.transform_kind,
                                                   {}).items():
             kw.setdefault(key, val)

@@ -296,8 +296,11 @@ def streamed_percentiles(block_iter, qs) -> list[float]:
     """Exact ``np.percentile(..., interpolation='linear')`` over a stream.
 
     ``block_iter()`` re-yields flat float64-convertible blocks on every
-    call (the stream is traversed multiple times); memory stays bounded by
-    one block + a 65536-bin histogram regardless of total size."""
+    call; memory stays bounded by one block + a 65536-bin histogram
+    regardless of total size. THREE passes total for any number of
+    percentiles — min/max, one shared histogram, one shared gather of
+    every candidate bin — with extra refinement passes only for ranks
+    landing in a > 4M-value bin (:func:`_order_stat`)."""
     n = 0
     lo = np.inf
     hi = -np.inf
@@ -308,15 +311,57 @@ def streamed_percentiles(block_iter, qs) -> list[float]:
             hi = max(hi, float(blk.max()))
     if n == 0:
         raise ValueError("empty stream")
-    out = []
+    if lo == hi:
+        return [float(lo)] * len(qs)
+
+    # the order statistics every requested percentile needs
+    pos_k = []
+    ks = set()
     for q in qs:
         pos = (float(q) / 100.0) * (n - 1)
         k = int(np.floor(pos))
         frac = pos - k
-        v0 = _order_stat(block_iter, k, lo, hi)
-        v1 = _order_stat(block_iter, k + 1, lo, hi) if frac > 0 else v0
-        out.append(v0 + frac * (v1 - v0))
-    return out
+        pos_k.append((k, frac))
+        ks.add(k)
+        if frac > 0:
+            ks.add(k + 1)
+
+    nb = 1 << 16
+    edges = np.linspace(lo, hi, nb + 1)
+    counts = np.zeros(nb, np.int64)
+    for blk in block_iter():
+        if blk.size:
+            counts += np.histogram(blk, bins=edges)[0]
+    cum = np.cumsum(counts)
+    rank_bin = {k: int(np.searchsorted(cum, k + 1)) for k in ks}
+    needed = sorted(set(rank_bin.values()))
+    big = {b for b in needed if counts[b] > 4_000_000}
+    gathered = {b: [] for b in needed if b not in big}
+    if gathered:
+        for blk in block_iter():
+            for b, parts in gathered.items():
+                blo, bhi = edges[b], edges[b + 1]
+                sel = (blk >= blo) & ((blk <= bhi) if b == nb - 1
+                                      else (blk < bhi))
+                parts.append(blk[sel])
+    sorted_bins = {b: np.sort(np.concatenate(parts))
+                   for b, parts in gathered.items()}
+
+    def stat(k: int) -> float:
+        b = rank_bin[k]
+        below = int(cum[b - 1]) if b else 0
+        if b in big:
+            return _order_stat(block_iter, k, float(edges[b]),
+                               float(edges[b + 1]), below)
+        v = sorted_bins[b]
+        idx = k - below
+        if idx < 0 or idx >= v.size:  # float-edge drift: bin bracket
+            return float(edges[b] if idx < 0 else edges[b + 1])
+        return float(v[idx])
+
+    vals = {k: stat(k) for k in ks}
+    return [vals[k] + frac * (vals[k + 1] - vals[k]) if frac > 0
+            else vals[k] for k, frac in pos_k]
 
 
 def _postprocess_streamed(path: str, var, upsample_factors, upsample_method,
@@ -511,7 +556,9 @@ def _postprocess_streamed(path: str, var, upsample_factors, upsample_method,
             dt = float(np.mean(np.diff(twt)))
             win = sig.agc_window_samples(agc_win, dt)
             wN = _final_writer(out_path)
-            il_block = max(1, (block * nt) // (ny_up * 64) or 1)
+            # keep the AGC slab (il_block, nx_up, nt) at ~the pass-1 slab
+            # volume (block, ny_up, nx_up): il_block ≈ block·ny_up/nt
+            il_block = max(1, (block * ny_up) // max(nt, 1))
             with CubeFile(cur) as f:
                 for i0 in range(0, ny_up, il_block):
                     i1 = min(i0 + il_block, ny_up)

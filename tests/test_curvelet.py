@@ -260,3 +260,23 @@ def test_decimated_data_driven_decay_raises():
     co = tr.forward(z)
     with pytest.raises(ValueError, match="data-driven"):
         tr.decay(co, "data-driven", 5, 0.99, 1e-3, "values")
+
+
+def test_decimated_precision_contract():
+    """box_precision is meaningless for the decimated variant (every band
+    is a wrapped grid) and the production HIGH injection must not reach it
+    — the support-cropped stage class measured a real 0.5 dB loss at HIGH
+    (docs/perf.md round 4b)."""
+    from pseudo_3d_interpolation_tpu.models.pocs import POCSConfig
+    from pseudo_3d_interpolation_tpu.models.transforms import get_transform
+    from pseudo_3d_interpolation_tpu.pipeline.pocs import (
+        _production_transform)
+
+    with pytest.raises(ValueError, match="box_precision"):
+        get_transform("CURVELET", decimated=True, box_precision="highest")
+    cfg = POCSConfig(transform_kind="CURVELET")
+    tr, _ = _production_transform(cfg, {"decimated": True})
+    assert tr.precision == "highest"  # keeps its own f32 default
+    tr2, _ = _production_transform(cfg, {})
+    assert tr2.precision == "high"  # stacked frame keeps the round-4b mix
+    assert tr2.box_precision == "highest"
