@@ -119,12 +119,30 @@ def _make_dot(precision, fr, fi, *extra_consts):
     if precision != jax.lax.Precision.HIGH:
         return functools.partial(jnp.dot, preferred_element_type=jnp.float32,
                                  precision=precision)
+    import os
 
     def _split(a):
         hi = a.astype(jnp.bfloat16)
         return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     _raw = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+    if os.environ.get("P3D_NO_CAT_DOT"):
+        # measurement escape hatch: the explicit 3-dot + 2-add form
+        cache3 = [(c, _split(c)) for c in (fr, fi, *extra_consts)]
+
+        def _lookup(a):
+            for c, s in cache3:
+                if a is c:
+                    return s
+            return _split(a)
+
+        def dot3(a, b):
+            a_s = _lookup(a)
+            b_s = _lookup(b)
+            return (_raw(a_s[0], b_s[0]) + _raw(a_s[0], b_s[1])
+                    + _raw(a_s[1], b_s[0]))
+
+        return dot3
     cache = []
     for c in (fr, fi, *extra_consts):
         hi, lo = _split(c)
