@@ -39,10 +39,14 @@ def main():
                     choices=["highest", "high", "default"],
                     help="matmul precision (HIGH = bf16x3 is cube-SNR "
                          "neutral and ~1.6x faster; docs/perf.md)")
-    ap.add_argument("--pallas", action="store_true",
+    ap.add_argument("--pallas", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="use the fused Pallas kernels (folded solve for "
                          "FFT/DCT; VMEM-resident subband kernel for "
-                         "SHEARLET/CURVELET)")
+                         "SHEARLET/CURVELET) — the production default; "
+                         "--no-pallas measures the XLA fallback paths "
+                         "(round-5 in-session A/B: 36.3 vs 71.9 s for the "
+                         "SHEARLET-HIGH north-star solve)")
     ap.add_argument("--batches-per-launch", type=int, default=16,
                     help="directional bases: fori_loop this many batches "
                          "inside ONE launch — each dispatch RPC over the "
