@@ -107,6 +107,72 @@ def _kernel(tau_ref, xr_ref, xi_ref, psi_ref, g_refs, accr_ref, acci_ref,
         acci_ref[...] = acci_ref[...] + vi * p
 
 
+def _kernel_spatial(tau_ref, xr_ref, xi_ref, psi_ref, g_refs, outr_ref,
+                    outi_ref, Xr_s, Xi_s, accr_s, acci_s, *, n: int, m: int,
+                    r: int, lcount: int, op: str, precision):
+    """Spatial-I/O variant (round 5): the top-level spectral round trip is
+    folded INTO the kernel — the l==0 step computes the slice's permuted
+    spectrum into VMEM scratch (reused by every subband step of that
+    slice), and the l==L-1 step inverts the accumulated spectral update
+    and writes the SPATIAL result. Removes the XLA fft2_permuted /
+    ifft2_from_permuted stages and their HBM round trips of the spectrum
+    and accumulator (the per-iteration MAC count is identical — the two
+    transforms just moved in here)."""
+    from .pocs_iter import (_fast_fwd_left_folded, _fast_fwd_right_folded,
+                            _fast_inv_left_folded, _fast_inv_right_folded,
+                            _folded_dot_consts, _folded_slices)
+
+    b = pl.program_id(0)
+    l = pl.program_id(1)
+    tau = tau_ref[b, l]
+    p = psi_ref[...]
+    gauss = _gauss_enabled()
+    g = _folded_slices(*(ref[...] for ref in g_refs), m, r, gauss)
+    consts = _folded_dot_consts(g, gauss)
+    dot = _make_dot(precision, consts[0], consts[1], *consts[2:])
+    scale = 1.0 / (n * n)
+
+    @pl.when(l == 0)
+    def _fwd():
+        ar, ai = _fast_fwd_left_folded(xr_ref[...], xi_ref[...], dot, g,
+                                       m, r)
+        Xr, Xi = _fast_fwd_right_folded(ar, ai, dot, g, m, r)
+        Xr_s[...] = Xr
+        Xi_s[...] = Xi
+
+    prod_r = Xr_s[...] * p
+    prod_i = Xi_s[...] * p
+    br, bi = _fast_inv_right_folded(prod_r, prod_i, dot, g, m, r)
+    cr, ci = _fast_inv_left_folded(br, bi, dot, g, m, r)
+    cr = cr * scale
+    ci = ci * scale
+
+    shrink = _shrink(cr * cr + ci * ci, tau, op)
+    cr = cr * shrink
+    ci = ci * shrink
+
+    ar, ai = _fast_fwd_left_folded(cr, ci, dot, g, m, r)
+    vr, vi = _fast_fwd_right_folded(ar, ai, dot, g, m, r)
+
+    @pl.when(l == 0)
+    def _init():
+        accr_s[...] = vr * p
+        acci_s[...] = vi * p
+
+    @pl.when(l > 0)
+    def _accum():
+        accr_s[...] = accr_s[...] + vr * p
+        acci_s[...] = acci_s[...] + vi * p
+
+    @pl.when(l == lcount - 1)
+    def _inv():
+        br2, bi2 = _fast_inv_right_folded(accr_s[...], acci_s[...], dot, g,
+                                          m, r)
+        rr, ri = _fast_inv_left_folded(br2, bi2, dot, g, m, r)
+        outr_ref[...] = rr * scale
+        outi_ref[...] = ri * scale
+
+
 def _kernel_dense(tau_ref, xr_ref, xi_ref, psi_ref, fhr_ref, fhi_ref,
                   fwr_ref, fwi_ref, accr_ref, acci_ref, *, h: int, w: int,
                   op: str, precision):
@@ -331,6 +397,7 @@ def subband_update_fused(
     precision=None,
     interpret: bool = False,
     layout: str = "permuted",
+    spatial_io: bool = False,
 ) -> Cplx:
     """Fused Σ_l fft2(threshold(ifft2(X·psi_l)))·psi_l over full-size
     subbands.
@@ -343,10 +410,76 @@ def subband_update_fused(
     ``x_spec`` is the plain ``dft.fft2`` (B, H, W) spectrum, ``psi`` the
     natural-order stack, and the result inverts with ``dft.ifft2``.
     ``tau``: (B, L) per-slice per-subband thresholds.
+
+    ``spatial_io=True`` (permuted layout only): ``x_spec`` is the SPATIAL
+    (B, N, N) slice pair and the return value is the SPATIAL update —
+    the top-level fft2_permuted / ifft2_from_permuted run inside the
+    kernel via VMEM scratch (see :func:`_kernel_spatial`).
     """
     b, h, w = x_spec.re.shape
     lcount = psi.shape[0]
     prec = precision if precision is not None else jax.lax.Precision.HIGHEST
+
+    if spatial_io:
+        if layout != "permuted":
+            raise ValueError("spatial_io requires the permuted layout")
+        n = h
+        from .pocs_iter import _FOLDED_KEYS, _radix_kernel_constants_folded
+
+        m, r, stacks = _radix_kernel_constants_folded(n)
+        const_inputs = [jnp.asarray(stacks[k]) for k in _FOLDED_KEYS]
+        const_specs = [
+            pl.BlockSpec((r * m, m), lambda i, j, tau: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in _FOLDED_KEYS
+        ]
+
+        def kernel(tau_ref, xr, xi, psi_r, *rest):
+            *g_refs, outr, outi, Xr_s, Xi_s, accr_s, acci_s = rest
+            _kernel_spatial(tau_ref, xr.at[0], xi.at[0], psi_r.at[0],
+                            g_refs, outr.at[0], outi.at[0],
+                            Xr_s, Xi_s, accr_s, acci_s,
+                            n=n, m=m, r=r, lcount=lcount, op=thresh_op,
+                            precision=prec)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, lcount),
+            in_specs=[
+                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, w), lambda i, j, tau: (j, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + const_specs,
+            out_specs=[
+                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)
+                            for _ in range(4)],
+        )
+        outr, outi = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)
+            if _PALLAS_OK and not interpret else None,
+            interpret=interpret,
+        )(
+            jnp.asarray(tau, jnp.float32),
+            x_spec.re, x_spec.im,
+            jnp.asarray(psi, jnp.float32),
+            *const_inputs,
+        )
+        return Cplx(outr, outi)
 
     if layout == "permuted":
         assert h == w, "permuted layout requires square slices"

@@ -563,11 +563,11 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     streamed path (pinned in tests/test_shearlet.py)."""
     from .pallas.subband import subband_layout, subband_update_fused
 
+    import os
+
     h, w = z.shape[-2], z.shape[-1]
     layout = subband_layout(z.shape)
     psi_full, full_idx, boxes = _plan_pallas_pack(plan, h, w, layout)
-    zf = (dft.fft2_permuted(z, precision=precision) if layout == "permuted"
-          else dft.fft2(z, precision=precision))
     tau2 = jnp.asarray(tau)
     if tau2.ndim == 1:
         tau2 = tau2[None]
@@ -575,12 +575,30 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
     # tau must be materialized to (B, L) or b >= 1 reads out of bounds
     tau2 = jnp.broadcast_to(tau2, (z.re.shape[0], tau2.shape[-1]))
 
-    acc = subband_update_fused(
-        zf, psi_full, tau2[..., jnp.asarray(full_idx)], thresh_op=thresh_op,
-        precision=precision, interpret=interpret, layout=layout)
-
-    inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
-    out = inv(acc, precision=precision)
+    if layout == "permuted" and os.environ.get("P3D_SPATIAL_IO"):
+        # round-5 EXPERIMENT (opt-in via P3D_SPATIAL_IO=1): the top-level
+        # spectral round trip runs INSIDE the kernel (VMEM-scratch
+        # spectrum at l==0, in-kernel inverse at l==L-1) — spatial in,
+        # spatial update out. Mathematically equivalent but NOT
+        # bit-compatible with the spectral-I/O form: the in-kernel
+        # spectrum differs from the XLA one at f32 rounding level, and
+        # hard-threshold boundary coefficients can flip (measured ~1e-3
+        # output diffs at 256², quality-neutral). Off by default to keep
+        # the strict kernel-vs-XLA parity gates meaningful; measured
+        # wall-clock-neutral at 1024² (see docs/perf.md round 5).
+        out = subband_update_fused(
+            z, psi_full, tau2[..., jnp.asarray(full_idx)],
+            thresh_op=thresh_op, precision=precision, interpret=interpret,
+            layout=layout, spatial_io=True)
+    else:
+        zf = (dft.fft2_permuted(z, precision=precision)
+              if layout == "permuted" else dft.fft2(z, precision=precision))
+        acc = subband_update_fused(
+            zf, psi_full, tau2[..., jnp.asarray(full_idx)],
+            thresh_op=thresh_op, precision=precision, interpret=interpret,
+            layout=layout)
+        inv = dft.ifft2_from_permuted if layout == "permuted" else dft.ifft2
+        out = inv(acc, precision=precision)
 
     from .pallas.subband import box_group_supported, box_group_update_fused
 

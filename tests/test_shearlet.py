@@ -457,3 +457,39 @@ class TestReviewRegressions:
         assert _transform_subbands(tr, (256, 256), coeffs) == L
         # config-less callers keep the optimistic constant (legacy surface)
         assert _transform_subbands(tr, (256, 256)) == 8
+
+
+def test_spatial_io_variant_quality(monkeypatch):
+    """Opt-in spatial-I/O subband kernel (P3D_SPATIAL_IO=1, a documented
+    negative perf result kept for A/B): mathematically equivalent to the
+    spectral-I/O form — exact when no coefficient sits at the hard
+    threshold boundary (tau=0), and within boundary-flip noise otherwise."""
+    import os
+
+    import jax
+
+    from pseudo_3d_interpolation_tpu.ops import dft
+    from pseudo_3d_interpolation_tpu.ops.pallas.subband import (
+        subband_update_fused)
+
+    n = 256  # smallest side with a fast split (the folded-constant path)
+    plan = sh.shearlet_plan(n, n)
+    psi_full, full_idx, _ = sh._plan_pallas_pack(plan, n, n, "permuted")
+    rng = np.random.default_rng(0)
+    x = (rng.normal(size=(1, n, n))
+         + 1j * rng.normal(size=(1, n, n))).astype(np.complex64)
+    z = cplx.from_complex(x)
+    prec = jax.lax.Precision.HIGHEST
+    tau = jnp.zeros((1, len(full_idx)), jnp.float32)
+    zf = dft.fft2_permuted(z, precision=prec)
+    acc = subband_update_fused(zf, psi_full, tau, thresh_op="hard",
+                               precision=prec, interpret=True,
+                               layout="permuted")
+    ref = dft.ifft2_from_permuted(acc, precision=prec)
+    got = subband_update_fused(z, psi_full, tau, thresh_op="hard",
+                               precision=prec, interpret=True,
+                               layout="permuted", spatial_io=True)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
+                               atol=5e-5)
