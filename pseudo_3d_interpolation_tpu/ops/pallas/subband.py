@@ -420,67 +420,9 @@ def subband_update_fused(
     lcount = psi.shape[0]
     prec = precision if precision is not None else jax.lax.Precision.HIGHEST
 
-    if spatial_io:
-        if layout != "permuted":
-            raise ValueError("spatial_io requires the permuted layout")
-        n = h
-        from .pocs_iter import _FOLDED_KEYS, _radix_kernel_constants_folded
-
-        m, r, stacks = _radix_kernel_constants_folded(n)
-        const_inputs = [jnp.asarray(stacks[k]) for k in _FOLDED_KEYS]
-        const_specs = [
-            pl.BlockSpec((r * m, m), lambda i, j, tau: (0, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in _FOLDED_KEYS
-        ]
-
-        def kernel(tau_ref, xr, xi, psi_r, *rest):
-            *g_refs, outr, outi, Xr_s, Xi_s, accr_s, acci_s = rest
-            _kernel_spatial(tau_ref, xr.at[0], xi.at[0], psi_r.at[0],
-                            g_refs, outr.at[0], outi.at[0],
-                            Xr_s, Xi_s, accr_s, acci_s,
-                            n=n, m=m, r=r, lcount=lcount, op=thresh_op,
-                            precision=prec)
-
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, lcount),
-            in_specs=[
-                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda i, j, tau: (j, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ] + const_specs,
-            out_specs=[
-                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[pltpu.VMEM((h, w), jnp.float32)
-                            for _ in range(4)],
-        )
-        outr, outi = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-                jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024)
-            if _PALLAS_OK and not interpret else None,
-            interpret=interpret,
-        )(
-            jnp.asarray(tau, jnp.float32),
-            x_spec.re, x_spec.im,
-            jnp.asarray(psi, jnp.float32),
-            *const_inputs,
-        )
-        return Cplx(outr, outi)
-
+    if spatial_io and layout != "permuted":
+        raise ValueError("spatial_io requires the permuted layout")
+    scratch_shapes = ()
     if layout == "permuted":
         assert h == w, "permuted layout requires square slices"
         n = h
@@ -494,11 +436,24 @@ def subband_update_fused(
             for _ in _FOLDED_KEYS
         ]
 
-        def kernel(tau_ref, xr, xi, psi_r, *rest):
-            *g_refs, accr, acci = rest
-            _kernel(tau_ref, xr.at[0], xi.at[0], psi_r.at[0], g_refs,
-                    accr.at[0], acci.at[0],
-                    n=n, m=m, r=r, op=thresh_op, precision=prec)
+        if spatial_io:
+            # spectrum + accumulator scratch (see _kernel_spatial)
+            scratch_shapes = tuple(pltpu.VMEM((h, w), jnp.float32)
+                                   for _ in range(4))
+
+            def kernel(tau_ref, xr, xi, psi_r, *rest):
+                *g_refs, outr, outi, Xr_s, Xi_s, accr_s, acci_s = rest
+                _kernel_spatial(tau_ref, xr.at[0], xi.at[0], psi_r.at[0],
+                                g_refs, outr.at[0], outi.at[0],
+                                Xr_s, Xi_s, accr_s, acci_s,
+                                n=n, m=m, r=r, lcount=lcount, op=thresh_op,
+                                precision=prec)
+        else:
+            def kernel(tau_ref, xr, xi, psi_r, *rest):
+                *g_refs, accr, acci = rest
+                _kernel(tau_ref, xr.at[0], xi.at[0], psi_r.at[0], g_refs,
+                        accr.at[0], acci.at[0],
+                        n=n, m=m, r=r, op=thresh_op, precision=prec)
     elif layout == "natural":
         fhr, fhi = dft.dft_matrices(h)
         fwr, fwi = (fhr, fhi) if w == h else dft.dft_matrices(w)
@@ -532,6 +487,7 @@ def subband_update_fused(
             pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w), lambda i, j, tau: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=scratch_shapes,
     )
 
     accr, acci = pl.pallas_call(

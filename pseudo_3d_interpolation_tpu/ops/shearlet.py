@@ -583,9 +583,11 @@ def _pocs_subband_apply_pallas(z: Cplx, plan, tau, thresh_op: str,
         # bit-compatible with the spectral-I/O form: the in-kernel
         # spectrum differs from the XLA one at f32 rounding level, and
         # hard-threshold boundary coefficients can flip (measured ~1e-3
-        # output diffs at 256², quality-neutral). Off by default to keep
-        # the strict kernel-vs-XLA parity gates meaningful; measured
-        # wall-clock-neutral at 1024² (see docs/perf.md round 5).
+        # output diffs at 256², quality-neutral). Off by default: it
+        # measured WORSE at 1024² (solve 108 vs 128 slice-iters/s — the
+        # boundary grid steps serialize a full transform Mosaic cannot
+        # overlap; docs/perf.md round-5 negative result) and it would
+        # weaken the strict kernel-vs-XLA parity gates.
         out = subband_update_fused(
             z, psi_full, tau2[..., jnp.asarray(full_idx)],
             thresh_op=thresh_op, precision=precision, interpret=interpret,

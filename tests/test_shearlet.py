@@ -463,9 +463,8 @@ def test_spatial_io_variant_quality(monkeypatch):
     """Opt-in spatial-I/O subband kernel (P3D_SPATIAL_IO=1, a documented
     negative perf result kept for A/B): mathematically equivalent to the
     spectral-I/O form — exact when no coefficient sits at the hard
-    threshold boundary (tau=0), and within boundary-flip noise otherwise."""
-    import os
-
+    threshold boundary (tau=0), within boundary-flip noise otherwise.
+    B=2 exercises the per-slice scratch re-initialization at l==0."""
     import jax
 
     from pseudo_3d_interpolation_tpu.ops import dft
@@ -476,20 +475,40 @@ def test_spatial_io_variant_quality(monkeypatch):
     plan = sh.shearlet_plan(n, n)
     psi_full, full_idx, _ = sh._plan_pallas_pack(plan, n, n, "permuted")
     rng = np.random.default_rng(0)
-    x = (rng.normal(size=(1, n, n))
-         + 1j * rng.normal(size=(1, n, n))).astype(np.complex64)
+    x = (rng.normal(size=(2, n, n))
+         + 1j * rng.normal(size=(2, n, n))).astype(np.complex64)
     z = cplx.from_complex(x)
     prec = jax.lax.Precision.HIGHEST
-    tau = jnp.zeros((1, len(full_idx)), jnp.float32)
-    zf = dft.fft2_permuted(z, precision=prec)
-    acc = subband_update_fused(zf, psi_full, tau, thresh_op="hard",
-                               precision=prec, interpret=True,
-                               layout="permuted")
-    ref = dft.ifft2_from_permuted(acc, precision=prec)
-    got = subband_update_fused(z, psi_full, tau, thresh_op="hard",
-                               precision=prec, interpret=True,
-                               layout="permuted", spatial_io=True)
+
+    def both(tval):
+        tau = jnp.full((2, len(full_idx)), tval, jnp.float32)
+        zf = dft.fft2_permuted(z, precision=prec)
+        acc = subband_update_fused(zf, psi_full, tau, thresh_op="hard",
+                                   precision=prec, interpret=True,
+                                   layout="permuted")
+        ref = dft.ifft2_from_permuted(acc, precision=prec)
+        got = subband_update_fused(z, psi_full, tau, thresh_op="hard",
+                                   precision=prec, interpret=True,
+                                   layout="permuted", spatial_io=True)
+        return got, ref
+
+    got, ref = both(0.0)  # no boundary: f32-exact equivalence, both slices
     np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re),
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(got.im), np.asarray(ref.im),
                                atol=5e-5)
+    got, ref = both(0.05)  # thresholded: boundary flips only (~1e-3)
+    np.testing.assert_allclose(np.asarray(got.re), np.asarray(ref.re),
+                               atol=1e-2)
+
+    # the env gate in _pocs_subband_apply_pallas routes through the same
+    # variant: compare the WHOLE apply (incl. box groups) loosely
+    tr_tau = jnp.full((2, sum(g.psi.shape[0] for g in plan)), 0.05,
+                      jnp.float32)
+    base = sh.pocs_subband_apply(z, plan, tr_tau, "hard", precision=prec,
+                                 use_pallas=True, pallas_interpret=True)
+    monkeypatch.setenv("P3D_SPATIAL_IO", "1")
+    env_on = sh.pocs_subband_apply(z, plan, tr_tau, "hard", precision=prec,
+                                   use_pallas=True, pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(env_on.re), np.asarray(base.re),
+                               atol=1e-2)
